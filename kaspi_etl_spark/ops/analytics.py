@@ -1,0 +1,134 @@
+"""Global market analytics over per-variant stats — computeGlobalAnalytics.
+
+Reference: apps/kaspi_offers_dashboard/CURSOR_TASK.md:118-170 and
+lib/analytics.ts spec — per-variant basicStats (population stddev, exact
+even-count median over non-zero prices), spread aggregates over positive
+spreads (A8), unique seller names across all variants (A9), botShare (A10),
+attractivenessIndex / stabilityScore / bestEntryPrice (A11-A13) with the
+priceStep tiers and bot-dampening.
+
+Scale notes: two shuffles total — one groupBy(productId) for variant stats,
+one groupBy(master) for the rollup + an exact countDistinct(name). All
+joins are on the master key after aggregation (tiny). For 100 TB
+dashboards, approx_count_distinct + percentile_approx are drop-in
+replacements where oracle-exactness is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..clean import clamp01, price_step
+from .offers import exact_stddev_pop, with_bot_flags
+
+
+def variant_stats(sellers: DataFrame) -> DataFrame:
+    """Per-variant basicStats over non-zero prices (lib/analytics.ts
+    basicStats): min/median/max/spread/stddev_pop + raw sellersCount.
+    Variants with no positive price get all-zero stats, as the reference
+    returns {0,0,0,0,0}."""
+    all_variants = sellers.groupBy("masterProductId", "productId").agg(
+        F.count("*").cast("long").alias("sellersCount")
+    )
+    pos = sellers.filter(F.col("price") > 0)
+    price_d = F.col("price").cast("double")
+    _, stddev = exact_stddev_pop(F.col("price"))
+    stats = pos.groupBy("productId").agg(
+        F.min("price").cast("long").alias("min_price"),
+        F.percentile(price_d, F.lit(0.5)).alias("median_price"),
+        F.max("price").cast("long").alias("max_price"),
+        (F.max("price") - F.min("price")).cast("long").alias("spread"),
+        stddev.alias("stddev_price"),
+    )
+    return (
+        all_variants.join(stats, "productId", "left")
+        .na.fill({"min_price": 0, "median_price": 0.0, "max_price": 0, "spread": 0, "stddev_price": 0.0})
+    )
+
+
+def global_analytics(sellers: DataFrame) -> DataFrame:
+    """A8-A13 per master product (CURSOR_TASK.md computeGlobalAnalytics).
+
+    ``sellers`` is the flat exploded table (FIXTURES.md 5) with a
+    ratingCount column; the reference's master-level ratingCount is taken
+    as max(ratingCount) per master (the reference carries one value per
+    master document).
+    """
+    flagged = with_bot_flags(sellers)
+    variants = variant_stats(sellers)
+
+    pos_spread = F.when(F.col("spread") > 0, F.col("spread").cast("double"))
+    rel_stddev = F.when(
+        F.col("min_price") > 0, F.col("stddev_price") / F.col("min_price").cast("double")
+    ).otherwise(F.lit(0.0))
+    per_master = variants.groupBy("masterProductId").agg(
+        (
+            F.sum(pos_spread.cast("decimal(18,6)")).cast("double") / F.count(pos_spread)
+        ).alias("avgSpreadRaw"),
+        F.percentile(pos_spread, F.lit(0.5)).alias("medianSpreadRaw"),
+        F.max(pos_spread).alias("maxSpreadRaw"),
+        F.min(F.when(F.col("min_price") > 0, F.col("min_price"))).cast("long").alias("minAcross"),
+        (
+            F.sum(rel_stddev.cast("decimal(18,9)")).cast("double") / F.count("*")
+        ).alias("relStdAvg"),
+    )
+
+    seller_level = flagged.groupBy("masterProductId").agg(
+        F.countDistinct("name").cast("long").alias("uniqueSellers"),
+        (
+            F.sum(F.when(F.col("isPriceBot"), 1).otherwise(0)).cast("double") / F.count("*")
+        ).alias("botShareRaw"),
+        F.max("ratingCount").cast("long").alias("ratingCount"),
+    )
+
+    j = per_master.join(seller_level, "masterProductId")
+
+    # Attractiveness (lib/analytics.ts): 0..1 scores combined to 0..100.
+    spread_score = clamp01(
+        F.col("avgSpreadRaw")
+        / F.coalesce(
+            F.when(F.col("medianSpreadRaw") != 0, F.col("medianSpreadRaw")),
+            F.when(F.col("avgSpreadRaw") != 0, F.col("avgSpreadRaw")),
+            F.lit(1.0),
+        )
+    )
+    scarcity = clamp01(F.lit(1.0) - F.col("uniqueSellers").cast("double") / F.lit(20.0))
+    demand = clamp01(
+        F.log10(F.coalesce(F.col("ratingCount"), F.lit(0)).cast("double") + 1.0) / F.lit(3.0)
+    )
+    attractiveness = F.round(
+        100.0
+        * clamp01(
+            F.lit(0.45) * spread_score
+            + F.lit(0.25) * scarcity
+            + F.lit(0.20) * demand
+            - F.lit(0.20) * clamp01(F.col("botShareRaw"))
+        ),
+        0,
+    ).cast("long")
+    stability = F.round(100.0 * clamp01(F.lit(1.0) - F.col("relStdAvg")), 0).cast("long")
+
+    # bestEntryPrice: undercut minAcross by priceStep, dampened to 25% of
+    # the step when botShare > 0.35; round to tens; floor at 0.
+    step = price_step(F.col("minAcross")).cast("double")
+    dampen = F.when(F.col("botShareRaw") > 0.35, step * 0.25).otherwise(step)
+    best_entry = F.when(
+        F.col("minAcross").isNotNull(),
+        F.greatest(
+            F.lit(0).cast("long"),
+            (F.round((F.col("minAcross").cast("double") - dampen) / 10.0, 0) * 10).cast("long"),
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+
+    return j.select(
+        "masterProductId",
+        F.round(F.coalesce(F.col("avgSpreadRaw"), F.lit(0.0)), 0).cast("long").alias("avgSpread"),
+        F.round(F.coalesce(F.col("medianSpreadRaw"), F.lit(0.0)), 0).cast("long").alias("medianSpread"),
+        F.round(F.coalesce(F.col("maxSpreadRaw"), F.lit(0.0)), 0).cast("long").alias("maxSpread"),
+        "uniqueSellers",
+        F.round(F.col("botShareRaw"), 2).alias("botShare"),
+        attractiveness.alias("attractivenessIndex"),
+        stability.alias("stabilityScore"),
+        best_entry.alias("bestEntryPrice"),
+    )

@@ -1,0 +1,61 @@
+"""Export — flatten the nested AnalyzeResult document to flat rows (S16).
+
+Reference: CURSOR_TASK.md:184-227 (flattenRows + CSV/XLSX export) and
+BUNDLE/app/api/pricebot/pricebot/export/route.ts. Out-of-stock variants
+export a placeholder row {name:'Out of stock', price:0}
+(CURSOR_TASK.md:194); the in-stock filter (P10) drops them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def flatten_analyze_result(nested: DataFrame) -> DataFrame:
+    """S16: variants[] -> sellers[] exploded to one row per seller, with
+    the out-of-stock placeholder for empty variants."""
+    v = nested.select(
+        "masterProductId",
+        F.explode("variants").alias("variant"),
+    ).select(
+        "masterProductId",
+        F.col("variant.productId").alias("productId"),
+        F.col("variant.label").alias("label"),
+        F.when(
+            F.size(F.col("variant.sellers")) > 0, F.col("variant.sellers")
+        ).otherwise(
+            F.array(
+                F.named_struct(
+                    F.lit("name"), F.lit("Out of stock"),
+                    F.lit("price"), F.lit(0).cast("long"),
+                    F.lit("deliveryDate"), F.lit(""),
+                    F.lit("isPriceBot"), F.lit(False),
+                )
+            )
+        ).alias("sellers"),
+    )
+    return v.select(
+        "masterProductId",
+        "productId",
+        "label",
+        F.explode("sellers").alias("s"),
+    ).select(
+        "masterProductId",
+        "productId",
+        "label",
+        F.col("s.name").alias("name"),
+        F.col("s.price").alias("price"),
+        F.col("s.deliveryDate").alias("deliveryDate"),
+        F.col("s.isPriceBot").alias("isPriceBot"),
+    )
+
+
+def in_stock_only(flat: DataFrame) -> DataFrame:
+    """P10: drop the out-of-stock placeholder rows (app/page.tsx:151-161)."""
+    return flat.filter(~((F.col("name") == "Out of stock") & (F.col("price") == 0)))
+
+
+def write_csv(df: DataFrame, path: str) -> None:
+    """CSV export sink (header on, one directory of part files)."""
+    df.write.mode("overwrite").option("header", True).csv(path)

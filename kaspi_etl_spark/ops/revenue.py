@@ -1,0 +1,67 @@
+"""Revenue KPIs — net revenue, daily revenue, margin by SKU.
+
+Reference semantics: scripts/dashboard.py:28-32 (KPIs), :51-56 (daily net
+revenue chart), :67-73 (margin by SKU). Net revenue per order is
+``gross * (1 - fee) - delivery``.
+
+Scale notes: all aggregations are single-shuffle groupBys with map-side
+partial aggregation; money sums run on DECIMAL(18,6) so results are exact
+and reproducible regardless of partitioning / aggregation order (a double
+sum is order-dependent and would differ run-to-run on a cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Exact, order-independent sum of a double expression: per-row values are
+# deterministic IEEE doubles; the DECIMAL cast makes the reduction exact.
+def exact_sum(col: Column, alias: str) -> Column:
+    return F.sum(col.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def net_revenue_expr(gross: Column, fee_pct: Column, delivery: Column) -> Column:
+    """Per-row net revenue (scripts/dashboard.py:29-32)."""
+    return gross.cast("double") * (F.lit(1.0) - fee_pct) - delivery.cast("double")
+
+
+def kpis(orders: DataFrame) -> DataFrame:
+    """A1 + A2: global order count and net revenue (dashboard.py:28-32)."""
+    net = net_revenue_expr(
+        F.col("gross_price_kzt"), F.col("kaspi_fee_pct"), F.col("delivery_cost_kzt")
+    )
+    return orders.agg(
+        F.count("*").alias("orders_cnt"),
+        exact_sum(net, "net_revenue"),
+    )
+
+
+def daily_net_revenue(orders: DataFrame) -> DataFrame:
+    """A4: net revenue grouped by order date (dashboard.py:51-56)."""
+    net = net_revenue_expr(
+        F.col("gross_price_kzt"), F.col("kaspi_fee_pct"), F.col("delivery_cost_kzt")
+    )
+    return (
+        orders.withColumn("net", net)
+        .groupBy("order_date")
+        .agg(exact_sum(F.col("net"), "net_revenue"))
+        .orderBy("order_date")
+    )
+
+
+def margin_by_sku(sales: DataFrame) -> DataFrame:
+    """A4 + O3: net revenue per SKU, descending (dashboard.py:67-73).
+
+    ``sales`` needs columns sku_key, gross_price_kzt, kaspi_fee_pct,
+    delivery_cost_kzt.
+    """
+    net = net_revenue_expr(
+        F.col("gross_price_kzt"), F.col("kaspi_fee_pct"), F.col("delivery_cost_kzt")
+    )
+    return (
+        sales.withColumn("net", net)
+        .groupBy("sku_key")
+        .agg(exact_sum(F.col("net"), "net_revenue"), F.sum("qty").cast("long").alias("units"))
+        .orderBy(F.desc("net_revenue"))
+    )

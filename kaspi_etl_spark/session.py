@@ -1,0 +1,57 @@
+"""SparkSession factory tuned for both local testing and cluster scale.
+
+Local runs use ``local[N]``; on a real cluster the same builder works with
+whatever master the environment provides. All scale-relevant knobs (AQE,
+skew-join handling, broadcast threshold, partition sizing) are set here so
+every operator in the engine inherits them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kaspi_etl_spark",
+    cpus: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Settings rationale (100 TB design notes):
+      - AQE on: runtime coalescing of shuffle partitions, skew-join
+        splitting, and dynamic broadcast conversion — essential when data
+        statistics at plan time are wrong at scale.
+      - shuffle.partitions matches local cores here; on a cluster this is
+        overridden by AQE's coalescing (initialPartitionNum can be raised).
+      - Arrow enabled so the Pandas-UDF slow path uses columnar transfer.
+      - Session timezone pinned to UTC so date semantics never depend on
+        host locale (reference parses day-first RU dates explicitly;
+        SURVEY.md section 7 risk 4).
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+    )
+    if not os.environ.get("SPARK_MASTER") and "spark.master" not in (extra_conf or {}):
+        builder = builder.master(f"local[{cpus}]")
+        builder = builder.config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
