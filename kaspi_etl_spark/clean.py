@@ -24,7 +24,7 @@ def decimal_comma_to_double(col: Column | str) -> Column:
     """F2: '0,95' -> 0.95, garbage -> null (scripts/etl_sales.py:19-21,
     scripts/enhanced_catalog_parser.py:27-40)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.try_cast(F.regexp_replace(F.trim(c), ",", "."), "double")
+    return F.regexp_replace(F.trim(c), ",", ".").try_cast("double")
 
 
 def strip_non_numeric_int(col: Column | str, default: int | None = None) -> Column:
@@ -32,7 +32,7 @@ def strip_non_numeric_int(col: Column | str, default: int | None = None) -> Colu
     (scripts/enhanced_catalog_parser.py:43-67)."""
     c = F.col(col) if isinstance(col, str) else col
     cleaned = F.regexp_replace(c, r"[^0-9.]", "")
-    out = F.try_cast(F.try_cast(cleaned, "double"), "long")
+    out = cleaned.try_cast("double").try_cast("long")
     if default is not None:
         out = F.coalesce(out, F.lit(default))
     return out
@@ -43,7 +43,7 @@ def price_from_text(col: Column | str) -> Column:
     (apps/kaspi_offers_dashboard/server/parse.ts:17-18)."""
     c = F.col(col) if isinstance(col, str) else col
     grp = F.regexp_extract(c, r"(\d[\d\s]{0,}\d|\d)", 1)
-    return F.try_cast(F.regexp_replace(grp, r"\s", ""), "long")
+    return F.regexp_replace(grp, r"\s", "").try_cast("long")
 
 
 def id_from_url(col: Column | str) -> Column:

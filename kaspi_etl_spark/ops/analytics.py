@@ -62,22 +62,27 @@ def global_analytics(sellers: DataFrame) -> DataFrame:
     rel_stddev = F.when(
         F.col("min_price") > 0, F.col("stddev_price") / F.col("min_price").cast("double")
     ).otherwise(F.lit(0.0))
+    # Empty positive-spread sets aggregate to 0, as the reference returns 0
+    # for empty lists (lib/analytics.ts: `spreads.length ? ... : 0`).
     per_master = variants.groupBy("masterProductId").agg(
-        (
-            F.sum(pos_spread.cast("decimal(18,6)")).cast("double") / F.count(pos_spread)
+        F.coalesce(
+            F.sum(F.when(F.col("spread") > 0, F.col("spread"))).cast("double")
+            / F.count(pos_spread).cast("double"),
+            F.lit(0.0),
         ).alias("avgSpreadRaw"),
-        F.percentile(pos_spread, F.lit(0.5)).alias("medianSpreadRaw"),
-        F.max(pos_spread).alias("maxSpreadRaw"),
+        F.coalesce(F.percentile(pos_spread, F.lit(0.5)), F.lit(0.0)).alias("medianSpreadRaw"),
+        F.coalesce(F.max(pos_spread), F.lit(0.0)).alias("maxSpreadRaw"),
         F.min(F.when(F.col("min_price") > 0, F.col("min_price"))).cast("long").alias("minAcross"),
         (
-            F.sum(rel_stddev.cast("decimal(18,9)")).cast("double") / F.count("*")
+            F.sum(rel_stddev.cast("decimal(18,9)")).cast("double") / F.count("*").cast("double")
         ).alias("relStdAvg"),
     )
 
     seller_level = flagged.groupBy("masterProductId").agg(
         F.countDistinct("name").cast("long").alias("uniqueSellers"),
         (
-            F.sum(F.when(F.col("isPriceBot"), 1).otherwise(0)).cast("double") / F.count("*")
+            F.sum(F.when(F.col("isPriceBot"), 1).otherwise(0)).cast("double")
+            / F.count("*").cast("double")
         ).alias("botShareRaw"),
         F.max("ratingCount").cast("long").alias("ratingCount"),
     )
@@ -123,9 +128,9 @@ def global_analytics(sellers: DataFrame) -> DataFrame:
 
     return j.select(
         "masterProductId",
-        F.round(F.coalesce(F.col("avgSpreadRaw"), F.lit(0.0)), 0).cast("long").alias("avgSpread"),
-        F.round(F.coalesce(F.col("medianSpreadRaw"), F.lit(0.0)), 0).cast("long").alias("medianSpread"),
-        F.round(F.coalesce(F.col("maxSpreadRaw"), F.lit(0.0)), 0).cast("long").alias("maxSpread"),
+        F.round(F.col("avgSpreadRaw"), 0).cast("long").alias("avgSpread"),
+        F.round(F.col("medianSpreadRaw"), 0).cast("long").alias("medianSpread"),
+        F.round(F.col("maxSpreadRaw"), 0).cast("long").alias("maxSpread"),
         "uniqueSellers",
         F.round(F.col("botShareRaw"), 2).alias("botShare"),
         attractiveness.alias("attractivenessIndex"),

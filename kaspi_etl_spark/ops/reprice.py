@@ -120,6 +120,6 @@ def run_telemetry(props: DataFrame) -> DataFrame:
     return props.agg(
         F.count("*").cast("long").alias("count"),
         (
-            F.sum(F.col("delta").cast("decimal(18,6)")).cast("double") / F.count("*")
+            F.sum("delta").cast("double") / F.count("*").cast("double")
         ).alias("avgDelta"),
     )

@@ -116,7 +116,7 @@ def recommend_adult_sizes(customers: DataFrame, chart: DataFrame) -> DataFrame:
     best = ranked.filter(F.col("rn") == 1).select(
         "customer_id",
         F.col("size").alias("recommended_size"),
-        F.round(F.col("score"), 6).alias("confidence_score"),
+        F.col("score").alias("confidence_score"),
         F.when(F.col("score") > 0.8, F.lit("excellent fit"))
         .when(F.col("score") > 0.6, F.lit("good fit"))
         .otherwise(F.lit("approximate fit"))

@@ -75,6 +75,8 @@ SQL_SALES_SKU = """
 SQL_SELLERS = """
   SELECT 'M' || CAST(l_partkey % 50 AS VARCHAR) AS masterProductId,
          CAST(l_partkey AS VARCHAR) AS productId,
+         CAST(10 + l_partkey % 90 AS VARCHAR) AS variantSize,
+         'C' || CAST(l_partkey % 7 AS VARCHAR) AS variantColor,
          'Seller ' || CAST(l_suppkey AS VARCHAR) AS name,
          CASE WHEN l_orderkey % 37 = 0 THEN CAST(0 AS BIGINT)
               ELSE CAST(round(l_extendedprice) AS BIGINT) END AS price,
@@ -165,6 +167,8 @@ def sellers_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         F.concat(F.lit("M"), (F.col("l_partkey") % 50).cast("string")).alias("masterProductId"),
         F.col("l_partkey").cast("string").alias("productId"),
+        (F.lit(10) + F.col("l_partkey") % 90).cast("string").alias("variantSize"),
+        F.concat(F.lit("C"), (F.col("l_partkey") % 7).cast("string")).alias("variantColor"),
         F.concat(F.lit("Seller "), F.col("l_suppkey").cast("string")).alias("name"),
         F.when(F.col("l_orderkey") % 37 == 0, F.lit(0).cast("long"))
         .otherwise(F.round(F.col("l_extendedprice")).cast("long"))
@@ -405,4 +409,358 @@ def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return offers_ops.basic_stats(sellers_table(spark, sf_dir))
 
 
-QUERIES_DOC = "Populated at import time by the @register decorators above."
+
+# SQL mirror of ops.offers.with_bot_flags (F14 heuristic over window stats).
+SQL_FLAGGED = """
+      SELECT s.*, COALESCE(
+               ((CAST(price AS DOUBLE) <= grp_min + 15
+                 OR CAST(price AS DOUBLE) <= grp_min * CAST(1.0025 AS DOUBLE))
+                AND (grp_median - grp_min <= 30)
+                AND price > 0), FALSE) AS isPriceBot
+      FROM (
+        SELECT *,
+               MIN(CASE WHEN price > 0 THEN CAST(price AS DOUBLE) END)
+                 OVER (PARTITION BY productId) AS grp_min,
+               quantile_cont(CASE WHEN price > 0 THEN CAST(price AS DOUBLE) END, 0.5)
+                 OVER (PARTITION BY productId) AS grp_median
+        FROM sellers
+      ) s
+"""
+
+
+@register(
+    "price_deltas",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    w AS (
+      SELECT *, MIN(CASE WHEN price > 0 THEN price END)
+                  OVER (PARTITION BY productId) AS grp_min
+      FROM sellers
+    )
+    SELECT productId, name, price, row_uid,
+           CAST(grp_min AS BIGINT) AS min_price,
+           CAST(price - grp_min AS BIGINT) AS delta,
+           CASE WHEN grp_min > 0
+                THEN CAST(price - grp_min AS DOUBLE) / CAST(grp_min AS DOUBLE) END AS delta_pct
+    FROM w
+    """,
+)
+def q_price_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return offers_ops.with_price_deltas(sellers_table(spark, sf_dir)).select(
+        "productId", "name", "price", "row_uid", "min_price", "delta", "delta_pct"
+    )
+
+
+@register(
+    "bot_flags",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    flagged AS ({SQL_FLAGGED})
+    SELECT productId, name, price, row_uid, isPriceBot FROM flagged
+    """,
+)
+def q_bot_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return offers_ops.with_bot_flags(sellers_table(spark, sf_dir)).select(
+        "productId", "name", "price", "row_uid", "isPriceBot"
+    )
+
+
+@register(
+    "variant_summary",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    flagged AS ({SQL_FLAGGED}),
+    agg AS (
+      SELECT productId,
+             CAST(MIN(price) AS BIGINT) AS min_price,
+             CAST(MAX(price) AS BIGINT) AS max_price,
+             quantile_cont(CAST(price AS DOUBLE), 0.5) AS median_price,
+             sqrt(GREATEST(CAST(0.0 AS DOUBLE),
+                  CAST(SUM(price * price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  - (CAST(SUM(price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * (CAST(SUM(price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))))
+               AS stddev_price,
+             CAST(MAX(price) - MIN(price) AS BIGINT) AS spread,
+             CAST(SUM(CASE WHEN isPriceBot THEN 1 ELSE 0 END) AS BIGINT) AS bot_count,
+             CAST(COUNT(*) AS BIGINT) AS sellers_cnt
+      FROM flagged WHERE price > 0 GROUP BY productId
+    )
+    SELECT *,
+           CAST(CASE WHEN bot_count >= 2 THEN min_price - 20 ELSE min_price END AS BIGINT)
+             AS predicted_min_24h,
+           CAST(CASE WHEN bot_count >= 2 THEN min_price - 40 ELSE min_price END AS BIGINT)
+             AS predicted_min_7d,
+           CAST(round((CAST(1.0 AS DOUBLE)
+                - LEAST(CAST(1.0 AS DOUBLE),
+                        CASE WHEN min_price > 0
+                             THEN COALESCE(stddev_price, CAST(0.0 AS DOUBLE))
+                                  / CAST(min_price AS DOUBLE)
+                             ELSE CAST(1.0 AS DOUBLE) END)) * 100) AS BIGINT) AS stability
+    FROM agg
+    """,
+)
+def q_variant_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return offers_ops.variant_summary(sellers_table(spark, sf_dir))
+
+
+@register(
+    "global_analytics",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    flagged AS ({SQL_FLAGGED}),
+    all_variants AS (
+      SELECT masterProductId, productId, CAST(COUNT(*) AS BIGINT) AS sellersCount
+      FROM sellers GROUP BY masterProductId, productId
+    ),
+    vstats AS (
+      SELECT productId,
+             CAST(MIN(price) AS BIGINT) AS min_price,
+             quantile_cont(CAST(price AS DOUBLE), 0.5) AS median_price,
+             CAST(MAX(price) AS BIGINT) AS max_price,
+             CAST(MAX(price) - MIN(price) AS BIGINT) AS spread,
+             sqrt(GREATEST(CAST(0.0 AS DOUBLE),
+                  CAST(SUM(price * price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  - (CAST(SUM(price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                    * (CAST(SUM(price) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))))
+               AS stddev_price
+      FROM sellers WHERE price > 0 GROUP BY productId
+    ),
+    variants AS (
+      SELECT av.masterProductId, av.productId, av.sellersCount,
+             COALESCE(v.min_price, 0) AS min_price,
+             COALESCE(v.spread, 0) AS spread,
+             COALESCE(v.stddev_price, CAST(0.0 AS DOUBLE)) AS stddev_price
+      FROM all_variants av LEFT JOIN vstats v USING (productId)
+    ),
+    per_master AS (
+      SELECT masterProductId,
+             COALESCE(CAST(SUM(CASE WHEN spread > 0 THEN spread END) AS DOUBLE)
+               / CAST(COUNT(CASE WHEN spread > 0 THEN 1 END) AS DOUBLE),
+               CAST(0.0 AS DOUBLE)) AS avgSpreadRaw,
+             COALESCE(quantile_cont(CASE WHEN spread > 0 THEN CAST(spread AS DOUBLE) END, 0.5),
+               CAST(0.0 AS DOUBLE)) AS medianSpreadRaw,
+             COALESCE(MAX(CASE WHEN spread > 0 THEN CAST(spread AS DOUBLE) END),
+               CAST(0.0 AS DOUBLE)) AS maxSpreadRaw,
+             CAST(MIN(CASE WHEN min_price > 0 THEN min_price END) AS BIGINT) AS minAcross,
+             CAST(SUM(CAST(CASE WHEN min_price > 0
+                                THEN stddev_price / CAST(min_price AS DOUBLE)
+                                ELSE CAST(0.0 AS DOUBLE) END AS DECIMAL(18,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS relStdAvg
+      FROM variants GROUP BY masterProductId
+    ),
+    seller_level AS (
+      SELECT masterProductId,
+             CAST(COUNT(DISTINCT name) AS BIGINT) AS uniqueSellers,
+             CAST(SUM(CASE WHEN isPriceBot THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS botShareRaw,
+             CAST(MAX(ratingCount) AS BIGINT) AS ratingCount
+      FROM flagged GROUP BY masterProductId
+    ),
+    j AS (
+      SELECT *,
+             LEAST(GREATEST(avgSpreadRaw / COALESCE(
+                 CASE WHEN medianSpreadRaw <> 0 THEN medianSpreadRaw END,
+                 CASE WHEN avgSpreadRaw <> 0 THEN avgSpreadRaw END,
+                 CAST(1.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS spread_score,
+             LEAST(GREATEST(CAST(1.0 AS DOUBLE) - CAST(uniqueSellers AS DOUBLE) / CAST(20.0 AS DOUBLE),
+                 CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS scarcity,
+             LEAST(GREATEST(log10(CAST(COALESCE(ratingCount, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                 / CAST(3.0 AS DOUBLE), CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS demand,
+             LEAST(GREATEST(botShareRaw, CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS bot_penalty
+      FROM per_master JOIN seller_level USING (masterProductId)
+    )
+    SELECT masterProductId,
+           CAST(round(avgSpreadRaw) AS BIGINT) AS avgSpread,
+           CAST(round(medianSpreadRaw) AS BIGINT) AS medianSpread,
+           CAST(round(maxSpreadRaw) AS BIGINT) AS maxSpread,
+           uniqueSellers,
+           round(botShareRaw, 2) AS botShare,
+           CAST(round(CAST(100.0 AS DOUBLE) * LEAST(GREATEST(
+                CAST(0.45 AS DOUBLE) * spread_score
+                + CAST(0.25 AS DOUBLE) * scarcity
+                + CAST(0.20 AS DOUBLE) * demand
+                - CAST(0.20 AS DOUBLE) * bot_penalty,
+                CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))) AS BIGINT) AS attractivenessIndex,
+           CAST(round(CAST(100.0 AS DOUBLE) * LEAST(GREATEST(
+                CAST(1.0 AS DOUBLE) - relStdAvg,
+                CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))) AS BIGINT) AS stabilityScore,
+           CASE WHEN minAcross IS NOT NULL THEN GREATEST(CAST(0 AS BIGINT),
+                CAST(round((CAST(minAcross AS DOUBLE)
+                     - (CASE WHEN botShareRaw > CAST(0.35 AS DOUBLE)
+                             THEN CAST(CASE WHEN minAcross < 5000 THEN 20
+                                            WHEN minAcross < 20000 THEN 50
+                                            WHEN minAcross < 100000 THEN 100
+                                            ELSE 200 END AS DOUBLE) * CAST(0.25 AS DOUBLE)
+                             ELSE CAST(CASE WHEN minAcross < 5000 THEN 20
+                                            WHEN minAcross < 20000 THEN 50
+                                            WHEN minAcross < 100000 THEN 100
+                                            ELSE 200 END AS DOUBLE) END)) / CAST(10.0 AS DOUBLE))
+                     * 10 AS BIGINT))
+                ELSE CAST(0 AS BIGINT) END AS bestEntryPrice
+    FROM j
+    """,
+)
+def q_global_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return analytics_ops.global_analytics(sellers_table(spark, sf_dir))
+
+
+# --- Repricing (J7, P11, W2, F17, A14, A15) --------------------------------
+
+SQL_REPRICE_PROPOSALS = f"""
+    WITH opponents AS ({SQL_OPPONENTS}),
+    settings AS ({SQL_SETTINGS}),
+    kept AS (
+      SELECT * FROM opponents WHERE merchantId NOT IN ('M3', 'M7')
+    ),
+    best AS (
+      SELECT sku, CAST(MIN(price) AS BIGINT) AS best_price
+      FROM kept WHERE NOT isYou AND price > 0 GROUP BY sku
+    ),
+    base AS (
+      SELECT s.sku, s.stepKzt, s.minPrice, s.maxPrice, s.currentPrice, b.best_price,
+             COALESCE(s.stepKzt, 1) AS step,
+             COALESCE(s.minPrice, 0) AS min_c,
+             COALESCE(CASE WHEN s.maxPrice > 0 THEN s.maxPrice END,
+                      CASE WHEN s.minPrice > 0 THEN s.minPrice END,
+                      s.currentPrice) AS max_c,
+             COALESCE(s.currentPrice, 0) AS cur
+      FROM settings s LEFT JOIN best b USING (sku) WHERE s.active
+    ),
+    calc AS (
+      SELECT *,
+             LEAST(GREATEST(CASE WHEN best_price IS NOT NULL
+                                 THEN best_price - step ELSE cur END, min_c), max_c) AS clamped
+      FROM base
+    ),
+    final AS (
+      SELECT *,
+             CAST(CASE WHEN ABS(clamped - cur) <= step THEN cur ELSE clamped END AS BIGINT)
+               AS targetPrice
+      FROM calc
+    )
+    SELECT sku,
+           CAST(currentPrice AS BIGINT) AS ourPrice,
+           best_price AS bestOpponent,
+           targetPrice,
+           CAST(targetPrice - currentPrice AS BIGINT) AS delta,
+           CASE WHEN best_price IS NULL THEN 'no_competitors'
+                WHEN targetPrice = currentPrice THEN 'no_change'
+                ELSE 'undercut' END AS reason
+    FROM final
+"""
+
+
+def _reprice_inputs(spark: SparkSession, sf_dir: str):
+    settings = settings_table(spark, sf_dir)
+    opponents = opponents_table(spark, sf_dir)
+    gi = spark.createDataFrame(
+        [(m,) for m in GLOBAL_IGNORE_MERCHANTS], "merchantId string"
+    )
+    return settings, opponents, gi
+
+
+@register("reprice_proposals", SQL_REPRICE_PROPOSALS)
+def q_reprice_proposals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settings, opponents, gi = _reprice_inputs(spark, sf_dir)
+    return reprice_ops.proposals(settings, opponents, gi)
+
+
+@register(
+    "reprice_telemetry",
+    f"""
+    WITH props AS ({SQL_REPRICE_PROPOSALS})
+    SELECT CAST(COUNT(*) AS BIGINT) AS count,
+           CAST(SUM(delta) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgDelta
+    FROM props
+    """,
+)
+def q_reprice_telemetry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    settings, opponents, gi = _reprice_inputs(spark, sf_dir)
+    return reprice_ops.run_telemetry(reprice_ops.proposals(settings, opponents, gi))
+
+
+@register(
+    "pricebot_kpis",
+    f"""
+    WITH settings AS ({SQL_SETTINGS}),
+    stock AS ({SQL_STOCK}),
+    j AS (SELECT s.*, st.qty_on_hand FROM settings s
+          LEFT JOIN stock st ON s.sku = st.sku_key)
+    SELECT CAST(COUNT(*) AS BIGINT) AS totalSKUs,
+           CAST(COUNT(CASE WHEN active THEN 1 END) AS BIGINT) AS activeSKUs,
+           CAST(COUNT(CASE WHEN COALESCE(qty_on_hand, 0) <= 0 THEN 1 END) AS BIGINT) AS zeroStock,
+           CAST(COUNT(CASE WHEN minPrice > 0 THEN 1 END) AS BIGINT) AS configuredSKUs
+    FROM j
+    """,
+)
+def q_pricebot_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reprice_ops.kpi_stats(
+        settings_table(spark, sf_dir), stock_table(spark, sf_dir)
+    )
+
+
+# --- Sizing (J8, O5) -------------------------------------------------------
+
+def _chart_values_sql() -> str:
+    rows = ", ".join(
+        f"('{pt}', '{g}', {h1}, {h2}, {w1}, {w2}, '{sz}', {i})"
+        for i, (pt, g, h1, h2, w1, w2, sz) in enumerate(sizing_ops.ADULT_CHART_ROWS)
+    )
+    return rows
+
+
+@register(
+    "sizing_adult",
+    f"""
+    WITH customers AS ({SQL_CUSTOMERS_FIT}),
+    chart(product_type, gender, h_min, h_max, w_min, w_max, size, chart_order) AS (
+      VALUES {{CHART_VALUES}}
+    ),
+    cand AS (
+      SELECT c.customer_id, ch.size, ch.chart_order,
+             (CASE WHEN c.height_cm BETWEEN ch.h_min AND ch.h_max THEN CAST(0.5 AS DOUBLE)
+                   ELSE GREATEST(CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE)
+                        - CAST(LEAST(ABS(c.height_cm - ch.h_min), ABS(c.height_cm - ch.h_max)) AS DOUBLE)
+                          / CAST(20.0 AS DOUBLE)) END
+              + CASE WHEN c.weight_kg BETWEEN ch.w_min AND ch.w_max THEN CAST(0.5 AS DOUBLE)
+                   ELSE GREATEST(CAST(0.0 AS DOUBLE), CAST(0.5 AS DOUBLE)
+                        - CAST(LEAST(ABS(c.weight_kg - ch.w_min), ABS(c.weight_kg - ch.w_max)) AS DOUBLE)
+                          / CAST(10.0 AS DOUBLE)) END) AS score
+      FROM customers c JOIN chart ch
+        ON c.gender = ch.gender AND c.product_type = ch.product_type
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
+                                   ORDER BY score DESC, chart_order ASC) AS rn
+      FROM cand
+    ),
+    best AS (
+      SELECT customer_id, size AS recommended_size, score AS confidence_score,
+             CASE WHEN score > CAST(0.8 AS DOUBLE) THEN 'excellent fit'
+                  WHEN score > CAST(0.6 AS DOUBLE) THEN 'good fit'
+                  ELSE 'approximate fit' END AS fit_quality
+      FROM ranked WHERE rn = 1
+    ),
+    alt1 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id, size
+                                   ORDER BY score DESC, chart_order ASC) AS alt_rn
+      FROM ranked WHERE rn > 1 AND score > CAST(0.3 AS DOUBLE)
+    ),
+    alt2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
+                                   ORDER BY score DESC, chart_order ASC) AS alt_rank
+      FROM alt1 WHERE alt_rn = 1
+    ),
+    alts AS (
+      SELECT customer_id, string_agg(size, ',' ORDER BY alt_rank) AS alternative_sizes
+      FROM alt2 WHERE alt_rank <= 3 GROUP BY customer_id
+    )
+    SELECT b.customer_id, b.recommended_size, b.confidence_score, b.fit_quality,
+           COALESCE(a.alternative_sizes, '') AS alternative_sizes
+    FROM best b LEFT JOIN alts a USING (customer_id)
+    """.replace("{CHART_VALUES}", _chart_values_sql()),
+)
+def q_sizing_adult(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sizing_ops.recommend_adult_sizes(
+        customers_fit(spark, sf_dir), sizing_ops.adult_size_chart(spark)
+    )

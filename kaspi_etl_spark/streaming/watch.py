@@ -1,0 +1,176 @@
+"""Price watch — sliding-window stateful bot detection (SURVEY.md 2.8).
+
+Reference: apps/kaspi_offers_dashboard/scripts/price_watch.ts —
+  T1 periodic tick (:75-86)        -> trigger(processingTime=...)
+  T2 per-(variant, seller) ring buffer of the last 5 snapshots, flag when
+     >=3 undercuts (:31-52)        -> applyInPandasWithState / batch window
+  T3 NDJSON append per snapshot (:53-63) -> writeStream json sink
+
+Two implementations with an equivalence test between them (SURVEY.md 5):
+
+* ``bot_flags_replay`` — batch replay over historical events with a
+  ``rowsBetween(-4, 0)`` window: the oracle-checkable form.
+* ``bot_flags_stream`` — Structured Streaming with keyed state holding the
+  ring buffer, checkpointed; the production form. State is bounded (5
+  numbers per key), so at 100 TB/day the state store scales with
+  #(variant, seller) pairs, not event volume.
+
+Divergence note: the reference computes each tick's variant minimum over
+that tick's snapshot only; the replay form uses the variant's minimum over
+the replayed window input (deterministic under batch replay). The
+streaming form mirrors the reference exactly: per-batch minimum per
+variant, then the per-seller ring buffer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+UNDERCUT_MARGIN = 50  # price <= variant_min + 50 (price_watch.ts:44)
+WINDOW_TICKS = 5  # last 5 snapshots (price_watch.ts:46)
+FLAG_THRESHOLD = 3  # >=3 undercuts -> bot (price_watch.ts:47)
+
+
+def bot_flags_replay(events: DataFrame, order_cols: list[str] | None = None) -> DataFrame:
+    """W3 batch replay: sliding count of undercuts over the last 5
+    observations per (variantId, seller).
+
+    ``events``: variantId, seller, ts, price (+ passthrough columns).
+    """
+    order_cols = order_cols or ["ts"]
+    variant_min = F.min(F.when(F.col("price") > 0, F.col("price"))).over(
+        Window.partitionBy("variantId")
+    )
+    undercut = F.when(
+        (F.col("price") > 0) & (F.col("price") <= variant_min + UNDERCUT_MARGIN), 1
+    ).otherwise(0)
+    sliding = Window.partitionBy("variantId", "seller").orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    ).rowsBetween(-(WINDOW_TICKS - 1), 0)
+    return events.withColumn("undercut", undercut).withColumn(
+        "isPriceBot",
+        F.sum("undercut").over(sliding) >= FLAG_THRESHOLD,
+    )
+
+
+STATE_SCHEMA = T.StructType([T.StructField("recent", T.ArrayType(T.IntegerType()))])
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("variantId", T.StringType()),
+        T.StructField("seller", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("price", T.LongType()),
+        T.StructField("isPriceBot", T.BooleanType()),
+    ]
+)
+
+
+def _flag_group(key: tuple, pdfs: Iterable[Any], state: Any):
+    """applyInPandasWithState update function: ring buffer of the last 5
+    undercut bits per (variantId, seller) — price_watch.ts:31-52."""
+    import pandas as pd
+
+    recent: list[int] = list(state.get[0]) if state.exists else []
+    out = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        for _, row in pdf.iterrows():
+            recent.append(int(row["undercut"]))
+            while len(recent) > WINDOW_TICKS:
+                recent.pop(0)
+            out.append(
+                {
+                    "variantId": key[0],
+                    "seller": key[1],
+                    "ts": row["ts"],
+                    "price": row["price"],
+                    "isPriceBot": sum(recent) >= FLAG_THRESHOLD,
+                }
+            )
+    state.update((recent,))
+    yield pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields])
+
+
+def bot_flags_stream(events: DataFrame) -> DataFrame:
+    """T2 streaming form: keyed ring-buffer state via applyInPandasWithState.
+
+    ``events`` is a streaming DataFrame (variantId, seller, ts, price).
+    Undercut is computed per micro-batch against the batch's variant
+    minimum (matches the reference's per-tick semantics when one tick ==
+    one micro-batch).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    batch_min = events.groupBy("variantId", F.col("ts").alias("tick_ts")).agg(
+        F.min(F.when(F.col("price") > 0, F.col("price"))).alias("variant_min")
+    )
+    with_min = events.join(
+        batch_min,
+        (events["variantId"] == batch_min["variantId"])
+        & (events["ts"] == batch_min["tick_ts"]),
+        "left",
+    ).select(
+        events["variantId"],
+        "seller",
+        "ts",
+        "price",
+        F.when(
+            (F.col("price") > 0)
+            & (F.col("price") <= F.col("variant_min") + UNDERCUT_MARGIN),
+            1,
+        )
+        .otherwise(0)
+        .alias("undercut"),
+    )
+    return with_min.groupBy("variantId", "seller").applyInPandasWithState(
+        _flag_group,
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def watch_stream_job(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    trigger_seconds: int = 60,
+    schema: T.StructType | None = None,
+):
+    """T1+T3: file-source stream -> stateful flags -> NDJSON append sink
+    with a processing-time trigger (price_watch.ts:75-86 cadence)."""
+    from ..schemas import PRICE_WATCH_EVENTS
+
+    stream = spark.readStream.schema(schema or PRICE_WATCH_EVENTS).json(source_dir)
+    flagged = bot_flags_stream(stream)
+    return (
+        flagged.writeStream.format("json")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(processingTime=f"{trigger_seconds} seconds")
+    )
+
+
+def windowed_price_stats(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked sliding-window aggregation over the event stream —
+    beyond-reference generalization of T2/T3 (SURVEY.md 2.8 note): per
+    variant, 5-minute tumbling windows of min/max/avg price tolerant to
+    late data."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "variantId")
+        .agg(
+            F.min("price").alias("min_price"),
+            F.max("price").alias("max_price"),
+            F.avg("price").alias("avg_price"),
+            F.count("*").alias("n"),
+        )
+    )
