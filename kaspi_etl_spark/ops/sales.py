@@ -56,11 +56,11 @@ def clean_orders(raw: DataFrame, sku_map: DataFrame, fee_pct: float = 0.12) -> D
     ``raw`` has canonical columns with string dates; ``sku_map`` is the
     (sku_name_raw, sku_key, weight_g) dimension.
     """
-    df = (
-        raw.withColumn("order_date", dayfirst_date("order_date"))
-        .withColumn("status_date", dayfirst_date("status_date"))
-        .withColumn("kaspi_fee_pct", F.lit(fee_pct))
-        .withColumn("sku_name_raw", F.trim(F.col("sku_name_raw")))
+    df = raw.withColumn("order_date", dayfirst_date("order_date"))
+    if "status_date" in raw.columns:
+        df = df.withColumn("status_date", dayfirst_date("status_date"))
+    df = df.withColumn("kaspi_fee_pct", F.lit(fee_pct)).withColumn(
+        "sku_name_raw", F.trim(F.col("sku_name_raw"))
     )
     joined = df.join(F.broadcast(sku_map), "sku_name_raw", "left")
     return joined.withColumn(

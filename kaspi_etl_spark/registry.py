@@ -764,3 +764,328 @@ def q_sizing_adult(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sizing_ops.recommend_adult_sizes(
         customers_fit(spark, sf_dir), sizing_ops.adult_size_chart(spark)
     )
+
+
+# --- ETL pipelines (P1-P8, F8, F9, J1, U1, S8) -----------------------------
+
+@register(
+    "sales_etl_enrich",
+    f"""
+    WITH raw AS (
+      SELECT l_orderkey * 10 + l_linenumber AS order_id,
+             strftime(l_shipdate, '%d.%m.%Y') AS order_date_s,
+             '  ' || p_name || ' #' || CAST(p_partkey AS VARCHAR) || ' ' AS sku_name_pad,
+             CAST(l_quantity AS INT) AS qty,
+             CAST(round(l_extendedprice) AS BIGINT) AS gross_price_kzt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ),
+    sku_map AS (
+      SELECT p_name || ' #' || CAST(p_partkey AS VARCHAR) AS sku_name_raw,
+             'SKU_' || CAST(p_partkey AS VARCHAR) AS sku_key,
+             CAST(p_partkey % 5000 AS DOUBLE) AS weight_g
+      FROM part WHERE p_partkey % 4 <> 0
+    ),
+    cleaned AS (
+      SELECT order_id,
+             CAST(strptime(order_date_s, '%d.%m.%Y') AS DATE) AS order_date,
+             trim(sku_name_pad) AS sku_name_raw,
+             qty, gross_price_kzt
+      FROM raw
+    ),
+    joined AS (
+      SELECT c.order_id, c.order_date,
+             COALESCE(m.sku_key, upper(c.sku_name_raw)) AS sku_key,
+             m.weight_g, c.qty, c.gross_price_kzt
+      FROM cleaned c LEFT JOIN sku_map m ON c.sku_name_raw = m.sku_name_raw
+    )
+    SELECT order_id, order_date, sku_key, weight_g, qty, gross_price_kzt,
+           {SQL_DELIVERY_FEE} AS delivery_cost_kzt
+    FROM joined
+    """,
+)
+def q_sales_etl_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full etl_sales chain (SURVEY 3.1): messy raw rows (padded names,
+    day-first date strings) -> parse/trim/broadcast-join/coalesce/fee."""
+    from .ops import sales as sales_ops
+
+    li = _read(spark, sf_dir, "lineitem")
+    p = _read(spark, sf_dir, "part")
+    raw = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("order_id"),
+        F.date_format("l_shipdate", "dd.MM.yyyy").alias("order_date"),
+        F.concat(
+            F.lit("  "), F.col("p_name"), F.lit(" #"),
+            F.col("p_partkey").cast("string"), F.lit(" "),
+        ).alias("sku_name_raw"),
+        F.col("l_quantity").cast("int").alias("qty"),
+        F.round(F.col("l_extendedprice")).cast("long").alias("gross_price_kzt"),
+    )
+    sku_map = p.filter(F.col("p_partkey") % 4 != 0).select(
+        F.concat(F.col("p_name"), F.lit(" #"), F.col("p_partkey").cast("string")).alias("sku_name_raw"),
+        F.concat(F.lit("SKU_"), F.col("p_partkey").cast("string")).alias("sku_key"),
+        (F.col("p_partkey") % 5000).cast("double").alias("weight_g"),
+    )
+    out = sales_ops.clean_orders(raw, sku_map)
+    return out.select(
+        "order_id", "order_date", "sku_key", "weight_g", "qty",
+        "gross_price_kzt", "delivery_cost_kzt",
+    )
+
+
+SQL_PURCHASES = """
+  SELECT 'PO' || CAST(o_orderkey % 500 AS VARCHAR) AS po_id,
+         'SKU' || CAST(o_custkey % 200 AS VARCHAR) AS sku_key,
+         CAST(o_orderdate AS DATE) AS order_date,
+         CAST(o_totalprice AS DOUBLE) AS unit_cogs_kzt,
+         CAST(1 + o_orderkey % 5 AS INT) AS qty
+  FROM orders
+"""
+
+
+def _purchases_batch(spark: SparkSession, sf_dir: str, remainder: int) -> DataFrame:
+    o = _read(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 3 == remainder)
+    return o.select(
+        F.concat(F.lit("PO"), (F.col("o_orderkey") % 500).cast("string")).alias("po_id"),
+        F.concat(F.lit("SKU"), (F.col("o_custkey") % 200).cast("string")).alias("sku_key"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("double").alias("unit_cogs_kzt"),
+        (F.lit(1) + F.col("o_orderkey") % 5).cast("int").alias("qty"),
+    )
+
+
+@register(
+    "purchases_upsert",
+    """
+    WITH _existing AS (
+      SELECT 'PO' || CAST(o_orderkey % 500 AS VARCHAR) AS po_id,
+             'SKU' || CAST(o_custkey % 200 AS VARCHAR) AS sku_key,
+             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(o_totalprice AS DOUBLE) AS unit_cogs_kzt,
+             CAST(1 + o_orderkey % 5 AS INT) AS qty
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    _incoming AS (
+      SELECT 'PO' || CAST(o_orderkey % 500 AS VARCHAR) AS po_id,
+             'SKU' || CAST(o_custkey % 200 AS VARCHAR) AS sku_key,
+             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(o_totalprice AS DOUBLE) AS unit_cogs_kzt,
+             CAST(1 + o_orderkey % 5 AS INT) AS qty
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    deduped AS (
+      SELECT po_id, sku_key, order_date, unit_cogs_kzt, qty FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY po_id, sku_key
+          ORDER BY order_date ASC NULLS LAST, unit_cogs_kzt ASC NULLS LAST, qty ASC NULLS LAST
+        ) AS rn FROM _incoming
+      ) WHERE rn = 1
+    )
+    SELECT e.* FROM _existing e
+    WHERE NOT EXISTS (SELECT 1 FROM deduped d
+                      WHERE d.po_id = e.po_id AND d.sku_key = e.sku_key)
+    UNION ALL
+    SELECT * FROM deduped
+    """,
+)
+def q_purchases_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing = _purchases_batch(spark, sf_dir, 0)
+    incoming = purchases_ops.dedupe_batch(_purchases_batch(spark, sf_dir, 1))
+    return purchases_ops.upsert(existing, incoming)
+
+
+# --- Sorts / limits / top-k / set ops (O2, O4, J4/U3, A5, A6, U2) ----------
+
+@register(
+    "top3_cheapest",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    ranked AS (
+      SELECT productId, name, price,
+             ROW_NUMBER() OVER (PARTITION BY productId
+                                ORDER BY price ASC, row_uid ASC) AS rn
+      FROM sellers WHERE price > 0
+    )
+    SELECT productId, name, price, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def q_top3_cheapest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: 3 cheapest sellers per variant (price_watch.ts:66-67)."""
+    s = sellers_table(spark, sf_dir).filter(F.col("price") > 0)
+    w = Window.partitionBy("productId").orderBy(F.col("price").asc(), F.col("row_uid").asc())
+    return (
+        s.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("productId", "name", "price", "rn")
+    )
+
+
+@register(
+    "new_products_antijoin",
+    """
+    SELECT p_partkey, p_name, p_brand FROM part
+    WHERE p_partkey NOT IN (
+      SELECT l_partkey FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-01'
+    )
+    """,
+)
+def q_new_products_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4/U3: catalog items with no recent marketplace presence
+    (etl_catalog_api.py:236-244 anti-join semantics)."""
+    p = _read(spark, sf_dir, "part")
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-06-01").cast("timestamp")
+    )
+    return p.join(
+        li.select("l_partkey").distinct(),
+        p["p_partkey"] == F.col("l_partkey"),
+        "left_anti",
+    ).select("p_partkey", "p_name", "p_brand")
+
+
+@register(
+    "brand_value_counts",
+    """
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS count
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_brand_value_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: value_counts (etl_catalog_simple.py:138-146)."""
+    return catalog_ops.value_counts(_read(spark, sf_dir, "part"), "p_brand")
+
+
+@register(
+    "docs_coverage_report",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(COUNT(CASE WHEN text IS NOT NULL AND CAST(text AS VARCHAR) <> '' THEN 1 END) AS BIGINT) AS text_filled,
+           CAST(COUNT(CASE WHEN lang IS NOT NULL AND CAST(lang AS VARCHAR) <> '' THEN 1 END) AS BIGINT) AS lang_filled,
+           CAST(COUNT(CASE WHEN source IS NOT NULL AND CAST(source AS VARCHAR) <> '' THEN 1 END) AS BIGINT) AS source_filled
+    FROM documents
+    """,
+)
+def q_docs_coverage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: single-pass not-null/non-empty coverage counts."""
+    return catalog_ops.coverage_report(
+        _read(spark, sf_dir, "documents"), ["text", "lang", "source"]
+    )
+
+
+@register(
+    "variant_sort_rank",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    variants AS (SELECT DISTINCT productId, variantColor, variantSize FROM sellers)
+    SELECT productId, variantColor, variantSize,
+           CAST(ROW_NUMBER() OVER (
+             ORDER BY variantColor ASC,
+                      TRY_CAST(regexp_extract(variantSize, '(\\d{{2,3}})', 1) AS INT) ASC NULLS FIRST,
+                      CAST(productId AS INT) ASC
+           ) AS BIGINT) AS sort_rank
+    FROM variants
+    """,
+)
+def q_variant_sort_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: heterogeneous sort — color lexicographic, then numeric size
+    extracted by regex (app/page.tsx:130-135). Global row_number is a
+    single-partition op — fine for variant grids (small), not for fact
+    tables."""
+    v = sellers_table(spark, sf_dir).select(
+        "productId", "variantColor", "variantSize"
+    ).distinct()
+    size_num = F.regexp_extract(F.col("variantSize"), r"(\d{2,3})", 1).try_cast("int")
+    w = Window.orderBy(
+        F.col("variantColor").asc(),
+        size_num.asc_nulls_first(),
+        F.col("productId").cast("int").asc(),
+    )
+    return v.withColumn("sort_rank", F.row_number().over(w).cast("long"))
+
+
+@register(
+    "master_attrs_union",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    sz AS (SELECT DISTINCT masterProductId, variantSize FROM sellers),
+    cz AS (SELECT DISTINCT masterProductId, variantColor FROM sellers),
+    a AS (SELECT masterProductId, string_agg(variantSize, ',' ORDER BY variantSize) AS sizesAll
+          FROM sz GROUP BY masterProductId),
+    b AS (SELECT masterProductId, string_agg(variantColor, ',' ORDER BY variantColor) AS colorsAll
+          FROM cz GROUP BY masterProductId)
+    SELECT a.masterProductId, a.sizesAll, b.colorsAll
+    FROM a JOIN b USING (masterProductId)
+    """,
+)
+def q_master_attrs_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: distinct union of attribute sets across variants
+    (server/scrape.ts:774-775 sizesAll/colorsAll)."""
+    s = sellers_table(spark, sf_dir)
+    return s.groupBy("masterProductId").agg(
+        F.array_join(F.array_sort(F.collect_set("variantSize")), ",").alias("sizesAll"),
+        F.array_join(F.array_sort(F.collect_set("variantColor")), ",").alias("colorsAll"),
+    )
+
+
+# --- Streaming batch-replay (W3/T2) ----------------------------------------
+
+SQL_WATCH_EVENTS = """
+  SELECT CAST(user_id % 20 AS VARCHAR) AS variantId,
+         event_type AS seller,
+         ts,
+         CAST(round(value) AS BIGINT) AS price,
+         event_id
+  FROM events
+"""
+
+
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
+    parquet reader rejects. Read nanos as long (legacy conf, dynamic) and
+    integer-divide to micros — a double division would lose precision
+    (epoch-nanos > 2^53)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def watch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_events(spark, sf_dir)
+    return e.select(
+        (F.col("user_id") % 20).cast("string").alias("variantId"),
+        F.col("event_type").alias("seller"),
+        "ts",
+        F.round(F.col("value")).cast("long").alias("price"),
+        "event_id",
+    )
+
+
+@register(
+    "bot_sliding_window",
+    f"""
+    WITH watch AS ({SQL_WATCH_EVENTS}),
+    wm AS (
+      SELECT *, MIN(CASE WHEN price > 0 THEN price END)
+                  OVER (PARTITION BY variantId) AS vmin
+      FROM watch
+    ),
+    u AS (
+      SELECT *, CASE WHEN price > 0 AND price <= vmin + 50 THEN 1 ELSE 0 END AS undercut
+      FROM wm
+    )
+    SELECT variantId, seller, ts, price,
+           SUM(undercut) OVER (PARTITION BY variantId, seller
+                               ORDER BY ts ASC, event_id ASC
+                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) >= 3 AS isPriceBot
+    FROM u
+    """,
+)
+def q_bot_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/T2 batch replay: sliding count of undercuts over the last 5
+    observations per (variant, seller) (price_watch.ts:31-52)."""
+    from .streaming import watch as watch_mod
+
+    flagged = watch_mod.bot_flags_replay(
+        watch_events(spark, sf_dir), order_cols=["ts", "event_id"]
+    )
+    return flagged.select("variantId", "seller", "ts", "price", "isPriceBot")
