@@ -1,0 +1,289 @@
+"""Deduplication — exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+  - exact: one shuffle on a 128-bit content hash (md5); keep-min-id makes
+    the survivor deterministic.
+  - minhash: per-doc signature is a narrow map-side pass (explode shingles
+    -> groupBy doc with k min-aggregates); LSH banding turns all-pairs
+    comparison into an equi-join on (band, band_hash) buckets — the only
+    shuffle is on bucket keys, and skewed buckets split via AQE.
+  - hashes are md5-prefix based (portable: identical in any engine with
+    md5; no murmur dependence), 60 bits so they stay integer-exact in both
+    Spark longs and SQL BIGINTs.
+  - simhash: 64-bit signature via per-bit majority vote over token hashes;
+    near-dup = popcount(xor) <= threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column, salt: str = "") -> Column:
+    """Deterministic 60-bit hash from md5 prefix — portable across engines
+    (DuckDB: ('0x' || substr(md5(x || salt), 1, 15))::BIGINT)."""
+    base = F.concat(col, F.lit(salt)) if salt else col
+    return F.conv(F.substring(F.md5(base), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest id.
+
+    At scale: hash first so the shuffle key is 32 bytes regardless of
+    document size; the groupBy partial-aggregates map-side.
+    """
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (
+        docs.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The surviving rows (first id per identical content)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col).asc())
+    return docs.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ---------------------------------------------------------------------------
+# Shingles + MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text."""
+    words = F.split(F.trim(F.lower(text)), r"\s+")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    )
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: for seed j, sig_j = min over shingles of
+    h(shingle || j). Exploded-shingle groupBy — one shuffle keyed on the
+    doc id, map-side combined.
+
+    Output: id_col, sig_0..sig_{k-1} columns.
+    """
+    exploded = docs.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
+    )
+    aggs = [
+        F.min(md5_long(F.col("sh"), salt=f"#{j}")).alias(f"sig_{j}")
+        for j in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band (rows/band consecutive sig
+    values hashed together) become candidate pairs (id_a < id_b).
+
+    The self-join is on (band_idx, band_key) — a bucket equi-join, never
+    all-pairs. Output distinct candidate pairs.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                md5_long(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    banded = signatures.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band_idx") == F.col(f"b.band_idx"))
+            & (F.col(f"a.band_key") == F.col(f"b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def minhash_near_dup_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
+    pairs -> verify with estimated Jaccard (fraction of matching sig
+    components) >= threshold."""
+    sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
+    a = sigs.alias("sa")
+    b = sigs.alias("sb")
+    matches = sum(
+        (F.when(F.col(f"sa.sig_{j}") == F.col(f"sb.sig_{j}"), 1).otherwise(0) for j in range(num_hashes)),
+        F.lit(0),
+    )
+    est = matches.cast("double") / F.lit(float(num_hashes))
+    return (
+        pairs.join(a, pairs["id_a"] == F.col(f"sa.{id_col}"))
+        .join(b, pairs["id_b"] == F.col(f"sb.{id_col}"))
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard (verification-grade)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over word shingles for pairs sharing >= 1 shingle.
+
+    Shuffle profile: explode -> self-join on shingle (bucket join) ->
+    groupBy pair. The shared-shingle join bounds the pair space the same
+    way LSH banding does (only co-bucketed docs meet). For 100 TB runs,
+    cap the hottest shingles (stopword-only shingles) with a frequency
+    filter to avoid quadratic buckets.
+    """
+    sh = docs.select(
+        F.col(id_col),
+        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    ).select(
+        F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+SIMHASH_BITS = 32
+
+
+def simhash32(text: Column) -> Column:
+    """32-bit SimHash over distinct whitespace tokens: bit i of the
+    signature is the majority vote of bit i across token hashes.
+    Expression-only (one aggregate per bit over the token-hash array) —
+    a narrow projection at any scale. md5-based token hashes keep it
+    portable to any SQL oracle (xxhash64 would be Spark-only)."""
+    tokens = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+    hashes = F.transform(tokens, lambda t: md5_long(t))
+
+    def vote_fn(bit: int):
+        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(bit)) != 0, 1).otherwise(-1)
+
+    sig = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        vote = F.aggregate(hashes, F.lit(0), vote_fn(1 << i))
+        sig = sig + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return sig
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 32-bit signature into 8-bit chunks
+    (pigeonhole: hamming <= 3 guarantees one identical chunk of 4), join
+    on identical chunks, verify hamming distance."""
+    sigs = docs.select(F.col(id_col), simhash32(F.col(text_col)).alias("sig"))
+    chunk_bits = SIMHASH_BITS // bands
+    chunks = sigs.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col("sig"), i * chunk_bits)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "sig", "c.chunk_idx", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

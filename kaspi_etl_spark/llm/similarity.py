@@ -1,0 +1,111 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+against the corpus, dot products computed JVM-side with zip_with/aggregate
+(no Python in the hot path), top-k via window rank.
+
+Scale path: LSH bucketing via random hyperplanes (sign bits) — corpus and
+queries hash to bucket keys; candidate generation is an equi-join on
+buckets, turning O(N*Q) into O(collisions). An IVF-style variant can use
+k-means centroids from MLlib the same way (bucket = nearest centroid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact cosine top-k per query via broadcast nested-loop + window.
+
+    ``queries`` is expected to be small (broadcastable); the corpus scan
+    stays distributed and narrow. Ties broken by corpus id asc.
+    """
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id_col,
+        id_col,
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """LSH bucket id: sign bits of dot products with fixed hyperplanes."""
+    bucket = F.lit(0)
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bucket = bucket + F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: compare only vectors in the query's hyperplane
+    bucket. Recall improves with multiple plane sets (union of buckets);
+    this single-table variant demonstrates the shuffle shape — an
+    equi-join on bucket ids instead of a cross join."""
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col).alias("_cvec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = cb.join(F.broadcast(qb), "_bucket").select(
+        query_id_col,
+        id_col,
+        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+    ).filter(F.col(query_id_col) != F.col(id_col))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1089,3 +1089,377 @@ def q_bot_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         watch_events(spark, sf_dir), order_cols=["ts", "event_id"]
     )
     return flagged.select("variantId", "seller", "ts", "price", "isPriceBot")
+
+
+# ===========================================================================
+# LLM training-data pipeline operators (BASELINE.json north star)
+# ===========================================================================
+
+from .llm import dedup as dedup_ops  # noqa: E402
+from .llm import multimodal as mm_ops  # noqa: E402
+from .llm import similarity as sim_ops  # noqa: E402
+from .llm import text as text_ops  # noqa: E402
+
+# Documents with injected exact + near duplicates (the raw fixture is
+# all-distinct, so dedup queries need planted dups to prove anything).
+SQL_LLM_DOCS = """
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 2000000 AS doc_id, text || ' padding tail words' AS text
+  FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def llm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" padding tail words")).alias("text"),
+    )
+    return d.unionByName(dups).unionByName(near)
+
+
+# SQL building blocks mirroring llm.dedup expression semantics.
+def _sql_md5_long(expr: str) -> str:
+    return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+
+SQL_WORDS = "string_split_regex(trim(lower(text)), '\\s+')"
+# Raw (non-distinct) word 3-gram shingles, mirroring word_shingles pre-distinct.
+SQL_SHINGLES_RAW = (
+    f"[array_to_string(w[i+1:i+3], ' ') "
+    f"for i in range(0, greatest(len(w) - 3, 0) + 1)]"
+)
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS})
+    SELECT md5(text) AS content_hash,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+           CAST(COUNT(*) AS BIGINT) AS dup_count
+    FROM docs GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.exact_dedup(llm_docs(spark, sf_dir))
+
+
+def _sql_minhash_sigs(num_hashes: int) -> str:
+    sig_exprs = ",\n             ".join(
+        f"list_min([{_sql_md5_long(f_s)} for s in shingles]) AS sig_{j}".replace(
+            "{f_s}", ""
+        )
+        for j, f_s in ((j, f"s || '#{j}'") for j in range(num_hashes))
+    )
+    return f"""
+    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
+    sh AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles FROM w),
+    sigs AS (
+      SELECT doc_id,
+             {sig_exprs}
+      FROM sh
+    )"""
+
+
+NUM_HASHES = 8
+LSH_BANDS = 4
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    {_sql_minhash_sigs(NUM_HASHES)}
+    SELECT * FROM sigs
+    """,
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.minhash_signature(llm_docs(spark, sf_dir), num_hashes=NUM_HASHES)
+
+
+def _sql_banded(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    parts = []
+    for b in range(bands):
+        key_cols = " || '|' || ".join(
+            f"sig_{b * rows + r}::VARCHAR" for r in range(rows)
+        )
+        parts.append(
+            f"SELECT doc_id, {b} AS band_idx, {_sql_md5_long(key_cols)} AS band_key FROM sigs"
+        )
+    return "\n      UNION ALL\n      ".join(parts)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    {_sql_minhash_sigs(NUM_HASHES)},
+    banded AS (
+      {_sql_banded(NUM_HASHES, LSH_BANDS)}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    )
+    SELECT p.id_a, p.id_b,
+           CAST({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES))}
+                AS DOUBLE) / CAST(8.0 AS DOUBLE) AS est_jaccard
+    FROM pairs p
+    JOIN sigs sa ON p.id_a = sa.doc_id
+    JOIN sigs sb ON p.id_b = sb.doc_id
+    WHERE CAST({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES))}
+               AS DOUBLE) / CAST(8.0 AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+    """,
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.minhash_near_dup_pairs(
+        llm_docs(spark, sf_dir), num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
+    sh AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles FROM w),
+    sh_exp AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM sh_exp a JOIN sh_exp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+    """,
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_ops.ngram_jaccard_pairs(llm_docs(spark, sf_dir), threshold=0.5)
+
+
+def _sql_simhash() -> str:
+    terms = []
+    for i in range(dedup_ops.SIMHASH_BITS):
+        bit = 1 << i
+        terms.append(
+            f"CASE WHEN list_reduce([CASE WHEN (h & {bit}) <> 0 THEN 1 ELSE -1 END for h in hs],"
+            f" (a, b) -> a + b) > 0 THEN {bit} ELSE 0 END"
+        )
+    sig = "\n             + ".join(terms)
+    return f"""
+    hs AS (
+      SELECT doc_id,
+             [{_sql_md5_long('t')} for t in list_distinct({SQL_WORDS})] AS hs
+      FROM docs
+    ),
+    sigs AS (SELECT doc_id, CAST({sig} AS BIGINT) AS sig FROM hs)"""
+
+
+@register(
+    "simhash_pairs",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    {_sql_simhash()},
+    chunks AS (
+      {" UNION ALL ".join(f"SELECT doc_id, sig, {i} AS chunk_idx, (sig >> {i * 8}) & 255 AS chunk FROM sigs" for i in range(4))}
+    )
+    SELECT * FROM (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    ) WHERE hamming <= 3
+    """,
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = dedup_ops.simhash_pairs(llm_docs(spark, sf_dir), max_hamming=3, bands=4)
+    return out.select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# --- Similarity search -----------------------------------------------------
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             (CASE WHEN (sqrt(list_reduce([x * x for x in qv], (a, b) -> a + b))
+                         * sqrt(list_reduce([x * x for x in v], (a, b) -> a + b))) > 0
+                   THEN list_reduce(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]),
+                                    (a, b) -> a + b)
+                        / (sqrt(list_reduce([x * x for x in qv], (a, b) -> a + b))
+                           * sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)))
+                   ELSE CAST(0.0 AS DOUBLE) END) AS cosine_sim
+      FROM corpus c CROSS JOIN q
+      WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    return sim_ops.brute_force_topk(corpus, queries, k=10)
+
+
+# --- Text analysis ---------------------------------------------------------
+
+ASCII_MARKERS = {k: v for k, v in text_ops.LANG_MARKERS.items() if k != "ru"}
+
+
+def _sql_count_word(word: str) -> str:
+    return f"length(regexp_extract_all(lowered, '\\b{word}\\b'))"
+
+
+def _sql_lang_features() -> tuple[str, str]:
+    score_cols = ",\n             ".join(
+        f"({' + '.join(_sql_count_word(w) for w in words)}) AS s_{lang}"
+        for lang, words in sorted(ASCII_MARKERS.items())
+    )
+    langs = sorted(ASCII_MARKERS)
+    best_s = f"GREATEST({', '.join('s_' + l for l in langs)})"
+    first_max = "CASE " + " ".join(
+        f"WHEN s_{l} = {best_s} THEN '{l}'" for l in langs
+    ) + " END"
+    pred = f"CASE WHEN {best_s} > 0 THEN {first_max} ELSE 'und' END"
+    return score_cols, pred
+
+
+_SQL_LANG_SCORES, _SQL_LANG_PRED = _sql_lang_features()
+
+_SQL_EN_STOP = " + ".join(_sql_count_word(w) for w in text_ops.LANG_MARKERS["en"])
+
+
+@register(
+    "text_features",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    base AS (
+      SELECT doc_id, text, lower(text) AS lowered,
+             CAST(length(text) AS BIGINT) AS n_chars_m,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+             CAST(length(regexp_extract_all(text, '{text_ops.TOKEN_REGEX}')) AS BIGINT) AS n_tokens_re,
+             CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct
+      FROM docs
+    ),
+    scored AS (
+      SELECT *,
+             {_SQL_LANG_SCORES},
+             CAST({_SQL_EN_STOP} AS BIGINT) AS n_stop
+      FROM base
+    ),
+    feat AS (
+      SELECT doc_id, n_chars_m, n_tokens_ws, n_tokens_re, n_punct,
+             {_SQL_LANG_PRED} AS lang_pred,
+             CASE WHEN n_chars_m > 0
+                  THEN CAST(n_punct AS DOUBLE) / CAST(n_chars_m AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS punct_ratio,
+             CASE WHEN n_tokens_ws > 0
+                  THEN CAST(n_stop AS DOUBLE) / CAST(n_tokens_ws AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS stopword_ratio
+      FROM scored
+    )
+    SELECT doc_id, lang_pred, n_chars_m, n_tokens_ws, n_tokens_re, n_punct,
+           punct_ratio, stopword_ratio,
+           LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+             CAST(0.4 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
+                 CAST(n_chars_m AS DOUBLE) / CAST(500.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
+                 stopword_ratio * CAST(5.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                 - LEAST(CAST(1.0 AS DOUBLE), punct_ratio * CAST(10.0 AS DOUBLE)))))
+             AS quality_score
+    FROM feat
+    """,
+)
+def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = text_ops.quality_features(docs)
+    return feats.select(
+        "doc_id",
+        text_ops.lang_id(F.col("text"), markers=ASCII_MARKERS).alias("lang_pred"),
+        "n_chars_m",
+        "n_tokens_ws",
+        "n_tokens_re",
+        "n_punct",
+        "punct_ratio",
+        "stopword_ratio",
+        # quality_score is recomputed below from the same deterministic
+        # components; reuse the column from quality_features directly.
+        "quality_score",
+    )
+
+
+@register(
+    "doc_fingerprints",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs)
+    SELECT doc_id,
+           list_slice(list_sort(list_distinct(
+             [{_sql_md5_long('s')} for s in {SQL_SHINGLES_RAW}])), 1, 8) AS fingerprint
+    FROM w
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text_ops.doc_fingerprint(F.col("text"), k=8).alias("fingerprint")
+    )
+
+
+# --- Multimodal ------------------------------------------------------------
+
+@register(
+    "media_metadata_summary",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             (['image', 'audio', 'video'])[CAST(doc_id % 3 + 1 AS INT)] AS kind,
+             CAST(doc_id % 640 + 16 AS INT) AS width,
+             CAST(doc_id % 60000 AS INT) AS duration_ms
+      FROM documents
+    )
+    SELECT kind, CAST(COUNT(*) AS BIGINT) AS n,
+           avg(CAST(width AS DOUBLE)) AS avg_width,
+           MAX(duration_ms) AS max_duration_ms
+    FROM media GROUP BY kind
+    """,
+)
+def q_media_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
+    return mm_ops.metadata_summary(media)
+
+
+@register("media_features")  # rows-only: mapInPandas decode stage is not SQL
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
+    return mm_ops.extract_features(media)
