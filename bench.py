@@ -1,0 +1,84 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+value = total wall-clock seconds across the headline queries (lower is
+better). Each query executes fully (count() forces the whole plan; results
+are not collected to the driver to keep it an engine benchmark, not a
+serialization benchmark).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    # batch ETL + dashboard
+    "daily_net_revenue",
+    "margin_by_sku",
+    "inventory_reorder",
+    "sales_etl_enrich",
+    "purchases_upsert",
+    # offer analytics
+    "seller_dedupe",
+    "variant_stats",
+    "global_analytics",
+    "reprice_proposals",
+    "sizing_adult",
+    # windows / streaming replay
+    "top3_cheapest",
+    "bot_sliding_window",
+    # LLM pipeline
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "text_features",
+    "ann_cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from kaspi_etl_spark.registry import QUERIES
+    from kaspi_etl_spark.session import get_spark
+
+    spark = get_spark("bench")
+    # Warm the JVM + parquet footers once so per-query numbers measure the
+    # engine, not first-touch costs.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

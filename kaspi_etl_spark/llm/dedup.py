@@ -70,6 +70,22 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+# Affine MinHash family: sig_j = min over shingles of (A_j*h + B_j) mod P,
+# where h is one 32-bit md5-derived base hash per shingle. One md5 per
+# shingle total (vs k salted md5s) — at 100 TB the hash stage is the
+# dominant map-side cost, so this is an 8-16x saving. Constants are fixed
+# odd multipliers/offsets (any SQL oracle can mirror the arithmetic).
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+MINHASH_A = [1207959503, 2097151999, 1610612741, 805306457,
+             402653189, 201326611, 100663319, 50331653,
+             25165843, 12582917, 6291469, 3145739,
+             1572869, 786433, 393241, 196613]
+MINHASH_B = [15485863, 32452843, 49979687, 67867967,
+             86028121, 104395301, 122949823, 141650939,
+             160481183, 179424673, 198491317, 217645177,
+             236887691, 256203161, 275604541, 295075147]
+
+
 def minhash_signature(
     docs: DataFrame,
     text_col: str = "text",
@@ -77,17 +93,20 @@ def minhash_signature(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: for seed j, sig_j = min over shingles of
-    h(shingle || j). Exploded-shingle groupBy — one shuffle keyed on the
-    doc id, map-side combined.
+    """Per-doc MinHash signature: sig_j = min over shingles of the affine
+    hash (A_j*base + B_j) mod P over a single md5-derived base per
+    shingle. Exploded-shingle groupBy — one shuffle keyed on the doc id,
+    map-side combined.
 
     Output: id_col, sig_0..sig_{k-1} columns.
     """
     exploded = docs.select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
-    )
+    ).withColumn("h", md5_long(F.col("sh")) % F.lit(4294967296))
     aggs = [
-        F.min(md5_long(F.col("sh"), salt=f"#{j}")).alias(f"sig_{j}")
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % F.lit(MINHASH_PRIME)
+        ).alias(f"sig_{j}")
         for j in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)

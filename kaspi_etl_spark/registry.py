@@ -1152,19 +1152,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_minhash_sigs(num_hashes: int) -> str:
+    # Mirrors llm.dedup affine MinHash: one md5-derived 32-bit base hash per
+    # shingle, then sig_j = min((A_j*h + B_j) % P). Max A * max h ~ 9.0e18
+    # stays inside BIGINT in both engines.
     sig_exprs = ",\n             ".join(
-        f"list_min([{_sql_md5_long(f_s)} for s in shingles]) AS sig_{j}".replace(
-            "{f_s}", ""
-        )
-        for j, f_s in ((j, f"s || '#{j}'") for j in range(num_hashes))
+        f"list_min([({dedup_ops.MINHASH_A[j]} * h + {dedup_ops.MINHASH_B[j]})"
+        f" % {dedup_ops.MINHASH_PRIME} for h in hs]) AS sig_{j}"
+        for j in range(num_hashes)
     )
     return f"""
     w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
     sh AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles FROM w),
+    hb AS (SELECT doc_id, [{_sql_md5_long('s')} % 4294967296 for s in shingles] AS hs FROM sh),
     sigs AS (
       SELECT doc_id,
              {sig_exprs}
-      FROM sh
+      FROM hb
     )"""
 
 

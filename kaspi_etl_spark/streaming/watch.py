@@ -57,7 +57,10 @@ def bot_flags_replay(events: DataFrame, order_cols: list[str] | None = None) -> 
     )
 
 
-STATE_SCHEMA = T.StructType([T.StructField("recent", T.ArrayType(T.IntegerType()))])
+# State mirrors the reference's Map<variant, Map<seller, window[]>>
+# (price_watch.ts:31): one state row per variant holding every seller's
+# ring buffer, JSON-encoded (bounded: 5 ints per seller).
+STATE_SCHEMA = T.StructType([T.StructField("buffers_json", T.StringType())])
 
 _OUT_SCHEMA = T.StructType(
     [
@@ -71,28 +74,38 @@ _OUT_SCHEMA = T.StructType(
 
 
 def _flag_group(key: tuple, pdfs: Iterable[Any], state: Any):
-    """applyInPandasWithState update function: ring buffer of the last 5
-    undercut bits per (variantId, seller) — price_watch.ts:31-52."""
+    """applyInPandasWithState update function keyed by variantId: per tick
+    (distinct ts within the micro-batch), compute the tick's variant
+    minimum over all sellers in the group, then roll each seller's ring
+    buffer of the last 5 undercut bits — price_watch.ts:31-52."""
+    import json
+
     import pandas as pd
 
-    recent: list[int] = list(state.get[0]) if state.exists else []
+    bufs: dict[str, list[int]] = json.loads(state.get[0]) if state.exists else {}
     out = []
     for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        for _, row in pdf.iterrows():
-            recent.append(int(row["undercut"]))
-            while len(recent) > WINDOW_TICKS:
-                recent.pop(0)
-            out.append(
-                {
-                    "variantId": key[0],
-                    "seller": key[1],
-                    "ts": row["ts"],
-                    "price": row["price"],
-                    "isPriceBot": sum(recent) >= FLAG_THRESHOLD,
-                }
-            )
-    state.update((recent,))
+        for ts, tick in pdf.sort_values("ts").groupby("ts", sort=True):
+            pos = tick.loc[tick["price"] > 0, "price"]
+            vmin = int(pos.min()) if len(pos) else None
+            for _, row in tick.iterrows():
+                undercut = int(
+                    vmin is not None and 0 < row["price"] <= vmin + UNDERCUT_MARGIN
+                )
+                rec = bufs.setdefault(str(row["seller"]), [])
+                rec.append(undercut)
+                while len(rec) > WINDOW_TICKS:
+                    rec.pop(0)
+                out.append(
+                    {
+                        "variantId": key[0],
+                        "seller": row["seller"],
+                        "ts": ts,
+                        "price": row["price"],
+                        "isPriceBot": sum(rec) >= FLAG_THRESHOLD,
+                    }
+                )
+    state.update((json.dumps(bufs),))
     yield pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields])
 
 
@@ -100,34 +113,15 @@ def bot_flags_stream(events: DataFrame) -> DataFrame:
     """T2 streaming form: keyed ring-buffer state via applyInPandasWithState.
 
     ``events`` is a streaming DataFrame (variantId, seller, ts, price).
-    Undercut is computed per micro-batch against the batch's variant
-    minimum (matches the reference's per-tick semantics when one tick ==
-    one micro-batch).
+    Keyed by variantId so each group sees all sellers of a tick — the
+    tick's minimum is computed inside the stateful operator exactly like
+    the reference's per-tick pass, with no streaming aggregation or
+    stream-stream join needed. State per key is #sellers x 5 ints, so the
+    state store scales with distinct (variant, seller), not event volume.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    batch_min = events.groupBy("variantId", F.col("ts").alias("tick_ts")).agg(
-        F.min(F.when(F.col("price") > 0, F.col("price"))).alias("variant_min")
-    )
-    with_min = events.join(
-        batch_min,
-        (events["variantId"] == batch_min["variantId"])
-        & (events["ts"] == batch_min["tick_ts"]),
-        "left",
-    ).select(
-        events["variantId"],
-        "seller",
-        "ts",
-        "price",
-        F.when(
-            (F.col("price") > 0)
-            & (F.col("price") <= F.col("variant_min") + UNDERCUT_MARGIN),
-            1,
-        )
-        .otherwise(0)
-        .alias("undercut"),
-    )
-    return with_min.groupBy("variantId", "seller").applyInPandasWithState(
+    return events.groupBy("variantId").applyInPandasWithState(
         _flag_group,
         outputStructType=_OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
