@@ -60,14 +60,42 @@ def exact_dedup_keep(docs: DataFrame, text_col: str = "text", id_col: str = "doc
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text."""
-    words = F.split(F.trim(F.lower(text)), r"\s+")
+def split_words(text: Column) -> Column:
+    """Normalized whitespace tokenization — materialize this as a real
+    column BEFORE calling shingles_from_words: expressions referenced
+    inside transform() lambdas are re-evaluated per element (no CSE in
+    interpreted higher-order functions), so an inline split() would rerun
+    per shingle term."""
+    return F.split(F.trim(F.lower(text)), r"\s+")
+
+
+def shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a bound words array.
+
+    Each shingle is built by direct element indexing (words[i+k] is O(1))
+    rather than slice+join (O(len) per shingle, quadratic per doc) — at
+    100 TB the shingle stage is pure map CPU, so constant factors here
+    dominate the whole dedup pipeline. element_at past the end is null
+    and concat_ws skips nulls, which reproduces the short-doc semantics
+    of joining a truncated slice.
+    """
     cnt = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
     return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + k + 1) for k in range(n)]
+            ),
+        )
     )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text. Convenience
+    composition — perf-critical callers should materialize split_words
+    first (see that docstring)."""
+    return shingles_from_words(split_words(text), n)
 
 
 # Affine MinHash family: sig_j = min over shingles of (A_j*h + B_j) mod P,
@@ -95,21 +123,31 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_j = min over shingles of the affine
     hash (A_j*base + B_j) mod P over a single md5-derived base per
-    shingle. Exploded-shingle groupBy — one shuffle keyed on the doc id,
-    map-side combined.
+    shingle. Entirely shuffle-free: shingles stay an array column, so the
+    signature is a narrow map-side projection (array_min over transform),
+    no explode + groupBy.
 
     Output: id_col, sig_0..sig_{k-1} columns.
     """
-    exploded = docs.select(
-        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("sh")
-    ).withColumn("h", md5_long(F.col("sh")) % F.lit(4294967296))
-    aggs = [
-        F.min(
-            (F.lit(MINHASH_A[j]) * F.col("h") + F.lit(MINHASH_B[j])) % F.lit(MINHASH_PRIME)
+    hashed = (
+        docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col), shingles_from_words(F.col("_w"), shingle_n).alias("_sh"))
+        .select(
+            F.col(id_col),
+            F.transform("_sh", lambda s: md5_long(s) % F.lit(4294967296)).alias("hs"),
+        )
+    )
+    sigs = [
+        F.array_min(
+            F.transform(
+                F.col("hs"),
+                lambda h: (F.lit(MINHASH_A[j]) * h + F.lit(MINHASH_B[j]))
+                % F.lit(MINHASH_PRIME),
+            )
         ).alias(f"sig_{j}")
         for j in range(num_hashes)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.select(F.col(id_col), *sigs)
 
 
 def lsh_candidate_pairs(
@@ -165,21 +203,64 @@ def minhash_near_dup_pairs(
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signatures -> banded candidate
     pairs -> verify with estimated Jaccard (fraction of matching sig
-    components) >= threshold."""
+    components) >= threshold.
+
+    No self-join: banded rows carry the full signature array and group
+    into per-bucket posting lists; pairs generate JVM-side inside each
+    bucket (same pattern as ngram_jaccard_pairs). The expensive upstream
+    map (one md5 per shingle) therefore executes exactly once, and the
+    whole pipeline is two shuffles: groupBy bucket, groupBy pair.
+    """
     sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
-    pairs = lsh_candidate_pairs(sigs, id_col, num_hashes, bands)
-    a = sigs.alias("sa")
-    b = sigs.alias("sb")
-    matches = sum(
-        (F.when(F.col(f"sa.sig_{j}") == F.col(f"sb.sig_{j}"), 1).otherwise(0) for j in range(num_hashes)),
-        F.lit(0),
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"sig_{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                md5_long(F.concat_ws("|", *parts)).alias("band_key"),
+            )
+        )
+    banded = sigs.select(
+        F.col(id_col).alias("id"),
+        F.array(*[F.col(f"sig_{j}") for j in range(num_hashes)]).alias("sig"),
+        F.explode(F.array(*band_cols)).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_key")
+    buckets = (
+        banded.groupBy("band_idx", "band_key")
+        .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
     )
-    est = matches.cast("double") / F.lit(float(num_hashes))
+    pair_gen = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.size(
+                        F.filter(
+                            F.zip_with(x["sig"], y["sig"], lambda u, v: u == v),
+                            lambda eq: eq,
+                        )
+                    ).alias("n_match"),
+                ),
+            ),
+        )
+    )
+    est = F.col("p.n_match").cast("double") / F.lit(float(num_hashes))
     return (
-        pairs.join(a, pairs["id_a"] == F.col(f"sa.{id_col}"))
-        .join(b, pairs["id_b"] == F.col(f"sb.{id_col}"))
-        .select("id_a", "id_b", est.alias("est_jaccard"))
+        buckets.select(F.explode(pair_gen).alias("p"))
+        .select(
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            est.alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
 
 
@@ -197,30 +278,53 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact Jaccard over word shingles for pairs sharing >= 1 shingle.
 
-    Shuffle profile: explode -> self-join on shingle (bucket join) ->
-    groupBy pair. The shared-shingle join bounds the pair space the same
-    way LSH banding does (only co-bucketed docs meet). For 100 TB runs,
-    cap the hottest shingles (stopword-only shingles) with a frequency
-    filter to avoid quadratic buckets.
+    Shuffle profile: explode -> groupBy 8-byte shingle hash (posting
+    lists) -> JVM-side pair generation inside each bucket -> groupBy
+    pair. Two narrow shuffles; shuffle keys are fixed-width hashes, never
+    shingle strings. Co-bucketing bounds the pair space the same way LSH
+    banding does. For 100 TB runs, cap the hottest shingles
+    (stopword-only shingles) with a size(ds) frequency filter to avoid
+    quadratic buckets — the filter hook is the posting-list length.
     """
-    sh = docs.select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    ).select(
-        F.col(id_col), F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
-    )
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    sh = (
+        docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
+        .select(
+            F.col(id_col), shingles_from_words(F.col("_w"), shingle_n).alias("shingles")
         )
+        .select(
+            F.col(id_col),
+            F.size("shingles").alias("n_sh"),
+            F.explode(F.transform("shingles", lambda s: md5_long(s))).alias("h"),
+        )
+    )
+    # Posting list per shingle hash, sorted by doc id so generated pairs
+    # are already (id_a < id_b).
+    buckets = (
+        sh.groupBy("h")
+        .agg(F.array_sort(F.collect_list(F.struct(id_col, "n_sh"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_gen = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
+                lambda y: F.struct(
+                    x[id_col].alias("id_a"),
+                    y[id_col].alias("id_b"),
+                    x["n_sh"].alias("n_a"),
+                    y["n_sh"].alias("n_b"),
+                ),
+            ),
+        )
+    )
+    inter = (
+        buckets.select(F.explode(pair_gen).alias("p"))
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.n_sh").alias("n_a"),
-            F.col("b.n_sh").alias("n_b"),
+            F.col("p.id_a").alias("id_a"),
+            F.col("p.id_b").alias("id_b"),
+            F.col("p.n_a").alias("n_a"),
+            F.col("p.n_b").alias("n_b"),
         )
         .agg(F.count("*").cast("long").alias("n_common"))
     )

@@ -1236,12 +1236,14 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH docs AS ({SQL_LLM_DOCS}),
     w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
     sh AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles FROM w),
-    sh_exp AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS sh FROM sh),
+    sh_exp AS (SELECT doc_id, len(shingles) AS n_sh,
+                      unnest([{_sql_md5_long('s')} for s in shingles]) AS h
+               FROM sh),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              a.n_sh AS n_a, b.n_sh AS n_b,
              CAST(COUNT(*) AS BIGINT) AS n_common
-      FROM sh_exp a JOIN sh_exp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM sh_exp a JOIN sh_exp b ON a.h = b.h AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
     )
     SELECT id_a, id_b,
