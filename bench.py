@@ -30,15 +30,19 @@ HEADLINE = [
     "global_analytics",
     "reprice_proposals",
     "sizing_adult",
+    "sizing_kids",
+    "export_flat",
     # windows / streaming replay
     "top3_cheapest",
     "bot_sliding_window",
+    "events_tumbling_stats",
     # LLM pipeline
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "text_features",
     "ann_cosine_topk",
+    "ann_lsh_topk",
 ]
 
 

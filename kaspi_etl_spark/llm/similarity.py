@@ -65,6 +65,21 @@ def brute_force_topk(
     )
 
 
+def deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
+    """Fixed +/-1 hyperplanes from an LCG — integer-valued components so
+    dot-product signs (and therefore bucket ids) are bit-exact in any
+    engine that mirrors the same fold order."""
+    state = 123456789
+    planes: list[list[float]] = []
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append(1.0 if (state >> 16) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """LSH bucket id: sign bits of dot products with fixed hyperplanes."""
     bucket = F.lit(0)
@@ -72,6 +87,25 @@ def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
         plane = F.array(*[F.lit(float(x)) for x in p])
         bucket = bucket + F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def cosine_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine >=
+    threshold). All-pairs form — verification-grade at small N; the scale
+    path buckets first (hyperplane_bucket equi-join, see lsh_topk) so the
+    quadratic comparison only happens inside buckets."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
 
 
 def lsh_topk(

@@ -77,6 +77,59 @@ def adult_size_chart(spark: SparkSession) -> DataFrame:
     )
 
 
+def kids_size_chart(spark: SparkSession) -> DataFrame:
+    rows = [r + (i,) for i, r in enumerate(KIDS_CHART_ROWS)]
+    return spark.createDataFrame(
+        rows,
+        schema="age_min int, age_max int, h_min int, h_max int, size string, chart_order int",
+    )
+
+
+def recommend_kids_sizes(customers: DataFrame, chart: DataFrame) -> DataFrame:
+    """J8 kids path (size_recommendation_engine.py:229-277): age-height
+    matrix first (confidence 0.9), then height-range match (0.8), then
+    closest-by-distance fallback (max(0.3, 1 - dist/20)).
+
+    Broadcast nested-loop against the 7-row chart; priority + distance +
+    chart_order total order reproduces the reference's first-match /
+    strictly-closer ('distance < best') semantics.
+    """
+    cand = customers.crossJoin(F.broadcast(chart))
+    h, age = F.col("height_cm"), F.col("age")
+    in_height = (h >= F.col("h_min")) & (h <= F.col("h_max"))
+    matrix_match = (
+        age.isNotNull() & (age >= F.col("age_min")) & (age <= F.col("age_max")) & in_height
+    )
+    dist = F.least(F.abs(h - F.col("h_min")), F.abs(h - F.col("h_max"))).cast("double")
+    priority = F.when(matrix_match, 0).when(in_height, 1).otherwise(2)
+    scored = cand.withColumn("_prio", priority).withColumn("_dist", dist)
+    w = Window.partitionBy("customer_id").orderBy(
+        F.col("_prio").asc(), F.col("_dist").asc(), F.col("chart_order").asc()
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    conf = (
+        F.when(F.col("_prio") == 0, F.lit(0.9))
+        .when(F.col("_prio") == 1, F.lit(0.8))
+        .otherwise(F.greatest(F.lit(0.3), F.lit(1.0) - F.col("_dist") / F.lit(20.0)))
+    )
+    reasoning = (
+        F.when(
+            F.col("_prio") == 0,
+            F.format_string("Perfect match for age %d and height %dcm", age, h),
+        )
+        .when(F.col("_prio") == 1, F.format_string("Good fit for height %dcm", h))
+        .otherwise(
+            F.format_string("Approximate fit for height %dcm (closest available size)", h)
+        )
+    )
+    return best.select(
+        "customer_id",
+        F.col("size").alias("recommended_size"),
+        conf.alias("confidence_score"),
+        reasoning.alias("reasoning"),
+    )
+
+
 def score_expr() -> F.Column:
     """Adult match score (size_recommendation_engine.py:171-186):
     height component 0.5 in-range else max(0, 0.5 - dist/20);

@@ -24,7 +24,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .clean import dayfirst_date, delivery_fee_kzt
+from .clean import (
+    bool_from_text,
+    dayfirst_date,
+    decimal_comma_to_double,
+    delivery_fee_kzt,
+    strip_non_numeric_int,
+)
 from .ops import analytics as analytics_ops
 from .ops import catalog as catalog_ops
 from .ops import inventory as inventory_ops
@@ -1468,3 +1474,561 @@ def q_media_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
     return mm_ops.extract_features(media)
+
+
+# ---------------------------------------------------------------------------
+# Round-1 widening: kids sizing, event-time windows, LSH ANN, cosine
+# near-dup, export round-trip, catalog validation split, stores dedupe,
+# fastest delivery, import coercion, offers text search.
+# ---------------------------------------------------------------------------
+
+from .ops import export as export_ops  # noqa: E402
+
+
+# --- Kids sizing (J8 kids path) --------------------------------------------
+
+SQL_CUSTOMERS_KIDS = """
+  SELECT c_custkey AS customer_id,
+         CAST(80 + c_custkey % 80 AS INT) AS height_cm,
+         CASE WHEN c_custkey % 5 = 0 THEN NULL
+              ELSE CAST(2 + c_custkey % 8 AS INT) END AS age
+  FROM customer
+"""
+
+
+def customers_kids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _read(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        (F.lit(80) + F.col("c_custkey") % 80).cast("int").alias("height_cm"),
+        F.when(F.col("c_custkey") % 5 == 0, F.lit(None).cast("int"))
+        .otherwise((F.lit(2) + F.col("c_custkey") % 8).cast("int"))
+        .alias("age"),
+    )
+
+
+def _kids_chart_values_sql() -> str:
+    return ", ".join(
+        f"({a1}, {a2}, {h1}, {h2}, '{sz}', {i})"
+        for i, (a1, a2, h1, h2, sz) in enumerate(sizing_ops.KIDS_CHART_ROWS)
+    )
+
+
+@register(
+    "sizing_kids",
+    f"""
+    WITH customers AS ({SQL_CUSTOMERS_KIDS}),
+    chart(age_min, age_max, h_min, h_max, size, chart_order) AS (
+      VALUES {_kids_chart_values_sql()}
+    ),
+    cand AS (
+      SELECT c.customer_id, c.height_cm, c.age, ch.size, ch.chart_order,
+             CASE WHEN c.age IS NOT NULL
+                       AND c.age BETWEEN ch.age_min AND ch.age_max
+                       AND c.height_cm BETWEEN ch.h_min AND ch.h_max THEN 0
+                  WHEN c.height_cm BETWEEN ch.h_min AND ch.h_max THEN 1
+                  ELSE 2 END AS prio,
+             CAST(LEAST(ABS(c.height_cm - ch.h_min), ABS(c.height_cm - ch.h_max)) AS DOUBLE) AS dist
+      FROM customers c CROSS JOIN chart ch
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
+                                   ORDER BY prio ASC, dist ASC, chart_order ASC) AS rn
+      FROM cand
+    )
+    SELECT customer_id, size AS recommended_size,
+           CASE WHEN prio = 0 THEN CAST(0.9 AS DOUBLE)
+                WHEN prio = 1 THEN CAST(0.8 AS DOUBLE)
+                ELSE GREATEST(CAST(0.3 AS DOUBLE),
+                              CAST(1.0 AS DOUBLE) - dist / CAST(20.0 AS DOUBLE)) END
+             AS confidence_score,
+           CASE WHEN prio = 0 THEN 'Perfect match for age ' || age || ' and height ' || height_cm || 'cm'
+                WHEN prio = 1 THEN 'Good fit for height ' || height_cm || 'cm'
+                ELSE 'Approximate fit for height ' || height_cm || 'cm (closest available size)' END
+             AS reasoning
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_sizing_kids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sizing_ops.recommend_kids_sizes(
+        customers_kids(spark, sf_dir), sizing_ops.kids_size_chart(spark)
+    )
+
+
+# --- Event-time windowed aggregations (streaming generalization) -----------
+# Tumbling/sliding window aggs over the events table — the batch form of
+# the watermarked streaming aggregation (streaming/watch.py
+# windowed_price_stats). Double SUMs are order-dependent across engines,
+# so the summed measure is floor(value) (exact in BIGINT); min/max/count
+# are order-insensitive selections.
+
+@register(
+    "events_tumbling_stats",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_value_floor,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor("value").cast("long")).cast("long").alias("sum_value_floor"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value_floor",
+            "min_value",
+            "max_value",
+        )
+    )
+
+
+@register(
+    "events_sliding_stats",
+    """
+    WITH starts AS (
+      SELECT time_bucket(INTERVAL 30 MINUTES, ts) AS s0, *
+      FROM events
+    ),
+    assigned AS (
+      SELECT s0 AS window_start, * FROM starts
+      UNION ALL
+      SELECT s0 - INTERVAL 30 MINUTES AS window_start, * FROM starts
+    )
+    SELECT window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(value) AS BIGINT)) AS BIGINT) AS sum_value_floor
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def q_events_sliding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window, 30-minute slide: every event lands in
+    exactly two windows; the oracle enumerates both window starts."""
+    ev = read_events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum(F.floor("value").cast("long")).cast("long").alias("sum_value_floor"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "sum_value_floor"
+        )
+    )
+
+
+# --- ANN scale path + embedding near-dup -----------------------------------
+
+ANN_PLANES = sim_ops.deterministic_planes(num_planes=4, dim=64)
+
+
+def _sql_plane_literal(p: list[float]) -> str:
+    return "[" + ", ".join(f"CAST({x:.1f} AS DOUBLE)" for x in p) + "]"
+
+
+def _sql_bucket_expr(vec: str) -> str:
+    terms = []
+    for i, p in enumerate(ANN_PLANES):
+        dot = (
+            f"list_reduce(list_transform(range(1, len({vec}) + 1),"
+            f" i -> {vec}[i] * ({_sql_plane_literal(p)})[i]), (a, b) -> a + b)"
+        )
+        terms.append(f"CASE WHEN {dot} >= CAST(0.0 AS DOUBLE) THEN {1 << i} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
+SQL_COSINE = """
+  (CASE WHEN (sqrt(list_reduce([x * x for x in {A}], (a, b) -> a + b))
+              * sqrt(list_reduce([x * x for x in {B}], (a, b) -> a + b))) > 0
+        THEN list_reduce(list_transform(range(1, len({B}) + 1), i -> {A}[i] * {B}[i]),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce([x * x for x in {A}], (a, b) -> a + b))
+                * sqrt(list_reduce([x * x for x in {B}], (a, b) -> a + b)))
+        ELSE CAST(0.0 AS DOUBLE) END)
+"""
+
+
+@register(
+    "ann_lsh_topk",
+    f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                           {_sql_bucket_expr("(embedding::DOUBLE[])")} AS bucket
+                    FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM corpus WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             {SQL_COSINE.replace("{A}", "qv").replace("{B}", "v")} AS cosine_sim
+      FROM corpus c JOIN q ON c.bucket = q.bucket
+      WHERE q.query_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: equi-join on hyperplane sign
+    buckets instead of a cross join — the 100 TB shape for ANN."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.lsh_topk(corpus, queries, ANN_PLANES, k=10)
+
+
+SQL_EMB_AUGMENTED = """
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000 AS vec_id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id % 25 = 0
+  UNION ALL
+  SELECT vec_id + 200000 AS vec_id,
+         list_append(list_slice(embedding::DOUBLE[], 1, len(embedding) - 1),
+                     (embedding::DOUBLE[])[len(embedding)] + CAST(1.0 AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 40 = 0
+"""
+
+
+def emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with planted exact dups (+100000) and one-coordinate
+    perturbations (+200000) so the near-dup query has positives."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+    )
+    pert = emb.filter(F.col("vec_id") % 40 == 0).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.concat(
+            F.slice(F.col("v"), 1, F.size("v") - 1),
+            F.array(F.element_at(F.col("v"), F.size("v")) + F.lit(1.0)),
+        ).alias("v"),
+    )
+    return emb.unionByName(dups).unionByName(pert)
+
+
+@register(
+    "embedding_cosine_pairs",
+    f"""
+    WITH vecs AS ({SQL_EMB_AUGMENTED})
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           {SQL_COSINE.replace("{A}", "a.v").replace("{B}", "b.v")} AS cosine_sim
+    FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+    WHERE {SQL_COSINE.replace("{A}", "a.v").replace("{B}", "b.v")} >= CAST(0.99 AS DOUBLE)
+    """,
+)
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim_ops.cosine_near_dup_pairs(
+        emb_augmented(spark, sf_dir), threshold=0.99, id_col="vec_id", vec_col="v"
+    )
+
+
+# --- Export round-trip (S16 + nested re-nest), stores dedupe, delivery -----
+
+@register(
+    "export_flat",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    labeled AS (
+      SELECT masterProductId, productId, variantColor || '/' || variantSize AS label,
+             name, price, deliveryDate
+      FROM sellers
+    ),
+    pos AS (SELECT * FROM labeled WHERE price > 0)
+    SELECT masterProductId, productId, label, name, price, deliveryDate,
+           FALSE AS isPriceBot
+    FROM pos
+    UNION ALL
+    SELECT DISTINCT masterProductId, productId, label,
+           'Out of stock' AS name, CAST(0 AS BIGINT) AS price, '' AS deliveryDate,
+           FALSE AS isPriceBot
+    FROM labeled l
+    WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.productId = l.productId)
+    """,
+)
+def q_export_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16 + SURVEY.md 7 risk 7: nest sellers into the AnalyzeResult
+    shape (variants[] -> sellers[]) then flatten back to export rows —
+    proves the re-nesting round-trip is lossless. Out-of-stock variants
+    produce the placeholder row."""
+    base = sellers_table(spark, sf_dir).withColumn(
+        "label", F.concat_ws("/", "variantColor", "variantSize")
+    )
+    variants = base.groupBy("masterProductId", "productId", "label").agg(
+        F.collect_list(
+            F.when(
+                F.col("price") > 0,
+                F.struct(
+                    F.col("name"),
+                    F.col("price"),
+                    F.col("deliveryDate"),
+                    F.lit(False).alias("isPriceBot"),
+                ),
+            )
+        ).alias("sellers")
+    )
+    nested = variants.groupBy("masterProductId").agg(
+        F.collect_list(F.struct("productId", "label", "sellers")).alias("variants")
+    )
+    return export_ops.flatten_analyze_result(nested)
+
+
+@register(
+    "stores_dedupe",
+    """
+    WITH stores AS (
+      SELECT 'S' || CAST(s_suppkey % 50 AS VARCHAR) AS id, s_name AS name,
+             s_suppkey AS seq
+      FROM supplier
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY seq ASC) AS rn
+      FROM stores
+    )
+    SELECT id, name FROM ranked WHERE rn = 1
+    """,
+)
+def q_stores_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: dedupe-by-id map merge (BUNDLE/.../stores/route.ts:8-18).
+    The reference's Map keeps insertion order; the engine pins the winner
+    deterministically (lowest source key)."""
+    sup = _read(spark, sf_dir, "supplier").select(
+        F.concat(F.lit("S"), (F.col("s_suppkey") % 50).cast("string")).alias("id"),
+        F.col("s_name").alias("name"),
+        F.col("s_suppkey").alias("seq"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("seq").asc())
+    return (
+        sup.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "name")
+    )
+
+
+@register(
+    "fastest_delivery",
+    f"""
+    WITH sellers AS ({SQL_SELLERS})
+    SELECT masterProductId, MIN(deliveryDate) AS fastest_delivery
+    FROM sellers
+    WHERE deliveryDate <> '' AND price > 0
+    GROUP BY masterProductId
+    """,
+)
+def q_fastest_delivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: lexicographic min over ISO delivery-date strings per master
+    (components/KpiCards.tsx:23-28)."""
+    s = sellers_table(spark, sf_dir)
+    return (
+        s.filter((F.col("deliveryDate") != "") & (F.col("price") > 0))
+        .groupBy("masterProductId")
+        .agg(F.min("deliveryDate").alias("fastest_delivery"))
+    )
+
+
+# --- Import coercion (S17) and text-search paging (P12 + O6) ---------------
+
+SQL_IMPORT_RAW = """
+  SELECT 'SKU_' || CAST(p_partkey AS VARCHAR) AS sku,
+         CASE p_partkey % 4 WHEN 0 THEN 'on' WHEN 1 THEN 'TRUE'
+                            WHEN 2 THEN '1' ELSE 'off' END AS active_raw,
+         CASE WHEN p_partkey % 17 = 0 THEN 'n/a'
+              ELSE CAST(CAST(round(p_retailprice * CAST(0.8 AS DOUBLE)) AS BIGINT) AS VARCHAR) || ' KZT'
+         END AS min_price_raw,
+         REPLACE(CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS VARCHAR), '.', ',') AS cur_price_raw
+  FROM part
+"""
+
+
+def import_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _read(spark, sf_dir, "part")
+    return p.select(
+        F.concat(F.lit("SKU_"), F.col("p_partkey").cast("string")).alias("sku"),
+        F.when(F.col("p_partkey") % 4 == 0, F.lit("on"))
+        .when(F.col("p_partkey") % 4 == 1, F.lit("TRUE"))
+        .when(F.col("p_partkey") % 4 == 2, F.lit("1"))
+        .otherwise(F.lit("off"))
+        .alias("active_raw"),
+        F.when(F.col("p_partkey") % 17 == 0, F.lit("n/a"))
+        .otherwise(
+            F.concat(
+                F.round(F.col("p_retailprice") * F.lit(0.8)).cast("long").cast("string"),
+                F.lit(" KZT"),
+            )
+        )
+        .alias("min_price_raw"),
+        F.regexp_replace(
+            F.col("p_retailprice").cast("decimal(12,2)").cast("string"), r"\.", ","
+        ).alias("cur_price_raw"),
+    )
+
+
+@register(
+    "import_coerce",
+    f"""
+    WITH raw AS ({SQL_IMPORT_RAW})
+    SELECT sku,
+           lower(trim(active_raw)) SIMILAR TO '(on|true|1)' AS active,
+           TRY_CAST(TRY_CAST(regexp_replace(min_price_raw, '[^0-9.]', '', 'g') AS DOUBLE) AS BIGINT) AS min_price,
+           TRY_CAST(REPLACE(trim(cur_price_raw), ',', '.') AS DOUBLE) AS current_price,
+           TRY_CAST(TRY_CAST(regexp_replace(min_price_raw, '[^0-9.]', '', 'g') AS DOUBLE) AS BIGINT) IS NOT NULL AS row_valid
+    FROM raw
+    """,
+)
+def q_import_coerce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: CSV-import coercion — boolean from /on|true|1/i, price from
+    junk-laden text, decimal-comma normalization, validity flag
+    (BUNDLE/.../import/route.ts:26-81). Dry-run = this frame without a
+    write."""
+    raw = import_raw(spark, sf_dir)
+    min_price = strip_non_numeric_int(F.col("min_price_raw"))
+    return raw.select(
+        "sku",
+        bool_from_text(F.col("active_raw")).alias("active"),
+        min_price.alias("min_price"),
+        decimal_comma_to_double(F.col("cur_price_raw")).alias("current_price"),
+        min_price.isNotNull().alias("row_valid"),
+    )
+
+
+@register(
+    "offers_text_search",
+    f"""
+    WITH sellers AS ({SQL_SELLERS})
+    SELECT productId, name, price, row_uid
+    FROM sellers
+    WHERE lower(name) LIKE '%seller 1%'
+    ORDER BY productId, name, row_uid
+    LIMIT 100
+    """,
+)
+def q_offers_text_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P12 + O6: case-insensitive substring search with a deterministic
+    page (total order via row_uid, hard cap 100 — the offers route's
+    `t=` filter and `l=` page size)."""
+    s = sellers_table(spark, sf_dir)
+    return (
+        s.filter(F.lower(F.col("name")).contains("seller 1"))
+        .select("productId", "name", "price", "row_uid")
+        .orderBy(F.col("productId").asc(), F.col("name").asc(), F.col("row_uid").asc())
+        .limit(100)
+    )
+
+
+# --- Catalog validation split (P7) -----------------------------------------
+
+SQL_CATALOG_RAW = """
+  SELECT CASE WHEN p_partkey % 97 = 0 THEN ''
+              ELSE 'SKU_' || CAST(p_partkey AS VARCHAR) END AS "SKU_ID",
+         CASE WHEN p_partkey % 89 = 0 THEN NULL ELSE p_brand END AS "Store_name",
+         REPLACE(CAST(CAST(p_size AS DOUBLE) / 10.0 AS VARCHAR), '.', ',') AS "Weight_kg",
+         CAST(CAST(round(p_retailprice) AS BIGINT) AS VARCHAR) || ' KZT' AS "Initial_KSP_Price",
+         CASE WHEN p_partkey % 7 = 0 THEN '' ELSE CAST(p_partkey % 40 AS VARCHAR) END AS "Stock_entered"
+  FROM part
+"""
+
+
+def catalog_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _read(spark, sf_dir, "part")
+    return p.select(
+        F.when(F.col("p_partkey") % 97 == 0, F.lit(""))
+        .otherwise(F.concat(F.lit("SKU_"), F.col("p_partkey").cast("string")))
+        .alias("SKU_ID"),
+        F.when(F.col("p_partkey") % 89 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("p_brand"))
+        .alias("Store_name"),
+        F.regexp_replace(
+            (F.col("p_size").cast("double") / F.lit(10.0)).cast("string"), r"\.", ","
+        ).alias("Weight_kg"),
+        F.concat(F.round(F.col("p_retailprice")).cast("long").cast("string"), F.lit(" KZT"))
+        .alias("Initial_KSP_Price"),
+        F.when(F.col("p_partkey") % 7 == 0, F.lit(""))
+        .otherwise((F.col("p_partkey") % 40).cast("string"))
+        .alias("Stock_entered"),
+    )
+
+
+@register(
+    "catalog_validation",
+    f"""
+    WITH raw AS ({SQL_CATALOG_RAW}),
+    cleaned AS (
+      SELECT trim("SKU_ID") AS sku_id,
+             trim("Store_name") AS store_name,
+             TRY_CAST(REPLACE(trim("Weight_kg"), ',', '.') AS DOUBLE) AS weight_kg,
+             TRY_CAST(TRY_CAST(regexp_replace("Initial_KSP_Price", '[^0-9.]', '', 'g') AS DOUBLE) AS BIGINT) AS initial_price,
+             COALESCE(TRY_CAST(TRY_CAST(regexp_replace("Stock_entered", '[^0-9.]', '', 'g') AS DOUBLE) AS BIGINT), 0) AS stock_entered
+      FROM raw
+    )
+    SELECT sku_id, store_name, weight_kg, initial_price, stock_entered,
+           NOT (sku_id IS NULL OR sku_id = ''
+                OR (initial_price IS NOT NULL AND initial_price < 0)) AS is_valid,
+           CASE WHEN store_name IS NULL OR store_name = '' THEN 'missing_store' END AS warning
+    FROM cleaned
+    """,
+)
+def q_catalog_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7: validation flags + dual channel (valid/reject split is two
+    filters over this one frame — enhanced_catalog_parser.py:169-220)."""
+    flagged = catalog_ops.with_validation(catalog_ops.clean_catalog(catalog_raw(spark, sf_dir)))
+    return flagged.select(
+        "sku_id", "store_name", "weight_kg", "initial_price", "stock_entered",
+        "is_valid", "warning",
+    )
+
+
+# --- Duck-typed JSON probing (F20/S14) -------------------------------------
+
+@register(
+    "events_json_probe",
+    """
+    SELECT event_type,
+           CAST(SUM(COALESCE(
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT),
+             TRY_CAST(json_extract_string(props, '$.data.k') AS BIGINT),
+             TRY_CAST(json_extract_string(props, '$.payload.k') AS BIGINT),
+             0)) AS BIGINT) AS k_sum,
+           CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
+             AS missing
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_json_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F20/S14: multi-candidate JSON path coalescing over a duck-typed
+    payload column (pickArrayKey / parseSellersFromCaptured field
+    fallbacks, BUNDLE/.../offers/route.ts:8-28, server/scrape.ts:223-244)."""
+    ev = read_events(spark, sf_dir)
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").try_cast("long"),
+        F.get_json_object("props", "$.data.k").try_cast("long"),
+        F.get_json_object("props", "$.payload.k").try_cast("long"),
+        F.lit(0),
+    )
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_sum"),
+        F.count(F.when(F.get_json_object("props", "$.k").isNull(), 1))
+        .cast("long")
+        .alias("missing"),
+    )
