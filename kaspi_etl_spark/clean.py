@@ -92,6 +92,55 @@ def dayfirst_date(col: Column | str) -> Column:
     ).cast("date")
 
 
+def _ru_date_dotted(line: Column, year: int, two_digit_year: bool) -> Column:
+    """normalizeRuDateToDotted (server/scrape.ts:399-412): '12 сентября'
+    -> '12.9.<year>'. The reference uses the wall-clock year; here it is
+    an explicit parameter so results are deterministic."""
+    day = F.regexp_extract(line, r"(\d{1,2})\s+(?:января|февраля|марта|апреля|мая|июня|июля|августа|сентября|октября|ноября|декабря)", 1)
+    month = F.lit(None).cast("int")
+    for name, num in reversed(list(RU_MONTHS.items())):
+        month = F.when(F.lower(line).contains(name), F.lit(num)).otherwise(month)
+    yy = str(year)[-2:] if two_digit_year else str(year)
+    return F.when(
+        (day != "") & month.isNotNull(),
+        F.concat_ws(".", day, month.cast("string"), F.lit(yy)),
+    ).otherwise(F.lit(""))
+
+
+def normalize_delivery(text: Column | str, year: int = 2025) -> Column:
+    """F7: delivery-text normalization (server/scrape.ts:414-432).
+
+    Split into lines on [\\n\\r.;], classify the first postamat line and
+    the first 'доставка' line (falling back to the whole text), rewrite
+    their RU dates as 'postamat - d.m.yyyy, delivery - d.m.yy'; if
+    neither line carries a date, return the whitespace-collapsed text.
+    Expression-only (array filter + element_at), no UDF.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.trim(F.regexp_replace(c, r"\s+", " "))
+    lines = F.filter(
+        F.transform(F.split(c, r"[\n\r.;  ]"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    first = lambda pat: F.try_element_at(F.filter(lines, lambda s: s.rlike(pat)), F.lit(1))  # noqa: E731
+    postamat = F.coalesce(
+        first("(?iu)(postomat|постомат)"),
+        F.when(t.rlike("(?iu)(postomat|постомат)"), t),
+        F.lit(""),
+    )
+    delivery = F.coalesce(
+        first("(?iu)доставка"), F.when(t.rlike("(?iu)доставка"), t), F.lit("")
+    )
+    p_date = _ru_date_dotted(postamat, year, two_digit_year=False)
+    d_date = _ru_date_dotted(delivery, year, two_digit_year=True)
+    composed = F.concat_ws(
+        ", ",
+        F.when(p_date != "", F.concat(F.lit("postamat - "), p_date)),
+        F.when(d_date != "", F.concat(F.lit("delivery - "), d_date)),
+    )
+    return F.when((p_date != "") | (d_date != ""), composed).otherwise(t)
+
+
 # ---------------------------------------------------------------------------
 # Business formulas (F9-F17)
 # ---------------------------------------------------------------------------

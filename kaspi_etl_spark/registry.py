@@ -2032,3 +2032,66 @@ def q_events_json_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("missing"),
     )
+
+
+# --- HTML seller parsing (X5/S13) ------------------------------------------
+
+from .sources import html_parse as html_ops  # noqa: E402
+
+# Synthetic per-variant HTML built from the seller fixture: price-first
+# rows (the parser takes the first long digit group as price), only
+# sellers with price >= 10000 (the digit-group regex needs >= 5 chars)
+# and non-empty delivery (so the parser's fill-missing-delivery rule
+# never fires and the dedupe is a pure keep-lowest-price — first
+# encountered on ties, pinned by the price,row_uid construction order).
+
+@register(
+    "html_sellers_parse",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    eligible AS (
+      SELECT * FROM sellers WHERE price >= 10000 AND deliveryDate <> ''
+    ),
+    ranked AS (
+      SELECT productId, name, price, deliveryDate,
+             ROW_NUMBER() OVER (PARTITION BY productId, lower(name)
+                                ORDER BY price ASC, row_uid ASC) AS rn
+      FROM eligible
+    )
+    SELECT productId, name, price, deliveryDate FROM ranked WHERE rn = 1
+    """,
+)
+def q_html_sellers_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5/S13 round-trip: render seller rows as the reference's
+    sellers-table HTML, parse back with the parse.ts-equivalent Pandas
+    UDF (regex heuristics + keep-lowest-price dedupe), explode to rows.
+    The oracle states the parser's fixed point directly."""
+    s = sellers_table(spark, sf_dir).filter(
+        (F.col("price") >= 10000) & (F.col("deliveryDate") != "")
+    )
+    row_html = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("price", "row_uid", "name", "deliveryDate"))
+        ),
+        lambda r: F.concat(
+            F.lit("<tr> "),
+            F.regexp_replace(F.format_number(r["price"], 0), ",", " "),
+            F.lit(' ₸ <span class="sellers-table__merchant-name">'),
+            r["name"],
+            F.lit('</span><span class="sellers-table__delivery">'),
+            r["deliveryDate"],
+            F.lit("</span>"),
+        ),
+    )
+    pages = s.groupBy("productId").agg(
+        F.concat(F.lit("<html>"), F.array_join(row_html, ""), F.lit("</html>")).alias("html")
+    )
+    parsed = pages.select(
+        "productId", F.explode(html_ops.parse_sellers_html(F.col("html"))).alias("s")
+    )
+    return parsed.select(
+        "productId",
+        F.col("s.name").alias("name"),
+        F.col("s.price").alias("price"),
+        F.col("s.deliveryDate").alias("deliveryDate"),
+    )

@@ -1,0 +1,116 @@
+"""Heuristic HTML/JSON-LD parsers (X5/S13, F21).
+
+Reference: apps/kaspi_offers_dashboard/server/parse.ts:5-53
+(parseSellersFromHtml — regex row scan, name/delivery candidate fallbacks,
+dedupe-by-name keep-lowest-price) and server/scrape.ts:663-701 (JSON-LD
+script-tag extraction).
+
+Spark design: the seller parser is a Pandas UDF (str -> array<struct>)
+acting as a UDTF via explode — regex-heavy multi-candidate logic is the
+one place Python wins over expression trees. JSON-LD extraction stays
+expression-only (regexp_extract + from_json).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+SELLER_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("name", T.StringType()),
+            T.StructField("price", T.LongType()),
+            T.StructField("deliveryDate", T.StringType()),
+        ]
+    )
+)
+
+_ROW_SPLIT = re.compile(r"<(?:li|tr|div|article)[^>]*>", re.I)
+_PRICE = re.compile(r"(\d[\d\s]{3,})")
+_NAME_PATTERNS = [
+    re.compile(r"sellers-table__merchant-name[^>]*>([^<]{2,100})<", re.I),
+    re.compile(r"data-merchant-name[^>]*>([^<]{2,100})<", re.I),
+    re.compile(r"<a[^>]*href=[\"']?[^\"']*/shop/seller[^>]*>([^<]{2,100})<", re.I),
+    re.compile(r"merchant[^>]*name[^>]*>([^<]{2,100})<", re.I),
+]
+_DELIVERY_PATTERNS = [
+    re.compile(r"sellers-table__delivery[^>]*>([^<]{2,120})<", re.I),
+    re.compile(r"sellers-table__delivery-text[^>]*>([^<]{2,120})<", re.I),
+    re.compile(r"delivery[^>]*>([^<]{2,120})<", re.I),
+]
+
+
+def _parse_one(html: str | None) -> list[dict]:
+    """parse.ts:5-53 semantics, including the keep-lowest-price /
+    fill-missing-delivery dedupe and final price-asc sort."""
+    if not html:
+        return []
+    text = re.sub(r"\s+", " ", html.replace("\r", " ").replace("\n", " "))
+    sellers: list[dict] = []
+    for chunk in filter(None, (c.strip() for c in _ROW_SPLIT.split(text))):
+        pm = _PRICE.search(chunk)
+        price = int(re.sub(r"\s", "", pm.group(1))) if pm else None
+        if not price or price <= 0:
+            continue
+        name = ""
+        for pat in _NAME_PATTERNS:
+            m = pat.search(chunk)
+            if m:
+                name = m.group(1).strip()
+                break
+        if not name:
+            continue
+        delivery = ""
+        for pat in _DELIVERY_PATTERNS:
+            m = pat.search(chunk)
+            if m:
+                delivery = m.group(1).strip()
+                break
+        sellers.append({"name": name, "price": price, "deliveryDate": delivery})
+    dedup: dict[str, dict] = {}
+    for s in sellers:
+        key = s["name"].lower()
+        cur = dedup.get(key)
+        if cur is None or s["price"] < cur["price"] or (
+            not cur["deliveryDate"] and s["deliveryDate"]
+        ):
+            dedup[key] = s
+    return sorted(dedup.values(), key=lambda s: s["price"])
+
+
+@pandas_udf(SELLER_SCHEMA)
+def parse_sellers_html(html: pd.Series) -> pd.Series:
+    """X5/S13: html -> array<struct<name, price, deliveryDate>>.
+    Arrow-batched; use with explode() for the UDTF shape."""
+    return html.map(_parse_one)
+
+
+JSONLD_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "aggregateRating",
+            T.StructType(
+                [
+                    T.StructField("ratingValue", T.DoubleType()),
+                    T.StructField("reviewCount", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def extract_jsonld_rating(html: Column) -> Column:
+    """F21: first application/ld+json script tag -> parsed
+    aggregateRating struct (server/scrape.ts:663-701). Expression-only:
+    regexp_extract + from_json, no UDF."""
+    raw = F.regexp_extract(
+        html, r'<script type="application/ld\+json">\s*(\{.*?\})\s*</script>', 1
+    )
+    return F.from_json(raw, JSONLD_SCHEMA)["aggregateRating"]

@@ -14,10 +14,14 @@ from pyspark.sql import types as T
 
 
 def read_semicolon_csv(
-    spark: SparkSession, path: str, columns: list[str] | None = None
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    normalize_headers: bool = True,
 ) -> DataFrame:
-    """S1: semicolon CSV, all-string, skip malformed lines
-    (scripts/etl_sales.py:12-13 — sep=';', dtype=str, on_bad_lines='skip')."""
+    """S1 + P2: semicolon CSV, all-string, skip malformed lines
+    (scripts/etl_sales.py:12-13 — sep=';', dtype=str, on_bad_lines='skip'),
+    headers whitespace-collapsed and lowercased (etl_sales.py:45)."""
     reader = (
         spark.read.option("header", True)
         .option("sep", ";")
@@ -26,7 +30,12 @@ def read_semicolon_csv(
     )
     if columns:
         reader = reader.schema(T.StructType([T.StructField(c, T.StringType()) for c in columns]))
-    return reader.csv(path)
+    df = reader.csv(path)
+    if normalize_headers:
+        from ..clean import normalize_header
+
+        df = df.toDF(*[normalize_header(c) for c in df.columns])
+    return df
 
 
 def read_typed_csv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

@@ -1,0 +1,141 @@
+"""Tests for HTML/JSON-LD parsers, REST bridges, file readers, and the
+delivery normalizer."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kaspi_etl_spark import clean
+from kaspi_etl_spark.sources import html_parse, readers, rest
+
+# Inline fixture equivalent to the reference vitest case
+# (apps/kaspi_offers_dashboard/test/parseSellers.test.ts:4-20).
+SELLERS_HTML = """
+<table>
+<tr><span class="sellers-table__merchant-name">TechnoShop</span>
+<span class="sellers-table__delivery">Доставка 15 сентября</span> 12 990 ₸</tr>
+<tr><span class="sellers-table__merchant-name">OtherStore</span>
+<span class="sellers-table__delivery"></span> 13 490 ₸</tr>
+</table>
+"""
+
+
+def test_parse_sellers_html_canary(spark):
+    df = spark.createDataFrame([(SELLERS_HTML,)], "html string")
+    rows = (
+        df.select(F.explode(html_parse.parse_sellers_html(F.col("html"))).alias("s"))
+        .select("s.*")
+        .collect()
+    )
+    by_name = {r.name: r for r in rows}
+    assert "TechnoShop" in by_name
+    assert by_name["TechnoShop"].price == 12990  # parseSellers.test.ts canary
+    assert "Доставка" in by_name["TechnoShop"].deliveryDate
+    assert by_name["OtherStore"].price == 13490
+    # sorted by price asc
+    assert [r.price for r in rows] == sorted(r.price for r in rows)
+
+
+def test_parse_sellers_dedupe_keeps_lowest(spark):
+    html = (
+        '<tr> 12 990 <span class="sellers-table__merchant-name">Shop</span></tr>'
+        '<tr> 11 990 <span class="sellers-table__merchant-name">shop</span></tr>'
+    )
+    df = spark.createDataFrame([(html,)], "html string")
+    rows = (
+        df.select(F.explode(html_parse.parse_sellers_html(F.col("html"))).alias("s"))
+        .select("s.*")
+        .collect()
+    )
+    assert len(rows) == 1 and rows[0].price == 11990
+
+
+def test_extract_jsonld_rating(spark):
+    html = (
+        "<html><script type=\"application/ld+json\"> "
+        '{"aggregateRating": {"ratingValue": 4.6, "reviewCount": 132}} </script></html>'
+    )
+    df = spark.createDataFrame([(html,), ("<html>none</html>",)], "html string")
+    out = df.select(html_parse.extract_jsonld_rating(F.col("html")).alias("r")).collect()
+    assert out[0].r.ratingValue == 4.6 and out[0].r.reviewCount == 132
+    assert out[1].r is None
+
+
+def test_normalize_delivery(spark):
+    df = spark.createDataFrame(
+        [
+            ("Постомат 12 сентября\nДоставка 15 сентября",),
+            ("just a plain   note",),
+            ("Доставка 3 января",),
+        ],
+        "v string",
+    )
+    out = [r[0] for r in df.select(clean.normalize_delivery("v", year=2025)).collect()]
+    assert out[0] == "postamat - 12.9.2025, delivery - 15.9.25"
+    assert out[1] == "just a plain note"
+    assert out[2] == "delivery - 3.1.25"
+
+
+def test_rest_source_with_fake_transport(spark):
+    pages = {0: [{"code": "A", "qty": 1}, {"code": "B", "qty": 2}], 1: [{"code": "C", "qty": 3}]}
+
+    calls = []
+
+    def transport(url, params):
+        calls.append(params["page"])
+        return pages.get(params["page"], [])
+
+    schema = T.StructType(
+        [T.StructField("code", T.StringType()), T.StructField("qty", T.LongType())]
+    )
+    df = rest.read_rest_pages(spark, "http://fake/products", schema, transport=transport)
+    assert {r.code for r in df.collect()} == {"A", "B", "C"}
+    assert calls == [0, 1, 2]  # stops on first empty page
+
+
+def test_rest_source_retries_then_raises(spark):
+    def flaky(url, params):
+        raise RuntimeError("boom")
+
+    schema = T.StructType([T.StructField("code", T.StringType())])
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        rest.read_rest_pages(
+            spark, "http://fake", schema, transport=flaky, retries=2, backoff_s=0.0
+        )
+
+
+def test_rest_sink_posts_rows(spark, tmp_path):
+    out_dir = tmp_path / "posts"
+    out_dir.mkdir()
+    out = str(out_dir)
+
+    def post_fn(row):
+        # executor-side side effect; local[*] shares the filesystem
+        with open(f"{out}/{row['code']}.json", "w") as f:
+            json.dump(row, f)
+
+    df = spark.createDataFrame([("A", 1), ("B", 2)], "code string, qty long")
+    rest.write_rest_per_row(df, post_fn, parallelism=2)
+    files = sorted(p.name for p in out_dir.iterdir())
+    assert files == ["A.json", "B.json"]
+
+
+def test_csv_readers(spark, tmp_path):
+    p = tmp_path / "cat.csv"
+    p.write_text("SKU ID;Store name\nA1;Main\nB2;Other\n", encoding="utf-8")
+    df = readers.read_semicolon_csv(spark, str(p))
+    assert df.columns == ["sku_id", "store_name"]
+    assert df.count() == 2
+
+    q = tmp_path / "stock_2025.csv"
+    q.write_text("sku_key,qty_on_hand\nA1,5\n", encoding="utf-8")
+    schema = T.StructType(
+        [T.StructField("sku_key", T.StringType()), T.StructField("qty_on_hand", T.IntegerType())]
+    )
+    df2 = readers.read_typed_csv(spark, str(q), schema)
+    assert df2.collect()[0].qty_on_hand == 5
