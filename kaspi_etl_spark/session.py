@@ -46,6 +46,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/kaspi_spark_warehouse"),
+        )
     )
     if not os.environ.get("SPARK_MASTER") and "spark.master" not in (extra_conf or {}):
         builder = builder.master(f"local[{cpus}]")

@@ -1,0 +1,84 @@
+"""Physical sinks (SURVEY.md 2.1 S7-S9) with the 100 TB partitioning plan.
+
+Reference semantics:
+  S7 full-replace table (df.to_sql if_exists='replace', etl_sales.py:76-78)
+  S8 upsert by composite key (delete-then-append, etl_purchases.py:57-64)
+  S9 append rows (size_recommendation_engine.py:331-344)
+
+Scale design (SURVEY.md 4): fact tables are date-partitioned so rewrites
+touch only affected partitions (dynamic partition overwrite), and join
+tables are bucketed on their join key so the J1/J2 joins co-locate
+without a shuffle. The upsert stages to a sibling directory and swaps —
+reading and overwriting the same parquet path in one job is not safe.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .ops.purchases import upsert as upsert_transform
+
+
+def overwrite_table(df: DataFrame, path: str) -> None:
+    """S7: full replace."""
+    df.write.mode("overwrite").parquet(path)
+
+
+def append_rows(df: DataFrame, path: str) -> None:
+    """S9: append."""
+    df.write.mode("append").parquet(path)
+
+
+def write_date_partitioned(df: DataFrame, path: str, date_col: str = "order_date") -> None:
+    """Date-partitioned fact write with dynamic partition overwrite: only
+    partitions present in ``df`` are replaced, so an incremental day-load
+    over a 100 TB table rewrites one day, not the table."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(date_col)
+        .parquet(path)
+    )
+
+
+def write_bucketed_table(
+    df: DataFrame, table: str, bucket_col: str, num_buckets: int = 32
+) -> None:
+    """Bucketed managed table: both sides of a recurring equi-join
+    bucketed on the key skip the shuffle entirely (SortMergeJoin reads
+    co-located buckets)."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(num_buckets, bucket_col)
+        .sortBy(bucket_col)
+        .saveAsTable(table)
+    )
+
+
+def upsert_parquet(
+    spark: SparkSession, incoming: DataFrame, path: str, keys: list[str]
+) -> None:
+    """S8: idempotent upsert on a plain-parquet table via stage-and-swap.
+
+    existing ⟕anti incoming ∪ incoming -> staging dir -> atomic-ish swap.
+    On Delta/Iceberg this is `MERGE INTO`; plain parquet needs the swap
+    because a job cannot overwrite its own input. At scale, partition
+    ``path`` by date and upsert per-partition instead of whole-table.
+    """
+    staging = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        existing = spark.read.parquet(path)
+        merged = upsert_transform(existing, incoming, keys)
+    else:
+        merged = incoming
+    merged.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup, ignore_errors=True)

@@ -153,6 +153,53 @@ def watch_stream_job(
     )
 
 
+_DUE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("sku", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_DUE_STATE_SCHEMA = T.StructType([T.StructField("last_run_epoch", T.DoubleType())])
+
+
+def _due_group_factory(interval_min: float):
+    def _due_group(key: tuple, pdfs: Iterable[Any], state: Any):
+        """T4: per-SKU schedule gating (BUNDLE/scripts/scripts/
+        price_watch.ts:47-67) — emit a tick only when intervalMin has
+        elapsed since the last emitted tick for this key."""
+        import pandas as pd
+
+        last = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            for ts in sorted(pdf["ts"]):
+                epoch = ts.timestamp()
+                if last is None or epoch - last >= interval_min * 60:
+                    out.append({"sku": key[0], "ts": ts})
+                    last = epoch
+        if last is not None:
+            state.update((float(last),))
+        yield pd.DataFrame(out, columns=["sku", "ts"])
+
+    return _due_group
+
+
+def due_ticks_stream(requests: DataFrame, interval_min: float = 5.0) -> DataFrame:
+    """T4 streaming form: keyed lastRunAt state gates how often each SKU
+    actually runs. ``requests``: streaming (sku, ts). State is one float
+    per SKU — bounded by the catalog size, not event volume."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return requests.groupBy("sku").applyInPandasWithState(
+        _due_group_factory(interval_min),
+        outputStructType=_DUE_OUT_SCHEMA,
+        stateStructType=_DUE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_price_stats(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Watermarked sliding-window aggregation over the event stream —
     beyond-reference generalization of T2/T3 (SURVEY.md 2.8 note): per

@@ -1,0 +1,110 @@
+"""Sink tests: overwrite/append/upsert/date-partitioned/bucketed writes
+and the T4 due-gating stateful stream."""
+
+from __future__ import annotations
+
+import datetime
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kaspi_etl_spark import sinks
+from kaspi_etl_spark.streaming import watch
+
+
+def test_overwrite_append_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    sinks.overwrite_table(df, p)
+    sinks.append_rows(spark.createDataFrame([(2, "b")], "id long, v string"), p)
+    assert spark.read.parquet(p).count() == 2
+    sinks.overwrite_table(df, p)
+    assert spark.read.parquet(p).count() == 1
+
+
+def test_upsert_parquet(spark, tmp_path):
+    p = str(tmp_path / "purchases")
+    first = spark.createDataFrame(
+        [("po1", "A", 10), ("po1", "B", 20)], "po_id string, sku_key string, qty long"
+    )
+    sinks.upsert_parquet(spark, first, p, ["po_id", "sku_key"])
+    # replace (po1, A), add (po2, C)
+    second = spark.createDataFrame(
+        [("po1", "A", 99), ("po2", "C", 5)], "po_id string, sku_key string, qty long"
+    )
+    sinks.upsert_parquet(spark, second, p, ["po_id", "sku_key"])
+    rows = {(r.po_id, r.sku_key): r.qty for r in spark.read.parquet(p).collect()}
+    assert rows == {("po1", "A"): 99, ("po1", "B"): 20, ("po2", "C"): 5}
+    # idempotent: same batch again changes nothing
+    sinks.upsert_parquet(spark, second, p, ["po_id", "sku_key"])
+    assert spark.read.parquet(p).count() == 3
+
+
+def test_date_partitioned_dynamic_overwrite(spark, tmp_path):
+    p = str(tmp_path / "facts")
+    d1, d2 = datetime.date(2025, 9, 1), datetime.date(2025, 9, 2)
+    day1 = spark.createDataFrame([(1, d1), (2, d1), (3, d2)], "id long, order_date date")
+    sinks.write_date_partitioned(day1, p)
+    # rewrite ONLY day 2; day-1 partition must survive
+    day2 = spark.createDataFrame([(9, d2)], "id long, order_date date")
+    sinks.write_date_partitioned(day2, p)
+    got = {(r.id, str(r.order_date)) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "2025-09-01"), (2, "2025-09-01"), (9, "2025-09-02")}
+
+
+def test_bucketed_table_join_has_no_shuffle(spark):
+    big = spark.range(0, 1000).select(
+        F.col("id").alias("sku_id"), (F.col("id") % 7).alias("v")
+    )
+    dim = spark.range(0, 1000, 2).select(
+        F.col("id").alias("sku_id"), F.lit("x").alias("name")
+    )
+    sinks.write_bucketed_table(big, "t_big", "sku_id", num_buckets=8)
+    sinks.write_bucketed_table(dim, "t_dim", "sku_id", num_buckets=8)
+    joined = (
+        spark.table("t_big")
+        .hint("merge")
+        .join(spark.table("t_dim").hint("merge"), "sku_id")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # bucket co-location
+
+
+def test_due_ticks_stream_gates_by_interval(spark):
+    t0 = datetime.datetime(2025, 9, 1, 12, 0, 0)
+    # ticks each minute for 10 minutes; interval 5 min -> emit at 0, 5, 10
+    rows = [("SKU_1", t0 + datetime.timedelta(minutes=i)) for i in range(11)]
+    src = tempfile.mkdtemp(prefix="due_src_")
+    sink = tempfile.mkdtemp(prefix="due_sink_")
+    ckpt = tempfile.mkdtemp(prefix="due_ckpt_")
+    try:
+        df = spark.createDataFrame(rows, "sku string, ts timestamp")
+        for i in range(11):
+            df.filter(F.minute("ts") == i).coalesce(1).write.mode("overwrite").json(
+                f"{src}/tick_{i:02d}"
+            )
+        stream = (
+            spark.readStream.schema("sku string, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{src}/tick_*")
+        )
+        q = (
+            watch.due_ticks_stream(stream, interval_min=5.0)
+            .writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            r.ts.minute
+            for r in spark.read.schema("sku string, ts timestamp").json(sink).collect()
+        )
+        assert got == [0, 5, 10]
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
