@@ -34,6 +34,24 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def with_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+    """Unit-normalize a vector column (zero vectors -> zero vectors).
+
+    Pre-normalizing makes pairwise cosine a single dot product instead of
+    dot + two norms per pair — a 3x flop cut in the O(N*Q) stage. The
+    norm is materialized as a real column first so the transform lambda
+    binds an attribute, not a re-evaluated expression.
+    """
+    nrm = df.withColumn("_nrm", l2_norm(F.col(vec_col)))
+    return nrm.withColumn(
+        out_col,
+        F.when(
+            F.col("_nrm") > 0,
+            F.transform(F.col(vec_col), lambda x: x / F.col("_nrm")),
+        ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0))),
+    ).drop("_nrm")
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -45,16 +63,16 @@ def brute_force_topk(
     """Exact cosine top-k per query via broadcast nested-loop + window.
 
     ``queries`` is expected to be small (broadcastable); the corpus scan
-    stays distributed and narrow. Ties broken by corpus id asc.
+    stays distributed and narrow. Both sides are unit-normalized up
+    front, so the pairwise stage is one dot product. Ties broken by
+    corpus id asc.
     """
-    q = queries.select(
-        F.col(query_id_col), F.col(vec_col).alias("_qvec")
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("_cvec"))
+    q = with_normalized(queries, vec_col, "_qvec").select(query_id_col, "_qvec")
+    c = with_normalized(corpus, vec_col, "_cvec").select(id_col, "_cvec")
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        dot(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
     ).filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -99,11 +117,12 @@ def cosine_near_dup_pairs(
     threshold). All-pairs form — verification-grade at small N; the scale
     path buckets first (hyperplane_bucket equi-join, see lsh_topk) so the
     quadratic comparison only happens inside buckets."""
-    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    vn = with_normalized(vectors, vec_col, "_vn")
+    a = vn.select(F.col(id_col).alias("id_a"), F.col("_vn").alias("_va"))
+    b = vn.select(F.col(id_col).alias("id_b"), F.col("_vn").alias("_vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        .select("id_a", "id_b", dot(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -121,20 +140,20 @@ def lsh_topk(
     bucket. Recall improves with multiple plane sets (union of buckets);
     this single-table variant demonstrates the shuffle shape — an
     equi-join on bucket ids instead of a cross join."""
-    cb = corpus.select(
+    cb = with_normalized(corpus, vec_col, "_cvec").select(
         F.col(id_col),
-        F.col(vec_col).alias("_cvec"),
+        "_cvec",
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
-    qb = queries.select(
+    qb = with_normalized(queries, vec_col, "_qvec").select(
         F.col(query_id_col),
-        F.col(vec_col).alias("_qvec"),
+        "_qvec",
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     scored = cb.join(F.broadcast(qb), "_bucket").select(
         query_id_col,
         id_col,
-        cosine(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        dot(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
     ).filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()

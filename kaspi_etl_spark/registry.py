@@ -1303,21 +1303,32 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Similarity search -----------------------------------------------------
 
+# Unit-normalized vectors (zero vector -> zero vector): pairwise cosine
+# becomes one dot product; the Spark side mirrors this exactly
+# (llm.similarity.with_normalized).
+SQL_NORMALIZED_EMB = """
+  SELECT vec_id,
+         CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+              ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+  FROM (SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_reduce([x * x for x in embedding::DOUBLE[]], (a, b) -> a + b)) AS nrm
+        FROM embeddings)
+"""
+
+SQL_DOT = (
+    "list_reduce(list_transform(range(1, len({B}) + 1), i -> {A}[i] * {B}[i]),"
+    " (a, b) -> a + b)"
+)
+
+
 @register(
     "ann_cosine_topk",
-    """
-    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
-          FROM embeddings WHERE vec_id % 50 = 0),
+    f"""
+    WITH corpus AS ({SQL_NORMALIZED_EMB}),
+    q AS (SELECT vec_id AS query_id, vn AS qn FROM corpus WHERE vec_id % 50 = 0),
     scored AS (
       SELECT q.query_id, c.vec_id,
-             (CASE WHEN (sqrt(list_reduce([x * x for x in qv], (a, b) -> a + b))
-                         * sqrt(list_reduce([x * x for x in v], (a, b) -> a + b))) > 0
-                   THEN list_reduce(list_transform(range(1, len(v) + 1), i -> qv[i] * v[i]),
-                                    (a, b) -> a + b)
-                        / (sqrt(list_reduce([x * x for x in qv], (a, b) -> a + b))
-                           * sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)))
-                   ELSE CAST(0.0 AS DOUBLE) END) AS cosine_sim
+             {SQL_DOT.replace("{A}", "qn").replace("{B}", "vn")} AS cosine_sim
       FROM corpus c CROSS JOIN q
       WHERE q.query_id <> c.vec_id
     ),
@@ -1651,27 +1662,24 @@ def _sql_bucket_expr(vec: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-SQL_COSINE = """
-  (CASE WHEN (sqrt(list_reduce([x * x for x in {A}], (a, b) -> a + b))
-              * sqrt(list_reduce([x * x for x in {B}], (a, b) -> a + b))) > 0
-        THEN list_reduce(list_transform(range(1, len({B}) + 1), i -> {A}[i] * {B}[i]),
-                         (a, b) -> a + b)
-             / (sqrt(list_reduce([x * x for x in {A}], (a, b) -> a + b))
-                * sqrt(list_reduce([x * x for x in {B}], (a, b) -> a + b)))
-        ELSE CAST(0.0 AS DOUBLE) END)
-"""
-
-
 @register(
     "ann_lsh_topk",
     f"""
-    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                           {_sql_bucket_expr("(embedding::DOUBLE[])")} AS bucket
-                    FROM embeddings),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM corpus WHERE vec_id % 50 = 0),
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        {_sql_bucket_expr("(embedding::DOUBLE[])")} AS bucket,
+                        sqrt(list_reduce([x * x for x in embedding::DOUBLE[]],
+                                         (a, b) -> a + b)) AS nrm
+                 FROM embeddings),
+    corpus AS (
+      SELECT vec_id, bucket,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM raw
+    ),
+    q AS (SELECT vec_id AS query_id, vn AS qn, bucket FROM corpus WHERE vec_id % 50 = 0),
     scored AS (
       SELECT q.query_id, c.vec_id,
-             {SQL_COSINE.replace("{A}", "qv").replace("{B}", "v")} AS cosine_sim
+             {SQL_DOT.replace("{A}", "qn").replace("{B}", "vn")} AS cosine_sim
       FROM corpus c JOIN q ON c.bucket = q.bucket
       WHERE q.query_id <> c.vec_id
     ),
@@ -1732,11 +1740,19 @@ def emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_cosine_pairs",
     f"""
-    WITH vecs AS ({SQL_EMB_AUGMENTED})
+    WITH vecs_raw AS ({SQL_EMB_AUGMENTED}),
+    vecs AS (
+      SELECT vec_id,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM (SELECT vec_id, v,
+                   sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+            FROM vecs_raw)
+    )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           {SQL_COSINE.replace("{A}", "a.v").replace("{B}", "b.v")} AS cosine_sim
+           {SQL_DOT.replace("{A}", "a.vn").replace("{B}", "b.vn")} AS cosine_sim
     FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-    WHERE {SQL_COSINE.replace("{A}", "a.v").replace("{B}", "b.v")} >= CAST(0.99 AS DOUBLE)
+    WHERE {SQL_DOT.replace("{A}", "a.vn").replace("{B}", "b.vn")} >= CAST(0.99 AS DOUBLE)
     """,
 )
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

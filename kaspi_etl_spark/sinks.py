@@ -50,7 +50,15 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed managed table: both sides of a recurring equi-join
     bucketed on the key skip the shuffle entirely (SortMergeJoin reads
-    co-located buckets)."""
+    co-located buckets). Drops any stale table/location first — a
+    previous session's orphaned warehouse directory would otherwise
+    block the managed-table create."""
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    stale = os.path.join(warehouse, table.lower()) if warehouse else None
+    if stale and os.path.exists(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(num_buckets, bucket_col)
