@@ -51,6 +51,44 @@ def flatten_analyze_result(nested: DataFrame) -> DataFrame:
     )
 
 
+def flatten_variants(variants: DataFrame) -> DataFrame:
+    """S16 at variant grain: (masterProductId, productId, label,
+    sellers[]) -> one row per seller with the out-of-stock placeholder.
+    Preferred at scale — rows stay bounded by a variant's seller count,
+    never a master's."""
+    v = variants.select(
+        "masterProductId",
+        "productId",
+        "label",
+        F.when(F.size("sellers") > 0, F.col("sellers"))
+        .otherwise(
+            F.array(
+                F.named_struct(
+                    F.lit("name"), F.lit("Out of stock"),
+                    F.lit("price"), F.lit(0).cast("long"),
+                    F.lit("deliveryDate"), F.lit(""),
+                    F.lit("isPriceBot"), F.lit(False),
+                )
+            )
+        )
+        .alias("sellers"),
+    )
+    return v.select(
+        "masterProductId",
+        "productId",
+        "label",
+        F.explode("sellers").alias("s"),
+    ).select(
+        "masterProductId",
+        "productId",
+        "label",
+        F.col("s.name").alias("name"),
+        F.col("s.price").alias("price"),
+        F.col("s.deliveryDate").alias("deliveryDate"),
+        F.col("s.isPriceBot").alias("isPriceBot"),
+    )
+
+
 def in_stock_only(flat: DataFrame) -> DataFrame:
     """P10: drop the out-of-stock placeholder rows (app/page.tsx:151-161)."""
     return flat.filter(~((F.col("name") == "Out of stock") & (F.col("price") == 0)))

@@ -21,6 +21,38 @@ from pyspark.sql import functions as F
 from ..clean import is_price_bot, predicted_min, stability_score
 
 
+def dedupe_sellers_agg(
+    sellers: DataFrame,
+    payload_cols: list[str],
+    unique_col: str = "row_uid",
+) -> DataFrame:
+    """P9 fast path: same total order as dedupe_sellers, but as a
+    min(struct(...)) hash aggregation instead of a sort-based window —
+    partial-aggregates map-side, so the shuffle carries one row per
+    (productId, seller) key instead of every input row. The right shape
+    for 100 TB; requires a unique ``unique_col`` so the struct comparison
+    never reaches payload fields.
+    """
+    key = F.lower(F.trim(F.col("name"))).alias("_k")
+    rank = F.struct(
+        F.when(F.col("price") > 0, 0).otherwise(1).alias("k1"),
+        F.col("price").alias("k2"),
+        F.when(
+            F.col("deliveryDate").isNotNull() & (F.col("deliveryDate") != ""), 0
+        ).otherwise(1).alias("k3"),
+        F.col("deliveryDate").alias("k4"),
+        F.col(unique_col).alias("k5"),
+        *[F.col(c).alias(f"p_{c}") for c in payload_cols],
+    )
+    best = (
+        sellers.groupBy(F.col("productId"), key)
+        .agg(F.min(rank).alias("b"))
+    )
+    return best.select(
+        "productId", *[F.col(f"b.p_{c}").alias(c) for c in payload_cols]
+    )
+
+
 def dedupe_sellers(sellers: DataFrame, tie_breakers: list[str] | None = None) -> DataFrame:
     """P9: per (productId, lower(trim(name))) keep the best record.
 

@@ -382,8 +382,10 @@ def q_inventory_reorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_seller_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    deduped = offers_ops.dedupe_sellers(sellers_table(spark, sf_dir), tie_breakers=["row_uid"])
-    return deduped.select("masterProductId", "productId", "name", "price", "deliveryDate")
+    return offers_ops.dedupe_sellers_agg(
+        sellers_table(spark, sf_dir),
+        payload_cols=["masterProductId", "name", "price", "deliveryDate"],
+    ).select("masterProductId", "productId", "name", "price", "deliveryDate")
 
 
 # Exact integer-based variance/stddev (see module docstring).
@@ -1785,10 +1787,14 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_export_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S16 + SURVEY.md 7 risk 7: nest sellers into the AnalyzeResult
-    shape (variants[] -> sellers[]) then flatten back to export rows —
-    proves the re-nesting round-trip is lossless. Out-of-stock variants
-    produce the placeholder row."""
+    """S16 + SURVEY.md 7 risk 7: nest sellers per variant then flatten
+    back to export rows — proves the re-nesting round-trip is lossless.
+    Out-of-stock variants produce the placeholder row.
+
+    Nesting stops at the variant level: a master-level variants[] array
+    would put every seller of a master product into one row (unbounded
+    at scale); the flat export never needs it. api.analyze builds the
+    full document where the nested shape IS the product."""
     base = sellers_table(spark, sf_dir).withColumn(
         "label", F.concat_ws("/", "variantColor", "variantSize")
     )
@@ -1805,10 +1811,7 @@ def q_export_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sellers")
     )
-    nested = variants.groupBy("masterProductId").agg(
-        F.collect_list(F.struct("productId", "label", "sellers")).alias("variants")
-    )
-    return export_ops.flatten_analyze_result(nested)
+    return export_ops.flatten_variants(variants)
 
 
 @register(

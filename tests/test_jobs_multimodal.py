@@ -1,0 +1,76 @@
+"""Tests for the bulk-job runner (T6), Excel bridge gating (S3), and
+multimodal plumbing (schema, batch shape, metadata pruning)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaspi_etl_spark import jobs
+from kaspi_etl_spark.llm import multimodal
+from kaspi_etl_spark.sources import readers
+
+
+def test_bulk_job_progress_and_results(spark):
+    df = spark.createDataFrame(
+        [(f"SKU_{i}", i) for i in range(10)], "sku string, v long"
+    )
+    runner = jobs.BulkJobRunner()
+    job = runner.run(df, "sku", lambda chunk: chunk.count(), chunk_size=4)
+    assert job.status == "done"
+    assert job.total == 10 and job.processed == 10
+    assert job.progress == 1.0
+    assert sum(job.results) == 10  # 4 + 4 + 2
+    assert runner.jobs[job.job_id] is job
+
+
+def test_bulk_job_failure_recorded(spark):
+    df = spark.createDataFrame([("a", 1)], "sku string, v long")
+    runner = jobs.BulkJobRunner()
+
+    def boom(chunk):
+        raise ValueError("nope")
+
+    job = runner.run(df, "sku", boom)
+    assert job.status == "failed" and "nope" in job.error
+
+
+def test_excel_bridge_gated(spark, tmp_path):
+    try:
+        import openpyxl  # noqa: F401
+
+        has_openpyxl = True
+    except ImportError:
+        has_openpyxl = False
+    if has_openpyxl:
+        pytest.skip("openpyxl present; gating branch not reachable")
+    fake = tmp_path / "orders.xlsx"
+    fake.write_bytes(b"not really xlsx")
+    with pytest.raises((NotImplementedError, ValueError, Exception)):
+        readers.read_excel_bridge(spark, str(fake))
+
+
+def test_media_feature_extraction_stub(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    media = multimodal.media_from_documents(docs)
+    assert [f.name for f in media.schema.fields] == [
+        f.name for f in multimodal.MEDIA_SCHEMA.fields
+    ]
+    feats = multimodal.extract_features(media, dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    assert all(len(r.feature) == 8 for r in rows)
+    # deterministic stub: same input -> same features
+    again = {r.media_id: r.feature for r in multimodal.extract_features(media, dim=8).collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+
+def test_media_metadata_query_prunes_binary(spark, sf_dir):
+    """Metadata-only aggregation must not read the binary content column
+    (parquet column pruning) — checked via the scan's ReadSchema."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = multimodal.media_from_documents(docs)
+    summary = multimodal.metadata_summary(media)
+    plan = summary._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and all("text" not in ln.split("ReadSchema")[-1] for ln in scan_lines)
