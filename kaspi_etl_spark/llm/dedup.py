@@ -75,9 +75,10 @@ def shingles_from_words(words: Column, n: int = 3) -> Column:
     Each shingle is built by direct element indexing (words[i+k] is O(1))
     rather than slice+join (O(len) per shingle, quadratic per doc) — at
     100 TB the shingle stage is pure map CPU, so constant factors here
-    dominate the whole dedup pipeline. element_at past the end is null
-    and concat_ws skips nulls, which reproduces the short-doc semantics
-    of joining a truncated slice.
+    dominate the whole dedup pipeline. try_element_at past the end is
+    null (plain element_at THROWS under ANSI mode, Spark 4 default) and
+    concat_ws skips nulls, which reproduces the short-doc semantics of
+    joining a truncated slice.
     """
     cnt = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
@@ -85,7 +86,7 @@ def shingles_from_words(words: Column, n: int = 3) -> Column:
         F.transform(
             idx,
             lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + k + 1) for k in range(n)]
+                " ", *[F.try_element_at(words, i + k + 1) for k in range(n)]
             ),
         )
     )

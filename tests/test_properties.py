@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) for the scalar library and dedup
+invariants — each example sends one batched DataFrame through Spark."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from kaspi_etl_spark import clean
+from kaspi_etl_spark.llm import dedup
+
+FAST = settings(max_examples=10, deadline=None)
+
+
+def py_delivery_fee(price: int, weight_g: float) -> int:
+    # scripts/etl_sales.py:28-33 reimplemented independently
+    if price >= 15000:
+        base = 0
+    elif price >= 10000:
+        base = 699
+    elif price >= 5000:
+        base = 799
+    else:
+        base = 999
+    return base + max(0, math.ceil(weight_g / 1000.0) - 3) * 399
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200_000),
+            st.floats(min_value=0, max_value=20_000, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_delivery_fee_matches_python(spark, rows):
+    df = spark.createDataFrame(rows, "price long, weight_g double")
+    got = [
+        r[0]
+        for r in df.select(
+            clean.delivery_fee_kzt(F.col("price"), F.col("weight_g"))
+        ).collect()
+    ]
+    want = [py_delivery_fee(p, w) for p, w in rows]
+    assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False).map(
+            lambda x: f"{x:.4f}".replace(".", ",")
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_decimal_comma_roundtrip(spark, vals):
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    got = [r[0] for r in df.select(clean.decimal_comma_to_double("v")).collect()]
+    want = [float(v.replace(",", ".")) for v in vals]
+    assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_exact_dedup_partitions_ids(spark, texts):
+    """exact_dedup groups must cover every doc exactly once, and each
+    group's keep_id must be the minimum id of its content class."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.exact_dedup(df).collect()
+    assert sum(r.dup_count for r in out) == len(texts)
+    by_content: dict[str, list[int]] = {}
+    for i, t in enumerate(texts):
+        by_content.setdefault(t, []).append(i)
+    want_keep = {min(v) for v in by_content.values()}
+    assert {r.keep_id for r in out} == want_keep
+
+
+@FAST
+@given(st.lists(st.sampled_from(["w1", "w2", "w3", "w4"]), min_size=0, max_size=12))
+def test_shingles_match_python(spark, words):
+    text = " ".join(words)
+    df = spark.createDataFrame([(text,)], "t string")
+    got = df.select(dedup.word_shingles(F.col("t"), 3).alias("s")).collect()[0].s
+    toks = text.strip().lower().split() if text.strip() else [""]
+    n = max(len(toks) - 3, 0)
+    want = []
+    for i in range(n + 1):
+        sh = " ".join(toks[i : i + 3])
+        if sh not in want:
+            want.append(sh)
+    assert got == want
