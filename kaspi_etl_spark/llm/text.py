@@ -123,14 +123,9 @@ def doc_fingerprint(text: Column, k: int = 8, shingle_words: int = 3) -> Column:
     shingles via word-array slicing, hash via md5-prefix (portable to any
     SQL oracle), bottom-k via array_sort + slice.
     """
-    words = F.split(F.trim(F.lower(text)), r"\s+")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - shingle_words, F.lit(0)))
-    shingles = F.transform(
-        idx, lambda i: F.array_join(F.slice(words, i + 1, shingle_words), " ")
-    )
+    from .dedup import md5_long, word_shingles
+
     hashes = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+        word_shingles(text, shingle_words), lambda s: md5_long(s)
     )
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
