@@ -286,6 +286,11 @@ def ngram_jaccard_pairs(
     banding does. For 100 TB runs, cap the hottest shingles
     (stopword-only shingles) with a size(ds) frequency filter to avoid
     quadratic buckets — the filter hook is the posting-list length.
+
+    Pairs travel as one packed 64-bit long (id_a << 32 | id_b — ids must
+    fit in 32 bits, which any per-shard doc id does; shard-qualify ids
+    beyond that) and per-doc shingle counts rejoin from a broadcast side,
+    so the quadratic pair stream is the narrowest possible row.
     """
     sh = (
         docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
@@ -298,11 +303,12 @@ def ngram_jaccard_pairs(
             F.explode(F.transform("shingles", lambda s: md5_long(s))).alias("h"),
         )
     )
-    # Posting list per shingle hash, sorted by doc id so generated pairs
-    # are already (id_a < id_b).
+    counts = sh.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"))
+    # Posting list per shingle hash, sorted so generated pairs are
+    # already (id_a < id_b).
     buckets = (
         sh.groupBy("h")
-        .agg(F.array_sort(F.collect_list(F.struct(id_col, "n_sh"))).alias("ds"))
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     pair_gen = F.flatten(
@@ -310,30 +316,30 @@ def ngram_jaccard_pairs(
             F.col("ds"),
             lambda x, i: F.transform(
                 F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x[id_col].alias("id_a"),
-                    y[id_col].alias("id_b"),
-                    x["n_sh"].alias("n_a"),
-                    y["n_sh"].alias("n_b"),
-                ),
+                lambda y: x * F.lit(4294967296) + y,
             ),
         )
     )
     inter = (
         buckets.select(F.explode(pair_gen).alias("p"))
-        .groupBy(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
-            F.col("p.n_a").alias("n_a"),
-            F.col("p.n_b").alias("n_b"),
-        )
+        .groupBy("p")
         .agg(F.count("*").cast("long").alias("n_common"))
+        .select(
+            F.shiftrightunsigned(F.col("p"), 32).alias("id_a"),
+            F.col("p").bitwiseAND(F.lit(4294967295)).alias("id_b"),
+            "n_common",
+        )
     )
+    ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common")
     ).cast("double")
-    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
-        F.col("jaccard") >= threshold
+    return (
+        inter.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
