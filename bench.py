@@ -40,7 +40,9 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
+    "dedup_clusters",
     "text_features",
+    "lang_rollup",
     "ann_cosine_topk",
     "ann_lsh_topk",
 ]

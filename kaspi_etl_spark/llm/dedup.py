@@ -344,6 +344,59 @@ def ngram_jaccard_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Dedup clusters (connected components over the near-dup pair graph)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Label every vertex of the (id_a, id_b) pair graph with the minimum
+    id reachable from it — the canonical representative of its dedup
+    cluster.
+
+    Iterative min-label propagation: each round every vertex takes the
+    min of its own label and its neighbors' labels; stop when no label
+    changes. Near-dup clusters are dense (close to cliques), so this
+    converges in 2-3 rounds. Each round is two broadcast-free equi-joins
+    + one agg, and the frame is localCheckpoint()ed to cut the growing
+    lineage — the standard Spark shape for iterative graph algorithms
+    without GraphFrames.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["v"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
+            .select(
+                "v",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+# ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 

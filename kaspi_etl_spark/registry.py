@@ -2114,3 +2114,141 @@ def q_html_sellers_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.price").alias("price"),
         F.col("s.deliveryDate").alias("deliveryDate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-pipeline operators: dedup clusters, deterministic sampling,
+# token histogram, language rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    {_sql_minhash_sigs(NUM_HASHES)},
+    banded AS (
+      {_sql_banded(NUM_HASHES, LSH_BANDS)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sigs sa ON c.id_a = sa.doc_id
+      JOIN sigs sb ON c.id_b = sb.doc_id
+      WHERE CAST({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES))}
+                 AS DOUBLE) / CAST({NUM_HASHES}.0 AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+      UNION
+      SELECT id_a AS src, id_a AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_b AS dst FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pair graph: every
+    clustered doc labeled with its component's minimum id (the
+    canonical survivor). Iterative label propagation on Spark; exact
+    transitive closure via recursive CTE on the oracle."""
+    pairs = dedup_ops.minhash_near_dup_pairs(
+        llm_docs(spark, sf_dir), num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    )
+    return dedup_ops.connected_components(pairs)
+
+
+@register(
+    "docs_sample_deterministic",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS})
+    SELECT doc_id, text FROM docs
+    WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 < 10
+    """,
+)
+def q_docs_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by content-independent id hash —
+    reproducible across engines and runs, unlike df.sample(). The
+    standard train/holdout split primitive for data pipelines."""
+    d = llm_docs(spark, sf_dir)
+    return d.filter(
+        dedup_ops.md5_long(F.col("doc_id").cast("string")) % 100 < 10
+    ).select("doc_id", "text")
+
+
+@register(
+    "token_histogram",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS n
+      FROM documents
+    )
+    SELECT CAST((n // 50) * 50 AS BIGINT) AS bucket_start,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM toks GROUP BY 1
+    """,
+)
+def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution in width-50 buckets — the length-filter
+    diagnostic every training pipeline runs before truncation."""
+    d = _read(spark, sf_dir, "documents")
+    n = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(F.split(F.trim(F.lower("text")), r"\s+"))
+    )
+    return (
+        d.select(((n / 50).cast("long") * 50).alias("bucket_start"))
+        .groupBy("bucket_start")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
+@register(
+    "lang_rollup",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    base AS (
+      SELECT doc_id, lower(text) AS lowered,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM docs
+    ),
+    scored AS (SELECT doc_id, n_chars, {_SQL_LANG_SCORES} FROM base),
+    pred AS (SELECT doc_id, n_chars, {_SQL_LANG_PRED} AS lang_pred FROM scored)
+    SELECT lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM pred GROUP BY lang_pred
+    """,
+)
+def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus composition (doc counts + exact char mass) —
+    the mix report used to balance multilingual training data."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return (
+        d.select(
+            text_ops.lang_id(F.col("text"), markers=ASCII_MARKERS).alias("lang_pred"),
+            F.length("text").cast("long").alias("n_chars"),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
