@@ -2252,3 +2252,78 @@ def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("total_chars"),
         )
     )
+
+
+@register("ann_ivf_topk")  # rows-only: kmeans training is not SQL-expressible
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: MLlib k-means coarse quantizer (seeded),
+    search within the query's list only. Recall vs brute force is
+    asserted in tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.ivf_topk(corpus, queries, k=10, n_lists=8)
+
+
+@register(
+    "embedding_quantize",
+    """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_reduce([abs(x) for x in v],
+                             (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS scale
+          FROM v)
+    SELECT vec_id, scale,
+           CASE WHEN scale > 0
+                THEN [CAST(round(x / scale * 127) AS INT) for x in v]
+                ELSE [CAST(0 AS INT) for x in v] END AS q
+    FROM s
+    """,
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embedding column — 4x storage
+    cut for 100 TB ANN indexes, computed as pure expressions."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return sim_ops.with_quantized(emb, "v").select("vec_id", "scale", "q")
+
+
+@register(
+    "source_quality_rollup",
+    f"""
+    WITH docs AS (SELECT doc_id, text, source FROM documents),
+    dups AS (
+      SELECT md5(text) AS h, COUNT(*) AS c FROM docs GROUP BY md5(text)
+    ),
+    flagged AS (
+      SELECT d.source, d.doc_id,
+             CAST(length(d.text) AS BIGINT) AS n_chars,
+             CASE WHEN dups.c > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM docs d JOIN dups ON md5(d.text) = dups.h
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(is_dup) AS BIGINT) AS n_in_dup_class
+    FROM flagged GROUP BY source
+    """,
+)
+def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report: volume, exact char mass, and how many
+    docs belong to a duplicated content class — the provenance view used
+    to decide which sources to down-weight."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    dup_classes = d.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("c"))
+    flagged = d.join(dup_classes, F.md5(d["text"]) == dup_classes["h"]).select(
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum("is_dup").cast("long").alias("n_in_dup_class"),
+    )

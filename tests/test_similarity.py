@@ -1,0 +1,58 @@
+"""Similarity-search tests: IVF recall vs brute force, quantization
+round-trip accuracy."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaspi_etl_spark.llm import similarity
+
+
+def _vectors(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return corpus, queries
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    corpus, queries = _vectors(spark, sf_dir)
+    exact = similarity.brute_force_topk(corpus, queries, k=10)
+    approx = similarity.ivf_topk(corpus, queries, k=10, n_lists=4)
+    e = {(r.query_id, r.vec_id) for r in exact.collect()}
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # coarse 4-list IVF on random embeddings: expect meaningful overlap
+    assert recall >= 0.3, f"recall {recall}"
+    # every query answered
+    assert len({q for q, _ in a}) == len({q for q, _ in e})
+
+
+def test_ivf_deterministic(spark, sf_dir):
+    corpus, queries = _vectors(spark, sf_dir)
+    a1 = sorted(map(tuple, similarity.ivf_topk(corpus, queries, k=5, n_lists=4).collect()))
+    a2 = sorted(map(tuple, similarity.ivf_topk(corpus, queries, k=5, n_lists=4).collect()))
+    assert a1 == a2
+
+
+def test_quantize_roundtrip_error(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = similarity.with_quantized(emb, "v")
+    # dequantized values must be within scale/254 of the original
+    err = q.select(
+        F.aggregate(
+            F.zip_with(
+                "v",
+                F.col("q"),
+                lambda x, qi: F.abs(x - qi.cast("double") * F.col("scale") / 127),
+            ),
+            F.lit(0.0),
+            lambda acc, e: F.greatest(acc, e),
+        ).alias("max_err"),
+        (F.col("scale") / 254 + F.lit(1e-12)).alias("bound"),
+    )
+    assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
