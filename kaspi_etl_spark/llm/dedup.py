@@ -361,11 +361,14 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     lineage — the standard Spark shape for iterative graph algorithms
     without GraphFrames.
     """
+    # Materialize the edge list once — it is consumed every iteration,
+    # and without the checkpoint each round would recompute the entire
+    # upstream pair pipeline (the expensive part).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
-    )
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
     )

@@ -23,18 +23,59 @@ LANG_MARKERS: dict[str, list[str]] = {
 TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"  # BPE-ish pre-tokenizer split
 
 
-def _count_word(text: Column, word: str) -> Column:
-    # Count whole-word occurrences of a marker word.
-    return F.size(F.regexp_extract_all(text, F.lit(rf"\b{word}\b"), F.lit(0)))
+# Word tokenization for marker counting: ONE regex pass per document,
+# then marker hits are array-membership counts. Counting each marker
+# with its own \b-regex scan multiplies full-text regex passes by
+# (#langs x #markers) — the difference between 0.5s and 8s per 5k docs,
+# and a linear-vs-constant factor at 100 TB.
+WORD_REGEX = "[a-zа-яё]+"
 
 
-def lang_scores(text: Column) -> dict[str, Column]:
-    """Per-language marker-hit counts."""
-    lowered = F.lower(text)
+def extract_words(text: Column) -> Column:
+    """Lowercased letter-run tokens (the marker-count tokenization).
+    Materialize as a real column before heavy reuse."""
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_REGEX), F.lit(0))
+
+
+def marker_count(words: Column, marker_words: list[str]) -> Column:
+    """How many tokens are in the marker set."""
+    return F.size(F.filter(words, lambda w: w.isin(*marker_words)))
+
+
+def lang_scores_from_words(
+    words: Column, markers: dict[str, list[str]] | None = None
+) -> dict[str, Column]:
+    """Per-language marker-hit counts over a bound words column."""
     return {
-        lang: sum((_count_word(lowered, w) for w in words), F.lit(0))
-        for lang, words in LANG_MARKERS.items()
+        lang: marker_count(words, ws)
+        for lang, ws in (markers or LANG_MARKERS).items()
     }
+
+
+def lang_id_from_words(
+    words: Column,
+    default: str = "und",
+    markers: dict[str, list[str]] | None = None,
+) -> Column:
+    """Language ID over a bound words column: argmax of marker counts,
+    ties broken by language code order (asc), no hits -> ``default``.
+
+    Argmax via array_min of (-score, lang) structs — linear expression
+    size. (A fold of when(s > best_s) steps embeds every prior step in
+    the next comparison: exponential tree, catastrophic on non-codegen
+    paths like aggregation keys.)
+    """
+    scores = lang_scores_from_words(words, markers)
+    langs = sorted(scores)
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct((-scores[lang]).alias("ns"), F.lit(lang).alias("l"))
+                for lang in langs
+            ]
+        )
+    )
+    return F.when(best["ns"] < 0, best["l"]).otherwise(F.lit(default))
 
 
 def lang_id(
@@ -42,23 +83,9 @@ def lang_id(
     default: str = "und",
     markers: dict[str, list[str]] | None = None,
 ) -> Column:
-    """Language ID: argmax of marker counts; ties broken by language code
-    order; no hits at all -> ``default``. Pass an ASCII-only ``markers``
-    subset when oracle parity matters (regex \\b is ASCII in RE2 engines
-    but Unicode-aware in Java)."""
-    scores = lang_scores(text) if markers is None else {
-        lang: sum((_count_word(F.lower(text), w) for w in words), F.lit(0))
-        for lang, words in markers.items()
-    }
-    langs = sorted(scores)  # deterministic tie-break: first (asc) code wins
-    best = F.lit(None).cast("string")
-    best_s = F.lit(-1)
-    for lang in langs:
-        s = scores[lang]
-        take = s > best_s
-        best = F.when(take, F.lit(lang)).otherwise(best)
-        best_s = F.when(take, s).otherwise(best_s)
-    return F.when(best_s > 0, best).otherwise(F.lit(default))
+    """Language ID from raw text. Convenience wrapper — hot paths should
+    materialize extract_words() first and use lang_id_from_words."""
+    return lang_id_from_words(extract_words(text), default, markers)
 
 
 def whitespace_token_count(text: Column) -> Column:
@@ -79,13 +106,12 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     The score formula is this engine's own (the reference has no text
     pipeline); components are standard web-corpus heuristics.
     """
+    df = df.withColumn("_words", extract_words(F.col(text_col)))
     t = F.col(text_col)
     n_chars = F.length(t).cast("long")
     n_ws_tokens = whitespace_token_count(t)
     n_punct = F.size(F.regexp_extract_all(t, F.lit(r"[^\w\s]"), F.lit(0))).cast("long")
-    n_stop = sum(
-        (_count_word(F.lower(t), w) for w in LANG_MARKERS["en"]), F.lit(0)
-    ).cast("long")
+    n_stop = marker_count(F.col("_words"), LANG_MARKERS["en"]).cast("long")
     punct_ratio = F.when(n_chars > 0, n_punct.cast("double") / n_chars.cast("double")).otherwise(F.lit(0.0))
     stop_ratio = F.when(
         n_ws_tokens > 0, n_stop.cast("double") / n_ws_tokens.cast("double")
@@ -114,7 +140,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         stop_ratio.alias("stopword_ratio"),
         mean_word_len.alias("mean_word_len"),
         quality.alias("quality_score"),
-    )
+    ).drop("_words")
 
 
 def doc_fingerprint(text: Column, k: int = 8, shingle_words: int = 3) -> Column:

@@ -1358,14 +1358,21 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 ASCII_MARKERS = {k: v for k, v in text_ops.LANG_MARKERS.items() if k != "ru"}
 
 
-def _sql_count_word(word: str) -> str:
-    return f"length(regexp_extract_all(lowered, '\\b{word}\\b'))"
+# Marker counting mirrors llm.text: ONE tokenization pass
+# (regexp_extract_all of letter runs over lowered text), then marker
+# hits are list-membership counts.
+_SQL_WORDS_EXPR = f"regexp_extract_all(lower(text), '{text_ops.WORD_REGEX}')"
 
 
-def _sql_lang_features() -> tuple[str, str]:
+def _sql_marker_count(words_expr: str, marker_words: list[str]) -> str:
+    lits = ", ".join(f"'{w}'" for w in marker_words)
+    return f"len(list_filter({words_expr}, w -> w IN ({lits})))"
+
+
+def _sql_lang_features(words_expr: str = "words") -> tuple[str, str]:
     score_cols = ",\n             ".join(
-        f"({' + '.join(_sql_count_word(w) for w in words)}) AS s_{lang}"
-        for lang, words in sorted(ASCII_MARKERS.items())
+        f"{_sql_marker_count(words_expr, ws)} AS s_{lang}"
+        for lang, ws in sorted(ASCII_MARKERS.items())
     )
     langs = sorted(ASCII_MARKERS)
     best_s = f"GREATEST({', '.join('s_' + l for l in langs)})"
@@ -1378,7 +1385,7 @@ def _sql_lang_features() -> tuple[str, str]:
 
 _SQL_LANG_SCORES, _SQL_LANG_PRED = _sql_lang_features()
 
-_SQL_EN_STOP = " + ".join(_sql_count_word(w) for w in text_ops.LANG_MARKERS["en"])
+_SQL_EN_STOP = _sql_marker_count("words", text_ops.LANG_MARKERS["en"])
 
 
 @register(
@@ -1386,7 +1393,7 @@ _SQL_EN_STOP = " + ".join(_sql_count_word(w) for w in text_ops.LANG_MARKERS["en"
     f"""
     WITH docs AS (SELECT doc_id, text FROM documents),
     base AS (
-      SELECT doc_id, text, lower(text) AS lowered,
+      SELECT doc_id, text, {_SQL_WORDS_EXPR} AS words,
              CAST(length(text) AS BIGINT) AS n_chars_m,
              CAST(CASE WHEN trim(text) = '' THEN 0
                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
@@ -1426,10 +1433,12 @@ _SQL_EN_STOP = " + ".join(_sql_count_word(w) for w in text_ops.LANG_MARKERS["en"
 )
 def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    feats = text_ops.quality_features(docs)
+    feats = text_ops.quality_features(docs).withColumn(
+        "_lw", text_ops.extract_words(F.col("text"))
+    )
     return feats.select(
         "doc_id",
-        text_ops.lang_id(F.col("text"), markers=ASCII_MARKERS).alias("lang_pred"),
+        text_ops.lang_id_from_words(F.col("_lw"), markers=ASCII_MARKERS).alias("lang_pred"),
         "n_chars_m",
         "n_tokens_ws",
         "n_tokens_re",
@@ -2226,7 +2235,7 @@ def q_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH docs AS (SELECT doc_id, text FROM documents),
     base AS (
-      SELECT doc_id, lower(text) AS lowered,
+      SELECT doc_id, {_SQL_WORDS_EXPR} AS words,
              CAST(length(text) AS BIGINT) AS n_chars
       FROM docs
     ),
@@ -2243,8 +2252,14 @@ def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         d.select(
-            text_ops.lang_id(F.col("text"), markers=ASCII_MARKERS).alias("lang_pred"),
+            text_ops.extract_words(F.col("text")).alias("_w"),
             F.length("text").cast("long").alias("n_chars"),
+        )
+        .select(
+            text_ops.lang_id_from_words(F.col("_w"), markers=ASCII_MARKERS).alias(
+                "lang_pred"
+            ),
+            "n_chars",
         )
         .groupBy("lang_pred")
         .agg(
