@@ -2342,3 +2342,73 @@ def q_source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("total_chars"),
         F.sum("is_dup").cast("long").alias("n_in_dup_class"),
     )
+
+
+@register(
+    "corpus_clean_pipeline",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    keep AS (
+      SELECT doc_id, text,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS rn
+      FROM docs
+    ),
+    survivors AS (SELECT doc_id, text FROM keep WHERE rn = 1),
+    base AS (
+      SELECT doc_id, text, {_SQL_WORDS_EXPR} AS words,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+             CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS BIGINT) AS n_punct
+      FROM survivors
+    ),
+    scored AS (
+      SELECT doc_id, text, n_tokens,
+             {_SQL_LANG_PRED.replace("s_", "ls_")} AS lang_pred,
+             LEAST(CAST(1.0 AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE),
+               CAST(0.4 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
+                   CAST(n_chars AS DOUBLE) / CAST(500.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * LEAST(CAST(1.0 AS DOUBLE),
+                   (CASE WHEN n_tokens > 0
+                         THEN CAST({_SQL_EN_STOP} AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                         ELSE CAST(0.0 AS DOUBLE) END) * CAST(5.0 AS DOUBLE))
+               + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)
+                   - LEAST(CAST(1.0 AS DOUBLE),
+                       (CASE WHEN n_chars > 0
+                             THEN CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                             ELSE CAST(0.0 AS DOUBLE) END) * CAST(10.0 AS DOUBLE)))))
+               AS quality_score
+      FROM (SELECT *, {_SQL_LANG_SCORES.replace("AS s_", "AS ls_")} FROM base) t
+    )
+    SELECT doc_id, n_tokens, lang_pred, quality_score
+    FROM scored
+    WHERE lang_pred = 'en' AND quality_score >= CAST(0.3 AS DOUBLE)
+          AND n_tokens >= 5
+    """,
+)
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus cleaning: exact dedup (keep lowest id)
+    -> quality features -> language filter ('en') -> quality >= 0.3 and
+    >= 5 tokens. The composition every LLM data pipeline runs, expressed
+    as one lazy Catalyst plan (dedup window + single-pass features +
+    filters all fuse into three stages)."""
+    docs = llm_docs(spark, sf_dir)
+    survivors = dedup_ops.exact_dedup_keep(docs)
+    feats = text_ops.quality_features(survivors).withColumn(
+        "_lw", text_ops.extract_words(F.col("text"))
+    )
+    return (
+        feats.select(
+            "doc_id",
+            F.col("n_tokens_ws").alias("n_tokens"),
+            text_ops.lang_id_from_words(F.col("_lw"), markers=ASCII_MARKERS).alias(
+                "lang_pred"
+            ),
+            "quality_score",
+        )
+        .filter(
+            (F.col("lang_pred") == "en")
+            & (F.col("quality_score") >= 0.3)
+            & (F.col("n_tokens") >= 5)
+        )
+    )

@@ -1,0 +1,81 @@
+"""Physical-plan assertions: these lock in the scale properties (which
+join strategy, what reaches the scan, where shuffles happen) so a
+regression in plan shape fails CI even while results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from kaspi_etl_spark.registry import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sales_enrich_broadcasts_dims(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sales_etl_enrich")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # dims must never sort-merge
+
+
+def test_inventory_join_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "inventory_reorder")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    # daily_net_revenue needs 3 of 9 orders columns; the parquet scan
+    # must not read the rest.
+    plan = plan_of(spark, sf_dir, "daily_net_revenue")
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    read_schema = scan.split("ReadSchema:")[-1] if "ReadSchema:" in scan else scan
+    assert "o_totalprice" in scan
+    assert "o_comment" not in read_schema and "o_clerk" not in read_schema
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    # embeddings query filter vec_id % 50 == 0 can't push, but the
+    # documents coverage report pushes nothing; use sales filter check on
+    # lineitem instead: top3_cheapest filters price>0 derived — use
+    # offers_text_search which filters on a derived column (no pushdown
+    # expected) versus a direct column filter:
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        F.col("l_partkey") == 7
+    )
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PushedFilters" in scan and "l_partkey" in scan.split("PushedFilters")[-1]
+
+
+def test_top3_uses_window_group_limit(spark, sf_dir):
+    # rank<=k windows must use the WindowGroupLimit pushdown (partial
+    # top-k before the shuffle), not a full per-partition sort of
+    # everything.
+    plan = plan_of(spark, sf_dir, "top3_cheapest")
+    assert "WindowGroupLimit" in plan
+
+
+def test_seller_dedupe_is_aggregation_not_sort(spark, sf_dir):
+    # the agg-based dedupe must partially aggregate map-side
+    plan = plan_of(spark, sf_dir, "seller_dedupe")
+    assert "HashAggregate" in plan or "SortAggregate" in plan
+    assert "partial_min" in plan or "partial" in plan
+
+
+def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "ann_cosine_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+@pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
+def test_dedup_pipelines_have_no_join(spark, sf_dir, name):
+    # pair generation happens inside posting-list buckets: the quadratic
+    # stage must be join-free (broadcast rejoin of tiny count tables is
+    # allowed for ngram)
+    plan = plan_of(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
