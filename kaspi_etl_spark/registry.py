@@ -2412,3 +2412,76 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_tokens") >= 5)
         )
     )
+
+
+@register(
+    "revenue_grouping_sets",
+    f"""
+    WITH o AS ({SQL_ORDERS_KASPI})
+    SELECT COALESCE(CAST(status AS VARCHAR), 'ALL') AS status,
+           COALESCE(CAST(EXTRACT(year FROM order_date) AS VARCHAR), 'ALL') AS order_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(gross_price_kzt) AS BIGINT) AS gross_total
+    FROM o
+    GROUP BY GROUPING SETS ((status, EXTRACT(year FROM order_date)), (status), ())
+    """,
+)
+def q_revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level rollup in one pass via GROUPING SETS — (status, year),
+    (status), grand total. The reference computes these as separate
+    pandas groupbys; Spark's partial aggregation computes all levels in
+    one shuffle."""
+    o = orders_kaspi(spark, sf_dir)
+    year = F.year("order_date").cast("string")
+    # ((status, year), (status), ()) is exactly ROLLUP(status, year)
+    return (
+        o.rollup(F.col("status"), year.alias("order_year"))
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("gross_price_kzt").cast("long").alias("gross_total"),
+        )
+        .select(
+            F.coalesce(F.col("status"), F.lit("ALL")).alias("status"),
+            F.coalesce(F.col("order_year"), F.lit("ALL")).alias("order_year"),
+            "n_orders",
+            "gross_total",
+        )
+    )
+
+
+@register(
+    "variant_price_outliers",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    pos AS (SELECT * FROM sellers WHERE price > 0),
+    q AS (
+      SELECT productId,
+             quantile_cont(CAST(price AS DOUBLE), 0.25) AS q1,
+             quantile_cont(CAST(price AS DOUBLE), 0.75) AS q3
+      FROM pos GROUP BY productId
+    )
+    SELECT p.productId, p.name, p.price, p.row_uid,
+           (CAST(p.price AS DOUBLE) < q.q1 - CAST(1.5 AS DOUBLE) * (q.q3 - q.q1)
+            OR CAST(p.price AS DOUBLE) > q.q3 + CAST(1.5 AS DOUBLE) * (q.q3 - q.q1))
+             AS is_outlier
+    FROM pos p JOIN q USING (productId)
+    """,
+)
+def q_variant_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR outlier flag per variant: price outside [q1 - 1.5 IQR,
+    q3 + 1.5 IQR] over positive prices. Exact linear-interpolated
+    quartiles (percentile), computed once per group and joined back by
+    Catalyst as a window — no second scan."""
+    s = sellers_table(spark, sf_dir).filter(F.col("price") > 0)
+    w = Window.partitionBy("productId")
+    price_d = F.col("price").cast("double")
+    q1 = F.percentile(price_d, F.lit(0.25)).over(w)
+    q3 = F.percentile(price_d, F.lit(0.75)).over(w)
+    iqr = q3 - q1
+    return s.select(
+        "productId",
+        "name",
+        "price",
+        "row_uid",
+        ((price_d < q1 - 1.5 * iqr) | (price_d > q3 + 1.5 * iqr)).alias("is_outlier"),
+    )
