@@ -130,6 +130,85 @@ def bot_flags_stream(events: DataFrame) -> DataFrame:
     )
 
 
+from pyspark.sql.streaming import StatefulProcessor  # noqa: E402
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs google.protobuf at runtime (the
+    state-server protocol); absent in some environments — callers should
+    fall back to bot_flags_stream (applyInPandasWithState)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class BotFlagProcessor(StatefulProcessor):
+    """transformWithStateInPandas form of the T2 ring-buffer detector —
+    the Spark 4 replacement for applyInPandasWithState, with typed state
+    variables and RocksDB-ready layout. Keyed by variantId; the value
+    state holds every seller's last-5 undercut bits."""
+
+    def init(self, handle) -> None:
+        import json  # noqa: F401
+
+        from pyspark.sql import types as T
+
+        self._bufs = handle.getValueState(
+            "buffers_json", T.StructType([T.StructField("j", T.StringType())])
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        import json
+
+        import pandas as pd
+
+        bufs: dict[str, list[int]] = (
+            json.loads(self._bufs.get()[0]) if self._bufs.exists() else {}
+        )
+        out = []
+        for pdf in rows:
+            for ts, tick in pdf.sort_values("ts").groupby("ts", sort=True):
+                pos = tick.loc[tick["price"] > 0, "price"]
+                vmin = int(pos.min()) if len(pos) else None
+                for _, row in tick.iterrows():
+                    undercut = int(
+                        vmin is not None and 0 < row["price"] <= vmin + UNDERCUT_MARGIN
+                    )
+                    rec = bufs.setdefault(str(row["seller"]), [])
+                    rec.append(undercut)
+                    while len(rec) > WINDOW_TICKS:
+                        rec.pop(0)
+                    out.append(
+                        {
+                            "variantId": key[0],
+                            "seller": row["seller"],
+                            "ts": ts,
+                            "price": row["price"],
+                            "isPriceBot": sum(rec) >= FLAG_THRESHOLD,
+                        }
+                    )
+        self._bufs.update((json.dumps(bufs),))
+        yield pd.DataFrame(out, columns=[f.name for f in _OUT_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def bot_flags_stream_v2(events: DataFrame) -> DataFrame:
+    """T2 on the transformWithStateInPandas API (Spark 4). Same
+    semantics as bot_flags_stream; tests assert equivalence with the
+    batch replay."""
+    return events.groupBy("variantId").transformWithStateInPandas(
+        statefulProcessor=BotFlagProcessor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
 def watch_stream_job(
     spark,
     source_dir: str,

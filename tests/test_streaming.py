@@ -85,6 +85,50 @@ def test_stream_matches_replay(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_stream_v2_matches_replay(spark):
+    """transformWithStateInPandas implementation must agree with the
+    batch replay exactly (same setup as test_stream_matches_replay)."""
+    import pytest
+
+    if not watch.tws_available():
+        pytest.skip("google.protobuf absent: transformWithState needs it")
+    events = _events(spark)
+    src = tempfile.mkdtemp(prefix="watch2_src_")
+    sink = tempfile.mkdtemp(prefix="watch2_sink_")
+    ckpt = tempfile.mkdtemp(prefix="watch2_ckpt_")
+    try:
+        ticks = sorted({r.ts for r in events.select("ts").distinct().collect()})
+        for i, ts in enumerate(ticks):
+            events.filter(events.ts == ts).coalesce(1).write.mode("overwrite").json(
+                f"{src}/tick_{i}"
+            )
+        stream = (
+            spark.readStream.schema("variantId string, seller string, ts timestamp, price long")
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{src}/tick_*")
+        )
+        q = (
+            watch.bot_flags_stream_v2(stream)
+            .writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.schema(
+            "variantId string, seller string, ts timestamp, price long, isPriceBot boolean"
+        ).json(sink)
+        got_map = {(r.seller, r.ts): r.isPriceBot for r in got.collect()}
+        want = watch.bot_flags_replay(events)
+        want_map = {(r.seller, r.ts): r.isPriceBot for r in want.collect()}
+        assert got_map == want_map and len(got_map) == 15
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_windowed_price_stats_batch(spark):
     # watermark + tumbling window sanity on a batch frame (same plan shape
     # the streaming job uses)
