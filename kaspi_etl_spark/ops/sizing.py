@@ -85,6 +85,40 @@ def kids_size_chart(spark: SparkSession) -> DataFrame:
     )
 
 
+def with_confirmation_message(recs: DataFrame) -> DataFrame:
+    """F24: WhatsApp size-confirmation message with confidence tiers
+    (size_recommendation_engine.py:279-301). Expects columns
+    customer_name, product_name, recommended_size, confidence_score,
+    reasoning, alternative_sizes (CSV string, may be empty)."""
+    conf = F.col("confidence_score")
+    tier = (
+        F.when(conf > 0.8, F.lit("✅ Мы уверены в этом размере!\n"))
+        .when(conf > 0.6, F.lit("👍 Хороший выбор размера\n"))
+        .otherwise(F.lit("⚠️ Приблизительный размер, пожалуйста проверьте\n"))
+    )
+    alts = F.when(
+        F.col("alternative_sizes") != "",
+        F.concat(
+            F.lit("\nАльтернативные размеры: "),
+            F.regexp_replace(F.col("alternative_sizes"), ",", ", "),
+            F.lit("\n"),
+        ),
+    ).otherwise(F.lit(""))
+    message = F.concat(
+        F.format_string("Привет %s! 👋\n\n", F.col("customer_name")),
+        F.format_string(
+            "Для товара '%s' мы рекомендуем размер: *%s*\n\n",
+            F.col("product_name"),
+            F.col("recommended_size"),
+        ),
+        F.format_string("Обоснование: %s\n", F.col("reasoning")),
+        tier,
+        alts,
+        F.lit("\nПожалуйста, подтвердите размер или сообщите ваши предпочтения! 📏"),
+    )
+    return recs.withColumn("message", message)
+
+
 def recommend_kids_sizes(customers: DataFrame, chart: DataFrame) -> DataFrame:
     """J8 kids path (size_recommendation_engine.py:229-277): age-height
     matrix first (confidence 0.9), then height-range match (0.8), then
