@@ -404,26 +404,47 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
 # ---------------------------------------------------------------------------
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60  # md5_long yields 60 usable bits
 
 
-def simhash32(text: Column) -> Column:
-    """32-bit SimHash over distinct whitespace tokens: bit i of the
+def with_simhash(docs: DataFrame, text_col: str = "text", out_col: str = "sig") -> DataFrame:
+    """60-bit SimHash over distinct whitespace tokens: bit i of the
     signature is the majority vote of bit i across token hashes.
-    Expression-only (one aggregate per bit over the token-hash array) —
-    a narrow projection at any scale. md5-based token hashes keep it
-    portable to any SQL oracle (xxhash64 would be Spark-only)."""
-    tokens = F.array_distinct(F.split(F.trim(F.lower(text)), r"\s+"))
+
+    Single fold over the token-hash array accumulating a 60-counter
+    vote vector (zip_with), with the vote vector materialized as a real
+    column before the per-bit sign readout — per-bit aggregate folds or
+    an inline votes expression would re-run the fold 60 times. 60 bits
+    (not 32): bucket selectivity is what keeps the chunk join linear;
+    coarse signatures over templated corpora collide catastrophically.
+    md5-based token hashes keep it portable to any SQL oracle."""
+    tokens = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
     hashes = F.transform(tokens, lambda t: md5_long(t))
 
-    def vote_fn(bit: int):
-        return lambda acc, h: acc + F.when(h.bitwiseAND(F.lit(bit)) != 0, 1).otherwise(-1)
+    def bit_votes(h):
+        return F.array(
+            *[
+                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+                for i in range(SIMHASH_BITS)
+            ]
+        )
 
-    sig = F.lit(0).cast("long")
-    for i in range(SIMHASH_BITS):
-        vote = F.aggregate(hashes, F.lit(0), vote_fn(1 << i))
-        sig = sig + F.when(vote > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
-    return sig
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
+    )
+    with_votes = docs.withColumn("_votes", votes)
+    sig = sum(
+        (
+            F.when(F.element_at(F.col("_votes"), i + 1) > 0, F.lit(1 << i))
+            .otherwise(F.lit(0))
+            .cast("long")
+            for i in range(SIMHASH_BITS)
+        ),
+        F.lit(0).cast("long"),
+    )
+    return with_votes.withColumn(out_col, sig).drop("_votes")
 
 
 def simhash_pairs(
@@ -433,10 +454,10 @@ def simhash_pairs(
     max_hamming: int = 3,
     bands: int = 4,
 ) -> DataFrame:
-    """SimHash near-dup: band the 32-bit signature into 8-bit chunks
+    """SimHash near-dup: band the 60-bit signature into 15-bit chunks
     (pigeonhole: hamming <= 3 guarantees one identical chunk of 4), join
     on identical chunks, verify hamming distance."""
-    sigs = docs.select(F.col(id_col), simhash32(F.col(text_col)).alias("sig"))
+    sigs = with_simhash(docs, text_col).select(F.col(id_col), "sig")
     chunk_bits = SIMHASH_BITS // bands
     chunks = sigs.select(
         id_col,

@@ -1288,7 +1288,7 @@ def _sql_simhash() -> str:
     WITH docs AS ({SQL_LLM_DOCS}),
     {_sql_simhash()},
     chunks AS (
-      {" UNION ALL ".join(f"SELECT doc_id, sig, {i} AS chunk_idx, (sig >> {i * 8}) & 255 AS chunk FROM sigs" for i in range(4))}
+      {" UNION ALL ".join(f"SELECT doc_id, sig, {i} AS chunk_idx, (sig >> {i * 15}) & 32767 AS chunk FROM sigs" for i in range(4))}
     )
     SELECT * FROM (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -61,7 +61,7 @@ def test_simhash_identical_and_pairs(spark):
     df = docs_df(spark)
     sigs = {
         r.doc_id: r.sig
-        for r in df.select("doc_id", dedup.simhash32(F.col("text")).alias("sig")).collect()
+        for r in dedup.with_simhash(df).select("doc_id", "sig").collect()
     }
     assert sigs[1] == sigs[2]
     pairs = dedup.simhash_pairs(df, max_hamming=3)

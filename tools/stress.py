@@ -1,0 +1,84 @@
+"""Scale stress harness: run the heavy pipelines on K x sf0.1 data built
+by unioning id-shifted copies (no writes outside /tmp). Verifies no
+scale cliffs (OOM, quadratic blowups, collect bottlenecks) beyond the
+bench SF and reports rows/sec so scaling factors are visible.
+
+Usage: python tools/stress.py [K] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kaspi_etl_spark.llm import dedup, text  # noqa: E402
+from kaspi_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def scaled_docs(spark, k: int):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    parts = [
+        base.select((F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"), "text")
+        for i in range(k)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = set(sys.argv[2:])
+    spark = get_spark("stress")
+    docs = scaled_docs(spark, k)
+    n_docs = docs.count()
+    # Pair-finding stages always run AFTER exact dedup in a real
+    # pipeline (running them on a corpus with verbatim copies is
+    # deliberately quadratic: every copy pairs with every other).
+    survivors = dedup.exact_dedup_keep(docs).localCheckpoint()
+    n_surv = survivors.count()
+    print(f"# stress corpus: {n_docs} docs ({k} x sf0.1), {n_surv} after exact dedup")
+
+    def run(name, fn, base=n_docs):
+        if only and name not in only:
+            return
+        t0 = time.time()
+        n = fn().count()
+        dt = time.time() - t0
+        print(f"{name}: {dt:.1f}s  ({n} rows, {base / dt:.0f} docs/s)")
+
+    run("exact_dedup", lambda: dedup.exact_dedup(docs))
+    run(
+        "minhash_lsh_pairs",
+        lambda: dedup.minhash_near_dup_pairs(survivors, num_hashes=8, bands=4, threshold=0.5),
+        n_surv,
+    )
+    run(
+        "ngram_jaccard_pairs",
+        lambda: dedup.ngram_jaccard_pairs(survivors, threshold=0.5),
+        n_surv,
+    )
+    run("simhash_pairs", lambda: dedup.simhash_pairs(survivors, max_hamming=3), n_surv)
+    run(
+        "quality_features",
+        lambda: text.quality_features(docs),
+    )
+    run(
+        "dedup_clusters",
+        lambda: dedup.connected_components(
+            dedup.minhash_near_dup_pairs(survivors, num_hashes=8, bands=4, threshold=0.5)
+        ),
+        n_surv,
+    )
+
+
+if __name__ == "__main__":
+    main()
