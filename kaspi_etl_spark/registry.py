@@ -2485,3 +2485,144 @@ def q_variant_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "row_uid",
         ((price_d < q1 - 1.5 * iqr) | (price_d > q3 + 1.5 * iqr)).alias("is_outlier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-prep: sequence packing, repetition signals, PII scrubbing.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 512  # tokens per packed sequence
+
+
+@register(
+    "pack_sequences",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+      FROM docs
+    ),
+    packed AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM toks
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(cum - n_tokens - ((cum - n_tokens) // {PACK_BUDGET}) * {PACK_BUDGET} AS BIGINT)
+             AS pack_offset
+    FROM packed
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing: docs in deterministic id order are
+    laid out back-to-back and cut into PACK_BUDGET-token bins; each doc
+    gets (pack_id, offset). One global running sum — at 100 TB, compute
+    per-partition sums first and offset by the partition prefix (the
+    two-pass distributed cumsum); the semantics stay identical.
+    """
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.when(F.trim("text") == "", 0).otherwise(
+        F.size(F.split(F.trim("text"), r"\s+"))
+    ).cast("long")
+    w = Window.orderBy(F.col("doc_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    toks = d.select("doc_id", n.alias("n_tokens"))
+    packed = toks.withColumn("cum", F.sum("n_tokens").over(w))
+    start = F.col("cum") - F.col("n_tokens")
+    pack_id = (start / PACK_BUDGET).cast("long")
+    return packed.select(
+        "doc_id",
+        "n_tokens",
+        pack_id.alias("pack_id"),
+        (start - pack_id * PACK_BUDGET).cast("long").alias("pack_offset"),
+    )
+
+
+@register(
+    "rep_signals",
+    f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    w AS (SELECT doc_id, {SQL_WORDS} AS words FROM docs),
+    sh AS (
+      SELECT doc_id,
+             len(words) AS n_words,
+             [array_to_string(words[i+1:i+3], ' ')
+              for i in range(0, greatest(len(words) - 3, 0) + 1)] AS tri_raw
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CASE WHEN len(tri_raw) > 0
+                THEN CAST(1.0 AS DOUBLE)
+                     - CAST(len(list_distinct(tri_raw)) AS DOUBLE) / CAST(len(tri_raw) AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS dup_trigram_ratio
+    FROM sh
+    """,
+)
+def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signal (Gopher-style): fraction of
+    word trigrams that are repeats. High values flag boilerplate /
+    looping generations for the quality filter."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    words = d.select(
+        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit(text_ops.WORD_REGEX), F.lit(0)).alias("_w")
+    )
+    tri = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("_w") - 3, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(F.col("_w"), i + k + 1) for k in range(3)]
+        ),
+    )
+    sh = words.select(
+        "doc_id", F.size("_w").cast("long").alias("n_words"), tri.alias("tri_raw")
+    )
+    ratio = F.when(
+        F.size("tri_raw") > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct("tri_raw")).cast("double")
+        / F.size("tri_raw").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return sh.select("doc_id", "n_words", ratio.alias("dup_trigram_ratio"))
+
+
+# Conservative ASCII patterns shared verbatim by both engines (Java and
+# RE2 agree on this subset).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+
+@register(
+    "text_scrub",
+    f"""
+    SELECT doc_id,
+           regexp_replace(regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed,
+           CAST(length(regexp_extract_all(text, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(length(regexp_extract_all(text, '{PII_PHONE}')) AS BIGINT) AS n_phones
+    FROM documents
+    """,
+)
+def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: emails and phone-like digit runs replaced with
+    typed placeholders, plus per-doc match counts for the removal
+    report. Patterns restricted to the regex subset Java and RE2
+    interpret identically."""
+    d = _read(spark, sf_dir, "documents")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0)))
+        .cast("long")
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0)))
+        .cast("long")
+        .alias("n_phones"),
+    )
