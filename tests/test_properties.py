@@ -103,3 +103,66 @@ def test_shingles_match_python(spark, words):
         if sh not in want:
             want.append(sh)
     assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["p1", "p2"]),
+            st.sampled_from(["A", "a ", "B", "c"]),
+            st.integers(min_value=0, max_value=500),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dedupe_sellers_invariants(spark, rows):
+    """Dedupe output: exactly one row per (product, lower(trim(name)))
+    key, each the minimum of the pinned total order."""
+    data = [(p, n, pr, str(i)) for i, (p, n, pr) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "productId string, name string, price long, deliveryDate string"
+    )
+    from kaspi_etl_spark.ops.offers import dedupe_sellers
+
+    out = dedupe_sellers(df, tie_breakers=["deliveryDate"]).collect()
+    keys = [(r.productId, r.name.strip().lower()) for r in out]
+    assert len(keys) == len(set(keys))
+    want_keys = {(p, n.strip().lower()) for p, n, _ in rows}
+    assert set(keys) == want_keys
+    # winner has the minimal (pos-flag, price) in its key class
+    for r in out:
+        cls = [
+            pr
+            for p, n, pr in rows
+            if (p, n.strip().lower()) == (r.productId, r.name.strip().lower())
+        ]
+        pos = [x for x in cls if x > 0]
+        assert r.price == (min(pos) if pos else min(cls))
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=60, max_value=220),
+            st.integers(min_value=2, max_value=12) | st.none(),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_kids_sizing_confidence_bounds(spark, rows):
+    from kaspi_etl_spark.ops.sizing import kids_size_chart, recommend_kids_sizes
+
+    data = [(i, h, a) for i, (h, a) in enumerate(rows)]
+    customers = spark.createDataFrame(data, "customer_id long, height_cm int, age int")
+    out = recommend_kids_sizes(customers, kids_size_chart(spark)).collect()
+    assert len(out) == len(rows)  # exactly one recommendation each
+    for r in out:
+        # Reference quirk reproduced faithfully: the closest-size
+        # fallback max(0.3, 1 - dist/20) can EXCEED the in-range 0.8
+        # (e.g. 1cm outside a boundary -> 0.95).
+        assert 0.3 <= r.confidence_score <= 1.0
+        assert r.recommended_size in {"22", "24", "26", "28", "30", "32", "34"}
