@@ -1,0 +1,78 @@
+"""As-of (time-travel) join — the operator Spark lacks natively.
+
+Not present in the reference, but its price-watch domain motivates it
+("the latest snapshot at or before this moment"); included as a
+first-class custom operator per the engine's training-pipeline charter.
+
+Spark design — the union-tag composition, NOT a range self-join:
+tag both sides, union, sort within each key by (ts, tag), and carry the
+most recent right-side value forward with a last(ignorenulls) window.
+One shuffle on the key; no point-in-interval explosion; skew only if a
+single key dominates (then salt the window by coarse time bucket).
+
+DuckDB's native ASOF JOIN is the oracle, so the composition is verified
+value-exact against a reference implementation of the semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    value_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` for the same key (left outer: no prior
+    right row -> nulls).
+
+    Ties: a right row at exactly left_ts matches (>= semantics, like
+    DuckDB ASOF). If multiple right rows share one timestamp, the last
+    one in (ts, its own ordering) wins — pass a uniquifying column in
+    ``value_cols`` ordering upstream if that matters.
+    """
+    value_cols = value_cols or [
+        c for c in right.columns if c not in (key, right_ts)
+    ]
+    # The right row travels as ONE nullable struct so the carry-forward
+    # is atomic (independent per-column carries could stitch together
+    # values from different right rows when some columns are null).
+    r_struct = F.struct(*[F.col(c) for c in value_cols])
+    r_tag = right.select(
+        F.col(key),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        r_struct.alias("_rrow"),
+    )
+    l_tag = left.select(
+        F.col(key),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(r_tag.schema["_rrow"].dataType).alias("_rrow"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+    )
+    r_tag = r_tag.withColumn(
+        "_lrow", F.lit(None).cast(l_tag.schema["_lrow"].dataType)
+    )
+    unioned = l_tag.unionByName(r_tag)
+    # right rows sort before left rows at the same timestamp (_is_left
+    # ascending) so an exactly-simultaneous snapshot is visible.
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        "_rmatch", F.last("_rrow", ignorenulls=True).over(w)
+    ).filter(F.col("_is_left") == 1)
+    return carried.select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        *[F.col("_rmatch")[c].alias(f"{c}{suffix}") for c in value_cols],
+    )

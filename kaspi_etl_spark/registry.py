@@ -2626,3 +2626,47 @@ def q_text_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_phones"),
     )
+
+
+# --- As-of join (custom time-series operator) ------------------------------
+
+from .ops import asof as asof_ops  # noqa: E402
+
+
+@register(
+    "events_asof_join",
+    """
+    WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT v.event_id, v.user_id, v.ts,
+           p.value AS value_asof, p.ts AS ts_asof
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts >= p.ts
+    """,
+)
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every 'view' event annotated with the value and time
+    of the user's latest 'purchase' at or before it. Spark side is the
+    union-tag + carry-forward composition (ops/asof.py); the oracle is
+    DuckDB's native ASOF LEFT JOIN — the composition must reproduce the
+    native operator's semantics exactly."""
+    ev = read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_ops.asof_join(
+        views,
+        purchases.withColumn("_rts", F.col("ts")).drop("ts").withColumnRenamed("_rts", "r_ts"),
+        key="user_id",
+        left_ts="ts",
+        right_ts="r_ts",
+        value_cols=["value", "r_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("value_asof"),
+        F.col("r_ts_asof").alias("ts_asof"),
+    )
