@@ -2670,3 +2670,52 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_asof"),
         F.col("r_ts_asof").alias("ts_asof"),
     )
+
+
+@register(
+    "events_session_windows",
+    """
+    WITH e AS (
+      SELECT user_id, ts, CAST(FLOOR(value) AS BIGINT) AS v
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts, v,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       < INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_session
+      FROM e
+    ),
+    numbered AS (
+      SELECT user_id, ts, v,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_no
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS sum_value_floor
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user with a 30-minute inactivity gap —
+    F.session_window on Spark (merging windows, streaming-capable with
+    watermarks); the oracle derives the same sessions via the classic
+    gaps-and-islands computation. session_start = min event time."""
+    ev = read_events(spark, sf_dir).select(
+        "user_id", "ts", F.floor("value").cast("long").alias("v")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("v").cast("long").alias("sum_value_floor"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+            "sum_value_floor",
+        )
+    )
