@@ -118,6 +118,108 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _fake_resize(content: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int) -> bytes:
+    """STUB resize kernel: deterministic byte subsample proportional to
+    the area ratio (production: PIL thumbnail/resize). Keeps the real
+    contract: bytes in, bytes out, output size scales with dst area."""
+    if DECODERS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("plug real image resize here")
+    ratio = max(1, (src_w * src_h) // max(1, dst_w * dst_h))
+    return content[::ratio][: max(1, dst_w * dst_h // 8)]
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Image resize stage over mapInPandas: only rows with kind='image'
+    are decoded; the filter happens BEFORE the Python boundary so audio
+    and video bytes never cross into Arrow."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                c = row["content"]
+                c = c if isinstance(c, bytes) else bytes(c)
+                out.append(
+                    {
+                        "media_id": row["media_id"],
+                        "kind": row["kind"],
+                        "out_width": width,
+                        "out_height": height,
+                        "content": _fake_resize(
+                            c, row["meta"]["width"], row["meta"]["height"], width, height
+                        ),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_ms", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def _fake_frames(content: bytes, duration_ms: int, every_ms: int) -> list[tuple[int, int, bytes]]:
+    """STUB frame sampler: one deterministic byte slice per sampled
+    timestamp (production: pyav/ffmpeg keyframe extraction)."""
+    if DECODERS_AVAILABLE:  # pragma: no cover
+        raise NotImplementedError("plug real frame extraction here")
+    n = max(1, duration_ms // every_ms)
+    out = []
+    for i in range(min(n, 16)):
+        start = (i * 97) % max(1, len(content))
+        out.append((i, i * every_ms, content[start : start + 32]))
+    return out
+
+
+def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
+    """Frame sampling for kind='video': mapInPandas row -> N frame rows
+    (a UDTF-shaped expansion). Batch output is flattened frames, so
+    downstream per-frame featurization parallelizes on frame rows."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                c = row["content"]
+                c = c if isinstance(c, bytes) else bytes(c)
+                for idx, ms, frame in _fake_frames(
+                    c, int(row["meta"]["duration_ms"]), every_ms
+                ):
+                    rows.append(
+                        {
+                            "media_id": row["media_id"],
+                            "frame_idx": idx,
+                            "frame_ms": ms,
+                            "frame": frame,
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
+
+    return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
 def metadata_summary(media: DataFrame) -> DataFrame:
     """Metadata-only aggregation — must NOT read the binary column (column
     pruning keeps the scan narrow; tests assert `content` is pruned from

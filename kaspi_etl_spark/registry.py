@@ -2719,3 +2719,15 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value_floor",
         )
     )
+
+
+@register("media_resize")  # rows-only: stubbed decode kernel, real plumbing
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
+    return mm_ops.resize_images(media, width=64, height=64)
+
+
+@register("media_frame_sample")  # rows-only: stubbed decode kernel
+def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
+    return mm_ops.sample_frames(media, every_ms=5000)

@@ -74,3 +74,31 @@ def test_media_metadata_query_prunes_binary(spark, sf_dir):
     plan = summary._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
     assert scan_lines and all("text" not in ln.split("ReadSchema")[-1] for ln in scan_lines)
+
+
+def test_media_resize_only_images(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = multimodal.media_from_documents(docs)
+    out = multimodal.resize_images(media, width=32, height=32).collect()
+    n_images = media.filter(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    assert all(r.out_width == 32 and len(r.content) > 0 for r in out)
+    # deterministic stub
+    again = multimodal.resize_images(media, width=32, height=32).collect()
+    assert {r.media_id: bytes(r.content) for r in out} == {
+        r.media_id: bytes(r.content) for r in again
+    }
+
+
+def test_media_frame_sampling_expands_rows(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+    media = multimodal.media_from_documents(docs)
+    frames = multimodal.sample_frames(media, every_ms=5000)
+    rows = frames.collect()
+    vids = media.filter(F.col("kind") == "video").count()
+    assert len(rows) >= vids  # one-to-many expansion
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r.media_id, []).append(r.frame_idx)
+    for idxs in by_media.values():
+        assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame ids
