@@ -136,3 +136,70 @@ def test_windowed_price_stats_batch(spark):
     # 5 minutes of data -> one 5-min window
     assert len(out) == 1
     assert out[0].min_price == 10000 and out[0].max_price == 10500
+
+
+def test_watermark_drops_late_data(spark):
+    """Watermarked tumbling windows, actual Spark semantics: a late row
+    merges while its window's state is still live, and is DROPPED once
+    the watermark has evicted that window (verified: the closed window
+    emits without the late row)."""
+    import datetime
+    import time as _time
+
+    src = tempfile.mkdtemp(prefix="wm_src_")
+    sink = tempfile.mkdtemp(prefix="wm_sink_")
+    ckpt = tempfile.mkdtemp(prefix="wm_ckpt_")
+    t = lambda h, m: datetime.datetime(2025, 9, 1, h, m, 0)  # noqa: E731
+    try:
+        def write_tick(idx, rows):
+            spark.createDataFrame(
+                rows, "variantId string, seller string, ts timestamp, price long"
+            ).coalesce(1).write.mode("overwrite").json(f"{src}/tick_{idx}")
+
+        # batch 0: two events in the 12:00 window + 13:00 (watermark
+        # advances to 12:50 after this batch)
+        write_tick(0, [("v1", "s1", t(12, 1), 100), ("v1", "s2", t(12, 2), 200),
+                       ("v1", "s1", t(13, 0), 500)])
+        _time.sleep(1.2)  # distinct mtimes: file source orders batches by mtime
+        # batch 1: watermark 12:50 evicts + emits the 12:00 window
+        write_tick(1, [("v1", "s1", t(14, 0), 700)])
+        _time.sleep(1.2)
+        # batch 2: late event for the ALREADY-CLOSED 12:00 window ->
+        # dropped by the watermark; 15:00 flushes the rest
+        write_tick(2, [("v1", "s9", t(12, 3), 999), ("v1", "s1", t(15, 0), 800)])
+
+        stream = (
+            spark.readStream.schema(
+                "variantId string, seller string, ts timestamp, price long"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{src}/tick_*")
+        )
+        q = (
+            watch.windowed_price_stats(stream, watermark="10 minutes")
+            .select(
+                "variantId",
+                "n",
+                "min_price",
+                "max_price",
+                watch.F.col("w.start").alias("ws"),
+            )
+            .writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.schema(
+            "variantId string, n long, min_price long, max_price long, ws timestamp"
+        ).json(sink)
+        by_start = {r.ws: (r.n, r.min_price, r.max_price) for r in out.collect()}
+        # the 12:00 window closed with ONLY the two on-time events —
+        # the late 999 never appears
+        assert by_start[t(12, 0)] == (2, 100, 200)
+        assert all(v[1] != 999 and v[2] != 999 for v in by_start.values())
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
