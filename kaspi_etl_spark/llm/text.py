@@ -143,6 +143,54 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_words")
 
 
+def with_winnowing_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "fingerprint",
+    gram_chars: int = 8,
+    window: int = 6,
+) -> DataFrame:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken, MOSS): hash
+    every ``gram_chars``-character gram of the whitespace-normalized
+    text, keep the minimum hash of each sliding window of ``window``
+    grams; the distinct sorted survivors are the fingerprint. Guarantees
+    any shared substring of length >= gram_chars + window - 1
+    contributes a common fingerprint element — the locality property
+    plain bottom-k sketches lack.
+
+    Expression-only, with the normalized text and the gram-hash array
+    each materialized as real columns before their lambda-heavy
+    consumers (lambda-reuse discipline): O(n * window) map-side CPU.
+    """
+    norm = df.withColumn(
+        "_norm", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    )
+    gram_idx = F.sequence(
+        F.lit(1), F.greatest(F.length("_norm") - gram_chars + 1, F.lit(1))
+    )
+    grams = norm.withColumn(
+        "_grams",
+        F.transform(
+            gram_idx,
+            lambda i: F.conv(
+                F.substring(F.md5(F.substring(F.col("_norm"), i, gram_chars)), 1, 15),
+                16,
+                10,
+            ).cast("long"),
+        ),
+    )
+    win_idx = F.sequence(
+        F.lit(1), F.greatest(F.size("_grams") - window + 1, F.lit(1))
+    )
+    mins = F.transform(
+        win_idx, lambda j: F.array_min(F.slice(F.col("_grams"), j, window))
+    )
+    return (
+        grams.withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+        .drop("_norm", "_grams")
+    )
+
+
 def doc_fingerprint(text: Column, k: int = 8, shingle_words: int = 3) -> Column:
     """Document fingerprint: the k smallest 60-bit hashes over word
     shingles (a winnowing-style rolling signature). Expression-only —

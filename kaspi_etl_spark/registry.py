@@ -2731,3 +2731,30 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
     return mm_ops.sample_frames(media, every_ms=5000)
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+    WITH norm AS (
+      SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             [{_sql_md5_long("substr(nt, i, 8)")}
+              for i in range(1, greatest(length(nt) - 8 + 1, 1) + 1)] AS g
+      FROM norm
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(
+             [list_min(g[j:j+5])
+              for j in range(1, greatest(len(g) - 6 + 1, 1) + 1)])) AS fingerprint
+    FROM grams
+    """,
+)
+def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS winnowing over 8-char grams, window 6 — the rolling-hash
+    fingerprint with the shared-substring locality guarantee."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.with_winnowing_fingerprint(d).select("doc_id", "fingerprint")
