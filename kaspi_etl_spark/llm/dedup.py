@@ -276,6 +276,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard over word shingles for pairs sharing >= 1 shingle.
 
@@ -311,6 +312,12 @@ def ngram_jaccard_pairs(
         .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
+    if max_doc_freq is not None:
+        # Boilerplate-shingle cap: a shingle shared by more than
+        # max_doc_freq docs contributes no pairs (and is excluded from
+        # n_common). Union sizes keep ALL shingles, so capped Jaccard is
+        # a strict lower bound of the exact score.
+        buckets = buckets.filter(F.size("ds") <= max_doc_freq)
     pair_gen = F.flatten(
         F.transform(
             F.col("ds"),

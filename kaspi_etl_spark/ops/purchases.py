@@ -35,6 +35,43 @@ def dedupe_batch(incoming: DataFrame, keys: list[str] | None = None) -> DataFram
     )
 
 
+def change_feed(
+    old: DataFrame, new: DataFrame, keys: list[str] | None = None
+) -> DataFrame:
+    """CDC between two keyed snapshots: one row per changed key with
+    op = insert | update | delete (unchanged keys are not emitted).
+    Inserts/updates carry the new values, deletes the old values —
+    the change stream a MERGE INTO would apply, derived from plain
+    snapshots with one full-outer join on the key.
+
+    Both inputs must be unique per key (dedupe_batch upstream).
+    """
+    keys = keys or UPSERT_KEYS
+    vals = [c for c in new.columns if c not in keys]
+    # presence flags come from explicit tags, not value columns (values
+    # may legitimately be null):
+    o = old.select(*keys, F.lit(1).alias("_o_present"), *[F.col(c).alias(f"_o_{c}") for c in vals])
+    n = new.select(*keys, F.lit(1).alias("_n_present"), *[F.col(c).alias(f"_n_{c}") for c in vals])
+    j = o.join(n, keys, "full")
+    differs = None
+    for c in vals:
+        d = ~F.col(f"_o_{c}").eqNullSafe(F.col(f"_n_{c}"))
+        differs = d if differs is None else (differs | d)
+    op = (
+        F.when(F.col("_o_present").isNull(), F.lit("insert"))
+        .when(F.col("_n_present").isNull(), F.lit("delete"))
+        .when(differs if differs is not None else F.lit(False), F.lit("update"))
+    )
+    out_vals = [
+        F.coalesce(F.col(f"_n_{c}"), F.col(f"_o_{c}")).alias(c) for c in vals
+    ]
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select("op", *keys, *out_vals)
+    )
+
+
 def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """S8/J5: delete-then-insert by composite key, as a pure transform.
 

@@ -2758,3 +2758,106 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint with the shared-substring locality guarantee."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return text_ops.with_winnowing_fingerprint(d).select("doc_id", "fingerprint")
+
+
+SQL_PURCHASES_DEDUP = """
+      SELECT po_id, sku_key, order_date, unit_cogs_kzt, qty FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY po_id, sku_key
+          ORDER BY order_date ASC NULLS LAST, unit_cogs_kzt ASC NULLS LAST, qty ASC NULLS LAST
+        ) AS rn FROM {SRC}
+      ) WHERE rn = 1
+"""
+
+_SQL_OLD_DEDUP = SQL_PURCHASES_DEDUP.replace("{SRC}", "_existing")
+_SQL_NEW_DEDUP = SQL_PURCHASES_DEDUP.replace("{SRC}", "_incoming")
+
+
+@register(
+    "purchases_change_feed",
+    f"""
+    WITH _existing AS (
+      SELECT 'PO' || CAST(o_orderkey % 500 AS VARCHAR) AS po_id,
+             'SKU' || CAST(o_custkey % 200 AS VARCHAR) AS sku_key,
+             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(o_totalprice AS DOUBLE) AS unit_cogs_kzt,
+             CAST(1 + o_orderkey % 5 AS INT) AS qty
+      FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    _incoming AS (
+      SELECT 'PO' || CAST(o_orderkey % 500 AS VARCHAR) AS po_id,
+             'SKU' || CAST(o_custkey % 200 AS VARCHAR) AS sku_key,
+             CAST(o_orderdate AS DATE) AS order_date,
+             CAST(o_totalprice AS DOUBLE) AS unit_cogs_kzt,
+             CAST(1 + o_orderkey % 5 AS INT) AS qty
+      FROM orders WHERE o_orderkey % 3 = 1
+    ),
+    old_d AS ({_SQL_OLD_DEDUP}),
+    new_d AS ({_SQL_NEW_DEDUP}),
+    j AS (
+      SELECT COALESCE(o.po_id, n.po_id) AS po_id,
+             COALESCE(o.sku_key, n.sku_key) AS sku_key,
+             o.po_id IS NOT NULL AS in_old, n.po_id IS NOT NULL AS in_new,
+             o.order_date AS o_date, o.unit_cogs_kzt AS o_cogs, o.qty AS o_qty,
+             n.order_date AS n_date, n.unit_cogs_kzt AS n_cogs, n.qty AS n_qty
+      FROM old_d o FULL OUTER JOIN new_d n
+        ON o.po_id = n.po_id AND o.sku_key = n.sku_key
+    )
+    SELECT CASE WHEN NOT in_old THEN 'insert'
+                WHEN NOT in_new THEN 'delete'
+                ELSE 'update' END AS op,
+           po_id, sku_key,
+           COALESCE(n_date, o_date) AS order_date,
+           COALESCE(n_cogs, o_cogs) AS unit_cogs_kzt,
+           COALESCE(n_qty, o_qty) AS qty
+    FROM j
+    WHERE NOT in_old OR NOT in_new
+          OR (o_date IS DISTINCT FROM n_date
+              OR o_cogs IS DISTINCT FROM n_cogs
+              OR o_qty IS DISTINCT FROM n_qty)
+    """,
+)
+def q_purchases_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC between the existing and incoming purchase snapshots: the
+    insert/update/delete stream a MERGE INTO would apply (unchanged
+    keys omitted). Derived from plain snapshots with one full-outer
+    join — the Delta-less change-data-capture path."""
+    old = purchases_ops.dedupe_batch(_purchases_batch(spark, sf_dir, 0))
+    new = purchases_ops.dedupe_batch(_purchases_batch(spark, sf_dir, 1))
+    return purchases_ops.change_feed(old, new)
+
+
+@register(
+    "ngram_jaccard_capped",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
+    sh AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles FROM w),
+    sh_exp AS (SELECT doc_id, len(shingles) AS n_sh,
+                      unnest([{_sql_md5_long('s')} for s in shingles]) AS h
+               FROM sh),
+    capped AS (
+      SELECT * FROM sh_exp
+      WHERE h IN (SELECT h FROM sh_exp GROUP BY h HAVING COUNT(*) <= 100)
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+    """,
+)
+def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ngram Jaccard with the boilerplate-shingle frequency cap
+    (doc-freq > 100 shingles contribute no pairs) — the production
+    setting that bounds the hottest posting lists at 100 TB. Scores are
+    a strict lower bound of the exact Jaccard."""
+    return dedup_ops.ngram_jaccard_pairs(
+        llm_docs(spark, sf_dir), threshold=0.5, max_doc_freq=100
+    )
