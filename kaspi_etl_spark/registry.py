@@ -2861,3 +2861,88 @@ def q_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_pairs(
         llm_docs(spark, sf_dir), threshold=0.5, max_doc_freq=100
     )
+
+
+@register(
+    "vocab_top_tokens",
+    f"""
+    WITH docs AS (SELECT text FROM documents),
+    toks AS (SELECT unnest({_SQL_WORDS_EXPR}) AS tok FROM docs),
+    counts AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    ranked AS (
+      SELECT tok, freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, tok ASC) AS rank
+      FROM counts
+    )
+    SELECT tok, freq, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 500
+    """,
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top-500 tokens by corpus frequency with a
+    deterministic rank (freq desc, token asc) — the unigram seed of any
+    tokenizer build. explode -> groupBy token (map-side combined) ->
+    WindowGroupLimit rank."""
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(text_ops.WORD_REGEX), F.lit(0))
+        ).alias("tok")
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(F.count("*").cast("long").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 500)
+    )
+
+
+@register(
+    "lineitem_profile",
+    """
+    SELECT 'l_quantity' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(l_quantity) AS BIGINT) AS n_nonnull,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS n_distinct
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(l_extendedprice) AS BIGINT),
+           CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+           CAST(COUNT(DISTINCT l_extendedprice) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_partkey',
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(l_partkey) AS BIGINT),
+           CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE),
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column row/null/min/max/exact-distinct in
+    one pass per column batch — the schema-inference report a pipeline
+    runs before onboarding a source (swap exact distinct for
+    approx_count_distinct beyond audit scale)."""
+    li = _read(spark, sf_dir, "lineitem")
+    parts = []
+    for c in ("l_quantity", "l_extendedprice", "l_partkey"):
+        parts.append(
+            li.agg(
+                F.lit(c).alias("col_name"),
+                F.count("*").cast("long").alias("n_rows"),
+                F.count(c).cast("long").alias("n_nonnull"),
+                F.min(c).cast("double").alias("min_v"),
+                F.max(c).cast("double").alias("max_v"),
+                F.countDistinct(c).cast("long").alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
