@@ -2946,3 +2946,28 @@ def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+@register(
+    "events_value_quantiles",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.9) AS p90,
+           quantile_cont(value, 0.99) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 per event type — the latency-style
+    summary; percentile_approx is the drop-in at scales where exact
+    sort-based percentiles stop paying."""
+    ev = read_events(spark, sf_dir)
+    q = F.percentile(F.col("value"), F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return ev.groupBy("event_type").agg(
+        q.getItem(0).alias("p50"),
+        q.getItem(1).alias("p90"),
+        q.getItem(2).alias("p99"),
+        F.count("*").cast("long").alias("n"),
+    )

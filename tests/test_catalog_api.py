@@ -67,3 +67,21 @@ def test_dedupe_batch_deterministic(spark):
     # stable across repeated runs
     out2 = {(r.po_id, r.sku_key): (r.order_date, r.qty) for r in purchases.dedupe_batch(df).collect()}
     assert out == out2
+
+
+def test_change_feed_ops_and_nulls(spark):
+    from kaspi_etl_spark.ops.purchases import change_feed
+
+    old = spark.createDataFrame(
+        [("p1", "A", 1), ("p1", "B", 2), ("p1", "C", None), ("p1", "D", 4)],
+        "po_id string, sku_key string, qty int",
+    )
+    new = spark.createDataFrame(
+        [("p1", "A", 1),      # unchanged -> omitted
+         ("p1", "B", 9),      # update
+         ("p1", "C", None),   # unchanged incl. null value -> omitted
+         ("p1", "E", 5)],     # insert; D missing -> delete
+        "po_id string, sku_key string, qty int",
+    )
+    out = {(r.sku_key): (r.op, r.qty) for r in change_feed(old, new).collect()}
+    assert out == {"B": ("update", 9), "D": ("delete", 4), "E": ("insert", 5)}
