@@ -50,24 +50,45 @@ class BulkJobRunner:
         process_chunk: Callable[[DataFrame], Any],
         chunk_size: int = 100,
     ) -> BulkJob:
+        """Process ``df`` in ~chunk_size-key chunks of ``key_col``.
+
+        Chunks are hash ranges (pmod(xxhash64(key), n_chunks)) computed
+        distributedly — the driver never enumerates the distinct keys,
+        so a high-cardinality key column cannot blow driver memory. Only
+        two scalars-per-chunk reach the driver: the bucket id and its
+        exact key count (n_chunks entries, i.e. total/chunk_size — tiny
+        relative to the key list the naive form would collect).
+        """
+        from pyspark.sql import functions as F
+
         spark = df.sparkSession
-        keys = [r[0] for r in df.select(key_col).distinct().orderBy(key_col).collect()]
-        job = BulkJob(job_id=uuid.uuid4().hex[:12], total=len(keys))
+        keys = df.select(key_col).distinct()
+        total = keys.count()
+        job = BulkJob(job_id=uuid.uuid4().hex[:12], total=total)
         self.jobs[job.job_id] = job
-        n_chunks = max(1, math.ceil(len(keys) / chunk_size))
+        n_chunks = max(1, math.ceil(total / chunk_size))
+        bucket = F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_chunks))
+        # Exact per-bucket key counts in ONE distributed agg (n_chunks
+        # rows to the driver), so progress stays exact without a count
+        # job per chunk.
+        bucket_counts = {
+            int(r["b"]): int(r["cnt"])
+            for r in keys.groupBy(bucket.alias("b"))
+            .agg(F.count("*").alias("cnt"))
+            .collect()
+        }
         try:
             for i in range(n_chunks):
-                chunk_keys = keys[i * chunk_size : (i + 1) * chunk_size]
-                if not chunk_keys:
-                    break
+                if bucket_counts.get(i, 0) == 0:
+                    continue
                 spark.sparkContext.setJobGroup(job.job_id, f"bulk chunk {i}", True)
                 try:
-                    chunk_df = df.filter(df[key_col].isin(chunk_keys))
+                    chunk_df = df.filter(bucket == i)
                     job.results.append(process_chunk(chunk_df))
                 finally:
                     # PySpark has no clearJobGroup; reset the local property
                     spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
-                job.processed += len(chunk_keys)
+                job.processed += bucket_counts[i]
             job.status = "done"
         except Exception as exc:  # noqa: BLE001
             job.status = "failed"

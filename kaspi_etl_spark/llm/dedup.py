@@ -276,25 +276,47 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | None = 100,
 ) -> DataFrame:
-    """Exact Jaccard over word shingles for pairs sharing >= 1 shingle.
+    """Jaccard over word shingles for pairs sharing >= 1 shingle.
 
     Shuffle profile: explode -> groupBy 8-byte shingle hash (posting
     lists) -> JVM-side pair generation inside each bucket -> groupBy
     pair. Two narrow shuffles; shuffle keys are fixed-width hashes, never
     shingle strings. Co-bucketing bounds the pair space the same way LSH
-    banding does. For 100 TB runs, cap the hottest shingles
-    (stopword-only shingles) with a size(ds) frequency filter to avoid
-    quadratic buckets — the filter hook is the posting-list length.
+    banding does.
 
-    Pairs travel as one packed 64-bit long (id_a << 32 | id_b — ids must
-    fit in 32 bits, which any per-shard doc id does; shard-qualify ids
-    beyond that) and per-doc shingle counts rejoin from a broadcast side,
-    so the quadratic pair stream is the narrowest possible row.
+    ``max_doc_freq`` (DEFAULT 100) is the boilerplate-shingle cap: a
+    shingle appearing in more docs contributes no pairs (and is excluded
+    from n_common), so the hottest posting lists — stopword-only and
+    templated shingles, quadratic on a 100 TB corpus — are bounded.
+    Union sizes keep ALL shingles, so capped Jaccard is a strict LOWER
+    BOUND of the exact score: capped >= threshold implies exact >=
+    threshold (no false positives; a pair is missed only if every
+    shingle it shares is boilerplate). Pass ``max_doc_freq=None`` for
+    the exact, verification-grade form — small corpora only.
+
+    Pairs travel as one packed 64-bit long (id_a * 2^32 + id_b — ids
+    must fit in 31 bits since the packed key is a signed long; under
+    Spark-4 ANSI mode a larger id overflows and THROWS rather than
+    corrupting, see the guard below; shard-qualify ids beyond that) and
+    per-doc shingle counts rejoin from a broadcast side, so the
+    quadratic pair stream is the narrowest possible row.
     """
+    # 31-bit id guard: packing is id_a * 2^32 + id_b in a signed long, so
+    # ids >= 2^31 would overflow (ANSI throws; non-ANSI silently wraps).
+    # Fail fast with a clear message, once per doc row — not per pair.
+    id_ok = F.col(id_col).between(0, (1 << 31) - 1)
+    checked_id = F.when(
+        F.assert_true(
+            id_ok,
+            f"ngram_jaccard_pairs: {id_col} must fit in 31 bits for pair "
+            "packing; shard-qualify larger ids",
+        ).isNull(),
+        F.col(id_col),
+    ).alias(id_col)
     sh = (
-        docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
+        docs.select(checked_id, split_words(F.col(text_col)).alias("_w"))
         .select(
             F.col(id_col), shingles_from_words(F.col("_w"), shingle_n).alias("shingles")
         )
@@ -367,6 +389,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     + one agg, and the frame is localCheckpoint()ed to cut the growing
     lineage — the standard Spark shape for iterative graph algorithms
     without GraphFrames.
+
+    Min-label propagation advances one hop per round, so a chain-shaped
+    component of diameter > max_iterations would be left with split
+    labels; rather than return silently wrong clusters this RAISES if
+    the loop exits without converging (raise max_iterations, or switch
+    to an O(log n) large-star/small-star variant, for such graphs).
     """
     # Materialize the edge list once — it is consumed every iteration,
     # and without the checkpoint each round would recompute the entire
@@ -403,6 +431,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the round budget); raise "
+            "max_iterations"
+        )
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 

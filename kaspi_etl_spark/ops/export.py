@@ -97,3 +97,35 @@ def in_stock_only(flat: DataFrame) -> DataFrame:
 def write_csv(df: DataFrame, path: str) -> None:
     """CSV export sink (header on, one directory of part files)."""
     df.write.mode("overwrite").option("header", True).csv(path)
+
+
+def write_xlsx(df: DataFrame, path: str, sheet_name: str = "Export") -> None:
+    """XLSX export sink (S16 second half; reference
+    BUNDLE/app/api/pricebot/pricebot/export/route.ts:9-125 emits a
+    workbook via exceljs).
+
+    XLSX is a single-file driver-side format — like the reference's
+    route handler it materializes the export result (dashboards export
+    filtered views, not raw tables), so this is a toPandas bridge gated
+    on openpyxl, mirroring ``readers.read_excel_bridge``. Guard rails:
+    refuses exports above ``_XLSX_MAX_ROWS`` (the XLSX format's own
+    1,048,576-row sheet limit) rather than OOM the driver — at that
+    point the caller wants write_csv/parquet.
+    """
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "write_xlsx needs openpyxl on the driver; use write_csv here"
+        ) from exc
+    n = df.limit(_XLSX_MAX_ROWS + 1).count()
+    if n > _XLSX_MAX_ROWS:
+        raise ValueError(
+            f"write_xlsx: result exceeds the {_XLSX_MAX_ROWS}-row XLSX sheet "
+            "limit; export with write_csv instead"
+        )
+    pdf = df.toPandas()
+    pdf.to_excel(path, sheet_name=sheet_name, index=False, engine="openpyxl")
+
+
+_XLSX_MAX_ROWS = 1_048_575  # XLSX hard sheet limit minus the header row

@@ -40,7 +40,12 @@ def dedupe_sellers_agg(
         F.when(
             F.col("deliveryDate").isNotNull() & (F.col("deliveryDate") != ""), 0
         ).otherwise(1).alias("k3"),
-        F.col("deliveryDate").alias("k4"),
+        # Struct comparison orders nulls FIRST, but the window form sorts
+        # deliveryDate asc_nulls_last — encode null as an explicit
+        # sort-after flag + '' so both paths pick the same winner when
+        # tied candidates mix null and empty-string deliveryDate.
+        F.when(F.col("deliveryDate").isNull(), 1).otherwise(0).alias("k4n"),
+        F.coalesce(F.col("deliveryDate"), F.lit("")).alias("k4"),
         F.col(unique_col).alias("k5"),
         *[F.col(c).alias(f"p_{c}") for c in payload_cols],
     )

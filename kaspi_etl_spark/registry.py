@@ -1261,7 +1261,13 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup_ops.ngram_jaccard_pairs(llm_docs(spark, sf_dir), threshold=0.5)
+    """Exact (uncapped) Jaccard — the verification-grade form, opted out
+    of the default doc-frequency cap to match the exact SQL oracle. The
+    scale entry point is the library default (max_doc_freq=100), gated
+    by `ngram_jaccard_capped`."""
+    return dedup_ops.ngram_jaccard_pairs(
+        llm_docs(spark, sf_dir), threshold=0.5, max_doc_freq=None
+    )
 
 
 def _sql_simhash() -> str:
@@ -1455,18 +1461,23 @@ def q_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprints",
     f"""
     WITH docs AS (SELECT doc_id, text FROM documents),
-    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs)
-    SELECT doc_id,
-           list_slice(list_sort(list_distinct(
-             [{_sql_md5_long('s')} for s in {SQL_SHINGLES_RAW}])), 1, 8) AS fingerprint
-    FROM w
+    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
+    f AS (SELECT doc_id,
+                 list_slice(list_sort(list_distinct(
+                   [{_sql_md5_long('s')} for s in {SQL_SHINGLES_RAW}])), 1, 8) AS fingerprint
+          FROM w)
+    SELECT doc_id, unnest(fingerprint) AS fp FROM f
     """,
 )
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form emits one (doc_id, fp) row per fingerprint hash so
+    the output is scalar-typed (driver canonicalization can't sort array
+    cells); the array-valued library form stays `text.doc_fingerprint`."""
     docs = _read(spark, sf_dir, "documents")
-    return docs.select(
+    fp = docs.select(
         "doc_id", text_ops.doc_fingerprint(F.col("text"), k=8).alias("fingerprint")
     )
+    return fp.select("doc_id", F.explode("fingerprint").alias("fp"))
 
 
 # --- Multimodal ------------------------------------------------------------
@@ -1494,8 +1505,14 @@ def q_media_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("media_features")  # rows-only: mapInPandas decode stage is not SQL
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered form posexplodes the feature vector to (media_id, dim,
+    feat) scalar rows — array cells break the driver's canonicalizer; the
+    array-valued library form stays `multimodal.extract_features`."""
     media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
-    return mm_ops.extract_features(media)
+    feats = mm_ops.extract_features(media)
+    return feats.select(
+        "media_id", "kind", "n_bytes", F.posexplode("feature").alias("dim", "feat")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1767,8 +1784,14 @@ def emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim_ops.cosine_near_dup_pairs(
-        emb_augmented(spark, sf_dir), threshold=0.99, id_col="vec_id", vec_col="v"
+    """Near-dup pairs via the bucketed scale path (banded hyperplane LSH
+    candidates + exact cosine verify) — the oracle stays the exact
+    all-pairs SQL, so the gate also proves the bucketing loses no pair
+    on this corpus. The all-pairs DataFrame form remains available as
+    `similarity.cosine_near_dup_pairs` for small-N verification."""
+    return sim_ops.cosine_near_dup_pairs_bucketed(
+        emb_augmented(spark, sf_dir), threshold=0.99, id_col="vec_id", vec_col="v",
+        dim=64,
     )
 
 
@@ -2289,21 +2312,32 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT vec_id, v,
                  list_reduce([abs(x) for x in v],
                              (a, b) -> CASE WHEN a >= b THEN a ELSE b END) AS scale
-          FROM v)
+          FROM v),
+    q AS (SELECT vec_id, scale,
+                 CASE WHEN scale > 0
+                      THEN [CAST(round(x / scale * 127) AS INT) for x in v]
+                      ELSE [CAST(0 AS INT) for x in v] END AS q
+          FROM s)
     SELECT vec_id, scale,
-           CASE WHEN scale > 0
-                THEN [CAST(round(x / scale * 127) AS INT) for x in v]
-                ELSE [CAST(0 AS INT) for x in v] END AS q
-    FROM s
+           CAST(unnest(range(len(q))) AS INT) AS dim,
+           unnest(q) AS qv
+    FROM q
     """,
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embedding column — 4x storage
-    cut for 100 TB ANN indexes, computed as pure expressions."""
+    cut for 100 TB ANN indexes, computed as pure expressions.
+
+    Registered form posexplodes the int8 vector to (vec_id, dim, qv)
+    scalar rows (driver canonicalization can't sort array cells); the
+    array-valued library form stays `similarity.with_quantized`."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    return sim_ops.with_quantized(emb, "v").select("vec_id", "scale", "q")
+    quant = sim_ops.with_quantized(emb, "v").select("vec_id", "scale", "q")
+    return quant.select(
+        "vec_id", "scale", F.posexplode("q").alias("dim", "qv")
+    ).select("vec_id", "scale", F.col("dim").cast("int").alias("dim"), "qv")
 
 
 @register(
@@ -2745,19 +2779,27 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              [{_sql_md5_long("substr(nt, i, 8)")}
               for i in range(1, greatest(length(nt) - 8 + 1, 1) + 1)] AS g
       FROM norm
+    ),
+    f AS (
+      SELECT doc_id,
+             list_sort(list_distinct(
+               [list_min(g[j:j+5])
+                for j in range(1, greatest(len(g) - 6 + 1, 1) + 1)])) AS fingerprint
+      FROM grams
     )
-    SELECT doc_id,
-           list_sort(list_distinct(
-             [list_min(g[j:j+5])
-              for j in range(1, greatest(len(g) - 6 + 1, 1) + 1)])) AS fingerprint
-    FROM grams
+    SELECT doc_id, unnest(fingerprint) AS fp FROM f
     """,
 )
 def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MOSS winnowing over 8-char grams, window 6 — the rolling-hash
-    fingerprint with the shared-substring locality guarantee."""
+    fingerprint with the shared-substring locality guarantee.
+
+    Registered form emits one (doc_id, fp) row per selected hash — scalar
+    columns for the driver canonicalizer; array form stays in the library
+    (`text.with_winnowing_fingerprint`)."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    return text_ops.with_winnowing_fingerprint(d).select("doc_id", "fingerprint")
+    fp = text_ops.with_winnowing_fingerprint(d).select("doc_id", "fingerprint")
+    return fp.select("doc_id", F.explode("fingerprint").alias("fp"))
 
 
 SQL_PURCHASES_DEDUP = """

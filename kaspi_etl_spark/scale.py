@@ -44,7 +44,19 @@ def salted_join(
     deterministic for testing. Use for joins where `other` is small
     enough that a salt_buckets-fold blowup is acceptable but too big or
     too skewed to broadcast outright.
+
+    Only ``inner`` and ``left`` (outer) joins are supported: the explode
+    duplicates every `other` row across all salt buckets, so a right or
+    full outer join would emit ``salt_buckets`` copies of each unmatched
+    `other` row. Those shapes need a different strategy (e.g. AQE skew
+    join, or salting the other side).
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "right/full outer would duplicate unmatched rows of the "
+            "exploded side across salt buckets"
+        )
     salted_big = skewed.withColumn(
         "_salt", F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_buckets))
     )

@@ -114,3 +114,50 @@ def extract_jsonld_rating(html: Column) -> Column:
         html, r'<script type="application/ld\+json">\s*(\{.*?\})\s*</script>', 1
     )
     return F.from_json(raw, JSONLD_SCHEMA)["aggregateRating"]
+
+
+PRODUCT_LD_SCHEMA = T.StructType(
+    [
+        T.StructField("productID", T.StringType()),
+        T.StructField(
+            "offers",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("@type", T.StringType()),
+                        T.StructField("price", T.StringType()),
+                        T.StructField("priceCurrency", T.StringType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def extract_jsonld_product_price(html: Column) -> Column:
+    """Product offer price from the page's JSON-LD blocks, as a nullable
+    long. Expression-only: regexp_extract_all the ld+json scripts, pick
+    the Product block, from_json, take the first @type='Offer' entry's
+    price (the reference's captured pages carry 'undefined' for some —
+    try_cast nulls those). Verified against the reference's 29 captured
+    variant_*.html pages in tests/test_html_fixtures.py."""
+    blocks = F.regexp_extract_all(
+        html, F.lit(r'(?s)<script type="application/ld\+json">\s*(\{.*?\})\s*</script>'), 1
+    )
+    product = F.try_element_at(
+        F.filter(blocks, lambda b: b.contains('"Product"')), F.lit(1)
+    )
+    offers = F.from_json(product, PRODUCT_LD_SCHEMA)["offers"]
+    offer = F.try_element_at(
+        F.filter(offers, lambda o: o["@type"] == F.lit("Offer")), F.lit(1)
+    )
+    return offer["price"].try_cast("long")
+
+
+def extract_review_count(html: Column) -> Column:
+    """The reference's last-resort rating fallback (scrape.ts:695-700):
+    first '(N отзыв…)' occurrence -> N as a nullable long. Regex over the
+    raw page instead of a DOM walk, so 'first' is first-in-document."""
+    n = F.regexp_extract(html, r"\((\d{1,4})\s*отзыв", 1)
+    return F.nullif(n, F.lit("")).try_cast("long")

@@ -77,6 +77,169 @@ def read_rest_pages(
     return spark.createDataFrame(rows, schema)
 
 
+# ---------------------------------------------------------------------------
+# Recursive "seller-like array" probe (F20 full variant)
+# Reference: BUNDLE/app/api/pricebot/pricebot/opponents/route.ts:182-249 —
+# known dotted paths first, then a breadth-first search of the whole JSON
+# tree for the first array containing seller-shaped objects, then the
+# candidate-key coalescing map to (merchantId, merchantName, price, isYou).
+# ---------------------------------------------------------------------------
+
+_PICK_PATHS = (
+    "items",
+    "content",
+    "data.items",
+    "data.content",
+    "data",
+    "list",
+    "offers",
+    "offers.items",
+    "results",
+    "rows",
+    "page.content",
+)
+
+
+def pick_array_key(obj: Any) -> list:
+    """First known dotted path that resolves to a list (route.ts:183-204)."""
+    for key in _PICK_PATHS:
+        cur = obj
+        for part in key.split("."):
+            cur = cur.get(part) if isinstance(cur, dict) else None
+        if isinstance(cur, list):
+            return cur
+    return []
+
+
+def is_seller_like(o: Any) -> bool:
+    """Duck-typed seller shape (route.ts:205-211): some price-ish key AND
+    some merchant-ish key."""
+    if not isinstance(o, dict):
+        return False
+    has_price = (
+        "price" in o
+        or "offerPrice" in o
+        or "value" in o
+        or isinstance(o.get("prices"), list)
+    )
+    has_merchant = any(
+        k in o
+        for k in ("merchantId", "merchantUID", "sellerId", "merchantName", "seller", "name")
+    )
+    return has_price and has_merchant
+
+
+def find_first_seller_array(node: Any) -> list:
+    """BFS the JSON tree for the first array with a seller-like element
+    (route.ts:212-228). Arrays that aren't seller arrays still get their
+    object elements explored."""
+    from collections import deque
+
+    queue = deque([node])
+    while queue:
+        cur = queue.popleft()
+        if isinstance(cur, list):
+            if any(is_seller_like(v) for v in cur):
+                return cur
+            queue.extend(v for v in cur if isinstance(v, (dict, list)))
+        elif isinstance(cur, dict):
+            queue.extend(cur.values())
+    return []
+
+
+def _num(v: Any) -> float | None:
+    try:
+        f = float(v)
+    except (TypeError, ValueError):
+        return None
+    return f if f == f and f not in (float("inf"), float("-inf")) else None
+
+
+def extract_sellers(js: Any, merchant_id: str | None = None) -> list[dict]:
+    """Full probe: known paths, else recursive search, then the
+    candidate-key coalescing map (route.ts:239-249). Rows missing both
+    id and name are dropped, exactly like the reference's filter."""
+    offers = pick_array_key(js) if isinstance(js, dict) else []
+    if not offers and isinstance(js, list):
+        offers = js
+    if not any(is_seller_like(o) for o in offers):
+        found = find_first_seller_array(js)
+        if found:
+            offers = found
+    out = []
+    for o in offers:
+        if not isinstance(o, dict):
+            continue
+        oid = next(
+            (o[k] for k in ("merchantId", "merchantUID", "id", "sellerId")
+             if o.get(k) is not None), "",
+        )
+        name = next(
+            (o[k] for k in ("merchantName", "name", "merchant", "seller")
+             if o.get(k) is not None), "",
+        )
+        # nullish-coalescing parity: explicit null falls through like JS ??
+        raw_price = next(
+            (o[k] for k in ("price", "offerPrice", "value") if o.get(k) is not None), 0
+        )
+        price = _num(raw_price)
+        if price is None and isinstance(o.get("prices"), list):
+            price = next(
+                (_num(x.get("price")) for x in o["prices"]
+                 if isinstance(x, dict) and _num(x.get("price")) is not None),
+                None,
+            )
+        s_id = str(oid or name or "")
+        s_name = str(name or oid or "")
+        if not s_id or not s_name:
+            continue
+        out.append(
+            {
+                "merchantId": s_id,
+                "merchantName": s_name,
+                "price": price if price is not None else 0.0,
+                "isYou": bool(merchant_id) and str(oid or "") == str(merchant_id),
+            }
+        )
+    return out
+
+
+SELLER_PROBE_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("merchantId", T.StringType()),
+            T.StructField("merchantName", T.StringType()),
+            T.StructField("price", T.DoubleType()),
+            T.StructField("isYou", T.BooleanType()),
+        ]
+    )
+)
+
+
+def sellers_from_json_udf(merchant_id: str | None = None):
+    """Pandas UDF form for captured-JSON columns: json string ->
+    array<struct> of coalesced sellers; explode() for the UDTF shape.
+    Recursion over arbitrary JSON is the justified Python boundary here —
+    fixed-path probing stays expression-side (registry events_json_probe).
+    """
+    import json
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _probe(col):
+        def run(s):
+            if not s:
+                return []
+            try:
+                return extract_sellers(json.loads(s), merchant_id)
+            except (ValueError, RecursionError):
+                return []
+
+        return col.map(run)
+
+    return pandas_udf(_probe, SELLER_PROBE_SCHEMA)
+
+
 def write_rest_per_row(
     df: DataFrame,
     post_fn: Callable[[dict[str, Any]], None],

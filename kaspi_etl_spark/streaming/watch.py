@@ -84,8 +84,14 @@ def _flag_group(key: tuple, pdfs: Iterable[Any], state: Any):
 
     bufs: dict[str, list[int]] = json.loads(state.get[0]) if state.exists else {}
     out = []
-    for pdf in pdfs:
-        for ts, tick in pdf.sort_values("ts").groupby("ts", sort=True):
+    # Materialize the whole group before grouping by tick: a group larger
+    # than arrow.maxRecordsPerBatch arrives as multiple chunks, and a ts
+    # tick split across chunks would get per-fragment minima and double
+    # ring-buffer appends. Memory is bounded by the micro-batch group.
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        for ts, tick in whole.sort_values("ts").groupby("ts", sort=True):
             pos = tick.loc[tick["price"] > 0, "price"]
             vmin = int(pos.min()) if len(pos) else None
             for _, row in tick.iterrows():
@@ -169,8 +175,14 @@ class BotFlagProcessor(StatefulProcessor):
             json.loads(self._bufs.get()[0]) if self._bufs.exists() else {}
         )
         out = []
-        for pdf in rows:
-            for ts, tick in pdf.sort_values("ts").groupby("ts", sort=True):
+        # Same chunk-materialization as _flag_group: never split a ts
+        # tick across Arrow chunks (per-fragment minima / double appends).
+        chunks = [pdf for pdf in rows if len(pdf)]
+        if chunks:
+            whole = (
+                pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+            )
+            for ts, tick in whole.sort_values("ts").groupby("ts", sort=True):
                 pos = tick.loc[tick["price"] > 0, "price"]
                 vmin = int(pos.min()) if len(pos) else None
                 for _, row in tick.iterrows():

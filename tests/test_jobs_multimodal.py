@@ -24,6 +24,27 @@ def test_bulk_job_progress_and_results(spark):
     assert runner.jobs[job.job_id] is job
 
 
+def test_bulk_job_never_collects_keys_to_driver(spark, monkeypatch):
+    """High-cardinality key column: only the per-bucket counts (one row
+    per chunk) may reach the driver — never the key list itself."""
+    df = spark.createDataFrame([(f"K{i}",) for i in range(1000)], "sku string")
+    seen: list[int] = []
+    cls = type(df)  # concrete DataFrame class (base class method is overridden)
+    orig = cls.collect
+
+    def spy(self):
+        rows = orig(self)
+        seen.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(cls, "collect", spy)
+    runner = jobs.BulkJobRunner()
+    job = runner.run(df, "sku", lambda chunk: 0, chunk_size=100)
+    assert job.status == "done"
+    assert job.total == 1000 and job.processed == 1000
+    assert seen and max(seen) <= 10  # bucket counts only (n_chunks rows)
+
+
 def test_bulk_job_failure_recorded(spark):
     df = spark.createDataFrame([("a", 1)], "sku string, v long")
     runner = jobs.BulkJobRunner()
@@ -33,6 +54,43 @@ def test_bulk_job_failure_recorded(spark):
 
     job = runner.run(df, "sku", boom)
     assert job.status == "failed" and "nope" in job.error
+
+
+def test_write_xlsx_roundtrip(spark, tmp_path):
+    """CSV <-> XLSX round-trip (S16 export parity with the reference's
+    exceljs route). Skipped where openpyxl is absent — the writer is
+    import-gated exactly like the Excel reader bridge."""
+    pytest.importorskip("openpyxl")
+    import pandas as pd
+
+    from kaspi_etl_spark.ops import export as export_ops
+
+    df = spark.createDataFrame(
+        [("M1", "P1", "red/M", "Alpha", 12990, "2025-01-01", False),
+         ("M1", "P2", "blue/L", "Out of stock", 0, "", False)],
+        "masterProductId string, productId string, label string, name string,"
+        " price long, deliveryDate string, isPriceBot boolean",
+    )
+    xlsx = tmp_path / "export.xlsx"
+    export_ops.write_xlsx(df, str(xlsx))
+    back = pd.read_excel(xlsx, engine="openpyxl")
+    assert len(back) == 2
+    assert sorted(back["productId"]) == ["P1", "P2"]
+    assert int(back.loc[back["productId"] == "P1", "price"].iloc[0]) == 12990
+
+
+def test_write_xlsx_gated_without_openpyxl(spark, tmp_path):
+    try:
+        import openpyxl  # noqa: F401
+
+        pytest.skip("openpyxl present; gating branch not reachable")
+    except ImportError:
+        pass
+    from kaspi_etl_spark.ops import export as export_ops
+
+    df = spark.createDataFrame([("a",)], "x string")
+    with pytest.raises(NotImplementedError, match="openpyxl"):
+        export_ops.write_xlsx(df, str(tmp_path / "x.xlsx"))
 
 
 def test_excel_bridge_gated(spark, tmp_path):

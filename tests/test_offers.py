@@ -34,6 +34,26 @@ def test_dedupe_sellers_tie_break(spark):
     assert by_key[("v2", "gamma")].price == 5000
 
 
+def test_dedupe_agg_matches_window_on_null_vs_empty_delivery(spark):
+    """The min(struct) fast path must pick the same winner as the window
+    form when tied candidates mix null and empty-string deliveryDate at
+    equal price: struct comparison is NULLS FIRST, the window sorts
+    asc_nulls_last, so k4 needs the explicit null-after encoding."""
+    rows = [
+        # equal price, delivery '' vs NULL — asc_nulls_last prefers ''
+        ("v1", "Seller", 1000, "", "u1"),
+        ("v1", "seller", 1000, None, "u2"),
+    ]
+    df = spark.createDataFrame(
+        rows, "productId string, name string, price long, deliveryDate string, row_uid string"
+    )
+    payload = ["name", "price", "deliveryDate", "row_uid"]
+    win = offers.dedupe_sellers(df, tie_breakers=["row_uid"]).collect()
+    agg = offers.dedupe_sellers_agg(df, payload).collect()
+    assert len(win) == len(agg) == 1
+    assert win[0].row_uid == agg[0].row_uid == "u1"
+
+
 def test_unique_sellers_canary(spark):
     # analytics.test.ts:17 — exact distinct seller count across variants == 4
     deduped = offers.dedupe_sellers(sellers_df(spark))

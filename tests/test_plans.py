@@ -71,6 +71,14 @@ def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_embedding_cosine_pairs_is_bucketed_not_cartesian(spark, sf_dir):
+    # the registered near-dup query must run LSH-bucketed candidate
+    # generation + id equi-joins — never an all-pairs theta join
+    plan = plan_of(spark, sf_dir, "embedding_cosine_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 @pytest.mark.parametrize("name", ["minhash_lsh_pairs", "ngram_jaccard_pairs"])
 def test_dedup_pipelines_have_no_join(spark, sf_dir, name):
     # pair generation happens inside posting-list buckets: the quadratic

@@ -35,6 +35,16 @@ def test_salted_join_left(spark):
     assert by_key == {"a": "x", "b": None}
 
 
+def test_salted_join_rejects_right_outer(spark):
+    import pytest
+
+    big = spark.createDataFrame([("a", 1)], "key string, v long")
+    dim = spark.createDataFrame([("a", "x")], "key string, name string")
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            scale.salted_join(big, dim, "key", how=how)
+
+
 def test_ttl_cache(spark):
     clock = {"t": 0.0}
     builds = {"n": 0}

@@ -139,3 +139,67 @@ def test_csv_readers(spark, tmp_path):
     )
     df2 = readers.read_typed_csv(spark, str(q), schema)
     assert df2.collect()[0].qty_on_hand == 5
+
+
+def test_recursive_seller_probe_known_paths():
+    """F20 full variant (opponents/route.ts:182-249): known dotted paths
+    win before any recursion."""
+    js = {"data": {"content": [
+        {"merchantId": "m1", "merchantName": "Shop A", "price": 12990},
+        {"merchantId": "m2", "merchantName": "Shop B", "price": 13100},
+    ]}}
+    out = rest.extract_sellers(js)
+    assert [s["merchantId"] for s in out] == ["m1", "m2"]
+    assert out[0]["price"] == 12990.0
+
+
+def test_recursive_seller_probe_deep_search():
+    """No known path matches -> BFS finds the first seller-like array
+    anywhere in the tree; candidate keys coalesce (sellerId/seller/value)."""
+    js = {"meta": {"x": 1}, "payload": {"wrap": [{"deep": {"arr": [
+        {"sellerId": 7, "seller": "Depth Shop", "value": "4990"},
+        {"note": "not seller-like"},
+    ]}}]}}
+    out = rest.extract_sellers(js, merchant_id="7")
+    # the array is taken once one element matches; the non-seller row is
+    # then dropped by the id/name filter (route.ts:249)
+    assert len(out) == 1
+    assert out[0] == {
+        "merchantId": "7", "merchantName": "Depth Shop", "price": 4990.0, "isYou": True,
+    }
+
+
+def test_recursive_seller_probe_prices_fallback_and_filter():
+    """Non-numeric price falls back to the prices[] list (route.ts:243-246);
+    rows with neither id nor name are dropped."""
+    js = [
+        {"name": "P-list Shop", "price": "abc",
+         "prices": [{"price": None}, {"price": "777"}]},
+        {"price": 100},  # no merchant-ish key -> dropped
+    ]
+    out = rest.extract_sellers(js)
+    assert out == [
+        {"merchantId": "P-list Shop", "merchantName": "P-list Shop",
+         "price": 777.0, "isYou": False}
+    ]
+
+
+def test_recursive_seller_probe_null_coalescing():
+    """JS ?? parity: explicit null price falls through to offerPrice."""
+    js = {"items": [{"merchantId": "m", "name": "N", "price": None, "offerPrice": 55}]}
+    assert rest.extract_sellers(js)[0]["price"] == 55.0
+
+
+def test_sellers_from_json_udf(spark):
+    df = spark.createDataFrame(
+        [("1", '{"offers": {"items": [{"merchantUID": "u9", "merchant": "U Shop", "offerPrice": 250}]}}'),
+         ("2", "not json"),
+         ("3", None)],
+        "id string, body string",
+    )
+    probe = rest.sellers_from_json_udf(merchant_id="u9")
+    out = df.select("id", F.explode_outer(probe(F.col("body"))).alias("s")).collect()
+    by_id = {r.id: r.s for r in out}
+    assert by_id["1"].merchantName == "U Shop" and by_id["1"].price == 250.0
+    assert by_id["1"].isYou is True
+    assert by_id["2"] is None and by_id["3"] is None

@@ -129,6 +129,42 @@ def test_stream_v2_matches_replay(spark):
             shutil.rmtree(d, ignore_errors=True)
 
 
+def test_flag_group_chunked_tick_single_min():
+    """A variant group larger than arrow.maxRecordsPerBatch arrives as
+    multiple pandas chunks. A ts tick split across chunks must still be
+    scored against ONE tick minimum over the whole group, with exactly
+    one ring-buffer append per seller — not per fragment."""
+    import json
+
+    import pandas as pd
+
+    class FakeState:
+        exists = False
+        get = None
+
+        def update(self, value):
+            self.value = value
+
+    t0 = datetime.datetime(2025, 9, 1, 12, 0, 0)
+    # One tick split across two chunks: the true minimum (9000) is only
+    # in the second chunk. Unfixed per-chunk logic would see vmin=10000
+    # in chunk 1 and flag "bot" as undercutting; the whole-group minimum
+    # puts it 1000 over (margin is 50), so its undercut bit must be 0.
+    c1 = pd.DataFrame(
+        {"variantId": ["v1"], "seller": ["bot"], "ts": [t0], "price": [10000]}
+    )
+    c2 = pd.DataFrame(
+        {"variantId": ["v1"], "seller": ["anchor"], "ts": [t0], "price": [9000]}
+    )
+    state = FakeState()
+    (out,) = list(watch._flag_group(("v1",), [c1, c2], state))
+    assert len(out) == 2  # one output row per seller for the tick
+    bufs = json.loads(state.value[0])
+    assert bufs["bot"] == [0]  # scored against the cross-chunk minimum
+    assert bufs["anchor"] == [1]
+    assert all(len(v) == 1 for v in bufs.values())  # no double appends
+
+
 def test_windowed_price_stats_batch(spark):
     # watermark + tumbling window sanity on a batch frame (same plan shape
     # the streaming job uses)
