@@ -398,39 +398,41 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     """
     # Materialize the edge list once — it is consumed every iteration,
     # and without the checkpoint each round would recompute the entire
-    # upstream pair pipeline (the expensive part).
-    edges = (
+    # upstream pair pipeline (the expensive part). Self-loops make every
+    # vertex its own neighbor, so one join+agg per round covers both the
+    # neighbor minimum AND keeping isolated-from-this-round vertices —
+    # no second left-join pass.
+    verts = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("v")))
+        .distinct()
+    )
+    edges_self = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .unionByName(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
         .distinct()
     ).localCheckpoint()
-    labels = (
-        edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    labels = edges_self.select(F.col("src").alias("v")).distinct().withColumn(
+        "label", F.col("v")
     )
+    # Labels only ever decrease, so the label sum is strictly monotone
+    # while anything changes: comparing one exact-decimal scalar per
+    # round replaces the old join-with-previous + count convergence job.
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).collect()[0]["s"]
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges["dst"] == labels["v"])
+        labels_new = (
+            edges_self.join(labels, edges_self["dst"] == labels["v"])
             .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels["v"] == neighbor_min["src"], "left")
-            .select(
-                "v",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-                ).alias("label"),
-            )
+            .agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("v"), "label")
         ).localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.v") == F.col("o.v"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels_new.agg(label_sum).collect()[0]["s"]
+        labels = labels_new
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     else:
         raise RuntimeError(
             f"connected_components did not converge in {max_iterations} "

@@ -39,6 +39,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (measured, round 2): lowering
+        # adaptive.coalescePartitions.minPartitionSize below the 1MB
+        # default widens small-SF shuffles (export_flat ~ -13%) but costs
+        # iterative jobs far more in per-round task overhead
+        # (dedup_clusters ~ +50%); the default is the right trade.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
