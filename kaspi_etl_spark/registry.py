@@ -3013,3 +3013,184 @@ def q_events_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.getItem(2).alias("p99"),
         F.count("*").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 widening: per-doc TF-IDF terms, keyed event dedup (the batch
+# form of streaming dropDuplicatesWithinWatermark), and end-to-end
+# semantic dedup keep-lists over the embedding column.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+    WITH docs AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS words FROM documents),
+    toks AS (SELECT doc_id, unnest(words) AS term FROM docs),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    withdf AS (
+      SELECT doc_id, term, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM tf
+    ),
+    scored AS (
+      SELECT doc_id, term, tf, df,
+             CAST(tf * ((SELECT COUNT(*) FROM documents) + 1) AS DOUBLE)
+               / CAST(df + 1 AS DOUBLE) AS tfidf
+      FROM withdf
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, df, tfidf, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document, the keyword-extraction seed of a
+    corpus index. idf is the RATIONAL form (N+1)/(df+1) — integer-exact
+    numerator/denominator with one IEEE division, so scores are
+    bit-identical across engines (ln()-based idf is libm-dependent).
+
+    Shape: explode -> groupBy (doc, term) [map-side combined] -> df as a
+    COUNT over the term partition (no vocabulary self-join to schedule)
+    -> corpus size as a 1-row broadcast cross join -> per-doc top-3 via
+    WindowGroupLimit. Three narrow shuffles: (doc,term), term, doc."""
+    d = _read(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(text_ops.extract_words(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    withdf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+    )
+    n = d.agg(F.count("*").cast("long").alias("n_docs"))
+    scored = withdf.crossJoin(F.broadcast(n)).select(
+        "doc_id", "term", "tf", "df",
+        ((F.col("tf") * (F.col("n_docs") + 1)).cast("double")
+         / (F.col("df") + 1).cast("double")).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "events_dedup",
+    """
+    WITH ev AS (
+      SELECT event_id, epoch_ns(ts) // 1000 AS ts_us, user_id, event_type, value
+      FROM events
+    ),
+    dup AS (
+      SELECT event_id, ts_us + 3600000000 AS ts_us, user_id, event_type,
+             value + 1 AS value
+      FROM ev WHERE event_id % 10 = 0
+    ),
+    uni AS (SELECT * FROM ev UNION ALL SELECT * FROM dup),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY event_id ORDER BY ts_us ASC, value ASC) AS rn
+      FROM uni
+    )
+    SELECT event_id, CAST(ts_us AS BIGINT) AS ts_us, user_id, event_type, value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed event dedup — first record per event_id wins (ts asc, value
+    asc tie-break). The batch replay of the streaming
+    dropDuplicatesWithinWatermark operator (tests/test_streaming.py
+    drives the streaming form); at-least-once sources make this the
+    standard first stage of any event pipeline. Duplicates are
+    synthesized (+1h replays of every 10th event) so the dedupe has real
+    work. Timestamps travel as integer epoch-micros: the parquet column
+    is TIMESTAMP(NANOS), and emitting integers keeps Spark (micros) and
+    the oracle (nanos) bit-identical."""
+    ev = read_events(spark, sf_dir).select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type", "value"
+    )
+    dup = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id",
+        (F.col("ts_us") + 3_600_000_000).alias("ts_us"),
+        "user_id",
+        "event_type",
+        (F.col("value") + 1).alias("value"),
+    )
+    uni = ev.unionByName(dup)
+    w = Window.partitionBy("event_id").orderBy(F.col("ts_us").asc(), F.col("value").asc())
+    return (
+        uni.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+@register(
+    "semantic_dedup_keep",
+    f"""
+    WITH vecs_raw AS ({SQL_EMB_AUGMENTED}),
+    vecs AS (
+      SELECT vec_id,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM (SELECT vec_id, v,
+                   sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+            FROM vecs_raw)
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      WHERE {SQL_DOT.replace("{A}", "a.vn").replace("{B}", "b.vn")} >= CAST(0.99 AS DOUBLE)
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+      UNION SELECT id_a, id_a FROM pairs
+      UNION SELECT id_b, id_b FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src
+      )
+      SELECT * FROM r
+    ),
+    labels AS (
+      SELECT src AS vec_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    )
+    SELECT v.vec_id,
+           CAST(COALESCE(l.cluster_id, v.vec_id) AS BIGINT) AS cluster_id,
+           COALESCE(l.cluster_id, v.vec_id) = v.vec_id AS keep
+    FROM vecs_raw v LEFT JOIN labels l ON v.vec_id = l.vec_id
+    """,
+)
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end embedding-level dedup decision list: bucketed cosine
+    near-dup pairs (banded hyperplane LSH + exact verify, never
+    all-pairs) -> connected components -> every vector labeled with its
+    cluster representative and a keep flag (representative = min id).
+    This is the query a 100 TB curation run actually executes; the
+    oracle recomputes it with an exact all-pairs join + recursive CTE."""
+    vecs = emb_augmented(spark, sf_dir)
+    pairs = sim_ops.cosine_near_dup_pairs_bucketed(
+        vecs, threshold=0.99, id_col="vec_id", vec_col="v", dim=64
+    )
+    cc = dedup_ops.connected_components(pairs.select("id_a", "id_b"))
+    labeled = vecs.select("vec_id").join(
+        cc.select(F.col("doc_id").alias("vec_id"), "cluster_id"), "vec_id", "left"
+    )
+    return labeled.select(
+        "vec_id",
+        F.coalesce(F.col("cluster_id"), F.col("vec_id")).cast("long").alias("cluster_id"),
+        (F.coalesce(F.col("cluster_id"), F.col("vec_id")) == F.col("vec_id")).alias("keep"),
+    )

@@ -165,6 +165,54 @@ def test_flag_group_chunked_tick_single_min():
     assert all(len(v) == 1 for v in bufs.values())  # no double appends
 
 
+def test_drop_duplicates_within_watermark_stream(spark):
+    """Streaming form of the events_dedup operator: duplicate event ids
+    arriving within the watermark window are dropped; state is bounded by
+    the watermark (keys older than it are evicted). One batch replays an
+    id from batch 0 — the replay must not re-emit."""
+    src = tempfile.mkdtemp(prefix="dd_src_")
+    sink = tempfile.mkdtemp(prefix="dd_sink_")
+    ckpt = tempfile.mkdtemp(prefix="dd_ckpt_")
+    t0 = datetime.datetime(2025, 9, 1, 12, 0, 0)
+    try:
+        import time as _time
+
+        def tick(idx, rows):
+            spark.createDataFrame(
+                rows, "event_id long, ts timestamp, value double"
+            ).coalesce(1).write.mode("overwrite").json(f"{src}/tick_{idx}")
+
+        tick(0, [(1, t0, 1.0), (2, t0, 2.0)])
+        _time.sleep(1.2)
+        # batch 1: id 1 replays (dropped), id 3 is new (kept)
+        tick(1, [(1, t0 + datetime.timedelta(minutes=1), 99.0),
+                 (3, t0 + datetime.timedelta(minutes=1), 3.0)])
+
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp, value double")
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{src}/tick_*")
+        )
+        deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+        q = (
+            deduped.writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.schema("event_id long, ts timestamp, value double").json(sink)
+        rows = {r.event_id: r.value for r in got.collect()}
+        assert rows == {1: 1.0, 2: 2.0, 3: 3.0}  # replayed id 1 kept its first value
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_windowed_price_stats_batch(spark):
     # watermark + tumbling window sanity on a batch frame (same plan shape
     # the streaming job uses)
