@@ -3194,3 +3194,99 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("cluster_id"), F.col("vec_id")).cast("long").alias("cluster_id"),
         (F.coalesce(F.col("cluster_id"), F.col("vec_id")) == F.col("vec_id")).alias("keep"),
     )
+
+
+@register(
+    "docs_stratified_sample",
+    f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_sql_md5_long("CAST(doc_id AS VARCHAR)")} % 100 <
+          CASE WHEN lang = 'en' THEN 20
+               WHEN lang = 'zh' THEN 80
+               ELSE 50 END
+    """,
+)
+def q_docs_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling with per-language rates — the
+    corpus-rebalancing primitive (downsample the dominant language,
+    upsample the rare one). Same content-independent id-hash splitter as
+    docs_sample_deterministic, so strata are reproducible across engines
+    and runs and a doc's membership never depends on partitioning. Pure
+    filter on the scan: no shuffle at any scale."""
+    d = _read(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 20)
+        .when(F.col("lang") == "zh", 80)
+        .otherwise(50)
+    )
+    return d.filter(
+        dedup_ops.md5_long(F.col("doc_id").cast("string")) % 100 < rate
+    ).select("doc_id", "lang", "source")
+
+
+# Method-agreement panel: the three near-dup detectors over the same
+# corpus, rolled up by which methods found each candidate pair. This is
+# the threshold-tuning query a dedup pipeline owner actually runs; the
+# oracle nests the three already-verified oracle queries as CTEs, so the
+# panel is checked against the same SQL that checks each method.
+_PANEL_SQL = f"""
+    WITH mh AS ({{mh}}),
+    sh AS ({{sh}}),
+    jc AS ({{jc}}),
+    pairs AS (
+      SELECT id_a, id_b FROM mh
+      UNION SELECT id_a, id_b FROM sh
+      UNION SELECT id_a, id_b FROM jc
+    ),
+    flags AS (
+      SELECT p.id_a, p.id_b,
+             EXISTS(SELECT 1 FROM mh WHERE mh.id_a = p.id_a AND mh.id_b = p.id_b) AS in_minhash,
+             EXISTS(SELECT 1 FROM sh WHERE sh.id_a = p.id_a AND sh.id_b = p.id_b) AS in_simhash,
+             EXISTS(SELECT 1 FROM jc WHERE jc.id_a = p.id_a AND jc.id_b = p.id_b) AS in_jaccard
+      FROM pairs p
+    )
+    SELECT in_minhash, in_simhash, in_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM flags GROUP BY in_minhash, in_simhash, in_jaccard
+"""
+
+
+@register(
+    "dedup_method_panel",
+    _PANEL_SQL.format(
+        mh=ORACLES["minhash_lsh_pairs"],
+        sh=ORACLES["simhash_pairs"],
+        jc=ORACLES["ngram_jaccard_capped"],
+    ),
+)
+def q_dedup_method_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup method agreement: every candidate pair found by MinHash
+    LSH (est >= 0.5), SimHash (hamming <= 3), or capped exact Jaccard
+    (>= 0.5), grouped by which detectors agree. Spark runs the three real
+    pipelines once each, full-outer-aligns the pair sets on (id_a, id_b),
+    and counts per agreement cell — 8 possible rows, so the rollup is a
+    trivially small final shuffle regardless of corpus size."""
+    docs = llm_docs(spark, sf_dir)
+    mh = dedup_ops.minhash_near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    ).select("id_a", "id_b").withColumn("in_minhash", F.lit(True))
+    sh = dedup_ops.simhash_pairs(docs, max_hamming=3, bands=4).select(
+        "id_a", "id_b"
+    ).withColumn("in_simhash", F.lit(True))
+    jc = dedup_ops.ngram_jaccard_pairs(docs, threshold=0.5, max_doc_freq=100).select(
+        "id_a", "id_b"
+    ).withColumn("in_jaccard", F.lit(True))
+    keys = ["id_a", "id_b"]
+    panel = (
+        mh.join(sh, keys, "full")
+        .join(jc, keys, "full")
+        .select(
+            F.coalesce("in_minhash", F.lit(False)).alias("in_minhash"),
+            F.coalesce("in_simhash", F.lit(False)).alias("in_simhash"),
+            F.coalesce("in_jaccard", F.lit(False)).alias("in_jaccard"),
+        )
+    )
+    return panel.groupBy("in_minhash", "in_simhash", "in_jaccard").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )

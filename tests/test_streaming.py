@@ -222,6 +222,73 @@ def test_windowed_price_stats_batch(spark):
     assert out[0].min_price == 10000 and out[0].max_price == 10500
 
 
+def test_session_windows_merge_in_streaming(spark):
+    """Streaming form of events_session_windows: session_window + watermark
+    merges events within the 30-min gap across micro-batches and emits the
+    closed session once the watermark passes it. Two sessions for one user
+    (gap > 30 min) must come out as two rows with correct counts."""
+    import time as _time
+
+    src = tempfile.mkdtemp(prefix="sw_src_")
+    sink = tempfile.mkdtemp(prefix="sw_sink_")
+    ckpt = tempfile.mkdtemp(prefix="sw_ckpt_")
+    t = lambda h, m: datetime.datetime(2025, 9, 1, h, m, 0)  # noqa: E731
+    try:
+        def tick(idx, rows):
+            spark.createDataFrame(rows, "user_id long, ts timestamp, v long").coalesce(
+                1
+            ).write.mode("overwrite").json(f"{src}/tick_{idx}")
+
+        # session 1: three events 12:00-12:20 (each within 30 min of prior)
+        tick(0, [(1, t(12, 0), 10), (1, t(12, 20), 5)])
+        _time.sleep(1.2)
+        tick(1, [(1, t(12, 40), 1)])  # still session 1 (20-min gap)
+        _time.sleep(1.2)
+        # session 2 after a >30-min gap; 18:00 pushes the watermark far
+        # enough to close and emit both sessions
+        tick(2, [(1, t(14, 0), 7), (1, t(18, 0), 0)])
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp, v long")
+            .option("maxFilesPerTrigger", "1")
+            .json(f"{src}/tick_*")
+        )
+        sessions = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(watch.F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(
+                watch.F.count("*").cast("long").alias("n_events"),
+                watch.F.sum("v").cast("long").alias("sum_v"),
+            )
+            .select(
+                "user_id",
+                watch.F.col("w.start").alias("session_start"),
+                "n_events",
+                "sum_v",
+            )
+        )
+        q = (
+            sessions.writeStream.format("json")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.read.schema(
+            "user_id long, session_start timestamp, n_events long, sum_v long"
+        ).json(sink)
+        by_start = {r.session_start: (r.n_events, r.sum_v) for r in got.collect()}
+        # session 1 merged across micro-batches: 3 events, sum 16
+        assert by_start[t(12, 0)] == (3, 16)
+        # session 2 (14:00) closed by the 18:00 watermark advance
+        assert by_start[t(14, 0)] == (1, 7)
+    finally:
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def test_watermark_drops_late_data(spark):
     """Watermarked tumbling windows, actual Spark semantics: a late row
     merges while its window's state is still live, and is DROPPED once
