@@ -166,3 +166,78 @@ def test_kids_sizing_confidence_bounds(spark, rows):
         # (e.g. 1cm outside a boundary -> 0.95).
         assert 0.3 <= r.confidence_score <= 1.0
         assert r.recommended_size in {"22", "24", "26", "28", "30", "32", "34"}
+
+
+# --- Round-2 additions ------------------------------------------------------
+
+_json_scalars = st.one_of(
+    st.none(), st.booleans(), st.integers(-10**6, 10**6),
+    st.floats(allow_nan=False, allow_infinity=False, width=32),
+    st.text(max_size=12),
+)
+_json_values = st.recursive(
+    _json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(
+            st.sampled_from(
+                ["items", "price", "name", "merchantId", "data", "x", "prices",
+                 "seller", "value", "offerPrice", "content"]
+            ),
+            children,
+            max_size=4,
+        ),
+    ),
+    max_leaves=25,
+)
+
+
+@FAST
+@given(_json_values)
+def test_recursive_seller_probe_total(js):
+    """extract_sellers must be total over arbitrary JSON: never raises,
+    and every emitted row has a non-empty id and name and a float price
+    (the reference's output contract after its filter)."""
+    from kaspi_etl_spark.sources import rest
+
+    out = rest.extract_sellers(js)
+    for s in out:
+        assert s["merchantId"] and s["merchantName"]
+        assert isinstance(s["price"], float) and s["price"] == s["price"]
+        assert isinstance(s["isYou"], bool)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=8, max_size=8,
+        ),
+        min_size=2, max_size=12, unique_by=tuple,
+    )
+)
+def test_bucketed_cosine_pairs_subset_of_exact(spark, vecs):
+    """The LSH-bucketed near-dup pairs are candidates VERIFIED by exact
+    cosine, so on any input they must be a subset of the all-pairs form
+    (no false positives, ever — recall is probabilistic, precision is
+    not)."""
+    from kaspi_etl_spark.llm import similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, v array<double>",
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(
+            df, threshold=0.9, id_col="vec_id", vec_col="v"
+        ).collect()
+    }
+    bucketed = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs_bucketed(
+            df, threshold=0.9, id_col="vec_id", vec_col="v", dim=8
+        ).collect()
+    }
+    assert bucketed <= exact

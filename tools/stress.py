@@ -79,6 +79,41 @@ def main() -> None:
         n_surv,
     )
 
+    # Embedding path: K x sf0.1 vectors through the bucketed cosine
+    # near-dup pipeline (candidate buckets + exact verify — the scale
+    # shape that replaced the all-pairs join).
+    from kaspi_etl_spark.llm import similarity as sim  # noqa: E402
+
+    base_emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    emb_parts = [
+        base_emb.select((F.col("vec_id") + F.lit(i * 10_000_000)).alias("vec_id"), "v")
+        for i in range(k)
+    ]
+    emb = emb_parts[0]
+    for p in emb_parts[1:]:
+        emb = emb.unionByName(p)
+    emb = emb.localCheckpoint()
+    n_emb = emb.count()
+    print(f"# stress embeddings: {n_emb} vectors ({k} x sf0.1)")
+    run(
+        "cosine_pairs_bucketed",
+        lambda: sim.cosine_near_dup_pairs_bucketed(
+            emb, threshold=0.99, id_col="vec_id", vec_col="v", dim=64
+        ),
+        n_emb,
+    )
+    run(
+        "semantic_clusters",
+        lambda: dedup.connected_components(
+            sim.cosine_near_dup_pairs_bucketed(
+                emb, threshold=0.99, id_col="vec_id", vec_col="v", dim=64
+            ).select("id_a", "id_b")
+        ),
+        n_emb,
+    )
+
 
 if __name__ == "__main__":
     main()
