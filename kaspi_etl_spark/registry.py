@@ -3290,3 +3290,52 @@ def q_dedup_method_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return panel.groupBy("in_minhash", "in_simhash", "in_jaccard").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+@register(
+    "benchmark_contamination",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
+    sh AS (SELECT doc_id, list_distinct(
+             [array_to_string(w[i+1:i+5], ' ')
+              for i in range(0, greatest(len(w) - 5, 0) + 1)]) AS shingles
+           FROM w),
+    hx AS (SELECT doc_id, unnest([{_sql_md5_long('s')} for s in shingles]) AS h
+           FROM sh),
+    bench AS (SELECT DISTINCT h FROM hx WHERE doc_id % 97 = 0),
+    corp AS (SELECT doc_id, h FROM hx WHERE doc_id % 97 <> 0)
+    SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM corp c JOIN bench b ON c.h = b.h
+    GROUP BY c.doc_id
+    """,
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: training docs sharing any word 5-gram with
+    the held-out benchmark set (here: doc_id % 97 == 0) are flagged with
+    their shared-shingle count — the standard pre-training hygiene gate.
+
+    Shape: both sides shingle map-side (one md5 per distinct shingle),
+    then a single equi-join on the 8-byte hash and a groupBy(doc_id).
+    The benchmark side is orders of magnitude smaller than the corpus,
+    so Spark broadcasts it (at extreme scale, swap in a bloom filter of
+    benchmark hashes as a pre-filter and keep this join as the exact
+    confirm)."""
+    docs = llm_docs(spark, sf_dir)
+    w = docs.select("doc_id", dedup_ops.split_words(F.col("text")).alias("_w"))
+    hx = w.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                dedup_ops.shingles_from_words(F.col("_w"), 5),
+                lambda s: dedup_ops.md5_long(s),
+            )
+        ).alias("h"),
+    )
+    bench = hx.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
+    corp = hx.filter(F.col("doc_id") % 97 != 0)
+    return (
+        corp.join(bench, "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+    )

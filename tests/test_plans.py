@@ -71,6 +71,20 @@ def test_ann_brute_force_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_tfidf_uses_window_group_limit(spark, sf_dir):
+    # per-doc top-3 must push the partial top-k below the shuffle; the
+    # only BNLJ allowed is the 1-row corpus-size broadcast cross join
+    plan = plan_of(spark, sf_dir, "tfidf_top_terms")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_keep_is_bucketed_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "semantic_dedup_keep")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_embedding_cosine_pairs_is_bucketed_not_cartesian(spark, sf_dir):
     # the registered near-dup query must run LSH-bucketed candidate
     # generation + id equi-joins — never an all-pairs theta join
