@@ -143,6 +143,22 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_words")
 
 
+# Winnowing gram-hash constants: polynomial hash base/modulus shared
+# bit-exactly with the DuckDB oracle SQL (registry.py winnowing query).
+# 31-bit modulus keeps every ord*coeff product < 2^52 (exact in int64 on
+# both engines). Collisions in a 31-bit space are fine for a sketch.
+WINNOW_MOD = 2_147_483_647  # 2^31 - 1
+WINNOW_BASE = 1_000_003
+
+
+def winnow_coeffs(gram_chars: int) -> list[int]:
+    """Positional coefficients B^(g-1-k) mod M for k = 0..g-1."""
+    return [
+        pow(WINNOW_BASE, gram_chars - 1 - k, WINNOW_MOD)
+        for k in range(gram_chars)
+    ]
+
+
 def with_winnowing_fingerprint(
     df: DataFrame,
     text_col: str = "text",
@@ -158,37 +174,60 @@ def with_winnowing_fingerprint(
     contributes a common fingerprint element — the locality property
     plain bottom-k sketches lack.
 
-    Expression-only, with the normalized text and the gram-hash array
-    each materialized as real columns before their lambda-heavy
-    consumers (lambda-reuse discipline): O(n * window) map-side CPU.
+    Vectorized mapInPandas stage (Arrow batches, numpy sliding-window
+    dot products): narrow — no shuffle — and O(n) per document. The
+    gram hash is a fixed-coefficient polynomial over code points
+    (``WINNOW_BASE``/``WINNOW_MOD``), mirrored exactly in the DuckDB
+    oracle. An earlier expression-only form computed md5-per-gram inside
+    interpreted higher-order-function lambdas — HOF lambdas never enter
+    whole-stage codegen, which made it ~2000x slower than this path.
+    Short texts (< gram_chars) hash their available chars at the same
+    positional weights (missing positions contribute 0); empty text
+    yields fingerprint [0]; NULL text yields NULL.
     """
-    norm = df.withColumn(
-        "_norm", F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+    import re
+
+    import numpy as np
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    coeffs = np.array(winnow_coeffs(gram_chars), dtype=np.int64)
+    # Java/RE2 \s is the ASCII set — spell it out so Python's
+    # Unicode-aware \s can't diverge from the oracle's regexp_replace.
+    ws_re = re.compile("[ \t\n\x0b\x0c\r]+")
+    gc, win, mod = gram_chars, window, WINNOW_MOD
+
+    # New list — StructType keeps the list it is given, so building from
+    # df.schema.fields directly would mutate the input's cached schema.
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField(out_col, ArrayType(LongType()))]
     )
-    gram_idx = F.sequence(
-        F.lit(1), F.greatest(F.length("_norm") - gram_chars + 1, F.lit(1))
-    )
-    grams = norm.withColumn(
-        "_grams",
-        F.transform(
-            gram_idx,
-            lambda i: F.conv(
-                F.substring(F.md5(F.substring(F.col("_norm"), i, gram_chars)), 1, 15),
-                16,
-                10,
-            ).cast("long"),
-        ),
-    )
-    win_idx = F.sequence(
-        F.lit(1), F.greatest(F.size("_grams") - window + 1, F.lit(1))
-    )
-    mins = F.transform(
-        win_idx, lambda j: F.array_min(F.slice(F.col("_grams"), j, window))
-    )
-    return (
-        grams.withColumn(out_col, F.array_sort(F.array_distinct(mins)))
-        .drop("_norm", "_grams")
-    )
+
+    def _fingerprint(text: str) -> list[int]:
+        norm = ws_re.sub(" ", text.lower())
+        codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+            np.int64
+        )
+        n_pos = max(len(codes) - gc + 1, 1)
+        padded = np.concatenate([codes, np.zeros(gc, dtype=np.int64)])
+        grams = (
+            np.lib.stride_tricks.sliding_window_view(padded, gc)[:n_pos] @ coeffs
+        ) % mod
+        if len(grams) >= win:
+            mins = np.lib.stride_tricks.sliding_window_view(grams, win).min(axis=1)
+        else:
+            mins = grams.min(keepdims=True)
+        return np.unique(mins).tolist()
+
+    def _batches(it):
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[out_col] = [
+                None if t is None else _fingerprint(t) for t in pdf[text_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(_batches, schema=out_schema)
 
 
 def doc_fingerprint(text: Column, k: int = 8, shingle_words: int = 3) -> Column:

@@ -2767,6 +2767,14 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.sample_frames(media, every_ms=5000)
 
 
+# Winnowing gram hash: fixed-coefficient polynomial over code points,
+# mirroring text.with_winnowing_fingerprint bit-for-bit (same
+# WINNOW_BASE/WINNOW_MOD; missing positions past end-of-string weigh 0).
+_SQL_WINNOW_TERMS = " + ".join(
+    f"coalesce(cs[i+{k}]*{c},0)" for k, c in enumerate(text_ops.winnow_coeffs(8))
+)
+
+
 @register(
     "winnowing_fingerprints",
     f"""
@@ -2774,11 +2782,18 @@ def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS nt
       FROM documents
     ),
+    codes AS (
+      SELECT doc_id, nt,
+             CASE WHEN nt = '' THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(string_split(nt, ''), c -> ord(c)::BIGINT)
+             END AS cs
+      FROM norm
+    ),
     grams AS (
       SELECT doc_id,
-             [{_sql_md5_long("substr(nt, i, 8)")}
+             [({_SQL_WINNOW_TERMS}) % {text_ops.WINNOW_MOD}
               for i in range(1, greatest(length(nt) - 8 + 1, 1) + 1)] AS g
-      FROM norm
+      FROM codes
     ),
     f AS (
       SELECT doc_id,
@@ -2796,8 +2811,14 @@ def q_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Registered form emits one (doc_id, fp) row per selected hash — scalar
     columns for the driver canonicalizer; array form stays in the library
-    (`text.with_winnowing_fingerprint`)."""
-    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    (`text.with_winnowing_fingerprint`). Input is repartitioned so the
+    per-document gram work spreads across all cores instead of the one
+    task a single small parquet file would otherwise produce."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     fp = text_ops.with_winnowing_fingerprint(d).select("doc_id", "fingerprint")
     return fp.select("doc_id", F.explode("fingerprint").alias("fp"))
 

@@ -67,3 +67,50 @@ def test_simhash_identical_and_pairs(spark):
     pairs = dedup.simhash_pairs(df, max_hamming=3)
     got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
     assert got[(1, 2)] == 0
+
+def test_winnowing_fingerprint_locality_and_parity(spark):
+    """Winnowing guarantee: any shared substring of length >= gram + window - 1
+    (13 chars here) contributes at least one common fingerprint hash. Plus a
+    pinned value computed independently (pure-Python ord/poly arithmetic) so
+    the Spark/oracle hash can never drift silently."""
+    from kaspi_etl_spark.llm import text as text_ops
+
+    shared = "identical shared clause inside"
+    rows = [
+        (1, f"lead-in words {shared} and a tail"),
+        (2, f"other preamble {shared} different ending"),
+        (3, "no overlap with anything else in this corpus at all"),
+        (4, ""),  # empty text -> fingerprint [0]
+        (5, None),  # NULL text -> NULL fingerprint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.fingerprint
+        for r in text_ops.with_winnowing_fingerprint(df).collect()
+    }
+    assert set(out[1]) & set(out[2]), "shared 13+ char substring must share a hash"
+    assert not (set(out[1]) & set(out[3]))
+    assert out[4] == [0]
+    assert out[5] is None
+    # sorted + distinct
+    assert out[1] == sorted(set(out[1]))
+
+    # independent reimplementation of the gram hash for one short text
+    text = "hello spark"
+    norm = text.lower()
+    C = text_ops.winnow_coeffs(8)
+    M = text_ops.WINNOW_MOD
+    grams = []
+    for i in range(max(len(norm) - 8 + 1, 1)):
+        s = norm[i : i + 8]
+        grams.append(sum(ord(ch) * C[k] for k, ch in enumerate(s)) % M)
+    mins = [min(grams[j : j + 6]) for j in range(max(len(grams) - 6 + 1, 1))]
+    expected = sorted(set(mins))
+    got = (
+        text_ops.with_winnowing_fingerprint(
+            spark.createDataFrame([(1, text)], "doc_id long, text string")
+        )
+        .collect()[0]
+        .fingerprint
+    )
+    assert got == expected
