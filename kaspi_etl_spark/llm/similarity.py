@@ -204,7 +204,7 @@ def cosine_near_dup_pairs_bucketed(
     vec_col: str = "embedding",
     bands: int = 12,
     planes_per_band: int = 12,
-    dim: int = 64,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup pairs: banded hyperplane-LSH
     candidate generation + exact cosine verification. Never all-pairs.
@@ -229,10 +229,38 @@ def cosine_near_dup_pairs_bucketed(
     so precision is deterministic — bucketed output is always a subset
     of the all-pairs form (property-tested). Tests pin equality with the
     all-pairs oracle on the test corpora.
+
+    ``dim`` defaults to the actual vector length (one LIMIT-1 probe at
+    plan build). A wrong ``dim`` would be catastrophic-but-silent:
+    zip_with pads the shorter side with nulls, every hyperplane dot goes
+    NULL, every vector lands in bucket 0 of every band, and the
+    "never all-pairs" contract degrades to the full quadratic candidate
+    set. So the normalized vector is guarded per row — any vector whose
+    length differs from ``dim`` raises instead of degrading.
     """
+    if dim is None:
+        probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(probe["d"]) if probe is not None else 1
     planes = deterministic_planes(bands * planes_per_band, dim)
     vn = with_normalized(vectors, vec_col, "_vn").select(
         F.col(id_col).alias("id"), "_vn"
+    )
+    # Guard wraps _vn itself (not a droppable side column Catalyst could
+    # prune): every downstream consumer evaluates it.
+    vn = vn.withColumn(
+        "_vn",
+        F.when(F.size(F.col("_vn")) == dim, F.col("_vn")).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("cosine_near_dup_pairs_bucketed: embedding length "),
+                    F.size(F.col("_vn")).cast("string"),
+                    F.lit(
+                        f" != dim {dim} — LSH bucketing would silently "
+                        "degenerate to all-pairs"
+                    ),
+                )
+            )
+        ),
     )
     band_keys = [
         F.struct(

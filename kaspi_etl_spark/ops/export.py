@@ -118,13 +118,15 @@ def write_xlsx(df: DataFrame, path: str, sheet_name: str = "Export") -> None:
         raise NotImplementedError(
             "write_xlsx needs openpyxl on the driver; use write_csv here"
         ) from exc
-    n = df.limit(_XLSX_MAX_ROWS + 1).count()
-    if n > _XLSX_MAX_ROWS:
+    # Materialize ONCE with the bound built in: a separate count-then-
+    # toPandas pair runs the plan twice, and a source that changes between
+    # the two runs could slip past the guard into an unbounded collect.
+    pdf = df.limit(_XLSX_MAX_ROWS + 1).toPandas()
+    if len(pdf) > _XLSX_MAX_ROWS:
         raise ValueError(
             f"write_xlsx: result exceeds the {_XLSX_MAX_ROWS}-row XLSX sheet "
             "limit; export with write_csv instead"
         )
-    pdf = df.toPandas()
     pdf.to_excel(path, sheet_name=sheet_name, index=False, engine="openpyxl")
 
 

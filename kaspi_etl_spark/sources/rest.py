@@ -162,7 +162,11 @@ def extract_sellers(js: Any, merchant_id: str | None = None) -> list[dict]:
     offers = pick_array_key(js) if isinstance(js, dict) else []
     if not offers and isinstance(js, list):
         offers = js
-    if not any(is_seller_like(o) for o in offers):
+    # Reference parity (route.ts:228-229): the BFS probe triggers only
+    # when the known paths yield an EMPTY array — a non-empty known-path
+    # array is mapped as-is even if its rows don't look seller-like
+    # (rows with a name but no price key pass the filter with price 0).
+    if not offers:
         found = find_first_seller_array(js)
         if found:
             offers = found

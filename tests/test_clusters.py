@@ -51,3 +51,58 @@ def test_asof_join_semantics(spark):
     assert out[2] == (200.0, t(10))    # exact-time match included
     assert out[3] == (None, None)      # right row is in the future
     assert out[4] == (None, None)      # no right rows for key
+
+def test_star_cc_matches_minlabel_on_random_graphs(spark):
+    """large-star/small-star must agree with min-label propagation on
+    arbitrary graphs (deterministic LCG-generated edge sets)."""
+    state = 987654321
+    def rnd(n):
+        nonlocal state
+        state = (1103515245 * state + 12345) % (1 << 31)
+        return state % n
+    for trial, (n_nodes, n_edges) in enumerate([(20, 10), (30, 35), (50, 25)]):
+        edges = sorted({
+            (a, b)
+            for _ in range(n_edges)
+            for a, b in [(rnd(n_nodes), rnd(n_nodes))]
+            if a != b
+        })
+        pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+        ml = {r.doc_id: r.cluster_id
+              for r in dedup.connected_components(pairs, max_iterations=60).collect()}
+        st = {r.doc_id: r.cluster_id
+              for r in dedup.connected_components_star(pairs).collect()}
+        assert ml == st, f"trial {trial}: {ml} != {st}"
+
+
+def test_star_cc_long_chain(spark):
+    """A 50-hop chain needs 50 rounds of per-hop propagation but only
+    O(log 50) alternations of large-star/small-star."""
+    chain = [(i, i + 1) for i in range(50)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components_star(pairs, max_rounds=10).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 51
+
+
+def test_minlabel_cc_falls_back_to_star_on_chain(spark):
+    """connected_components with an undersized round budget must still
+    return correct labels (delegating to the star variant), not raise."""
+    chain = [(i, i + 1) for i in range(30)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components(pairs, max_iterations=3).collect()}
+    assert set(out.values()) == {0}
+    assert len(out) == 31
+
+
+def test_minlabel_cc_exact_budget_converges(spark):
+    """A graph needing exactly max_iterations propagation rounds is
+    converged at that point — the verification round must not trip the
+    fallback (ADVICE r2)."""
+    chain = [(i, i + 1) for i in range(4)]  # diameter 4
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = {r.doc_id: r.cluster_id
+           for r in dedup.connected_components(pairs, max_iterations=4).collect()}
+    assert set(out.values()) == {0}

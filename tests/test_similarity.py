@@ -56,3 +56,42 @@ def test_quantize_roundtrip_error(spark, sf_dir):
         (F.col("scale") / 254 + F.lit(1e-12)).alias("bound"),
     )
     assert err.filter(F.col("max_err") > F.col("bound")).count() == 0
+
+
+def test_bucketed_pairs_dim_mismatch_raises(spark):
+    """A vector whose length differs from `dim` must raise, not silently
+    collapse every bucket to 0 and degenerate to all-pairs (ADVICE r2)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    rows = [(1, [1.0] * 8), (2, [1.0] * 8), (3, [1.0] * 4)]  # ragged
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    with pytest.raises((SparkRuntimeException, Py4JJavaError, Exception)):
+        similarity.cosine_near_dup_pairs_bucketed(
+            df, threshold=0.5, id_col="vec_id", vec_col="v", dim=8
+        ).collect()
+
+
+def test_bucketed_pairs_dim_derived(spark):
+    """dim=None derives the dimension from the data and still matches the
+    all-pairs form."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.001, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_dup_pairs_bucketed(
+            df, threshold=0.99, id_col="vec_id", vec_col="v"
+        ).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_near_dup_pairs(
+            df, threshold=0.99, id_col="vec_id", vec_col="v"
+        ).collect()
+    }
+    assert got == exact == {(1, 2)}

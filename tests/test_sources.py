@@ -203,3 +203,20 @@ def test_sellers_from_json_udf(spark):
     assert by_id["1"].merchantName == "U Shop" and by_id["1"].price == 250.0
     assert by_id["1"].isYou is True
     assert by_id["2"] is None and by_id["3"] is None
+
+
+def test_recursive_seller_probe_known_path_wins_even_if_not_seller_like():
+    """Reference parity (route.ts:228-229): BFS fallback triggers only on
+    an EMPTY known-path array. A non-empty items[] with no price-ish keys
+    is mapped as-is (price 0), even when a seller-like array sits deeper
+    in the tree (ADVICE r2)."""
+    js = {
+        "items": [{"name": "x"}],
+        "payload": {"deep": [
+            {"sellerId": 9, "seller": "Deep Shop", "price": 500},
+        ]},
+    }
+    out = rest.extract_sellers(js)
+    assert out == [
+        {"merchantId": "x", "merchantName": "x", "price": 0.0, "isYou": False}
+    ]
