@@ -83,11 +83,18 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     """
     if DECODERS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("plug real decoder here")
+    import math
+
     buckets = [0] * dim
-    for i, b in enumerate(content[:4096]):
+    for b in content[:4096]:
         buckets[b % dim] += 1
     total = max(1, sum(buckets))
-    return [round(b / total, 6) for b in buckets]
+    # floor(x*1e6 + 0.5)/1e6: explicit half-up in IEEE doubles, so any
+    # SQL oracle can reproduce it op-for-op (Python round() half-even
+    # and DuckDB round() half-away disagree on exact .5 ties).
+    return [
+        math.floor(b / total * 1_000_000 + 0.5) / 1_000_000 for b in buckets
+    ]
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:

@@ -1503,11 +1503,53 @@ def q_media_metadata_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm_ops.metadata_summary(media)
 
 
-@register("media_features")  # rows-only: mapInPandas decode stage is not SQL
+@register(
+    "media_features",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][(doc_id % 3 + 1)] AS kind,
+             text
+      FROM documents
+    ),
+    b AS (
+      SELECT media_id, kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             substr(hex(encode(text)), 1, 8192) AS hx
+      FROM media
+    ),
+    bytes AS (
+      SELECT media_id, kind, n_bytes,
+             [('0x' || substr(hx, 2*i-1, 2))::BIGINT
+              for i in range(1, len(hx)//2 + 1)] AS bs
+      FROM b
+    ),
+    h AS (
+      SELECT media_id, kind, n_bytes,
+             [len(list_filter(bs, x -> x % 8 = d)) for d in range(0, 8)] AS buckets,
+             greatest(len(bs), 1) AS total
+      FROM bytes
+    ),
+    f AS (
+      SELECT media_id, kind, n_bytes,
+             [CAST(floor(CAST(bk AS DOUBLE) / total * 1000000
+                         + CAST(0.5 AS DOUBLE)) / 1000000 AS REAL)
+              for bk in buckets] AS feats
+      FROM h
+    )
+    SELECT media_id, kind, n_bytes, CAST(d AS INT) AS dim, feats[d+1] AS feat
+    FROM f, range(0, 8) r(d)
+    """,
+)
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Registered form posexplodes the feature vector to (media_id, dim,
     feat) scalar rows — array cells break the driver's canonicalizer; the
-    array-valued library form stays `multimodal.extract_features`."""
+    array-valued library form stays `multimodal.extract_features`.
+
+    The stub decode kernel is a deterministic byte-histogram over the
+    first 4 KiB of the payload (content = UTF-8 text bytes here), so it
+    IS SQL-expressible: the oracle re-derives the bytes from hex() and
+    mirrors the half-up rounding op-for-op."""
     media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
     feats = mm_ops.extract_features(media)
     return feats.select(
