@@ -6,7 +6,7 @@ text column.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny stopword marker sets per language for the n-gram/stopword heuristic.
@@ -228,6 +228,83 @@ def with_winnowing_fingerprint(
             yield pdf
 
     return df.mapInPandas(_batches, schema=out_schema)
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 score of every document against a fixed query term set —
+    the text-retrieval ranking layer on top of the tf-idf machinery.
+
+    Arithmetic is deterministic for oracle parity: idf is the RATIONAL
+    form (N - df + 0.5)/(df + 0.5), computed as integer-exact
+    (2(N-df)+1)/(2df+1) with one IEEE division; the length ratio
+    dl/avgdl is the integer-exact (dl*N)/sum_dl with one division; and
+    the cross-term sum is a fixed-order chain of per-term pivots (a
+    float SUM over a group is order-dependent — a silent parity killer).
+
+    Shape: tokenize once -> per-doc length [groupBy id] -> tf filtered
+    to the query terms BEFORE aggregation (the corpus-wide token stream
+    never shuffles on term for non-query terms) -> df via a term-
+    partition window (no vocabulary self-join) -> two 1-row broadcast
+    joins for N and sum_dl -> one groupBy id pivot. At 100 TB the only
+    wide exchanges are (id, term) on query-term rows and the per-doc
+    length agg.
+
+    Output: (id_col, n_terms BIGINT, bm25 DOUBLE) for docs matching at
+    least one query term.
+    """
+    terms = sorted(query_terms)
+    k1p1 = k1 + 1.0
+    omb = 1.0 - b
+
+    toks = docs.select(
+        id_col, F.explode(extract_words(F.col(text_col))).alias("term")
+    ).filter(F.col("term") != "")
+    dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
+    n = docs.agg(F.count("*").cast("long").alias("n_docs"))
+    sum_dl = dl.agg(F.sum("dl").cast("long").alias("sum_dl"))
+
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    wdf = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("long")
+    )
+    joined = (
+        wdf.join(dl, id_col)
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(sum_dl))
+    )
+    idf = (2 * (F.col("n_docs") - F.col("df")) + 1).cast("double") / (
+        2 * F.col("df") + 1
+    ).cast("double")
+    ratio = (F.col("dl") * F.col("n_docs")).cast("double") / F.col(
+        "sum_dl"
+    ).cast("double")
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(omb) + F.lit(b) * ratio
+    )
+    score = (idf * (F.col("tf").cast("double") * F.lit(k1p1))) / denom
+    scored = joined.select(id_col, "term", score.alias("score"))
+
+    bm25 = F.coalesce(
+        F.max(F.when(F.col("term") == terms[0], F.col("score"))), F.lit(0.0)
+    )
+    for t in terms[1:]:
+        bm25 = bm25 + F.coalesce(
+            F.max(F.when(F.col("term") == t, F.col("score"))), F.lit(0.0)
+        )
+    return scored.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_terms"), bm25.alias("bm25")
+    )
 
 
 def doc_fingerprint(text: Column, k: int = 8, shingle_words: int = 3) -> Column:

@@ -3145,6 +3145,70 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ["hash", "spark", "stream", "vector"]
+BM25_K1, BM25_B = 1.2, 0.75
+_BM25_PIVOT = "\n      + ".join(
+    f"coalesce(MAX(CASE WHEN term = '{t}' THEN score END), CAST(0 AS DOUBLE))"
+    for t in BM25_TERMS
+)
+
+
+@register(
+    "bm25_scores",
+    f"""
+    WITH docs AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS words FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(words) AS term FROM docs
+    ),
+    toks_ne AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+    dl AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks_ne GROUP BY doc_id
+    ),
+    consts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks_ne
+      WHERE term IN ({", ".join(f"'{t}'" for t in BM25_TERMS)})
+      GROUP BY doc_id, term
+    ),
+    wdf AS (
+      SELECT doc_id, term, tf,
+             CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df
+      FROM tf
+    ),
+    scored AS (
+      SELECT w.doc_id, w.term,
+             (  (CAST(2*(c.n_docs - w.df) + 1 AS DOUBLE)
+                 / CAST(2*w.df + 1 AS DOUBLE))
+              * (CAST(w.tf AS DOUBLE) * CAST({BM25_K1 + 1.0!r} AS DOUBLE)) )
+             / (CAST(w.tf AS DOUBLE)
+                + CAST({BM25_K1!r} AS DOUBLE)
+                  * (CAST({1.0 - BM25_B!r} AS DOUBLE)
+                     + CAST({BM25_B!r} AS DOUBLE)
+                       * (CAST(d.dl * c.n_docs AS DOUBLE)
+                          / CAST(c.sum_dl AS DOUBLE)))) AS score
+      FROM wdf w JOIN dl d ON w.doc_id = d.doc_id, consts c
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      {_BM25_PIVOT} AS bm25
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scores for a fixed query over the documents table
+    (`text.bm25_scores`): rational idf (N-df+0.5)/(df+0.5) as exact
+    integers + one division, integer-exact dl*N/sum_dl length ratio, and
+    a fixed-order per-term pivot sum — every float op mirrored
+    op-for-op in the oracle, so scores are bit-identical. Completes the
+    text-retrieval surface on top of tfidf_top_terms."""
+    return text_ops.bm25_scores(
+        _read(spark, sf_dir, "documents"), BM25_TERMS, k1=BM25_K1, b=BM25_B
+    )
+
+
 @register(
     "events_dedup",
     """

@@ -1,0 +1,51 @@
+"""Unit tests for text retrieval scoring (BM25)."""
+
+from __future__ import annotations
+
+import math
+
+from kaspi_etl_spark.llm import text as text_ops
+
+
+def test_bm25_semantics(spark):
+    rows = [
+        (1, "spark spark spark filler words here"),  # high tf for 'spark'
+        (2, "spark filler words here again now"),    # low tf for 'spark'
+        (3, "hash spark mixed content words here"),  # two query terms
+        (4, "nothing relevant in this document at"),  # no match -> absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.n_terms, r.bm25)
+        for r in text_ops.bm25_scores(docs, ["spark", "hash"]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 1 and out[2][0] == 1 and out[3][0] == 2
+    # tf saturation: more occurrences score higher, same doc length
+    assert out[1][1] > out[2][1]
+    # reimplement the scoring for doc 2 ('spark': tf=1, df=3, N=4, dl=6)
+    n_docs, df, tf, dl, sum_dl = 4, 3, 1, 6, 24
+    k1, b = 1.2, 0.75
+    idf = (2 * (n_docs - df) + 1) / (2 * df + 1)
+    ratio = (dl * n_docs) / sum_dl
+    expected = (idf * (tf * (k1 + 1.0))) / (tf + k1 * ((1.0 - b) + b * ratio))
+    assert math.isclose(out[2][1], expected, rel_tol=0, abs_tol=0)
+
+
+def test_bm25_k1_b_parameterization(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark words here"), (2, "spark words here filler extra more")],
+        "doc_id long, text string",
+    )
+    # b=0: no length normalization -> score independent of dl
+    flat = {
+        r.doc_id: r.bm25
+        for r in text_ops.bm25_scores(docs, ["spark"], k1=1.2, b=0.0).collect()
+    }
+    # k1=0: tf saturates completely -> equal scores despite tf 2 vs 1
+    sat = {
+        r.doc_id: r.bm25
+        for r in text_ops.bm25_scores(docs, ["spark"], k1=0.0, b=0.75).collect()
+    }
+    assert flat[1] > flat[2]  # only tf differs
+    assert sat[1] == sat[2]
