@@ -2776,25 +2776,17 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows per user with a 30-minute inactivity gap —
-    F.session_window on Spark (merging windows, streaming-capable with
-    watermarks); the oracle derives the same sessions via the classic
-    gaps-and-islands computation. session_start = min event time."""
+    the batch replay of `watch.user_sessions` (the SAME function the
+    streaming `session_stream_job` runs, so this oracle verifies the
+    streaming semantics); the oracle derives the same sessions via the
+    classic gaps-and-islands computation. session_start = min event
+    time."""
+    from .streaming import watch as watch_mod
+
     ev = read_events(spark, sf_dir).select(
         "user_id", "ts", F.floor("value").cast("long").alias("v")
     )
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(
-            F.count("*").cast("long").alias("n_events"),
-            F.sum("v").cast("long").alias("sum_value_floor"),
-        )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            "n_events",
-            "sum_value_floor",
-        )
-    )
+    return watch_mod.user_sessions(ev, value_alias="sum_value_floor")
 
 
 @register("media_resize")  # rows-only: stubbed decode kernel, real plumbing

@@ -248,33 +248,13 @@ def test_session_windows_merge_in_streaming(spark):
         # enough to close and emit both sessions
         tick(2, [(1, t(14, 0), 7), (1, t(18, 0), 0)])
 
-        stream = (
-            spark.readStream.schema("user_id long, ts timestamp, v long")
-            .option("maxFilesPerTrigger", "1")
-            .json(f"{src}/tick_*")
-        )
-        sessions = (
-            stream.withWatermark("ts", "10 minutes")
-            .groupBy(watch.F.session_window("ts", "30 minutes").alias("w"), "user_id")
-            .agg(
-                watch.F.count("*").cast("long").alias("n_events"),
-                watch.F.sum("v").cast("long").alias("sum_v"),
-            )
-            .select(
-                "user_id",
-                watch.F.col("w.start").alias("session_start"),
-                "n_events",
-                "sum_v",
-            )
-        )
-        q = (
-            sessions.writeStream.format("json")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = watch.session_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            sink_dir=sink,
+            checkpoint_dir=ckpt,
+            schema="user_id long, ts timestamp, v long",
+        ).start()
         q.awaitTermination(120)
         got = spark.read.schema(
             "user_id long, session_start timestamp, n_events long, sum_v long"
