@@ -143,6 +143,90 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     ).drop("_words")
 
 
+# Gopher-style corpus-filter thresholds (Rae et al. 2021, table A1 —
+# public heuristics), scaled to this corpus's short synthetic docs. Each
+# rule is a pure Column expression; the pass flag is their conjunction.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 2.0
+GOPHER_MAX_MEAN_WORD_LEN = 12.0
+GOPHER_MAX_SYMBOL_WORD_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_MIN_STOPWORD_HITS = 2
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule document filter: word-count window, mean-word-length
+    window, symbol-to-word ratio, alphabetic-word fraction, minimum
+    stopword hits — each as a flag column plus the conjunctive
+    ``gopher_pass``.
+
+    Shape: narrow projection, zero shuffles, whole-stage codegen; the
+    words array is materialized once and every rule reads it (no re-run
+    of the regex per rule — the no-CSE-in-HOF-lambda trap).
+    """
+    t = F.col(text_col)
+    df = df.withColumn("_ws", F.split(F.trim(t), r"\s+"))
+    df = df.withColumn(
+        "_nw",
+        F.when(F.trim(t) == "", F.lit(0)).otherwise(F.size("_ws")).cast("long"),
+    )
+    nw = F.col("_nw")
+    nwd = nw.cast("double")
+    mean_wlen = F.when(
+        nw > 0,
+        F.aggregate("_ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).cast(
+            "double"
+        )
+        / nwd,
+    ).otherwise(F.lit(0.0))
+    n_symbolic = F.size(
+        F.filter("_ws", lambda w: w.rlike("[#@*&%$^~|\\\\]|\\.\\.\\."))
+    ).cast("long")
+    n_alpha = F.size(F.filter("_ws", lambda w: w.rlike("[a-zA-Zа-яА-ЯёЁ]"))).cast(
+        "long"
+    )
+    n_stop = marker_count(
+        F.transform("_ws", F.lower), LANG_MARKERS["en"]
+    ).cast("long")
+    # Materialize the metrics before the flag expressions reference them
+    # (HOF results get no CSE — each reference would re-run the lambda).
+    metered = df.select(
+        "*",
+        nw.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        n_symbolic.alias("n_symbolic_words"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stopword_hits"),
+    ).drop("_ws", "_nw")
+    nw = F.col("n_words")
+    nwd = nw.cast("double")
+    flags = {
+        "flag_word_count": (nw >= GOPHER_MIN_WORDS) & (nw <= GOPHER_MAX_WORDS),
+        "flag_mean_word_len": (F.col("mean_word_len") >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= GOPHER_MAX_MEAN_WORD_LEN),
+        "flag_symbol_ratio": F.when(
+            nw > 0,
+            F.col("n_symbolic_words").cast("double") / nwd
+            <= GOPHER_MAX_SYMBOL_WORD_RATIO,
+        ).otherwise(F.lit(False)),
+        "flag_alpha_words": F.when(
+            nw > 0,
+            F.col("n_alpha_words").cast("double") / nwd
+            >= GOPHER_MIN_ALPHA_WORD_FRAC,
+        ).otherwise(F.lit(False)),
+        "flag_stopwords": F.col("n_stopword_hits") >= GOPHER_MIN_STOPWORD_HITS,
+    }
+    flagged = metered.select(
+        "*", *[expr.alias(name) for name, expr in flags.items()]
+    )
+    gopher_pass = None
+    for name in flags:
+        c = F.col(name)
+        gopher_pass = c if gopher_pass is None else (gopher_pass & c)
+    return flagged.withColumn("gopher_pass", gopher_pass)
+
+
 # Winnowing gram-hash constants: polynomial hash base/modulus shared
 # bit-exactly with the DuckDB oracle SQL (registry.py winnowing query).
 # 31-bit modulus keeps every ord*coeff product < 2^52 (exact in int64 on

@@ -72,6 +72,46 @@ def change_feed(
     )
 
 
+def scd2_history(
+    snapshots: DataFrame,
+    key: str,
+    ts_col: str,
+    value_cols: list[str],
+) -> DataFrame:
+    """Slowly-changing-dimension type 2 from a stream of keyed snapshots:
+    collapse consecutive identical values, emit one validity interval per
+    value run — effective_from / effective_to (null = current) /
+    is_current / version.
+
+    Complements ``change_feed`` (two-snapshot CDC) with the full-history
+    form. One window shuffle on the key; at 100 TB the key partitioning
+    carries both window passes (lag + lead) in a single exchange.
+
+    Input must be unique per (key, ts) — dedupe_batch upstream.
+    """
+    w = Window.partitionBy(key).orderBy(ts_col)
+    changed = None
+    for c in value_cols:
+        d = ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        changed = d if changed is None else (changed | d)
+    runs = (
+        snapshots.withColumn(
+            "_chg",
+            F.when(F.lag(ts_col).over(w).isNull(), F.lit(True)).otherwise(changed),
+        )
+        .filter(F.col("_chg"))
+        .drop("_chg")
+    )
+    return runs.select(
+        key,
+        *value_cols,
+        F.col(ts_col).alias("effective_from"),
+        F.lead(ts_col).over(w).alias("effective_to"),
+        F.lead(ts_col).over(w).isNull().alias("is_current"),
+        F.row_number().over(w).cast("long").alias("version"),
+    )
+
+
 def upsert(existing: DataFrame, incoming: DataFrame, keys: list[str] | None = None) -> DataFrame:
     """S8/J5: delete-then-insert by composite key, as a pure transform.
 

@@ -3458,3 +3458,205 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_shared"))
     )
+
+
+# --- Behavioral analytics (funnel / retention / pivot) ---------------------
+# Beyond-reference surface: standard product-analytics operators over the
+# events table. See ops/behavior.py for the 100 TB shuffle notes.
+
+from .ops import behavior as behavior_ops  # noqa: E402
+
+
+@register(
+    "events_funnel",
+    """
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+           CAST(1 + CASE WHEN t2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN t3.user_id IS NOT NULL THEN 1 ELSE 0 END
+                AS BIGINT) AS steps_completed
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t1.user_id = t3.user_id
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view -> click -> purchase funnel per user: earliest step-k
+    time strictly after the user's step-(k-1) time; nulls once broken."""
+    return behavior_ops.funnel(read_events(spark, sf_dir)).select(
+        "user_id", "t_view", "t_click", "t_purchase", "steps_completed"
+    )
+
+
+@register(
+    "events_retention",
+    """
+    WITH first AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS BIGINT)
+             AS day_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+    FROM events e JOIN first f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: first-activity-day cohorts x day offset
+    -> distinct active users."""
+    return behavior_ops.retention(read_events(spark, sf_dir))
+
+
+_PIVOT_TYPES = ["view", "click", "signup", "purchase", "error"]
+
+@register(
+    "events_pivot_daily",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+           CAST(COUNT(*) AS BIGINT) AS total
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily wide pivot over event types (explicit value list - no
+    distinct-values pre-job, static schema)."""
+    return behavior_ops.daily_pivot(read_events(spark, sf_dir), _PIVOT_TYPES)
+
+
+# --- Gopher-rule document quality filter -----------------------------------
+
+@register(
+    "docs_quality_gopher",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE regexp_split_to_array(trim(text), '\s+') END AS ws
+      FROM documents
+    ),
+    met AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_words,
+             CASE WHEN len(ws) > 0
+                  THEN CAST(list_reduce(list_transform(ws, w -> length(w)),
+                                        (a, b) -> a + b) AS DOUBLE)
+                       / CAST(len(ws) AS DOUBLE)
+                  ELSE CAST(0.0 AS DOUBLE) END AS mean_word_len,
+             CAST(len(list_filter(ws, w ->
+                    regexp_matches(w, '[#@*&%$^~|\\]|\.\.\.'))) AS BIGINT)
+               AS n_symbolic_words,
+             CAST(len(list_filter(ws, w ->
+                    regexp_matches(w, '[a-zA-Zа-яА-ЯёЁ]'))) AS BIGINT)
+               AS n_alpha_words,
+             CAST(len(list_filter(ws, w -> lower(w) IN
+                    ('the','and','of','to','in','is','that','for'))) AS BIGINT)
+               AS n_stopword_hits
+      FROM base
+    ),
+    flags AS (
+      SELECT *,
+             n_words >= 30 AND n_words <= 100000 AS flag_word_count,
+             mean_word_len >= CAST(2.0 AS DOUBLE)
+               AND mean_word_len <= CAST(12.0 AS DOUBLE) AS flag_mean_word_len,
+             CASE WHEN n_words > 0
+                  THEN CAST(n_symbolic_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       <= CAST(0.1 AS DOUBLE)
+                  ELSE FALSE END AS flag_symbol_ratio,
+             CASE WHEN n_words > 0
+                  THEN CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+                       >= CAST(0.8 AS DOUBLE)
+                  ELSE FALSE END AS flag_alpha_words,
+             n_stopword_hits >= 2 AS flag_stopwords
+      FROM met
+    )
+    SELECT *,
+           flag_word_count AND flag_mean_word_len AND flag_symbol_ratio
+             AND flag_alpha_words AND flag_stopwords AS gopher_pass
+    FROM flags
+    """,
+)
+def q_docs_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rule corpus filter (Rae et al. 2021 heuristics): per-doc
+    metric columns + per-rule flags + conjunctive gopher_pass. Pure
+    Column expressions, zero shuffles."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.gopher_quality_flags(docs).drop("text")
+
+
+# --- SCD2 dimension history -------------------------------------------------
+
+@register(
+    "purchases_scd2",
+    f"""
+    WITH p AS ({SQL_PURCHASES}),
+    snap AS (
+      SELECT sku_key, order_date, unit_cogs_kzt FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY sku_key, order_date
+          ORDER BY po_id ASC NULLS LAST, unit_cogs_kzt ASC NULLS LAST,
+                   qty ASC NULLS LAST
+        ) AS rn FROM p
+      ) WHERE rn = 1
+    ),
+    runs AS (
+      SELECT sku_key, order_date, unit_cogs_kzt FROM (
+        SELECT *,
+               LAG(order_date) OVER w IS NULL
+                 OR unit_cogs_kzt IS DISTINCT FROM LAG(unit_cogs_kzt) OVER w
+                 AS chg
+        FROM snap
+        WINDOW w AS (PARTITION BY sku_key ORDER BY order_date)
+      ) WHERE chg
+    )
+    SELECT sku_key, unit_cogs_kzt,
+           order_date AS effective_from,
+           LEAD(order_date) OVER w2 AS effective_to,
+           LEAD(order_date) OVER w2 IS NULL AS is_current,
+           CAST(ROW_NUMBER() OVER w2 AS BIGINT) AS version
+    FROM runs
+    WINDOW w2 AS (PARTITION BY sku_key ORDER BY order_date)
+    """,
+)
+def q_purchases_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 cost history per SKU: dedupe snapshots per (sku, day),
+    collapse consecutive equal values, emit validity intervals. The
+    full-history complement of purchases_change_feed."""
+    p = _purchases_batch_all(spark, sf_dir)
+    snap = purchases_ops.dedupe_batch(p, keys=["sku_key", "order_date"]).select(
+        "sku_key", "order_date", "unit_cogs_kzt"
+    )
+    return purchases_ops.scd2_history(
+        snap, key="sku_key", ts_col="order_date", value_cols=["unit_cogs_kzt"]
+    )
+
+
+def _purchases_batch_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _read(spark, sf_dir, "orders")
+    return o.select(
+        F.concat(F.lit("PO"), (F.col("o_orderkey") % 500).cast("string")).alias("po_id"),
+        F.concat(F.lit("SKU"), (F.col("o_custkey") % 200).cast("string")).alias("sku_key"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.col("o_totalprice").cast("double").alias("unit_cogs_kzt"),
+        (F.lit(1) + F.col("o_orderkey") % 5).cast("int").alias("qty"),
+    )
