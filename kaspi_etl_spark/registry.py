@@ -3660,3 +3660,77 @@ def _purchases_batch_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").cast("double").alias("unit_cogs_kzt"),
         (F.lit(1) + F.col("o_orderkey") % 5).cast("int").alias("qty"),
     )
+
+
+# --- Incremental aggregate maintenance --------------------------------------
+
+from .ops import incremental as inc_ops  # noqa: E402
+
+
+@register(
+    "daily_revenue_incremental",
+    f"""
+    WITH orders_kaspi AS ({SQL_ORDERS_KASPI})
+    SELECT order_date,
+           CAST(COUNT(gross_price_kzt) AS BIGINT) AS n_rows,
+           CAST(SUM(gross_price_kzt) AS BIGINT) AS sum_val,
+           MIN(gross_price_kzt) AS min_val,
+           MAX(gross_price_kzt) AS max_val,
+           CASE WHEN COUNT(gross_price_kzt) > 0
+                THEN CAST(SUM(gross_price_kzt) AS DOUBLE)
+                     / CAST(COUNT(gross_price_kzt) AS DOUBLE)
+           END AS avg_val
+    FROM orders_kaspi GROUP BY order_date
+    """,
+)
+def q_daily_revenue_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the daily gross aggregate is
+    built as mergeable state from TWO disjoint batches (orderkey parity
+    split), merged, then finalized — and must equal the full recompute
+    (the oracle). At 100 TB the merge costs O(batch + touched keys),
+    not O(history); see ops/incremental.py."""
+    full = orders_kaspi(spark, sf_dir)
+    b0 = full.filter(F.col("order_id") % 2 == 0)
+    b1 = full.filter(F.col("order_id") % 2 == 1)
+    keys = ["order_date"]
+    state = inc_ops.merge_states(
+        inc_ops.partial_state(b0, keys, "gross_price_kzt"),
+        inc_ops.partial_state(b1, keys, "gross_price_kzt"),
+        keys,
+    )
+    return inc_ops.finalize(state)
+
+
+# --- Weighted sampling (Sequential Poisson / Ohlsson) -----------------------
+
+@register(
+    "docs_weighted_sample",
+    f"""
+    WITH pr AS (
+      SELECT doc_id, n_chars,
+             (CAST({_sql_md5_long("CAST(doc_id AS VARCHAR)")} % 2147483648 AS DOUBLE)
+              / CAST(2147483648 AS DOUBLE))
+             / CAST(n_chars AS DOUBLE) AS priority
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, priority
+    FROM pr ORDER BY priority ASC, doc_id ASC LIMIT 100
+    """,
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via Sequential Poisson
+    Sampling (Ohlsson 1998): priority = uniform(id-hash) / weight, keep
+    the k smallest. Deterministic (hash-derived uniform, one IEEE
+    division — no transcendentals, so bit-exact across engines) and
+    fully distributed: orderBy+limit compiles to TakeOrderedAndProject
+    (per-partition top-k, merge on driver), never a global sort."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        dedup_ops.md5_long(F.col("doc_id").cast("string")) % F.lit(2147483648)
+    ).cast("double") / F.lit(2147483648.0)
+    pr = d.select(
+        "doc_id",
+        "n_chars",
+        (u / F.col("n_chars").cast("double")).alias("priority"),
+    )
+    return pr.orderBy(F.col("priority").asc(), F.col("doc_id").asc()).limit(100)
