@@ -67,52 +67,6 @@ def salted_join(
 
 
 # ---------------------------------------------------------------------------
-# Bucketed tables — co-located joins without a per-query shuffle
-# ---------------------------------------------------------------------------
-
-
-def write_bucketed(
-    df: DataFrame,
-    table: str,
-    keys: list[str],
-    num_buckets: int = 32,
-    sort_cols: list[str] | None = None,
-    mode: str = "overwrite",
-) -> None:
-    """Persist ``df`` as a bucketed (+ sorted) parquet table.
-
-    100 TB rationale: a fact table that is repeatedly joined or
-    aggregated on the same key should pay its shuffle ONCE, at write
-    time. Spark's bucketing stores rows hash-partitioned by ``keys``
-    into ``num_buckets`` files per partition; subsequent equi-joins and
-    group-bys on the bucket key read the co-located layout and skip the
-    exchange entirely (both sides bucketed with the same count), or
-    shuffle only the smaller side. ``sortBy`` additionally pre-orders
-    within buckets so sort-merge joins skip their sort step.
-    """
-    writer = (
-        df.write.mode(mode)
-        .format("parquet")
-        .bucketBy(num_buckets, *keys)
-        .sortBy(*(sort_cols or keys))
-    )
-    writer.saveAsTable(table)
-
-
-def bucketed_join(
-    spark: SparkSession,
-    left_table: str,
-    right_table: str,
-    keys: list[str],
-    how: str = "inner",
-) -> DataFrame:
-    """Join two same-bucket-count tables on their bucket keys. With
-    bucketing metadata present the physical plan has NO Exchange on
-    either side (asserted in tests/test_plans.py)."""
-    return spark.table(left_table).join(spark.table(right_table), keys, how)
-
-
-# ---------------------------------------------------------------------------
 # TTL cache (T5)
 # ---------------------------------------------------------------------------
 

@@ -103,36 +103,26 @@ def test_dedup_pipelines_have_no_join(spark, sf_dir, name):
     assert "ShuffledHashJoin" not in plan
 
 
-def test_bucketed_join_has_no_exchange(spark, sf_dir):
-    # Bucketed tables pay their shuffle at write time; an equi-join of
-    # two same-bucket-count tables on the bucket key must then run with
-    # ZERO exchanges (the 100 TB repeated-join pattern). Broadcast is
-    # disabled for the assertion so the plan can't sidestep the check.
+def test_partition_pruning_reaches_scan(spark, tmp_path):
+    # A filter on the partition column of a date-partitioned fact table
+    # must become a PartitionFilter (directory pruning — at 100 TB the
+    # difference between scanning one day and scanning the table), not a
+    # post-scan predicate.
+    import datetime
+
     from pyspark.sql import functions as F
 
-    from kaspi_etl_spark import scale
+    from kaspi_etl_spark import sinks
 
-    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
-        "p_partkey", "p_retailprice"
+    d1, d2 = datetime.date(2025, 9, 1), datetime.date(2025, 9, 2)
+    df = spark.createDataFrame(
+        [(1, d1), (2, d1), (3, d2)], "id long, order_date date"
     )
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        F.col("l_partkey").alias("p_partkey"), "l_quantity"
-    )
-    spark.sql("DROP TABLE IF EXISTS bt_part")
-    spark.sql("DROP TABLE IF EXISTS bt_lineitem")
-    scale.write_bucketed(part, "bt_part", ["p_partkey"], num_buckets=4)
-    scale.write_bucketed(li, "bt_lineitem", ["p_partkey"], num_buckets=4)
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        joined = scale.bucketed_join(spark, "bt_lineitem", "bt_part", ["p_partkey"])
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange" not in plan, plan
-        assert "SortMergeJoin" in plan
-        assert "SelectedBucketsCount" in plan or "Bucketed: true" in plan
-        # sanity: result matches the plain (shuffled) join
-        assert joined.count() == li.join(part, "p_partkey").count()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
-        spark.sql("DROP TABLE IF EXISTS bt_part")
-        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+    path = str(tmp_path / "facts")
+    sinks.write_date_partitioned(df, path)
+    scan_df = spark.read.parquet(path).filter(F.col("order_date") == d2)
+    plan = scan_df._jdf.queryExecution().executedPlan().toString()
+    scan = [ln for ln in plan.splitlines() if "FileScan" in ln][0]
+    assert "PartitionFilters" in scan
+    assert "order_date" in scan.split("PartitionFilters")[-1].split("]")[0]
+    assert scan_df.count() == 1
