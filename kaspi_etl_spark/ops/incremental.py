@@ -57,3 +57,52 @@ def finalize(state: DataFrame) -> DataFrame:
             F.col("sum_val").cast("double") / F.col("n_rows").cast("double"),
         ),
     )
+
+
+# --- Sketch-extended state: approximate distinct counts that merge ----------
+#
+# COUNT(DISTINCT x) is NOT re-aggregatable — merging two distinct counts
+# double-counts the overlap. The mergeable form is a Datasketches HLL
+# sketch column (Spark: hll_sketch_agg / hll_union_agg /
+# hll_sketch_estimate): ~1.5 KB of state per key at lg_k=12 for ~2%
+# relative error, unionable across batches, partitions, and jobs. This is
+# the 100 TB answer to "distinct users per day over a year of history"
+# without ever rescanning the year.
+
+HLL_LG_K = 12
+
+
+def partial_state_sketch(
+    df: DataFrame, keys: list[str], val_col: str, distinct_col: str
+) -> DataFrame:
+    """``partial_state`` plus an HLL sketch of ``distinct_col``."""
+    return df.groupBy(*keys).agg(
+        F.count(val_col).cast("long").alias("n_rows"),
+        F.sum(val_col).cast("long").alias("sum_val"),
+        F.min(val_col).alias("min_val"),
+        F.max(val_col).alias("max_val"),
+        F.hll_sketch_agg(distinct_col, HLL_LG_K).alias("distinct_sketch"),
+    )
+
+
+def merge_states_sketch(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge sketch-extended states: scalar state merges as in
+    ``merge_states``; sketches merge by HLL union."""
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.sum("sum_val").cast("long").alias("sum_val"),
+            F.min("min_val").alias("min_val"),
+            F.max("max_val").alias("max_val"),
+            F.hll_union_agg("distinct_sketch").alias("distinct_sketch"),
+        )
+    )
+
+
+def finalize_sketch(state: DataFrame) -> DataFrame:
+    """Finalize scalar stats and resolve the sketch to an estimate."""
+    return finalize(state).withColumn(
+        "n_distinct_approx", F.hll_sketch_estimate("distinct_sketch")
+    )

@@ -63,3 +63,76 @@ def test_weighted_sample_is_top_k_not_global_sort(spark, sf_dir):
     assert prios == sorted(prios)
     rows2 = QUERIES["docs_weighted_sample"](spark, sf_dir).collect()
     assert [r["doc_id"] for r in rows2] == [r["doc_id"] for r in rows]
+
+
+def test_hll_sketch_state_merges_without_double_count(spark):
+    # two batches with OVERLAPPING distinct users: a naive distinct-count
+    # merge would double-count; the HLL union must not.
+    rows_a = [("d1", i, i % 50) for i in range(200)]
+    rows_b = [("d1", i, 25 + i % 50) for i in range(200)]  # users 25..74
+    mk = lambda rows: spark.createDataFrame(rows, "k string, v long, user long")  # noqa: E731
+    a = inc.partial_state_sketch(mk(rows_a), ["k"], "v", "user")
+    b = inc.partial_state_sketch(mk(rows_b), ["k"], "v", "user")
+    merged = inc.finalize_sketch(inc.merge_states_sketch(a, b, ["k"])).collect()[0]
+    # true distinct = 75 (0..74); lg_k=12 HLL is ~2% rse at this scale
+    assert abs(merged["n_distinct_approx"] - 75) <= 5
+    assert merged["n_rows"] == 400
+    # merged sketch must equal the sketch built over all data in one pass
+    full = inc.finalize_sketch(
+        inc.partial_state_sketch(mk(rows_a + rows_b), ["k"], "v", "user")
+    ).collect()[0]
+    assert merged["n_distinct_approx"] == full["n_distinct_approx"]
+
+
+def test_incremental_stream_job_converges_to_batch_recompute(spark):
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="inc_src_")
+    state = tempfile.mkdtemp(prefix="inc_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="inc_ckpt_")
+    schema = "day string, amount long"
+    try:
+        batches = [
+            [("2024-01-01", 10), ("2024-01-01", 20), ("2024-01-02", 5)],
+            [("2024-01-01", 7)],
+            [("2024-01-02", 100), ("2024-01-03", 1)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)  # distinct mtimes -> stable batch order
+
+        q = sinc.incremental_agg_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            state_path=state,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            keys=["day"],
+            val_col="amount",
+            max_files_per_trigger=1,  # force one merge per batch
+        ).start()
+        q.awaitTermination(120)
+
+        got = {
+            r["day"]: (r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in spark.read.parquet(state).collect()
+        }
+        all_rows = [r for b in batches for r in b]
+        full = inc.partial_state(
+            spark.createDataFrame(all_rows, schema), ["day"], "amount"
+        )
+        want = {
+            r["day"]: (r["n_rows"], r["sum_val"], r["min_val"], r["max_val"])
+            for r in full.collect()
+        }
+        assert got == want
+    finally:
+        for d in (src, os.path.dirname(state), ckpt):
+            shutil.rmtree(d, ignore_errors=True)
