@@ -3734,3 +3734,57 @@ def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         (u / F.col("n_chars").cast("double")).alias("priority"),
     )
     return pr.orderBy(F.col("priority").asc(), F.col("doc_id").asc()).limit(100)
+
+
+# --- Iterative graph: fixed-point PageRank ----------------------------------
+
+from .ops import graph as graph_ops  # noqa: E402
+
+
+def _sql_pagerank(iterations: int) -> str:
+    """Unrolled oracle for pagerank_fixed_point: same integer fixed-point
+    arithmetic (1e12 scale, floor division), one CTE pair per round."""
+    s, d_num, d_den = graph_ops.PR_SCALE, graph_ops.PR_DAMP_NUM, graph_ops.PR_DAMP_DEN
+    parts = [
+        """
+        edges AS (SELECT DISTINCT l_suppkey AS src, l_partkey % 100 AS dst
+                  FROM lineitem),
+        nodes AS (SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+        deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+                FROM edges GROUP BY src),
+        nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+        """
+        + f"r0 AS (SELECT node, {s} // n AS score FROM nodes CROSS JOIN nn)"
+    ]
+    for k in range(1, iterations + 1):
+        parts.append(f"""
+        c{k} AS (SELECT e.dst AS node,
+                        SUM(({d_num} * r.score) // ({d_den} * d.deg)) AS c
+                 FROM edges e
+                 JOIN r{k - 1} r ON e.src = r.node
+                 JOIN deg d ON e.src = d.src
+                 GROUP BY e.dst),
+        r{k} AS (SELECT n.node,
+                        CAST(({d_den - d_num} * {s} // ({d_den} * nn.n))
+                             + COALESCE(c.c, 0) AS BIGINT) AS score
+                 FROM nodes n CROSS JOIN nn
+                 LEFT JOIN c{k} c ON n.node = c.node)""")
+    return (
+        "WITH " + ",".join(parts)
+        + f" SELECT node, score FROM r{iterations}"
+    )
+
+
+@register("supplier_pagerank", _sql_pagerank(3))
+def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier -> part-bucket shipment graph
+    (distinct (l_suppkey, l_partkey % 100) edges), 3 fixed-point
+    iterations. Bit-exact vs the oracle because every operation is
+    integer (1e12 scale, floor division) — see ops/graph.py."""
+    li = _read(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") % 100).alias("dst"),
+    )
+    return graph_ops.pagerank_fixed_point(edges, iterations=3)

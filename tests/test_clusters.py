@@ -106,3 +106,32 @@ def test_minlabel_cc_exact_budget_converges(spark):
     out = {r.doc_id: r.cluster_id
            for r in dedup.connected_components(pairs, max_iterations=4).collect()}
     assert set(out.values()) == {0}
+
+
+def test_pagerank_fixed_point_properties(spark):
+    from kaspi_etl_spark.ops import graph
+
+    # star graph: every spoke points at the hub (node 0); hub points back
+    # at node 1. Hub must outrank everything; node 1 second.
+    edges = [(i, 0) for i in range(1, 6)] + [(0, 1)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ranks = {r["node"]: r["score"] for r in
+             graph.pagerank_fixed_point(e, iterations=3).collect()}
+    assert set(ranks) == set(range(6))
+    assert ranks[0] == max(ranks.values())
+    assert ranks[1] == sorted(ranks.values())[-2]
+    # spokes are symmetric -> identical scores
+    assert len({ranks[i] for i in range(2, 6)}) == 1
+    # fixed-point mass never exceeds the scale (dangling/floor loss only)
+    assert 0 < sum(ranks.values()) <= graph.PR_SCALE
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    from kaspi_etl_spark.ops import graph
+
+    edges = [(i, (i * 7) % 23) for i in range(200)]
+    e1 = spark.createDataFrame(edges, "src long, dst long").repartition(1)
+    e8 = spark.createDataFrame(edges, "src long, dst long").repartition(8)
+    r1 = sorted(graph.pagerank_fixed_point(e1).collect())
+    r8 = sorted(graph.pagerank_fixed_point(e8).collect())
+    assert r1 == r8
