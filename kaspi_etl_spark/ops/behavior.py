@@ -33,27 +33,46 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
     Returns one row per user who completed step 1, with ``t_<step>``
     timestamp columns (null once the funnel breaks) and
     ``steps_completed``.
+
+    Shape: ONE exchange on user_id. Each step is a conditional min over
+    the user window (step k's predicate reads step k-1's window result —
+    a null t_{k-1} nulls the comparison, so broken funnels propagate
+    automatically), and the final per-user collapse is a groupBy on the
+    same key, which reuses the window's partitioning. The obvious
+    per-step aggregate+join formulation shuffles 2x per step and at
+    100 TB the per-user frame is too big to broadcast — this form scales
+    with a single hash partitioning of the events.
     """
     if len(steps) < 2:
         raise ValueError("funnel needs at least two steps")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id")
+    df = events.select("user_id", "event_type", "ts")
     first = steps[0]
-    out = (
-        events.filter(F.col("event_type") == first)
-        .groupBy("user_id")
-        .agg(F.min("ts").alias(f"t_{first}"))
+    df = df.withColumn(
+        f"t_{first}",
+        F.min(F.when(F.col("event_type") == first, F.col("ts"))).over(w),
     )
     prev = f"t_{first}"
     for step in steps[1:]:
         col = f"t_{step}"
-        nxt = (
-            events.filter(F.col("event_type") == step)
-            .join(out.select("user_id", prev), "user_id")
-            .filter(F.col("ts") > F.col(prev))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(col))
+        df = df.withColumn(
+            col,
+            F.min(
+                F.when(
+                    (F.col("event_type") == step) & (F.col("ts") > F.col(prev)),
+                    F.col("ts"),
+                )
+            ).over(w),
         )
-        out = out.join(nxt, "user_id", "left")
         prev = col
+    t_cols = [f"t_{s}" for s in steps]
+    out = (
+        df.filter(F.col(f"t_{first}").isNotNull())
+        .groupBy("user_id")
+        .agg(*[F.max(c).alias(c) for c in t_cols])
+    )
     completed = F.lit(1)
     for step in steps[1:]:
         completed = completed + F.when(F.col(f"t_{step}").isNotNull(), 1).otherwise(0)

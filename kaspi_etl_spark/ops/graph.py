@@ -44,10 +44,17 @@ def pagerank_fixed_point(
 
     Returns (node, score) with score on the 1e12 fixed-point scale.
     """
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
+    # One scan+distinct for the whole run: every iteration (and the
+    # nodes/outdeg frames) re-reads the checkpointed edge RDD instead of
+    # re-shuffling the source. Lazy so query construction stays free.
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

@@ -126,3 +126,12 @@ def test_partition_pruning_reaches_scan(spark, tmp_path):
     assert "PartitionFilters" in scan
     assert "order_date" in scan.split("PartitionFilters")[-1].split("]")[0]
     assert scan_df.count() == 1
+
+
+def test_funnel_is_single_exchange_no_join(spark, sf_dir):
+    # the funnel must run as conditional window mins over ONE user_id
+    # partitioning — the per-step aggregate+join form shuffles 2x per
+    # step and needs a broadcastable user dim (false at 100 TB).
+    plan = plan_of(spark, sf_dir, "events_funnel")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -241,3 +241,69 @@ def test_bucketed_cosine_pairs_subset_of_exact(spark, vecs):
         ).collect()
     }
     assert bucketed <= exact
+
+
+def _py_scd2(snaps):
+    """Independent reference: per key, sorted by day, collapse equal-value
+    runs into (value, from, to, is_current, version) intervals."""
+    from collections import defaultdict
+
+    by_key = defaultdict(list)
+    for k, d, v in snaps:
+        by_key[k].append((d, v))
+    out = []
+    for k, rows in by_key.items():
+        rows.sort()
+        runs = []
+        for d, v in rows:
+            if not runs or runs[-1][1] != v:
+                runs.append([d, v])
+        for i, (d, v) in enumerate(runs):
+            to = runs[i + 1][0] if i + 1 < len(runs) else None
+            out.append((k, v, d, to, to is None, i + 1))
+    return sorted(out, key=lambda t: (t[0], t[5]))
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=0, max_value=20),  # day number
+            st.integers(min_value=0, max_value=3),  # small value domain
+        ),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),  # unique per (key, day)
+    )
+)
+def test_scd2_matches_python_reference(spark, snaps):
+    import datetime
+
+    from kaspi_etl_spark.ops import purchases
+
+    base = datetime.date(2024, 1, 1)
+    rows = [
+        (k, base + datetime.timedelta(days=d), float(v)) for k, d, v in snaps
+    ]
+    df = spark.createDataFrame(rows, "sku string, d date, cost double")
+    got = sorted(
+        (
+            (r["sku"], r["cost"], r["effective_from"], r["effective_to"],
+             r["is_current"], r["version"])
+            for r in purchases.scd2_history(df, "sku", "d", ["cost"]).collect()
+        ),
+        key=lambda t: (t[0], t[5]),
+    )
+    want = [
+        (
+            k,
+            float(v),
+            base + datetime.timedelta(days=d),
+            (base + datetime.timedelta(days=to)) if to is not None else None,
+            cur,
+            ver,
+        )
+        for k, v, d, to, cur, ver in _py_scd2(snaps)
+    ]
+    assert got == want
