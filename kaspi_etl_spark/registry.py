@@ -3788,3 +3788,65 @@ def q_supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") % 100).alias("dst"),
     )
     return graph_ops.pagerank_fixed_point(edges, iterations=3)
+
+
+# --- Point-in-interval lookup: SCD2 dimension at fact time ------------------
+
+from .ops import asof as asof_ops  # noqa: E402
+
+
+@register(
+    "purchases_cost_asof",
+    f"""
+    WITH p AS ({SQL_PURCHASES}),
+    snap AS (
+      SELECT sku_key, order_date, unit_cogs_kzt FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY sku_key, order_date
+          ORDER BY po_id ASC NULLS LAST, unit_cogs_kzt ASC NULLS LAST,
+                   qty ASC NULLS LAST
+        ) AS rn FROM p
+      ) WHERE rn = 1
+    ),
+    runs AS (
+      SELECT sku_key, order_date AS effective_from, unit_cogs_kzt AS cost
+      FROM (
+        SELECT *,
+               LAG(order_date) OVER w IS NULL
+                 OR unit_cogs_kzt IS DISTINCT FROM LAG(unit_cogs_kzt) OVER w
+                 AS chg
+        FROM snap
+        WINDOW w AS (PARTITION BY sku_key ORDER BY order_date)
+      ) WHERE chg
+    )
+    SELECT p.po_id, p.sku_key, p.order_date, p.unit_cogs_kzt,
+           r.cost AS cost_asof
+    FROM p ASOF LEFT JOIN runs r
+      ON p.sku_key = r.sku_key AND p.order_date >= r.effective_from
+    """,
+)
+def q_purchases_cost_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal dimension lookup: every raw purchase row gets the
+    CANONICAL cost from the SCD2 history interval containing its date —
+    the fact-to-slowly-changing-dimension join every warehouse needs.
+    Runs as the union-tag as-of composition (ops/asof.py): one shuffle
+    on sku_key, no point-in-interval range-join explosion."""
+    p = _purchases_batch_all(spark, sf_dir)
+    snap = purchases_ops.dedupe_batch(p, keys=["sku_key", "order_date"]).select(
+        "sku_key", "order_date", "unit_cogs_kzt"
+    )
+    runs = purchases_ops.scd2_history(
+        snap, key="sku_key", ts_col="order_date", value_cols=["unit_cogs_kzt"]
+    ).select(
+        "sku_key",
+        F.col("effective_from"),
+        F.col("unit_cogs_kzt").alias("cost"),
+    )
+    return asof_ops.asof_join(
+        p.select("po_id", "sku_key", "order_date", "unit_cogs_kzt"),
+        runs,
+        key="sku_key",
+        left_ts="order_date",
+        right_ts="effective_from",
+        value_cols=["cost"],
+    )

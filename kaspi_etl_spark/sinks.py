@@ -90,3 +90,43 @@ def upsert_parquet(
     os.rename(staging, path)
     if os.path.exists(backup):
         shutil.rmtree(backup, ignore_errors=True)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ceil(total_bytes / target_file_bytes) files via stage-and-swap.
+    Returns the new file count.
+
+    100 TB rationale: streaming/incremental sinks (foreachBatch appends,
+    micro-batch NDJSON→parquet conversions) accrete thousands of tiny
+    files; every downstream scan then pays per-file open/footer costs and
+    the scheduler pays per-split overhead. Periodic compaction to
+    ~128 MB files restores scan efficiency. Partitioned tables should
+    compact per-partition (run this on each partition directory) so the
+    rewrite cost tracks the partition, not the table.
+    """
+    total = sum(
+        os.path.getsize(os.path.join(dirpath, f))
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, -(-total // target_file_bytes))
+    staging = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(
+        staging
+    )
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return sum(
+        1
+        for dirpath, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )

@@ -4,6 +4,7 @@ and the T4 due-gating stateful stream."""
 from __future__ import annotations
 
 import datetime
+import os
 import shutil
 import tempfile
 
@@ -108,3 +109,18 @@ def test_due_ticks_stream_gates_by_interval(spark):
     finally:
         for d in (src, sink, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    p = str(tmp_path / "shards")
+    df = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 13).alias("v")
+    )
+    # simulate micro-batch accretion: 20 tiny files
+    df.repartition(20).write.parquet(p)
+    files_before = [f for f in os.listdir(p) if f.endswith(".parquet")]
+    assert len(files_before) == 20
+    before = {(r.id, r.v) for r in spark.read.parquet(p).collect()}
+    n_after = sinks.compact_parquet(spark, p)
+    assert n_after == 1  # a few KB -> one 128MB-target file
+    assert {(r.id, r.v) for r in spark.read.parquet(p).collect()} == before
