@@ -3850,3 +3850,43 @@ def q_purchases_cost_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_ts="effective_from",
         value_cols=["cost"],
     )
+
+
+# --- Count-Min Sketch heavy hitters -----------------------------------------
+
+from .llm import sketch as sketch_ops  # noqa: E402
+
+
+def _sql_cms_row(i: int, width: int) -> str:
+    hashed = _sql_md5_long(f"tok || 'cms{i}'")
+    return (
+        f"SELECT CAST({i} AS BIGINT) AS row_idx, "
+        f"{hashed} % {width} AS col_idx FROM toks"
+    )
+
+
+@register(
+    "token_countmin",
+    f"""
+    WITH toks AS (
+      SELECT unnest({SQL_WORDS}) AS tok FROM documents WHERE trim(text) <> ''
+    ),
+    cells AS (
+      {_sql_cms_row(0, 64)} UNION ALL {_sql_cms_row(1, 64)}
+      UNION ALL {_sql_cms_row(2, 64)}
+    )
+    SELECT row_idx, CAST(col_idx AS BIGINT) AS col_idx,
+           CAST(COUNT(*) AS BIGINT) AS cell_count
+    FROM cells GROUP BY 1, 2
+    """,
+)
+def q_token_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch grid (3 x 64) over the document token stream.
+    The full grid is oracle-checked cell by cell — the sketch is
+    deterministic integer sums, unlike probabilistic-looking sketches
+    with opaque binary state. See llm/sketch.py for merge/estimate."""
+    d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    toks = d.select(
+        F.explode(dedup_ops.split_words(F.col("text"))).alias("token")
+    )
+    return sketch_ops.cms_build(toks)

@@ -114,3 +114,32 @@ def test_winnowing_fingerprint_locality_and_parity(spark):
         .fingerprint
     )
     assert got == expected
+
+
+def test_cms_estimate_never_undercounts_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark.llm import sketch
+
+    words_a = ["spark"] * 40 + ["duck"] * 25 + ["row"] * 3 + ["col"]
+    words_b = ["spark"] * 10 + ["plan"] * 7
+    mk = lambda ws: spark.createDataFrame([(w,) for w in ws], "token string")  # noqa: E731
+    sk_a, sk_b = sketch.cms_build(mk(words_a)), sketch.cms_build(mk(words_b))
+    probes = mk(["spark", "duck", "plan", "absent"]).distinct()
+
+    est_a = {r["token"]: r["est_count"]
+             for r in sketch.cms_estimate(sk_a, probes).collect()}
+    # CMS can only overcount (collisions add) — never undercount
+    assert est_a["spark"] >= 40 and est_a["duck"] >= 25
+    # merged sketch == sketch of concatenated corpus, cell for cell
+    merged = sketch.cms_merge(sk_a, sk_b)
+    full = sketch.cms_build(mk(words_a + words_b))
+    as_map = lambda df: {  # noqa: E731
+        (r["row_idx"], r["col_idx"]): r["cell_count"] for r in df.collect()
+    }
+    assert as_map(merged) == as_map(full)
+    est_m = {r["token"]: r["est_count"]
+             for r in sketch.cms_estimate(merged, probes).collect()}
+    assert est_m["spark"] >= 50 and est_m["plan"] >= 7
+    # grid never exceeds depth*width cells regardless of vocabulary
+    assert merged.count() <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
