@@ -391,6 +391,77 @@ def bm25_scores(
     )
 
 
+def strip_boilerplate_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_per_line: int = 3,
+    min_doc_freq: int = 5,
+) -> DataFrame:
+    """CCNet-style line-level boilerplate removal, with fixed-width word
+    chunks standing in for lines (the synthetic corpus has no newlines).
+
+    Pipeline: chunk each doc into ``words_per_line``-word lines, hash each
+    line to a 60-bit key, count the number of DISTINCT docs containing the
+    line, mark lines with doc-frequency >= ``min_doc_freq`` as boilerplate
+    (navigation bars, cookie banners, repeated headers in real corpora),
+    and re-assemble each doc from its kept lines in original order.
+
+    Scale shape (100 TB): the line explode is narrow; doc-frequency is one
+    groupBy on the 8-byte line hash (never the line text — bounded shuffle
+    key); the boilerplate set after the >=min_doc_freq filter is tiny by
+    construction (at most total_lines / min_doc_freq rows, in practice
+    orders of magnitude less) so it broadcasts; re-assembly is one groupBy
+    on the doc id with an order-pinned sort_array re-join — no window, no
+    self-join on text.
+
+    Returns one row per input doc: (id, n_lines, n_kept, clean_text).
+    """
+    from .dedup import md5_long, split_words
+
+    w = df.select(id_col, split_words(F.col(text_col)).alias("ws"))
+    n_lines = F.floor((F.size("ws") + words_per_line - 1) / words_per_line)
+    lines = w.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_lines.cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("ws"), i * words_per_line + 1, words_per_line),
+                    " ",
+                ),
+            )
+        ).alias("pos", "line"),
+    ).withColumn("line_hash", md5_long(F.col("line")))
+
+    boiler = (
+        lines.groupBy("line_hash")
+        .agg(F.count_distinct(id_col).alias("dfreq"))
+        .filter(F.col("dfreq") >= min_doc_freq)
+        .select("line_hash")
+    )
+    flagged = lines.join(
+        F.broadcast(boiler.withColumn("is_boiler", F.lit(True))),
+        "line_hash",
+        "left",
+    ).withColumn("keep", F.col("is_boiler").isNull())
+
+    kept_struct = F.sort_array(
+        F.collect_list(F.struct("pos", "line", "keep"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_lines"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.filter(kept_struct, lambda x: x["keep"]),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
 def doc_fingerprint(text: Column, k: int = 8, shingle_words: int = 3) -> Column:
     """Document fingerprint: the k smallest 60-bit hashes over word
     shingles (a winnowing-style rolling signature). Expression-only —

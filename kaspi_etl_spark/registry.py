@@ -3890,3 +3890,46 @@ def q_token_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(dedup_ops.split_words(F.col("text"))).alias("token")
     )
     return sketch_ops.cms_build(toks)
+
+
+# --- CCNet-style line-level boilerplate dedup --------------------------------
+
+
+@register(
+    "docs_line_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents WHERE trim(text) <> ''
+    ),
+    lines AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(ws[(i*3+1):(i*3+3)], ' ') AS line
+      FROM (SELECT doc_id, ws, unnest(range(0, (len(ws)+2)//3)) AS i FROM w)
+    ),
+    hashed AS (
+      SELECT doc_id, pos, line, {_sql_md5_long('line')} AS line_hash FROM lines
+    ),
+    boiler AS (
+      SELECT line_hash FROM hashed GROUP BY line_hash
+      HAVING count(DISTINCT doc_id) >= 5
+    ),
+    flagged AS (
+      SELECT h.doc_id, h.pos, h.line, b.line_hash IS NULL AS keep
+      FROM hashed h LEFT JOIN boiler b USING (line_hash)
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(line, ' ' ORDER BY pos) FILTER (WHERE keep), '')
+             AS clean_text
+    FROM flagged GROUP BY doc_id
+    """,
+)
+def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level boilerplate removal (CCNet-style): 3-word chunk lines,
+    doc-frequency >= 5 marks a line as boilerplate, docs re-assembled from
+    kept lines in order. See llm/text.py strip_boilerplate_lines."""
+    d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    return text_ops.strip_boilerplate_lines(
+        d, words_per_line=3, min_doc_freq=5
+    )

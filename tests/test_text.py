@@ -49,3 +49,32 @@ def test_bm25_k1_b_parameterization(spark):
     }
     assert flat[1] > flat[2]  # only tf differs
     assert sat[1] == sat[2]
+
+
+def test_strip_boilerplate_lines_removes_high_df_chunks(spark):
+    # 'nav bar home' appears in 3 docs -> boilerplate at min_doc_freq=2;
+    # every other 2-word-chunk line is unique.
+    rows = [
+        (1, "nav bar home alpha beta gamma"),
+        (2, "nav bar home delta epsilon zeta"),
+        (3, "eta theta iota nav bar home"),
+        (4, "kappa lambda mu nu xi omicron"),
+        (5, "nav bar home"),  # all lines removed -> empty clean_text
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in text_ops.strip_boilerplate_lines(
+            docs, words_per_line=3, min_doc_freq=2
+        ).collect()
+    }
+    assert len(out) == 5
+    assert out[1].clean_text == "alpha beta gamma"
+    assert out[2].clean_text == "delta epsilon zeta"
+    # order preserved: kept line precedes nothing, boilerplate was the tail
+    assert out[3].clean_text == "eta theta iota"
+    # untouched doc keeps full text and all lines
+    assert out[4].clean_text == "kappa lambda mu nu xi omicron"
+    assert (out[4].n_lines, out[4].n_kept) == (2, 2)
+    # fully-boilerplate doc still present with empty text
+    assert out[5].clean_text == "" and out[5].n_kept == 0
