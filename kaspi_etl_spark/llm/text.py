@@ -227,6 +227,58 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     return flagged.withColumn("gopher_pass", gopher_pass)
 
 
+# C4 cleaning heuristics (Raffel et al. 2020, "Exploring the Limits of
+# Transfer Learning" appendix): line-level keep rules + page-level drops.
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+
+
+def c4_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """C4-style cleaning: keep lines that have >= 5 words, end in terminal
+    punctuation, and don't mention javascript; flag pages containing
+    'lorem ipsum' or '{' or with < 3 sentences. Returns the per-doc line
+    stats, the re-joined kept text, per-rule flags, and conjunctive
+    ``c4_pass``.
+
+    Shape: narrow, zero shuffles, whole-stage codegen except the line
+    filter lambdas. The kept-lines array is materialized ONCE before its
+    two consumers (size + re-join) — HOF results get no CSE, so deriving
+    both from an inline filter() would run the line rules twice.
+    """
+    t = F.col(text_col)
+    lined = df.withColumn("_lines", F.split(t, "\n"))
+    kept = F.filter(
+        "_lines",
+        lambda line: (
+            F.size(F.split(F.trim(line), r"\s+")) >= C4_MIN_WORDS_PER_LINE
+        )
+        & F.rtrim(line).rlike('[.!?"]$')
+        & ~F.lower(line).contains("javascript"),
+    )
+    metered = lined.select(
+        "*",
+        kept.alias("_kept"),
+        F.size(F.regexp_extract_all(t, F.lit("[.!?]"), F.lit(0)))
+        .cast("long")
+        .alias("n_sentences"),
+        F.lower(t).contains("lorem ipsum").alias("has_lorem"),
+        t.contains("{").alias("has_brace"),
+    )
+    sized = metered.select(
+        "*",
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size("_kept").cast("long").alias("n_kept_lines"),
+        F.array_join("_kept", "\n").alias("kept_text"),
+    ).drop("_lines", "_kept")
+    return sized.withColumn(
+        "c4_pass",
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem")
+        & ~F.col("has_brace")
+        & (F.col("n_kept_lines") > 0),
+    )
+
+
 # Winnowing gram-hash constants: polynomial hash base/modulus shared
 # bit-exactly with the DuckDB oracle SQL (registry.py winnowing query).
 # 31-bit modulus keeps every ord*coeff product < 2^52 (exact in int64 on

@@ -3933,3 +3933,40 @@ def q_docs_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.strip_boilerplate_lines(
         d, words_per_line=3, min_doc_freq=5
     )
+
+
+# --- C4-style page/line cleaning ---------------------------------------------
+
+
+@register(
+    "docs_quality_c4",
+    r"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM documents
+    ),
+    met AS (
+      SELECT doc_id, ls,
+             list_filter(ls, l ->
+               len(string_split_regex(trim(l), '\s+')) >= 5
+               AND regexp_matches(rtrim(l), '[.!?"]$')
+               AND NOT contains(lower(l), 'javascript')) AS ks,
+             CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)
+               AS n_sentences,
+             contains(lower(text), 'lorem ipsum') AS has_lorem,
+             contains(text, '{') AS has_brace
+      FROM base
+    )
+    SELECT doc_id, n_sentences, has_lorem, has_brace,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(ks) AS BIGINT) AS n_kept_lines,
+           COALESCE(array_to_string(ks, chr(10)), '') AS kept_text,
+           n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+             AND len(ks) > 0 AS c4_pass
+    FROM met
+    """,
+)
+def q_docs_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning heuristics (terminal-punct line keep, lorem-ipsum /
+    brace / min-sentence page drops). See llm/text.py c4_quality_flags."""
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    return text_ops.c4_quality_flags(docs).drop("text")

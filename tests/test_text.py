@@ -78,3 +78,31 @@ def test_strip_boilerplate_lines_removes_high_df_chunks(spark):
     assert (out[4].n_lines, out[4].n_kept) == (2, 2)
     # fully-boilerplate doc still present with empty text
     assert out[5].clean_text == "" and out[5].n_kept == 0
+
+
+def test_c4_quality_flags_line_and_page_rules(spark):
+    good = (
+        "This is a perfectly fine sentence with many words.\n"
+        "Short line.\n"
+        "Another long enough line that ends with a question mark?\n"
+        "this line mentions javascript and has enough words here.\n"
+        "no terminal punctuation on this long line at all"
+    )
+    rows = [
+        (1, good + "\nAnd a third sentence to pass the minimum!"),
+        (2, "Contains lorem ipsum filler. More words here. Third one."),
+        (3, "function() { return 1; } Yes. Indeed. Truly."),
+        (4, "One sentence only, with plenty of words in it."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in text_ops.c4_quality_flags(docs).collect()}
+    # doc 1: keeps the 3 valid lines, drops short/javascript/no-punct ones
+    assert out[1].n_lines == 6 and out[1].n_kept_lines == 3
+    assert out[1].kept_text.count("\n") == 2
+    assert "javascript" not in out[1].kept_text
+    assert out[1].c4_pass
+    # page-level drops
+    assert out[2].has_lorem and not out[2].c4_pass
+    assert out[3].has_brace and not out[3].c4_pass
+    # sentence minimum
+    assert out[4].n_sentences == 1 and not out[4].c4_pass
