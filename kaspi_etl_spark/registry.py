@@ -3970,3 +3970,39 @@ def q_docs_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
     brace / min-sentence page drops). See llm/text.py c4_quality_flags."""
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     return text_ops.c4_quality_flags(docs).drop("text")
+
+
+# --- Multidimensional aggregation (CUBE) -------------------------------------
+
+
+@register(
+    "orders_cube",
+    f"""
+    WITH o AS (
+      SELECT CAST(year(order_date) AS INT) AS order_year, status,
+             gross_price_kzt
+      FROM ({SQL_ORDERS_KASPI})
+    )
+    SELECT order_year, status,
+           CAST(GROUPING(order_year) * 2 + GROUPING(status) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(gross_price_kzt) AS BIGINT) AS gross_sum
+    FROM o GROUP BY CUBE (order_year, status)
+    """,
+)
+def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(year, status) revenue rollup with grouping_id. Spark plans
+    this as ONE Expand (4 grouping sets materialized map-side) feeding a
+    single hash aggregate — one shuffle total regardless of how many
+    grouping sets, which is the scale-correct shape vs unioning four
+    separate groupBys (four scans, four shuffles)."""
+    o = orders_kaspi(spark, sf_dir).select(
+        F.year("order_date").cast("int").alias("order_year"),
+        "status",
+        "gross_price_kzt",
+    )
+    return o.cube("order_year", "status").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n_orders"),
+        F.sum("gross_price_kzt").cast("long").alias("gross_sum"),
+    )

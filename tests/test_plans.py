@@ -135,3 +135,12 @@ def test_funnel_is_single_exchange_no_join(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "events_funnel")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_cube_is_single_expand_single_exchange(spark, sf_dir):
+    # CUBE must plan as one Expand + one aggregation exchange, not a
+    # union of per-grouping-set scans.
+    plan = plan_of(spark, sf_dir, "orders_cube")
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read) only
