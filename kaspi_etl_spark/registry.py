@@ -4006,3 +4006,76 @@ def q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_orders"),
         F.sum("gross_price_kzt").cast("long").alias("gross_sum"),
     )
+
+
+# --- TPC-H Q5-shape multiway join --------------------------------------------
+
+
+@register(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name AS nation,
+           CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table join, revenue by nation.
+
+    Scale shape: nation/region (and the supplier dimension at this SF)
+    broadcast; the fact-fact orders-lineitem join shuffles on orderkey
+    with the date filter PUSHED to the orders parquet scan so the probe
+    side is pruned before the exchange. Revenue is exact integer
+    arithmetic (cents grid) so the sum is order-independent.
+    """
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .withColumn("o_date", F.col("o_orderdate").cast("date"))
+        .filter(
+            (F.col("o_date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_date") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.round("l_extendedprice").cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = _read(spark, sf_dir, "region").filter(
+        F.col("r_name") == "ASIA"
+    ).select("r_regionkey")
+
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+    )

@@ -144,3 +144,12 @@ def test_cube_is_single_expand_single_exchange(spark, sf_dir):
     assert plan.count("Expand") >= 1
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") <= 2  # agg shuffle (+AQE read) only
+
+
+def test_q5_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q5_local_supplier")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # date filter must reach the orders scan as a pushed filter
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "orders" in ln]
+    assert scans and "o_orderdate" in scans[0].split("PushedFilters")[-1]
