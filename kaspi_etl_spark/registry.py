@@ -4079,3 +4079,41 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
     )
+
+
+# --- Blocked fuzzy entity resolution -----------------------------------------
+
+from .ops import entity as entity_ops  # noqa: E402
+
+
+@register(
+    "part_name_matches",
+    r"""
+    WITH toks AS (
+      SELECT p_partkey AS id, lower(p_name) AS name,
+             string_split_regex(lower(p_name), '\s+') AS ws
+      FROM part
+    ),
+    blocks AS (
+      SELECT 'f' AS pass_id, ws[1] AS key, id, name FROM toks
+      UNION ALL
+      SELECT 'l' AS pass_id, ws[-1] AS key, id, name FROM toks
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.name AS name_a, b.name AS name_b
+      FROM blocks a JOIN blocks b
+        ON a.pass_id = b.pass_id AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    """,
+)
+def q_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy part-name matching: token-blocked candidates, Levenshtein <= 2
+    verify. See ops/entity.py blocked_name_matches."""
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return entity_ops.blocked_name_matches(
+        p, id_col="p_partkey", name_col="p_name", max_dist=2
+    )

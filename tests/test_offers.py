@@ -116,3 +116,27 @@ def test_price_deltas(spark):
     assert out["a"] == (0, 0.0)
     assert out["b"][0] == 50
     assert math.isclose(out["b"][1], 0.5)
+
+
+def test_blocked_name_matches_semantics(spark):
+    from kaspi_etl_spark.ops import entity
+
+    rows = [
+        (1, "blue bolt"),
+        (2, "blue belt"),   # dist 1, same first token
+        (3, "red bolt"),    # dist ~3 from 'blue bolt'? verify filter
+        (4, "blue bolts"),  # dist 1 from 'blue bolt'
+        (5, "green widget"),
+        (6, "grean widget"),  # dist 1, same last token, different first
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = {(r.id_a, r.id_b): r.dist
+           for r in entity.blocked_name_matches(df, max_dist=2).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 4)] == 1
+    # last-token pass catches pairs whose FIRST token differs
+    assert out[(5, 6)] == 1
+    # 'red bolt' vs 'blue bolt' is blocked together (last token) but
+    # fails the distance verify (dist 3)
+    assert (1, 3) not in out
+    # a pair matched by BOTH passes appears exactly once (distinct)
+    assert len([k for k in out if k == (2, 4)]) <= 1
