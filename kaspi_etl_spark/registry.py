@@ -4117,3 +4117,126 @@ def q_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return entity_ops.blocked_name_matches(
         p, id_col="p_partkey", name_col="p_name", max_dist=2
     )
+
+
+# --- Percentile / ntile window analytics -------------------------------------
+
+
+@register(
+    "customer_revenue_deciles",
+    """
+    WITH rev AS (
+      SELECT o_custkey AS customer_id,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS revenue
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT c_mktsegment AS segment, customer_id, revenue,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile,
+           CAST(cume_dist() OVER w AS DOUBLE) AS cume,
+           CAST(percent_rank() OVER w AS DOUBLE) AS pct_rank
+    FROM rev JOIN customer ON customer_id = c_custkey
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY revenue DESC, customer_id)
+    """,
+)
+def q_customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue deciles per market segment: ntile/cume_dist/percent_rank
+    over a PARTITIONED window (a global ntile needs a total order — one
+    task no matter the cluster; partitioning by segment keeps the sort
+    distributed). Tie-break by customer_id pins bucket assignment so the
+    result is deterministic across engines."""
+    rev = (
+        _read(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("customer_id"))
+        .agg(
+            F.sum(F.round("o_totalprice").cast("long"))
+            .cast("long")
+            .alias("revenue")
+        )
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("revenue").desc(), F.col("customer_id")
+    )
+    return (
+        rev.join(cust, rev.customer_id == cust.c_custkey)
+        .select(
+            "segment",
+            "customer_id",
+            "revenue",
+            F.ntile(10).over(w).cast("long").alias("decile"),
+            F.cume_dist().over(w).cast("double").alias("cume"),
+            F.percent_rank().over(w).cast("double").alias("pct_rank"),
+        )
+    )
+
+
+# --- Robust (median/MAD) outlier detection -----------------------------------
+
+
+@register(
+    "daily_revenue_outliers",
+    f"""
+    WITH o AS ({SQL_ORDERS_KASPI}),
+    daily AS (
+      SELECT CAST(date_trunc('month', order_date) AS DATE) AS month,
+             order_date,
+             CAST(sum(gross_price_kzt) AS BIGINT) AS revenue
+      FROM o GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT month, CAST(median(revenue) AS DOUBLE) AS med
+      FROM daily GROUP BY month
+    ),
+    dev AS (
+      SELECT d.*, m.med,
+             abs(CAST(revenue AS DOUBLE) - m.med) AS adev
+      FROM daily d JOIN med m USING (month)
+    ),
+    mad AS (
+      SELECT month, CAST(median(adev) AS DOUBLE) AS mad
+      FROM dev GROUP BY month
+    )
+    SELECT d.month, d.order_date, d.revenue, d.med, m2.mad,
+           CASE WHEN m2.mad > 0
+                THEN d.adev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE)
+                              * m2.mad
+                ELSE FALSE END AS is_outlier
+    FROM dev d JOIN mad m2 USING (month)
+    """,
+)
+def q_daily_revenue_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier days per month: exact median + MAD (median absolute
+    deviation), 3-sigma-equivalent threshold via the 1.4826 normal
+    consistency constant. Median/MAD are per-month groupBys whose outputs
+    (one row per month) broadcast back — no global sort, no window over
+    the full series."""
+    o = orders_kaspi(spark, sf_dir)
+    daily = o.groupBy(
+        F.trunc("order_date", "month").alias("month"), "order_date"
+    ).agg(F.sum("gross_price_kzt").cast("long").alias("revenue"))
+    med = daily.groupBy("month").agg(
+        F.percentile("revenue", F.lit(0.5)).cast("double").alias("med")
+    )
+    dev = daily.join(F.broadcast(med), "month").withColumn(
+        "adev", F.abs(F.col("revenue").cast("double") - F.col("med"))
+    )
+    mad = dev.groupBy("month").agg(
+        F.percentile("adev", F.lit(0.5)).cast("double").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "month").select(
+        "month",
+        "order_date",
+        "revenue",
+        "med",
+        "mad",
+        F.when(
+            F.col("mad") > 0,
+            F.col("adev") > F.lit(3.0) * F.lit(1.4826) * F.col("mad"),
+        )
+        .otherwise(F.lit(False))
+        .alias("is_outlier"),
+    )
