@@ -88,3 +88,56 @@ def pagerank_fixed_point(
             )
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Global triangle count over an undirected graph, returned as ONE row
+    (n_nodes, n_edges, n_triangles).
+
+    Algorithm: canonicalize edges (low id, high id) + distinct, then
+    orient every edge from its lower-DEGREE endpoint to the higher
+    (ties by id). On the oriented graph each triangle is exactly one
+    wedge u->v, v->w closed by u->w, found with two equi-joins. Degree
+    orientation bounds each node's out-degree by O(sqrt(E)) — the
+    classic skew guard: a celebrity node with 10^6 neighbors generates
+    wedges only from its (rare) higher-degree peers, not 10^12 pairs.
+    The count is orientation-invariant, so the oracle may orient by id.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ed.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    e1 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_v"))
+    e2 = oriented.select(F.col("u").alias("w_v"), F.col("v").alias("w_w"))
+    e3 = oriented.select(F.col("u").alias("w_u"), F.col("v").alias("w_w"))
+    tri = (
+        e1.join(e2, "w_v")
+        .join(e3, ["w_u", "w_w"])
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
+    n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

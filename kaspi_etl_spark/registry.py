@@ -4240,3 +4240,41 @@ def q_daily_revenue_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("is_outlier"),
     )
+
+
+# --- Triangle counting -------------------------------------------------------
+
+
+@register(
+    "copurchase_triangles",
+    """
+    WITH e AS (
+      SELECT DISTINCT least(x.l_partkey, y.l_partkey) AS a,
+                      greatest(x.l_partkey, y.l_partkey) AS b
+      FROM lineitem x JOIN lineitem y
+        ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    nodes AS (
+      SELECT DISTINCT node FROM (SELECT a AS node FROM e UNION SELECT b FROM e)
+    ),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e e1 JOIN e e2 ON e1.b = e2.a JOIN e e3
+        ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+           n_triangles
+    FROM tri
+    """,
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of the part co-purchase graph (parts sharing an
+    order are adjacent). Degree-ordered two-join algorithm — see
+    ops/graph.py triangle_count. The oracle orients by id; the count is
+    orientation-invariant."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("src"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
+    edges = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
+    return graph_ops.triangle_count(edges)

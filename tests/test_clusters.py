@@ -135,3 +135,17 @@ def test_pagerank_deterministic_across_partitionings(spark):
     r1 = sorted(graph.pagerank_fixed_point(e1).collect())
     r8 = sorted(graph.pagerank_fixed_point(e8).collect())
     assert r1 == r8
+
+
+def test_triangle_count_known_graph(spark):
+    from kaspi_etl_spark.ops import graph
+
+    # K4 (4 triangles) + a pendant edge + a disconnected 3-cycle (1) = 5,
+    # with duplicate and reversed input edges to exercise canonicalization.
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = k4 + [(3, 9), (9, 3), (10, 11), (11, 12), (12, 10), (0, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    row = graph.triangle_count(df).collect()[0]
+    assert row.n_nodes == 8
+    assert row.n_edges == len(k4) + 1 + 3
+    assert row.n_triangles == 4 + 1
