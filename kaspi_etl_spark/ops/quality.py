@@ -1,0 +1,76 @@
+"""Declarative data-quality verification (Deequ-style).
+
+A check suite over a table compiles to ONE aggregation pass: every
+constraint contributes one metric expression to a single ``df.agg(...)``
+(so a 40-constraint suite still reads the table once and shuffles one
+row), and the 1-row result is exploded into the per-constraint report
+(constraint, metric, passed).
+
+Referential-integrity checks need a second table and therefore a join —
+they're separate report rows unioned onto the single-pass suite
+(orphan-count via left-anti join, keyed on the FK: the standard shape).
+
+Metrics are exact: ratios are integer-count divisions done in IEEE
+doubles identically on any engine, so pass/fail is deterministic —
+no sampling, no approximation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# A constraint: (name, pre-agg metric expression, metric -> passed).
+Spec = tuple[str, Column, Callable[[Column], Column]]
+
+
+def metrics_report(df: DataFrame, specs: list[Spec]) -> DataFrame:
+    """Run all constraints in one aggregation pass; one report row each."""
+    aggs = [m.cast("double").alias(f"_m{i}") for i, (_, m, _) in enumerate(specs)]
+    row = df.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("constraint"),
+                F.col(f"_m{i}").alias("metric"),
+                passed(F.col(f"_m{i}")).alias("passed"),
+            )
+            for i, (name, _, passed) in enumerate(specs)
+        ]
+    )
+    return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def ratio(cond: Column) -> Column:
+    """Fraction of rows satisfying ``cond`` — exact integer counts divided
+    once in doubles."""
+    return F.sum(cond.cast("long")).cast("double") / F.count("*").cast(
+        "double"
+    )
+
+
+def completeness(col: str) -> Column:
+    return ratio(F.col(col).isNotNull())
+
+
+def uniqueness(col: str) -> Column:
+    return F.count_distinct(F.col(col)).cast("double") / F.count("*").cast(
+        "double"
+    )
+
+
+def orphan_count(
+    child: DataFrame, parent: DataFrame, fk: str, pk: str, name: str
+) -> DataFrame:
+    """Referential-integrity report row: rows of ``child`` whose ``fk``
+    has no match in ``parent.pk`` (left-anti join, counted)."""
+    orphans = child.join(
+        parent.select(F.col(pk).alias(fk)).distinct(), fk, "left_anti"
+    )
+    return orphans.agg(
+        F.lit(name).alias("constraint"),
+        F.count("*").cast("double").alias("metric"),
+        (F.count("*") == 0).alias("passed"),
+    )

@@ -4278,3 +4278,93 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = li.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("dst"))
     edges = a.join(b, "k").filter(F.col("src") < F.col("dst")).select("src", "dst")
     return graph_ops.triangle_count(edges)
+
+
+# --- Data-quality constraint verification ------------------------------------
+
+from .ops import quality as quality_ops  # noqa: E402
+
+
+@register(
+    "dq_orders_report",
+    f"""
+    WITH o AS ({SQL_ORDERS_KASPI})
+    SELECT 'completeness_order_date' AS constraint,
+           CAST(sum(CASE WHEN order_date IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) AS metric,
+           CAST(sum(CASE WHEN order_date IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) = CAST(1.0 AS DOUBLE)
+             AS passed
+    FROM o
+    UNION ALL
+    SELECT 'uniqueness_order_id',
+           CAST(count(DISTINCT order_id) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE),
+           CAST(count(DISTINCT order_id) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) = CAST(1.0 AS DOUBLE)
+    FROM o
+    UNION ALL
+    SELECT 'min_gross_nonnegative', CAST(min(gross_price_kzt) AS DOUBLE),
+           min(gross_price_kzt) >= 0
+    FROM o
+    UNION ALL
+    SELECT 'status_in_set',
+           CAST(sum(CASE WHEN status IN ('O','F','P') THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE),
+           CAST(sum(CASE WHEN status IN ('O','F','P') THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(count(*) AS DOUBLE) = CAST(1.0 AS DOUBLE)
+    FROM o
+    UNION ALL
+    SELECT 'qty_max_in_range', CAST(max(qty) AS DOUBLE), max(qty) <= 3
+    FROM o
+    UNION ALL
+    SELECT 'ri_lineitem_orders',
+           CAST((SELECT count(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                                   WHERE oo.o_orderkey = l.l_orderkey))
+                AS DOUBLE),
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                              WHERE oo.o_orderkey = l.l_orderkey)) = 0
+    """,
+)
+def q_dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style verification suite: five single-pass constraints over
+    the orders feed plus a referential-integrity row for
+    lineitem.l_orderkey -> orders.o_orderkey. See ops/quality.py."""
+    o = orders_kaspi(spark, sf_dir)
+    one = F.lit(1.0).cast("double")
+    suite = quality_ops.metrics_report(
+        o,
+        [
+            (
+                "completeness_order_date",
+                quality_ops.completeness("order_date"),
+                lambda m: m == one,
+            ),
+            (
+                "uniqueness_order_id",
+                quality_ops.uniqueness("order_id"),
+                lambda m: m == one,
+            ),
+            (
+                "min_gross_nonnegative",
+                F.min("gross_price_kzt"),
+                lambda m: m >= 0,
+            ),
+            (
+                "status_in_set",
+                quality_ops.ratio(F.col("status").isin("O", "F", "P")),
+                lambda m: m == one,
+            ),
+            ("qty_max_in_range", F.max("qty"), lambda m: m <= 3),
+        ],
+    )
+    ri = quality_ops.orphan_count(
+        _read(spark, sf_dir, "lineitem").select("l_orderkey"),
+        _read(spark, sf_dir, "orders"),
+        fk="l_orderkey",
+        pk="o_orderkey",
+        name="ri_lineitem_orders",
+    )
+    return suite.unionByName(ri)

@@ -169,3 +169,39 @@ def test_scd2_null_values_distinct(spark):
         7.0,
         None,
     ]
+
+
+def test_dq_metrics_report_single_pass_and_fail_rows(spark):
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark.ops import quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "id long, v string"
+    )
+    rep = quality.metrics_report(
+        df,
+        [
+            ("complete_v", quality.completeness("v"),
+             lambda m: m == F.lit(1.0).cast("double")),
+            ("unique_id", quality.uniqueness("id"),
+             lambda m: m == F.lit(1.0).cast("double")),
+            ("max_id", F.max("id"), lambda m: m <= 10),
+        ],
+    )
+    rows = {r.constraint: r for r in rep.collect()}
+    assert not rows["complete_v"].passed and abs(rows["complete_v"].metric - 2 / 3) < 1e-12
+    assert not rows["unique_id"].passed  # duplicate id 2
+    assert rows["max_id"].passed and rows["max_id"].metric == 2.0
+    # single aggregation pass: exactly one Exchange in the plan
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+
+
+def test_dq_orphan_count(spark):
+    from kaspi_etl_spark.ops import quality
+
+    child = spark.createDataFrame([(1,), (2,), (9,)], "fk long")
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    row = quality.orphan_count(child, parent, "fk", "pk", "ri").collect()[0]
+    assert row.metric == 1.0 and not row.passed
