@@ -193,9 +193,12 @@ def test_dq_metrics_report_single_pass_and_fail_rows(spark):
     assert not rows["complete_v"].passed and abs(rows["complete_v"].metric - 2 / 3) < 1e-12
     assert not rows["unique_id"].passed  # duplicate id 2
     assert rows["max_id"].passed and rows["max_id"].metric == 2.0
-    # single aggregation pass: exactly one Exchange in the plan
+    # single pass: the table is scanned exactly once no matter how many
+    # constraints (distinct-agg rewrites may add exchanges, never scans)
     plan = rep._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("Exchange") <= 1
+    # AQE prints the initial plan after the final one — count the final only
+    final_plan = plan.split("== Initial Plan ==")[0]
+    assert final_plan.count("Scan ExistingRDD") == 1
 
 
 def test_dq_orphan_count(spark):
