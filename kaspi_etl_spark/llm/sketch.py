@@ -69,6 +69,118 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# HDR-histogram-style quantile sketch (exact integer bucketing)
+# ---------------------------------------------------------------------------
+#
+# DDSketch/HDR-histogram shape with an EXACT bucketing rule: instead of
+# floor(log_gamma(x)) (an IEEE log whose last-ulp behaviour near bucket
+# boundaries could diverge between engines), the bucket of a non-negative
+# integer v is derived from its binary length — pure integer arithmetic,
+# bit-identical in Spark (bin/shiftright) and any SQL oracle (printf %b,
+# >>). One octave = 2^HDR_SUB_BITS sub-buckets, so the bucket lower bound
+# is within a factor (1 + 2^-HDR_SUB_BITS) of the true value: guaranteed
+# ~6% max relative error for HDR_SUB_BITS=4, at ~16 buckets per octave.
+#
+#   v < 16           -> bucket_id = v (exact singleton buckets)
+#   v >= 16, e=bitlen(v)-1, s=e-4 -> bucket_id = 16*s + (v >> s)
+#
+# ids are monotone in v, so quantiles come from a cumulative sum over
+# bucket_id order. The grid is mergeable by cellwise count addition —
+# union of datasets = sum of sketches — which is what makes it a sketch
+# rather than a full sort at 100 TB: the shuffle output is bounded by
+# 16 buckets/octave * 63 octaves regardless of input size.
+
+HDR_SUB_BITS = 4
+HDR_BASE = 1 << HDR_SUB_BITS  # 16
+
+
+def hdr_bucket_id(values: DataFrame, value_col: str = "v") -> DataFrame:
+    """Tag each non-negative integer value with its sketch bucket id.
+    Exact integer arithmetic only (bitlen via bin-string length + shift).
+    """
+    e = (F.length(F.bin(F.col(value_col))) - 1).cast("long")
+    tagged = values.select(F.col(value_col).alias("v")).withColumn("e", e)
+    return tagged.withColumn(
+        "bucket_id",
+        F.when(F.col("v") < HDR_BASE, F.col("v")).otherwise(
+            HDR_BASE * (F.col("e") - HDR_SUB_BITS)
+            + F.expr(f"shiftright(v, cast(e - {HDR_SUB_BITS} as int))")
+        ),
+    ).select("v", "bucket_id")
+
+
+def hdr_build(values: DataFrame, value_col: str = "v") -> DataFrame:
+    """Sketch grid: (bucket_id, bucket_count). Map-side partial agg
+    collapses to <= 16 buckets/octave before the (tiny) shuffle."""
+    return (
+        hdr_bucket_id(values, value_col)
+        .groupBy("bucket_id")
+        .agg(F.count("*").cast("long").alias("bucket_count"))
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sketch of the concatenated datasets: cellwise count sum."""
+    return (
+        a.unionByName(b)
+        .groupBy("bucket_id")
+        .agg(F.sum("bucket_count").cast("long").alias("bucket_count"))
+    )
+
+
+def hdr_rep_expr(bucket_col: str = "bucket_id") -> Column:
+    """Bucket representative (exact lower bound of the bucket's value
+    range): id itself below 16, else (id - 16*s) << s with s = id//16 - 1.
+    """
+    b = F.col(bucket_col)
+    return F.when(b < HDR_BASE, b).otherwise(
+        F.expr(
+            f"shiftleft({bucket_col} - {HDR_BASE} * (({bucket_col} div {HDR_BASE}) - 1), "
+            f"cast(({bucket_col} div {HDR_BASE}) - 1 as int))"
+        )
+    )
+
+
+def hdr_quantiles(
+    values: DataFrame,
+    value_col: str = "v",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile estimates from the sketch: for each q, the representative
+    of the first bucket whose cumulative count reaches ceil(q * N).
+    Guaranteed within one bucket width (~2^-HDR_SUB_BITS relative) of the
+    exact quantile.
+
+    Scale shape: the only full-data pass is hdr_build's bounded groupBy;
+    everything after runs on the <= ~1000-row grid (single-partition
+    window + a 3-row broadcast inequality join — both trivially small by
+    construction, noted because a window without partitionBy is otherwise
+    a red flag).
+    """
+    buckets = hdr_build(values, value_col)
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket_id").rowsBetween(Window.unboundedPreceding, 0)
+    cum = buckets.withColumn("cum", F.sum("bucket_count").over(w))
+    n = buckets.agg(F.sum("bucket_count").cast("long").alias("n"))
+    ranks = (
+        n.select(
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "n"
+        )
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .drop("n")
+    )
+    est = (
+        cum.join(F.broadcast(ranks), F.col("cum") >= F.col("target_rank"))
+        .groupBy("q", "target_rank")
+        .agg(F.min("bucket_id").alias("bucket_id"))
+    )
+    return est.select(
+        "q", "target_rank", hdr_rep_expr().cast("long").alias("est_value")
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     probes: DataFrame,

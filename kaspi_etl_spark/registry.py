@@ -4368,3 +4368,58 @@ def q_dq_orders_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         name="ri_lineitem_orders",
     )
     return suite.unionByName(ri)
+
+
+# --- HDR-histogram quantile sketch (exact integer log2 bucketing) ------------
+
+
+@register(
+    "price_quantile_sketch",
+    """
+    WITH vals AS (
+      SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem
+    ),
+    bk AS (
+      SELECT CASE WHEN v < 16 THEN v
+             ELSE 16 * (length(printf('%b', v)) - 1 - 4)
+                  + (v >> (length(printf('%b', v)) - 1 - 4))
+             END AS bucket_id
+      FROM vals
+    ),
+    counts AS (
+      SELECT bucket_id, CAST(COUNT(*) AS BIGINT) AS bucket_count
+      FROM bk GROUP BY bucket_id
+    ),
+    cum AS (
+      SELECT bucket_id, SUM(bucket_count) OVER (ORDER BY bucket_id) AS cum
+      FROM counts
+    ),
+    n AS (SELECT SUM(bucket_count) AS n FROM counts),
+    ranks AS (
+      SELECT q, CAST(ceil(q * n) AS BIGINT) AS target_rank
+      FROM (SELECT CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q), n
+    ),
+    est AS (
+      SELECT q, target_rank, MIN(bucket_id) AS bucket_id
+      FROM ranks JOIN cum ON cum.cum >= ranks.target_rank
+      GROUP BY q, target_rank
+    )
+    SELECT q, target_rank,
+           CAST(CASE WHEN bucket_id < 16 THEN bucket_id
+                ELSE (bucket_id - 16 * ((bucket_id // 16) - 1))
+                     << ((bucket_id // 16) - 1)
+                END AS BIGINT) AS est_value
+    FROM est
+    """,
+)
+def q_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch over lineitem price cents: p50/p90/
+    p99 estimates from a mergeable, bounded-size bucket grid. Bucketing
+    is exact integer arithmetic (binary length + shifts) rather than an
+    IEEE log, so the full estimate pipeline is bit-exact against the
+    DuckDB oracle. See llm/sketch.py hdr_* for merge and error bounds."""
+    li = _read(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
+    )
+    return sketch_ops.hdr_quantiles(vals)

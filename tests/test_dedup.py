@@ -143,3 +143,35 @@ def test_cms_estimate_never_undercounts_and_merges(spark):
     assert est_m["spark"] >= 50 and est_m["plan"] >= 7
     # grid never exceeds depth*width cells regardless of vocabulary
     assert merged.count() <= sketch.CMS_DEPTH * sketch.CMS_WIDTH
+
+
+def test_hdr_sketch_quantiles_merge_and_error_bound(spark):
+    import random
+
+    from kaspi_etl_spark.llm import sketch
+
+    rng = random.Random(7)
+    vals_a = [rng.randint(1, 500_000) for _ in range(800)] + list(range(16))
+    vals_b = [rng.randint(1, 2_000) for _ in range(400)]
+    mk = lambda vs: spark.createDataFrame([(v,) for v in vs], "v long")  # noqa: E731
+
+    # merged sketch == sketch of the concatenated data, bucket for bucket
+    merged = sketch.hdr_merge(sketch.hdr_build(mk(vals_a)), sketch.hdr_build(mk(vals_b)))
+    full = sketch.hdr_build(mk(vals_a + vals_b))
+    as_map = lambda df: {r["bucket_id"]: r["bucket_count"] for r in df.collect()}  # noqa: E731
+    assert as_map(merged) == as_map(full)
+
+    # estimate is the bucket lower bound: est <= exact < est * (1 + 2^-4)
+    # (exact for v < 16 where buckets are singletons)
+    both = sorted(vals_a + vals_b)
+    n = len(both)
+    for row in sketch.hdr_quantiles(mk(vals_a + vals_b)).collect():
+        exact = both[row["target_rank"] - 1]
+        assert row["est_value"] <= exact
+        if exact >= 16:
+            assert exact < row["est_value"] * (1 + 2 ** -sketch.HDR_SUB_BITS)
+        else:
+            assert row["est_value"] == exact
+
+    # grid size is bounded by sub-buckets * octaves, not by data size
+    assert full.count() <= sketch.HDR_BASE * 64
