@@ -338,3 +338,53 @@ def lsh_topk(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+FIXED_POINT_SCALE = 1 << 20  # ~6 decimal digits of fraction
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group centroid of embedding vectors via FIXED-POINT sums.
+
+    A double SUM over a group is order-dependent (IEEE addition doesn't
+    associate), so a float centroid can't be reproduced bit-exactly by
+    another engine — or even by the same engine under a different
+    partitioning. Quantizing each component to round(x * 2^20) first
+    makes the per-dimension sum an exact integer (order-independent,
+    overflow-safe: 2^20-scaled unit floats sum exactly in int64 up to
+    ~2^43 rows/group), with ONE IEEE division at the end. That is what
+    makes the result both deterministic at 100 TB and oracle-checkable.
+
+    Shape: posexplode (narrow) -> groupBy(group, pos) integer sums with
+    map-side partial agg -> groupBy(group) sorted re-assembly. The wide
+    shuffle carries (group, pos) keyed integer pairs — dim * groups rows
+    after partial agg, independent of input row count.
+
+    Output: (group_col, n_vecs BIGINT, centroid ARRAY<DOUBLE>).
+    """
+    ex = df.select(
+        group_col, F.posexplode(vec_col).alias("pos", "x")
+    ).withColumn(
+        "qx",
+        F.round(F.col("x").cast("double") * FIXED_POINT_SCALE).cast("long"),
+    )
+    sums = ex.groupBy(group_col, "pos").agg(
+        F.sum("qx").cast("long").alias("s"),
+        F.count("*").cast("long").alias("c"),
+    )
+    dims = sums.withColumn(
+        "cv",
+        F.col("s").cast("double")
+        / (F.col("c") * FIXED_POINT_SCALE).cast("double"),
+    )
+    return dims.groupBy(group_col).agg(
+        F.max("c").cast("long").alias("n_vecs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cv"))),
+            lambda s: s["cv"],
+        ).alias("centroid"),
+    )

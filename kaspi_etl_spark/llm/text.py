@@ -526,3 +526,52 @@ def doc_fingerprint(text: Column, k: int = 8, shingle_words: int = 3) -> Column:
         word_shingles(text, shingle_words), lambda s: md5_long(s)
     )
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
+
+
+def bigram_coverage(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Bigram-coverage LM signal: what fraction of a document's word
+    bigrams occur >= 2 times in the whole corpus. Low coverage marks
+    text whose local word transitions appear nowhere else — gibberish,
+    OCR noise, heavy boilerplate mutations — the cheap integer-exact
+    stand-in for a perplexity filter (a real LM emits order-dependent
+    float log-probs; counts are engine-reproducible).
+
+    Scale shape: bigram assembly is narrow (zip_with over the materialized
+    words array — no per-element re-split thanks to the no-CSE-in-HOF
+    rule); corpus frequency is a window over the 60-bit bigram HASH (the
+    shuffle key is 8 bytes, never the bigram text, and no distinct
+    vocabulary self-join); the per-doc rollup is one groupBy on the id.
+
+    Output: (id_col, n_bigrams BIGINT, n_covered BIGINT, coverage DOUBLE).
+    """
+    from .dedup import md5_long, split_words
+
+    w = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, split_words(F.col(text_col)).alias("ws"))
+        .withColumn("n", F.size("ws"))
+        .filter(F.col("n") >= 2)
+    )
+    bigrams = w.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("ws", F.lit(1), F.col("n") - 1),
+                F.slice("ws", F.lit(2), F.col("n") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bg"),
+    )
+    hashed = bigrams.select(id_col, md5_long(F.col("bg")).alias("h"))
+    counted = hashed.withColumn(
+        "c", F.count("*").over(Window.partitionBy("h"))
+    )
+    n_bg = F.count("*").cast("long")
+    n_cov = F.sum((F.col("c") >= 2).cast("long")).cast("long")
+    return counted.groupBy(id_col).agg(
+        n_bg.alias("n_bigrams"),
+        n_cov.alias("n_covered"),
+        (n_cov.cast("double") / n_bg.cast("double")).alias("coverage"),
+    )

@@ -4423,3 +4423,70 @@ def q_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v")
     )
     return sketch_ops.hdr_quantiles(vals)
+
+
+# --- Fixed-point embedding centroids ----------------------------------------
+
+
+@register(
+    "embedding_centroids",
+    """
+    WITH ex AS (
+      SELECT label, i AS pos,
+             CAST(round(CAST(embedding[i + 1] AS DOUBLE) * 1048576) AS BIGINT)
+               AS qx
+      FROM (
+        SELECT label, embedding, unnest(range(len(embedding))) AS i
+        FROM embeddings
+      )
+    ),
+    sums AS (
+      SELECT label, pos, CAST(SUM(qx) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM ex GROUP BY label, pos
+    )
+    SELECT label, CAST(MAX(c) AS BIGINT) AS n_vecs,
+           list(CAST(s AS DOUBLE) / CAST(c * 1048576 AS DOUBLE)
+                ORDER BY pos) AS centroid
+    FROM sums GROUP BY label
+    """,
+)
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid via fixed-point integer sums — the
+    order-independent (hence engine-reproducible) form of the float mean.
+    See llm/similarity.py embedding_centroids for the scale analysis."""
+    e = _read(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_centroids(e, "label", "embedding")
+
+
+# --- Bigram-coverage LM scoring ---------------------------------------------
+
+
+@register(
+    "bigram_coverage",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+      SELECT doc_id, ws[i + 1] || ' ' || ws[i + 2] AS bg
+      FROM (
+        SELECT doc_id, ws, unnest(range(len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2
+      )
+    ),
+    h AS (SELECT doc_id, {{H}} AS h FROM bg),
+    c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS c FROM h)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS coverage
+    FROM c GROUP BY doc_id
+    """.replace("{H}", _sql_md5_long("bg")),
+)
+def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-coverage LM scoring over the documents corpus — the
+    integer-exact perplexity stand-in. See llm/text.py bigram_coverage."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.bigram_coverage(d)
