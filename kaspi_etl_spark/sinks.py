@@ -130,3 +130,16 @@ def compact_parquet(
         for f in files
         if f.endswith(".parquet")
     )
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the columnar alternative to parquet for warehouses
+    standardized on ORC (Hive/Tez estates). Same pushdown/pruning story
+    as parquet in Spark (vectorized reader, predicate pushdown, column
+    pruning); the engine treats the format as a storage detail."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan with native filter pushdown and column pruning."""
+    return spark.read.orc(path)

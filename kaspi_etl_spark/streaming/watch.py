@@ -383,3 +383,45 @@ def windowed_price_stats(events: DataFrame, watermark: str = "10 minutes") -> Da
             F.count("*").alias("n"),
         )
     )
+
+
+def dedup_stream_job(
+    spark,
+    source_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = 1,
+):
+    """Reusable streaming exact-dedup job (the streaming form of
+    events_dedup): file-source NDJSON stream -> watermark ->
+    dropDuplicatesWithinWatermark(keys) -> append NDJSON sink. The first
+    arrival of each key wins; replays inside the watermark window are
+    dropped. State holds one entry per key seen within the watermark —
+    bounded by key arrival rate * watermark, not stream length — and the
+    watermark evicts expired keys, which is what keeps this runnable
+    forever at 100 TB/day (an unwatermarked dropDuplicates grows state
+    without bound). ``trigger_seconds=None`` runs availableNow
+    (drain-and-stop); a number gives the processing-time cadence.
+    """
+    keys = key_cols or ["event_id"]
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+    deduped = stream.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(keys)
+    writer = (
+        deduped.writeStream.format("json")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -124,3 +124,26 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     n_after = sinks.compact_parquet(spark, p)
     assert n_after == 1  # a few KB -> one 128MB-target file
     assert {(r.id, r.v) for r in spark.read.parquet(p).collect()} == before
+
+
+def test_orc_roundtrip_and_pushdown(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark import sinks
+
+    df = spark.range(1000).withColumn("grp", F.col("id") % 7)
+    path = str(tmp_path / "orc_tbl")
+    sinks.write_orc(df, path)
+    back = sinks.read_orc(spark, path)
+    assert back.count() == 1000
+    assert {f.name for f in back.schema.fields} == {"id", "grp"}
+    # filter reaches the ORC scan (PushedFilters) and projection prunes
+    plan = (
+        back.filter(F.col("id") > 990)
+        .select("id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)]" in plan
+    assert back.filter(F.col("id") > 990).count() == 9

@@ -188,22 +188,14 @@ def test_drop_duplicates_within_watermark_stream(spark):
         tick(1, [(1, t0 + datetime.timedelta(minutes=1), 99.0),
                  (3, t0 + datetime.timedelta(minutes=1), 3.0)])
 
-        stream = (
-            spark.readStream.schema("event_id long, ts timestamp, value double")
-            .option("maxFilesPerTrigger", "1")
-            .json(f"{src}/tick_*")
-        )
-        deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
-            ["event_id"]
-        )
-        q = (
-            deduped.writeStream.format("json")
-            .option("path", sink)
-            .option("checkpointLocation", ckpt)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        q = watch.dedup_stream_job(
+            spark,
+            f"{src}/tick_*",
+            sink,
+            ckpt,
+            schema="event_id long, ts timestamp, value double",
+            key_cols=["event_id"],
+        ).start()
         q.awaitTermination(120)
         got = spark.read.schema("event_id long, ts timestamp, value double").json(sink)
         rows = {r.event_id: r.value for r in got.collect()}
