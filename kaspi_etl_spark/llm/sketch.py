@@ -152,27 +152,37 @@ def hdr_quantiles(
     Guaranteed within one bucket width (~2^-HDR_SUB_BITS relative) of the
     exact quantile.
 
-    Scale shape: the only full-data pass is hdr_build's bounded groupBy;
-    everything after runs on the <= ~1000-row grid (single-partition
-    window + a 3-row broadcast inequality join — both trivially small by
-    construction, noted because a window without partitionBy is otherwise
-    a red flag).
+    Scale shape: the ONLY full-data pass is hdr_build's bounded groupBy.
+    The total count N comes from an unbounded frame in the SAME
+    single-partition window stage as the cumulative sum (computing N as
+    a separate values.agg() would re-scan the full input — the plan had
+    two parquet scans until this was fused), so everything after the
+    grid groupBy runs on <= ~1000 rows: window, a per-bucket explode of
+    the q list, and a final tiny groupBy. No joins at all.
     """
     buckets = hdr_build(values, value_col)
     from pyspark.sql import Window
 
-    w = Window.orderBy("bucket_id").rowsBetween(Window.unboundedPreceding, 0)
-    cum = buckets.withColumn("cum", F.sum("bucket_count").over(w))
-    n = buckets.agg(F.sum("bucket_count").cast("long").alias("n"))
-    ranks = (
-        n.select(
-            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"), "n"
-        )
-        .withColumn("target_rank", F.ceil(F.col("q") * F.col("n")).cast("long"))
-        .drop("n")
+    w_cum = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("bucket_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "bucket_id",
+        F.sum("bucket_count").over(w_cum).alias("cum"),
+        F.sum("bucket_count").over(w_all).cast("long").alias("n"),
     )
     est = (
-        cum.join(F.broadcast(ranks), F.col("cum") >= F.col("target_rank"))
+        cum.select(
+            "bucket_id",
+            "cum",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            F.col("n"),
+        )
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .filter(F.col("cum") >= F.col("target_rank"))
         .groupBy("q", "target_rank")
         .agg(F.min("bucket_id").alias("bucket_id"))
     )
