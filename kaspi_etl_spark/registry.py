@@ -4490,3 +4490,99 @@ def q_bigram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact perplexity stand-in. See llm/text.py bigram_coverage."""
     d = _read(spark, sf_dir, "documents")
     return text_ops.bigram_coverage(d)
+
+
+# --- Corpus mixing: largest-remainder token-budget apportionment -------------
+
+
+@register(
+    "corpus_mix_allocation",
+    f"""
+    WITH c AS (
+      SELECT source, CAST(SUM(len({SQL_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents WHERE trim(text) <> '' GROUP BY source
+    ),
+    tot AS (
+      SELECT source, n_tokens, SUM(n_tokens) OVER () AS total
+      FROM c
+    ),
+    quota AS (
+      SELECT source, n_tokens,
+             CAST((100000 * n_tokens) // total AS BIGINT) AS base_alloc,
+             CAST((100000 * n_tokens) % total AS BIGINT) AS remainder,
+             CAST(100000 - SUM((100000 * n_tokens) // total) OVER ()
+                  AS BIGINT) AS leftover
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source ASC)
+               AS rk
+      FROM quota
+    )
+    SELECT source, n_tokens, base_alloc,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS extra,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sample_rate
+    FROM ranked
+    """,
+)
+def q_corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing plan: apportion a 100k-token training budget across
+    sources by exact largest-remainder (Hamilton) rounding — the
+    integer-exact answer to "how many tokens do I take from each source
+    so the mix sums EXACTLY to the budget". Float proportional shares
+    either overshoot or undershoot after rounding; largest-remainder is
+    the standard apportionment fix and is pure integer arithmetic, so
+    the plan is bit-reproducible on any engine.
+
+    Scale shape: one full-data pass (groupBy source with map-side
+    partial sums of the per-doc token count); everything after runs on
+    the handful of source rows in a single-partition window stage —
+    noted, as unpartitioned windows are otherwise a red flag.
+
+    Output: (source, n_tokens, base_alloc, extra, alloc, sample_rate).
+    """
+    budget = 100_000
+    d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    c = (
+        d.select(
+            "source",
+            F.size(dedup_ops.split_words(F.col("text"))).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    quota = c.select(
+        "source",
+        "n_tokens",
+        F.expr(f"({budget} * n_tokens) div sum(n_tokens) over ()").alias(
+            "base_alloc"
+        ),
+        F.expr(f"({budget} * n_tokens) % sum(n_tokens) over ()").alias(
+            "remainder"
+        ),
+    ).withColumn(
+        "leftover", F.lit(budget) - F.sum("base_alloc").over(w_all)
+    )
+    ranked = quota.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+        ),
+    )
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0).cast("long")
+    return ranked.select(
+        "source",
+        "n_tokens",
+        F.col("base_alloc").cast("long").alias("base_alloc"),
+        extra.alias("extra"),
+        (F.col("base_alloc") + extra).cast("long").alias("alloc"),
+        (
+            (F.col("base_alloc") + extra).cast("double")
+            / F.col("n_tokens").cast("double")
+        ).alias("sample_rate"),
+    )

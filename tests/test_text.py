@@ -106,3 +106,17 @@ def test_c4_quality_flags_line_and_page_rules(spark):
     assert out[3].has_brace and not out[3].c4_pass
     # sentence minimum
     assert out[4].n_sentences == 1 and not out[4].c4_pass
+
+
+def test_corpus_mix_allocation_sums_to_budget(spark):
+    """Largest-remainder apportionment: allocations sum EXACTLY to the
+    budget, every source gets at least its floor quota, and extras go to
+    the largest remainders."""
+    from kaspi_etl_spark.registry import QUERIES
+
+    rows = QUERIES["corpus_mix_allocation"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert sum(r["alloc"] for r in rows) == 100_000
+    assert all(r["alloc"] in (r["base_alloc"], r["base_alloc"] + 1) for r in rows)
+    assert all(0.0 < r["sample_rate"] for r in rows)
