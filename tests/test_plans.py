@@ -153,3 +153,27 @@ def test_q5_broadcasts_dims_and_pushes_date_filter(spark, sf_dir):
     # date filter must reach the orders scan as a pushed filter
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "orders" in ln]
     assert scans and "o_orderdate" in scans[0].split("PushedFilters")[-1]
+
+
+def test_quantile_sketch_single_scan_no_join(spark, sf_dir):
+    # N must come from the same window stage as the cumulative sum — a
+    # second values.agg() pass would re-scan the full input; and the
+    # rank selection is an explode+filter, never an inequality join.
+    plan = plan_of(spark, sf_dir, "price_quantile_sketch")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1
+    assert "Join" not in final
+
+
+def test_bigram_coverage_is_join_free(spark, sf_dir):
+    # corpus bigram frequency via a window over the 60-bit hash — no
+    # vocabulary self-join anywhere in the plan.
+    plan = plan_of(spark, sf_dir, "bigram_coverage")
+    assert "Join" not in plan.split("== Initial Plan ==")[0]
+
+
+def test_embedding_centroids_prunes_to_two_columns(spark, sf_dir):
+    # vec_id must be pruned at the scan: only embedding + label read.
+    plan = plan_of(spark, sf_dir, "embedding_centroids")
+    scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln][0]
+    assert "embedding" in plan and "vec_id" not in plan
