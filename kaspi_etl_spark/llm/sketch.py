@@ -191,6 +191,75 @@ def hdr_quantiles(
     )
 
 
+def hdr_group_quantiles(
+    values: DataFrame,
+    group_col: str,
+    value_col: str = "v",
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from per-group sketch grids — the
+    scalable replacement for per-group sorts: a window-rank exact
+    quantile sorts every group's full value list, while this reduces
+    each group to <= ~1000 bucket counts first. With millions of groups
+    at 100 TB the full-data shuffle carries (group, bucket_id) keyed
+    counts after map-side partial agg; the window stage partitioned by
+    group then runs on grid rows only.
+
+    Output: (group_col, q, target_rank, est_value) per group x q.
+    """
+    from pyspark.sql import Window
+
+    e = (F.length(F.bin(F.col(value_col))) - 1).cast("long")
+    tagged = values.select(
+        group_col, F.col(value_col).alias("v")
+    ).withColumn("e", e)
+    bucketed = tagged.withColumn(
+        "bucket_id",
+        F.when(F.col("v") < HDR_BASE, F.col("v")).otherwise(
+            HDR_BASE * (F.col("e") - HDR_SUB_BITS)
+            + F.expr(f"shiftright(v, cast(e - {HDR_SUB_BITS} as int))")
+        ),
+    )
+    buckets = bucketed.groupBy(group_col, "bucket_id").agg(
+        F.count("*").cast("long").alias("bucket_count")
+    )
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = (
+        Window.partitionBy(group_col)
+        .orderBy("bucket_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cum = buckets.select(
+        group_col,
+        "bucket_id",
+        F.sum("bucket_count").over(w_cum).alias("cum"),
+        F.sum("bucket_count").over(w_all).cast("long").alias("n"),
+    )
+    est = (
+        cum.select(
+            group_col,
+            "bucket_id",
+            "cum",
+            F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q"),
+            F.col("n"),
+        )
+        .withColumn("target_rank", F.ceil(F.col("q") * F.col("n")).cast("long"))
+        .filter(F.col("cum") >= F.col("target_rank"))
+        .groupBy(group_col, "q", "target_rank")
+        .agg(F.min("bucket_id").alias("bucket_id"))
+    )
+    return est.select(
+        group_col,
+        "q",
+        "target_rank",
+        hdr_rep_expr().cast("long").alias("est_value"),
+    )
+
+
 def cms_estimate(
     sketch: DataFrame,
     probes: DataFrame,

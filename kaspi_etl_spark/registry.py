@@ -4586,3 +4586,64 @@ def q_corpus_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_tokens").cast("double")
         ).alias("sample_rate"),
     )
+
+
+# --- Per-group HDR quantile sketch ------------------------------------------
+
+
+@register(
+    "returnflag_price_quantiles",
+    """
+    WITH vals AS (
+      SELECT l_returnflag AS grp,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS v
+      FROM lineitem
+    ),
+    bk AS (
+      SELECT grp,
+             CASE WHEN v < 16 THEN v
+             ELSE 16 * (length(printf('%b', v)) - 1 - 4)
+                  + (v >> (length(printf('%b', v)) - 1 - 4))
+             END AS bucket_id
+      FROM vals
+    ),
+    counts AS (
+      SELECT grp, bucket_id, CAST(COUNT(*) AS BIGINT) AS bucket_count
+      FROM bk GROUP BY grp, bucket_id
+    ),
+    cum AS (
+      SELECT grp, bucket_id,
+             SUM(bucket_count) OVER (PARTITION BY grp ORDER BY bucket_id)
+               AS cum,
+             SUM(bucket_count) OVER (PARTITION BY grp) AS n
+      FROM counts
+    ),
+    ex AS (
+      SELECT grp, bucket_id, cum, n,
+             CAST(unnest([0.5, 0.9, 0.99]) AS DOUBLE) AS q
+      FROM cum
+    ),
+    est AS (
+      SELECT grp, q, CAST(ceil(q * n) AS BIGINT) AS target_rank,
+             MIN(bucket_id) AS bucket_id
+      FROM ex WHERE cum >= CAST(ceil(q * n) AS BIGINT)
+      GROUP BY grp, q, CAST(ceil(q * n) AS BIGINT)
+    )
+    SELECT grp, q, target_rank,
+           CAST(CASE WHEN bucket_id < 16 THEN bucket_id
+                ELSE (bucket_id - 16 * ((bucket_id // 16) - 1))
+                     << ((bucket_id // 16) - 1)
+                END AS BIGINT) AS est_value
+    FROM est
+    """,
+)
+def q_returnflag_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group price quantiles (p50/p90/p99 per return flag) from
+    per-group HDR sketch grids — per-group quantiles WITHOUT per-group
+    sorts. See llm/sketch.py hdr_group_quantiles for the scale story."""
+    li = _read(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+    )
+    return sketch_ops.hdr_group_quantiles(vals, "grp")
