@@ -575,3 +575,63 @@ def bigram_coverage(
         n_cov.alias("n_covered"),
         (n_cov.cast("double") / n_bg.cast("double")).alias("coverage"),
     )
+
+
+RAG_CHUNK_WORDS = 64
+RAG_CHUNK_STRIDE = 48  # 16-word overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_words: int = RAG_CHUNK_WORDS,
+    stride: int = RAG_CHUNK_STRIDE,
+) -> DataFrame:
+    """RAG-style document chunking: fixed word windows with overlap
+    (chunk i covers words [i*stride, i*stride + chunk_words)), the unit
+    of retrieval indexing. Chunk count per doc is the integer-exact
+    1 + ceil((n - chunk_words) / stride) for n > chunk_words else 1, so
+    boundaries are engine-reproducible.
+
+    Shape: narrow — split once, posexplode the chunk-index sequence,
+    slice the materialized words array per chunk (array slicing, not
+    re-tokenization). Zero shuffles at any scale; chunk ids are
+    (doc_id, chunk_idx), never a global sequence (a global id would
+    need a total order — unreproducible and unscalable).
+
+    Output: (id_col, chunk_idx INT, n_words BIGINT, chunk_text).
+    """
+    from .dedup import split_words
+
+    w = (
+        docs.filter(F.trim(F.col(text_col)) != "")
+        .select(id_col, split_words(F.col(text_col)).alias("ws"))
+        .withColumn("n", F.size("ws"))
+    )
+    n = F.col("n")
+    n_chunks = F.when(
+        n <= chunk_words, F.lit(1)
+    ).otherwise(
+        F.lit(1)
+        + F.expr(
+            f"cast((n - {chunk_words} + {stride} - 1) div {stride} as int)"
+        )
+    )
+    chunked = w.withColumn("n_chunks", n_chunks).select(
+        id_col,
+        "ws",
+        "n",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+            "chunk_idx", "_i"
+        ),
+    )
+    sliced = chunked.withColumn(
+        "chunk", F.slice("ws", F.col("chunk_idx") * stride + 1, chunk_words)
+    )
+    return sliced.select(
+        id_col,
+        "chunk_idx",
+        F.size("chunk").cast("long").alias("n_words"),
+        F.array_join("chunk", " ").alias("chunk_text"),
+    )

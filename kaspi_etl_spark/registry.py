@@ -4647,3 +4647,71 @@ def q_returnflag_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
     )
     return sketch_ops.hdr_group_quantiles(vals, "grp")
+
+
+# --- RAG document chunking ---------------------------------------------------
+
+
+@register(
+    "docs_chunk_rag",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws, len({SQL_WORDS}) AS n
+      FROM documents WHERE trim(text) <> ''
+    ),
+    nc AS (
+      SELECT doc_id, ws, n,
+             CASE WHEN n <= 64 THEN 1
+                  ELSE 1 + (n - 64 + 47) // 48 END AS n_chunks
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             ws[(i * 48 + 1):(i * 48 + 64)] AS chunk
+      FROM (SELECT doc_id, ws, unnest(range(n_chunks)) AS i FROM nc)
+    )
+    SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_words,
+           array_to_string(chunk, ' ') AS chunk_text
+    FROM ch
+    """,
+)
+def q_docs_chunk_rag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking of the documents corpus: 64-word windows, 48-word
+    stride (16-word overlap). See llm/text.py chunk_documents."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(d)
+
+
+# --- Language-ID confusion matrix -------------------------------------------
+
+
+@register(
+    "lang_confusion",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang, {_SQL_WORDS_EXPR} AS words FROM documents
+    ),
+    scored AS (SELECT doc_id, lang, {_SQL_LANG_SCORES} FROM base),
+    pred AS (SELECT doc_id, lang, {_SQL_LANG_PRED} AS lang_pred FROM scored)
+    SELECT lang AS lang_declared, lang_pred, CAST(COUNT(*) AS BIGINT)
+             AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-detected language confusion matrix — the metadata
+    QA report for a multilingual corpus (mislabeled documents show up
+    as off-diagonal mass; detector blind spots as 'und' columns).
+    One narrow scoring projection + one tiny groupBy — no shuffle
+    before the (#langs^2)-row aggregate's partial phase."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return (
+        d.select(
+            F.col("lang").alias("lang_declared"),
+            text_ops.lang_id_from_words(
+                text_ops.extract_words(F.col("text")), markers=ASCII_MARKERS
+            ).alias("lang_pred"),
+        )
+        .groupBy("lang_declared", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
