@@ -73,3 +73,23 @@ def read_nested_json(spark: SparkSession, path: str, schema: T.StructType) -> Da
     """S12-consumer: nested AnalyzeResult JSON with explicit schema
     (permissive mode keeps corrupt rows observable)."""
     return spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
+
+def read_parquet_evolving(
+    spark: SparkSession, *paths: str, merge_schema: bool = True
+) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: unions files written at
+    different schema versions (a long-lived fact table gains columns
+    over the years) into the merged superset schema; files missing a
+    column read it as NULL.
+
+    Cost note for 100 TB: ``mergeSchema`` footer-merges EVERY file's
+    schema at planning time — expensive on millions of files, which is
+    why Spark defaults it OFF. Prefer a declared schema
+    (``spark.read.schema(newest).parquet(...)``) once the superset is
+    known; use this reader for discovery / ad-hoc reads where the
+    superset isn't known up front.
+    """
+    return spark.read.option("mergeSchema", str(merge_schema).lower()).parquet(
+        *paths
+    )

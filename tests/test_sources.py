@@ -220,3 +220,27 @@ def test_recursive_seller_probe_known_path_wins_even_if_not_seller_like():
     assert out == [
         {"merchantId": "x", "merchantName": "x", "price": 0.0, "isYou": False}
     ]
+
+
+def test_read_parquet_evolving_merges_added_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark.sources import readers
+
+    v1 = str(tmp_path / "v1")
+    v2 = str(tmp_path / "v2")
+    spark.range(3).select("id").write.parquet(v1)
+    spark.range(3, 6).select(
+        "id", (F.col("id") * 10).alias("added")
+    ).write.parquet(v2)
+
+    df = readers.read_parquet_evolving(spark, v1, v2)
+    assert {f.name for f in df.schema.fields} == {"id", "added"}
+    rows = {r["id"]: r["added"] for r in df.collect()}
+    # old files surface the new column as NULL; new files carry values
+    assert rows[0] is None and rows[4] == 40
+    # without mergeSchema the union would silently read one schema —
+    # the helper's merge_schema=False passthrough documents that mode
+    assert readers.read_parquet_evolving(
+        spark, v1, v2, merge_schema=False
+    ).count() == 6
