@@ -4715,3 +4715,84 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang_declared", "lang_pred")
         .agg(F.count("*").cast("long").alias("n_docs"))
     )
+
+
+# --- Join-skew profile -------------------------------------------------------
+
+
+@register(
+    "order_key_skew_profile",
+    """
+    WITH kc AS (
+      SELECT o_custkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY o_custkey
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM kc
+    ),
+    ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key ASC) AS rk
+      FROM kc
+    ),
+    p99 AS (
+      SELECT cnt AS p99_cnt FROM ranked, stats
+      WHERE rk = CAST(ceil(CAST(n_keys AS DOUBLE) * 0.01) AS BIGINT)
+    )
+    SELECT n_keys, n_rows, max_cnt, p99_cnt,
+           CAST(max_cnt AS DOUBLE)
+             / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE))
+             AS skew_factor
+    FROM stats, p99
+    """,
+)
+def q_order_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile for orders.o_custkey — the diagnostic you
+    run BEFORE deciding whether a join needs salting or AQE skew
+    handling: hottest-key count, the exact 99th-percentile key count,
+    and the max/mean skew factor. skew_factor near 1 = uniform; the
+    salting threshold rule of thumb is >> 10.
+
+    Scale shape: the oracle ranks every key with ROW_NUMBER, but a
+    billion-key table must not sort per-key counts on one task — so the
+    Spark side finds the same rank-r count via a COUNT-OF-COUNTS
+    histogram (groupBy cnt), whose size is bounded by the number of
+    DISTINCT frequency values, not the number of keys. The rank-r count
+    in descending order is the max c with |{keys: cnt >= c}| >= r —
+    a cumulative over the tiny histogram. Identical values, scalable
+    plan."""
+    o = _read(spark, sf_dir, "orders")
+    kc = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    stats = kc.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    hist = kc.groupBy("cnt").agg(F.count("*").cast("long").alias("k"))
+    w_desc = (
+        Window.orderBy(F.col("cnt").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cumh = hist.withColumn("cum", F.sum("k").over(w_desc))
+    p99 = (
+        cumh.crossJoin(F.broadcast(stats))
+        .filter(
+            F.col("cum")
+            >= F.ceil(F.col("n_keys").cast("double") * 0.01).cast("long")
+        )
+        .agg(F.max("cnt").cast("long").alias("p99_cnt"))
+    )
+    return stats.crossJoin(F.broadcast(p99)).select(
+        "n_keys",
+        "n_rows",
+        "max_cnt",
+        "p99_cnt",
+        (
+            F.col("max_cnt").cast("double")
+            / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
+        ).alias("skew_factor"),
+    )

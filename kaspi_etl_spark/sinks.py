@@ -143,3 +143,34 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan with native filter pushdown and column pruning."""
     return spark.read.orc(path)
+
+
+def delete_keys_parquet(
+    spark: SparkSession, path: str, keys: DataFrame, key_col: str
+) -> int:
+    """Retention / right-to-be-forgotten delete: rewrite a parquet table
+    WITHOUT the rows whose ``key_col`` appears in ``keys``; returns the
+    number of rows removed. The delete list is broadcast (it is small by
+    nature — a deletion request batch, not a table) so the anti-join is
+    map-side: the full table streams through once with no shuffle, which
+    is the only viable shape when the table is 100 TB and the delete
+    list is thousands of keys. Stage-and-swap like upsert_parquet —
+    a job cannot overwrite its own input. On Delta/Iceberg this is
+    ``DELETE WHERE`` + vacuum; plain parquet needs the rewrite.
+    """
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.functions import broadcast
+
+    existing = spark.read.parquet(path)
+    before = existing.count()
+    kept = existing.join(
+        broadcast(keys.select(key_col).distinct()), key_col, "left_anti"
+    )
+    staging = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+    kept.write.mode("overwrite").parquet(staging)
+    after = spark.read.parquet(staging).count()
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    return before - after

@@ -147,3 +147,20 @@ def test_orc_roundtrip_and_pushdown(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,990)]" in plan
     assert back.filter(F.col("id") > 990).count() == 9
+
+
+def test_delete_keys_parquet_removes_only_listed(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark import sinks
+
+    path = str(tmp_path / "users")
+    spark.range(100).select(
+        F.col("id").alias("user_id"), (F.col("id") % 7).alias("grp")
+    ).write.parquet(path)
+    dels = spark.createDataFrame([(3,), (50, ), (99,), (12345,)], "user_id long")
+    removed = sinks.delete_keys_parquet(spark, path, dels, "user_id")
+    assert removed == 3  # 12345 never existed
+    back = spark.read.parquet(path)
+    assert back.count() == 97
+    assert back.filter(F.col("user_id").isin(3, 50, 99)).count() == 0
