@@ -4796,3 +4796,96 @@ def q_order_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_rows").cast("double") / F.col("n_keys").cast("double"))
         ).alias("skew_factor"),
     )
+
+
+# --- PMI collocations --------------------------------------------------------
+
+
+@register(
+    "bigram_pmi_top",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_WORDS}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents WHERE trim(text) <> ''
+    ),
+    bg AS (
+      SELECT ws[i + 1] AS w1, ws[i + 2] AS w2
+      FROM (
+        SELECT ws, unnest(range(len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2
+      )
+    ),
+    bgc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+    )
+    SELECT w1, w2, c_xy, u1.c AS c_x, u2.c AS c_y,
+           CAST(c_xy * n_toks AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE)
+             AS pmi_ratio
+    FROM bgc
+    JOIN uni u1 ON bgc.w1 = u1.tok
+    JOIN uni u2 ON bgc.w2 = u2.tok
+    CROSS JOIN n
+    ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 collocations by pointwise mutual information ratio
+    P(xy)/(P(x)P(y)) — the phrase-mining / tokenizer-merge-candidate
+    query. The ratio is computed as ONE division of two exact int64
+    products ((c_xy * N) / (c_x * c_y)), so ranking is deterministic
+    cross-engine; ties break on the words. At trillion-token scale the
+    products need DECIMAL(38) — noted; int64 holds to ~3e9 tokens.
+
+    Shape: tokenize once; unigram and bigram counts are two groupBys
+    with map-side partial aggs; the >= 5 frequency floor bounds the
+    bigram table before the two vocab equi-joins; top-20 is a
+    TakeOrderedAndProject (no global sort materialization)."""
+    d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    w = d.select(
+        dedup_ops.split_words(F.col("text")).alias("ws")
+    ).withColumn("n", F.size("ws"))
+    toks = w.select(F.explode("ws").alias("tok"))
+    n = toks.agg(F.count("*").cast("long").alias("n_toks"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    bg = w.filter(F.col("n") >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", F.lit(1), F.col("n") - 1),
+                F.slice("ws", F.lit(2), F.col("n") - 1),
+                lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bgc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    joined = (
+        bgc.join(uni.withColumnRenamed("tok", "w1").withColumnRenamed("c", "c_x"), "w1")
+        .join(uni.withColumnRenamed("tok", "w2").withColumnRenamed("c", "c_y"), "w2")
+        .crossJoin(F.broadcast(n))
+    )
+    scored = joined.select(
+        "w1",
+        "w2",
+        "c_xy",
+        "c_x",
+        "c_y",
+        (
+            (F.col("c_xy") * F.col("n_toks")).cast("double")
+            / (F.col("c_x") * F.col("c_y")).cast("double")
+        ).alias("pmi_ratio"),
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(20)
