@@ -23,6 +23,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .clean import (
     bool_from_text,
@@ -1048,13 +1049,23 @@ SQL_WATCH_EVENTS = """
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The driver's events.parquet stores TIMESTAMP(NANOS), which Spark's
-    parquet reader rejects. Read nanos as long (legacy conf, dynamic) and
-    integer-divide to micros — a double division would lose precision
-    (epoch-nanos > 2^53)."""
+    """Type-adaptive events reader. Some event dumps store `ts` as
+    TIMESTAMP(NANOS) — Spark's parquet reader surfaces those as BIGINT only
+    under `nanosAsLong`, so we integer-divide to micros (a double division
+    would lose precision: epoch-nanos > 2^53). Newer dumps store `ts` as a
+    real timestamp (µs); use it as-is. Branch on the actual dtype instead of
+    assuming, so external schema drift can't break every event query again."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = e.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # Session tz is pinned to UTC (session.py), so NTZ -> LTZ is a
+        # value-preserving reinterpretation; downstream code (windows,
+        # unix_micros) expects plain TIMESTAMP.
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
+    return e
 
 
 def watch_events(spark: SparkSession, sf_dir: str) -> DataFrame:
