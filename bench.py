@@ -39,7 +39,9 @@ HEADLINE = [
     # LLM pipeline
     "dedup_exact",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
+    # the capped form is the 100 TB path (doc-freq cap bounds posting-list
+    # joins); the exact uncapped form stays as a correctness-only gate
+    "ngram_jaccard_capped",
     "dedup_clusters",
     "text_features",
     "lang_rollup",

@@ -1872,9 +1872,66 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_export_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S16 + SURVEY.md 7 risk 7: nest sellers per variant then flatten
-    back to export rows — proves the re-nesting round-trip is lossless.
-    Out-of-stock variants produce the placeholder row.
+    """S16: flat export rows with the out-of-stock placeholder
+    (CURSOR_TASK.md:184-227). Direct form: in-stock rows pass through
+    shuffle-free; only the placeholder side aggregates (a count per
+    variant — tiny partial-agg shuffle, no array building). The nested
+    collect_list -> explode round-trip that proves re-nesting is lossless
+    lives in ``export_roundtrip`` (equivalence-tested against this)."""
+    base = sellers_table(spark, sf_dir).withColumn(
+        "label", F.concat_ws("/", "variantColor", "variantSize")
+    )
+    pos = base.filter(F.col("price") > 0).select(
+        "masterProductId",
+        "productId",
+        "label",
+        "name",
+        "price",
+        "deliveryDate",
+        F.lit(False).alias("isPriceBot"),
+    )
+    empty = (
+        base.groupBy("masterProductId", "productId", "label")
+        .agg(F.count(F.when(F.col("price") > 0, 1)).alias("npos"))
+        .filter(F.col("npos") == 0)
+        .select(
+            "masterProductId",
+            "productId",
+            "label",
+            F.lit("Out of stock").alias("name"),
+            F.lit(0).cast("long").alias("price"),
+            F.lit("").alias("deliveryDate"),
+            F.lit(False).alias("isPriceBot"),
+        )
+    )
+    return pos.unionByName(empty)
+
+
+@register(
+    "export_roundtrip",
+    f"""
+    WITH sellers AS ({SQL_SELLERS}),
+    labeled AS (
+      SELECT masterProductId, productId, variantColor || '/' || variantSize AS label,
+             name, price, deliveryDate
+      FROM sellers
+    ),
+    pos AS (SELECT * FROM labeled WHERE price > 0)
+    SELECT masterProductId, productId, label, name, price, deliveryDate,
+           FALSE AS isPriceBot
+    FROM pos
+    UNION ALL
+    SELECT DISTINCT masterProductId, productId, label,
+           'Out of stock' AS name, CAST(0 AS BIGINT) AS price, '' AS deliveryDate,
+           FALSE AS isPriceBot
+    FROM labeled l
+    WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.productId = l.productId)
+    """,
+)
+def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY.md 7 risk 7: nest sellers per variant (collect_list of
+    structs) then flatten back to export rows — proves the re-nesting
+    round-trip is lossless (same oracle as ``export_flat``).
 
     Nesting stops at the variant level: a master-level variants[] array
     would put every seller of a master product into one row (unbounded
