@@ -68,32 +68,41 @@ def main() -> None:
     # single run — three samples give the minimum a real chance to be a
     # steal-free measurement. The minimum is the sustained-throughput
     # number (the engine's cost; contention is the host's).
+    # A single crashing query must never zero out the whole artifact
+    # (round 3 lost all bench numbers to one AnalysisException): record the
+    # failure, keep timing the rest, and still print the JSON line.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         best, n = float("inf"), 0
-        for _ in range(3):
-            t0 = time.time()
-            df = fn(spark, sf_dir)
-            n = df.count()
-            best = min(best, time.time() - t0)
+        try:
+            for _ in range(3):
+                t0 = time.time()
+                df = fn(spark, sf_dir)
+                n = df.count()
+                best = min(best, time.time() - t0)
+        except Exception as exc:  # noqa: BLE001 - artifact robustness
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         total += best
         print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    sys.exit(1 if errors else 0)
 
 
 if __name__ == "__main__":
