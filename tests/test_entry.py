@@ -41,3 +41,38 @@ def test_oracle_columns_match(spark, sf_dir, name):
     rel = con.execute(f"SELECT * FROM ({entry_mod.oracle_sql()[name]}) LIMIT 0")
     duck_cols = [d[0] for d in rel.description]
     assert sorted(sdf.columns) == sorted(duck_cols)
+
+
+# --- Value parity for driver-ungated queries -------------------------------
+# The round driver hash-verifies only the FIRST 50 entries of queries();
+# everything after that prefix would otherwise be column-checked only. This
+# test closes the trust gap: full order-insensitive value comparison (same
+# normalization as tools/check_oracle.py) at sf0.001 for every oracled query
+# OUTSIDE the driver's window. The first 50 are deliberately excluded — the
+# driver itself verifies those at sf0.01.
+
+sys_path_tools = __import__("pathlib").Path(__file__).resolve().parent.parent / "tools"
+import sys  # noqa: E402
+
+sys.path.insert(0, str(sys_path_tools))
+import check_oracle  # noqa: E402
+
+_UNGATED = [n for n in list(entry_mod.queries())[50:] if n in entry_mod.oracle_sql()]
+
+
+@pytest.fixture(scope="module")
+def duck_con(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", _UNGATED)
+def test_oracle_values_ungated(spark, sf_dir, duck_con, name):
+    sdf = entry_mod.queries()[name](spark, sf_dir)
+    result = check_oracle.compare(name, sdf, duck_con)
+    assert result["status"] == "OK", result
