@@ -635,3 +635,74 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-span profile (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 8,
+) -> DataFrame:
+    """Cross-document duplicate-span profile: for every positional word
+    ``span_n``-gram, find spans whose hash occurs in >= 2 distinct docs.
+
+    This is the fixed-span approximation of substring-level exact dedup
+    (suffix-array dedup a la "Deduplicating Training Data Makes Language
+    Models Better"); a span length around 50 BPE tokens ~ 8+ words flags
+    the memorization-risk substrings that document-level dedup misses.
+    Fixed spans keep it a pure hash pipeline at 100 TB — no global sort or
+    suffix structure, just:
+
+      explode spans -> groupBy (doc, hash) [map-side combine] ->
+      groupBy hash (doc frequency) -> filter >=2 docs (the SHARED set,
+      typically tiny vs the span universe) -> left-join flag back ->
+      groupBy doc.
+
+    The join's build side is only the shared hashes, so AQE broadcasts it
+    at moderate duplication rates; skew on a boilerplate span caps at
+    doc-frequency counting (no pair generation anywhere).
+
+    Returns one row per doc that has at least one full span:
+    (id, n_spans, n_dup_spans, n_shared_hashes) — all exact ints.
+    """
+    w = docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
+    cnt = F.size("_w")
+    idx = F.sequence(F.lit(0), cnt - span_n)
+    spans = (
+        w.filter(cnt >= span_n)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ", *[F.try_element_at(F.col("_w"), i + k + 1) for k in range(span_n)]
+                    ),
+                )
+            ).alias("_span"),
+        )
+        .select(F.col(id_col), md5_long(F.col("_span")).alias("h"))
+    )
+    per_doc = spans.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
+    shared = (
+        per_doc.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("docs_with"))
+        .filter(F.col("docs_with") >= 2)
+        .select("h", F.lit(True).alias("_dup"))
+    )
+    return (
+        per_doc.join(shared, "h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_spans"),
+            F.sum(F.when(F.col("_dup"), F.col("c")).otherwise(F.lit(0))).alias(
+                "n_dup_spans"
+            ),
+            F.count(F.when(F.col("_dup"), 1)).alias("n_shared_hashes"),
+        )
+    )

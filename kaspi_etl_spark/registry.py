@@ -4957,3 +4957,34 @@ def q_bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_ratio").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(20)
+
+
+@register(
+    "duplicate_spans",
+    f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    eligible AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
+    sp AS (
+      SELECT doc_id,
+             {_sql_md5_long("array_to_string(ws[i+1:i+8], ' ')")} AS h
+      FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 8 + 1)) AS i
+            FROM eligible)
+    ),
+    pdh AS (SELECT doc_id, h, COUNT(*) AS c FROM sp GROUP BY 1, 2),
+    df AS (SELECT h, COUNT(*) AS docs_with FROM pdh GROUP BY 1),
+    j AS (SELECT p.doc_id, p.c, d.docs_with FROM pdh p JOIN df d USING (h))
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN docs_with >= 2 THEN c ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           COUNT(CASE WHEN docs_with >= 2 THEN 1 END) AS n_shared_hashes
+    FROM j GROUP BY doc_id
+    """,
+)
+def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup signal: positional word 8-gram spans shared
+    across >= 2 docs (fixed-span approximation of suffix-array substring
+    dedup). Beyond-reference LLM-pipeline surface; complements
+    document-level dedup_exact / minhash (which miss partial overlap)."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_spans(d)

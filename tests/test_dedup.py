@@ -175,3 +175,34 @@ def test_hdr_sketch_quantiles_merge_and_error_bound(spark):
 
     # grid size is bounded by sub-buckets * octaves, not by data size
     assert full.count() <= sketch.HDR_BASE * 64
+
+
+def test_duplicate_spans_cross_doc(spark):
+    # docs 1/2 are identical 9-word docs -> two positional 8-gram spans
+    # each, all shared; doc 3 shares its first 8 words with them; doc 4
+    # has no full span in common; short docs produce no rows.
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "the quick brown fox jumps over the lazy cat"),
+        (4, "completely different text about spark and parquet files here"),
+        (5, "too short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_spans(df).collect()}
+    assert set(out) == {1, 2, 3, 4}  # doc 5 has < 8 words
+    assert out[1].n_spans == 2 and out[1].n_dup_spans == 2
+    assert out[2].n_dup_spans == 2
+    # doc 3: spans are words[0:8] (shared with 1/2) and words[1:9] (unique)
+    assert out[3].n_spans == 2 and out[3].n_dup_spans == 1
+    assert out[3].n_shared_hashes == 1
+    assert out[4].n_dup_spans == 0 and out[4].n_shared_hashes == 0
+
+
+def test_duplicate_spans_within_doc_repeat_not_cross(spark):
+    # a span repeated inside ONE doc is not cross-doc shared
+    text = "a b c d e f g h x a b c d e f g h"
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    row = dedup.duplicate_spans(df).collect()[0]
+    assert row.n_dup_spans == 0 and row.n_shared_hashes == 0
+    assert row.n_spans == 10
