@@ -635,3 +635,73 @@ def chunk_documents(
         F.size("chunk").cast("long").alias("n_words"),
         F.array_join("chunk", " ").alias("chunk_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget sampling (distributed prefix sum)
+# ---------------------------------------------------------------------------
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Deterministic token-budget sample: order docs by a stable 60-bit
+    hash of their id and keep the prefix whose cumulative whitespace-token
+    count stays within ``budget`` (a doc is kept iff the running total
+    INCLUDING it is <= budget). "Give me ~1B tokens, reproducibly" is the
+    training-data-pipeline primitive this implements.
+
+    Scale design — distributed prefix sum, NOT a global-order window (a
+    global ORDER BY window funnels the whole corpus through one
+    partition). The priority hash is range-bucketed by its top
+    ``bucket_bits`` bits, so bucket order == hash order, then:
+
+      1. per-bucket token sums: one map-side-combined groupBy producing a
+         bounded 2^bucket_bits-row table,
+      2. exclusive running offset across buckets: a window over that
+         bounded table (metadata-sized, single partition is fine),
+      3. broadcast offsets back, cumulative window WITHIN each bucket
+         (partitionBy bucket — parallel), global running total =
+         bucket offset + intra-bucket running sum.
+
+    Exactly equivalent to the single global window, shuffle-parallel at
+    any corpus size.
+    """
+    from .dedup import md5_long
+
+    d = docs.select(
+        F.col(id_col),
+        whitespace_token_count(F.col(text_col)).alias("n_tokens"),
+        md5_long(F.col(id_col).cast("string"), salt="tbs").alias("_pri"),
+    ).withColumn("_bucket", F.shiftright(F.col("_pri"), 60 - bucket_bits))
+
+    bucket_sums = d.groupBy("_bucket").agg(F.sum("n_tokens").alias("_bsum"))
+    offsets = bucket_sums.select(
+        "_bucket",
+        F.coalesce(
+            F.sum("_bsum").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    intra = Window.partitionBy("_bucket").orderBy("_pri", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d.join(F.broadcast(offsets), "_bucket")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("_offset") + F.sum("n_tokens").over(intra))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -4988,3 +4988,34 @@ def q_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-level dedup_exact / minhash (which miss partial overlap)."""
     d = _read(spark, sf_dir, "documents")
     return dedup_ops.duplicate_spans(d)
+
+
+@register(
+    "token_budget_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens,
+             {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'tbs'")} AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY pri, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM r WHERE cum_tokens <= 20000
+    """,
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sample ("take ~20k tokens"): hash-ordered
+    greedy prefix via a distributed two-phase prefix sum (bucketed by the
+    hash's top bits; no global-order window). The oracle's single global
+    window is the semantic spec; the Spark side is the scale form."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.token_budget_sample(d, budget=20000)

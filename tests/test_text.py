@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import math
 
+from pyspark.sql import functions as F
+
 from kaspi_etl_spark.llm import text as text_ops
 
 
@@ -120,3 +122,47 @@ def test_corpus_mix_allocation_sums_to_budget(spark):
     assert sum(r["alloc"] for r in rows) == 100_000
     assert all(r["alloc"] in (r["base_alloc"], r["base_alloc"] + 1) for r in rows)
     assert all(0.0 < r["sample_rate"] for r in rows)
+
+
+def test_token_budget_sample_matches_global_window(spark):
+    """The bucketed two-phase prefix sum must equal the naive single
+    global-order window at any bucket_bits."""
+    from pyspark.sql import Window
+
+    from kaspi_etl_spark.llm.dedup import md5_long
+    from kaspi_etl_spark.llm.text import token_budget_sample, whitespace_token_count
+
+    rows = [(i, ("tok " * (i % 17 + 1)).strip()) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    naive = (
+        df.select(
+            "doc_id",
+            whitespace_token_count(F.col("text")).alias("n_tokens"),
+            md5_long(F.col("doc_id").cast("string"), salt="tbs").alias("_pri"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.sum("n_tokens")
+            .over(
+                Window.orderBy("_pri", "doc_id").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+        .filter(F.col("cum_tokens") <= 700)
+    )
+    expected = sorted(tuple(r) for r in naive.collect())
+    for bits in (4, 16):
+        got = sorted(
+            tuple(r)
+            for r in token_budget_sample(df, budget=700, bucket_bits=bits).collect()
+        )
+        assert got == expected
+    # greedy prefix semantics: total within budget, and adding the next
+    # hash-ordered doc would exceed it
+    total = sum(r[1] for r in expected)
+    assert total <= 700
