@@ -671,6 +671,42 @@ def token_budget_sample(
     Exactly equivalent to the single global window, shuffle-parallel at
     any corpus size.
     """
+    return _hash_order_running_tokens(docs, text_col, id_col, bucket_bits).filter(
+        F.col("cum_tokens") <= budget
+    )
+
+
+def token_shard_assignment(
+    docs: DataFrame,
+    shard_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Write-planning companion to ``token_budget_sample``: carve the
+    hash-ordered corpus into shards of ~``shard_tokens`` whitespace tokens
+    ("produce 512M-token training shards"). A doc lands in the shard where
+    its span begins: shard_id = (cum_tokens - n_tokens) // shard_tokens —
+    deterministic, order-stable, and every shard's size is within one
+    document of the target. Same distributed prefix sum as the sampler
+    (see that docstring); the result is the partition key for a
+    repartition-and-write."""
+    base = _hash_order_running_tokens(docs, text_col, id_col, bucket_bits)
+    # integer `div`, not float division: exact far beyond 2^53 tokens
+    return base.select(
+        id_col,
+        "n_tokens",
+        "cum_tokens",
+        F.expr(f"(cum_tokens - n_tokens) div {int(shard_tokens)}").alias("shard_id"),
+    )
+
+
+def _hash_order_running_tokens(
+    docs: DataFrame, text_col: str, id_col: str, bucket_bits: int
+) -> DataFrame:
+    """(id, n_tokens, cum_tokens) with cum_tokens the exact running total
+    of whitespace tokens in (hash(id), id) order, computed as a two-phase
+    distributed prefix sum (never a global-order window)."""
     from .dedup import md5_long
 
     d = docs.select(
@@ -694,14 +730,10 @@ def token_budget_sample(
     intra = Window.partitionBy("_bucket").orderBy("_pri", id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    return (
-        d.join(F.broadcast(offsets), "_bucket")
-        .select(
-            F.col(id_col),
-            F.col("n_tokens"),
-            (F.col("_offset") + F.sum("n_tokens").over(intra))
-            .cast("long")
-            .alias("cum_tokens"),
-        )
-        .filter(F.col("cum_tokens") <= budget)
+    return d.join(F.broadcast(offsets), "_bucket").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        (F.col("_offset") + F.sum("n_tokens").over(intra))
+        .cast("long")
+        .alias("cum_tokens"),
     )

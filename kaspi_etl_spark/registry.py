@@ -5019,3 +5019,35 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is the semantic spec; the Spark side is the scale form."""
     d = _read(spark, sf_dir, "documents")
     return text_ops.token_budget_sample(d, budget=20000)
+
+
+@register(
+    "token_shards",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens,
+             {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'tbs'")} AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY pri, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST((cum_tokens - n_tokens) // 10000 AS BIGINT) AS shard_id
+    FROM r
+    """,
+)
+def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard write planning: carve the hash-ordered corpus into
+    ~10k-token shards (each shard's size within one document of target).
+    The shard_id is the repartition key for the write; computed with the
+    same distributed prefix sum as token_budget_sample."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.token_shard_assignment(d, shard_tokens=10000)

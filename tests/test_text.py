@@ -166,3 +166,24 @@ def test_token_budget_sample_matches_global_window(spark):
     # hash-ordered doc would exceed it
     total = sum(r[1] for r in expected)
     assert total <= 700
+
+
+def test_token_shard_assignment_balanced(spark):
+    rows = [(i, ("tok " * (i % 23 + 1)).strip()) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    S = 250
+    out = text_ops.token_shard_assignment(df, shard_tokens=S, bucket_bits=4).collect()
+    max_doc = max(r.n_tokens for r in out)
+    sizes: dict[int, int] = {}
+    for r in out:
+        sizes[r.shard_id] = sizes.get(r.shard_id, 0) + r.n_tokens
+        # a doc starts in the shard its span begins in
+        assert r.shard_id == (r.cum_tokens - r.n_tokens) // S
+    last = max(sizes)
+    # shard ids are contiguous from 0; every full shard is within one
+    # document of the target (a doc overrunning the boundary shifts the
+    # next shard's start, so the bound is +/- the largest doc)
+    assert set(sizes) == set(range(last + 1))
+    for sid, tot in sizes.items():
+        if sid != last:
+            assert S - max_doc < tot < S + max_doc
