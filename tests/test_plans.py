@@ -177,3 +177,25 @@ def test_embedding_centroids_prunes_to_two_columns(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "embedding_centroids")
     scan = [ln for ln in plan.splitlines() if "Scan parquet" in ln or "FileScan" in ln][0]
     assert "embedding" in plan and "vec_id" not in plan
+
+
+def test_duplicate_spans_no_pair_generation(spark, sf_dir):
+    # substring dedup must stay a hash pipeline: no nested-loop or
+    # cartesian stage, and the only join is the shared-hash flag join.
+    plan = plan_of(spark, sf_dir, "duplicate_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_token_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
+    # the data-path cumulative window must be partitioned by the hash
+    # bucket (parallel); only the bounded bucket-offset window may be
+    # global. A single global-order window over the docs would show a
+    # windowspecdefinition without _bucket in its partition spec.
+    plan = plan_of(spark, sf_dir, "token_budget_sample")
+    specs = [
+        ln for ln in plan.splitlines() if "windowspecdefinition" in ln.lower()
+    ]
+    assert specs, "expected window stages in the prefix-sum plan"
+    partitioned = [s for s in specs if "_bucket" in s]
+    assert partitioned, f"no bucket-partitioned window found: {specs}"
