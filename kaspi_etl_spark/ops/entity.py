@@ -34,6 +34,12 @@ def blocked_name_matches(
     ``max_block`` (optional) drops blocks larger than the cap — the
     posting-list guard for stopword-heavy corpora; None keeps all blocks
     (exact two-pass-blocking semantics, mirrored by the oracle).
+
+    Output cardinality is data-dependent: over a low-vocabulary name
+    population (e.g. TPC-H part names) dist<=2 matches en masse and the
+    result itself grows near-quadratically — measured 5.5M pairs from
+    200k names at sf0.1. The uncapped form is the correctness gate; any
+    at-scale run should set ``max_block``.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -64,12 +70,24 @@ def blocked_name_matches(
     b = blocks.select(
         "pass_id", "key", F.col("id").alias("id_b"), F.col("name").alias("name_b")
     )
+    # Two semantics-free cuts before the expensive verify:
+    #  - |len(a) - len(b)| <= max_dist is implied by the edit distance, and
+    #    evaluating it IN the join condition prunes most of a block's pairs
+    #    before they materialize (TPC-H-style low-vocabulary names produce
+    #    huge blocks where almost every pair fails this).
+    #  - dedupe the two passes on the id pair (names are functionally
+    #    dependent on ids), so the hash agg carries 16 bytes per pair, not
+    #    four strings, and Levenshtein runs once per distinct pair.
     cand = (
         a.join(b, ["pass_id", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
-        .distinct()
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.max("name_a").alias("name_a"), F.max("name_b").alias("name_b"))
     )
+    # thresholded Levenshtein early-abandons rows past max_dist (-1)
     return cand.withColumn(
-        "dist", F.levenshtein("name_a", "name_b").cast("long")
-    ).filter(F.col("dist") <= max_dist)
+        "dist", F.levenshtein("name_a", "name_b", max_dist).cast("long")
+    ).filter(F.col("dist") >= 0)
