@@ -253,7 +253,9 @@ def minhash_near_dup_pairs(
     )
     est = F.col("p.n_match").cast("double") / F.lit(float(num_hashes))
     return (
-        buckets.select(F.explode(pair_gen).alias("p"))
+        # explode_outer: see session.py note on InferFiltersFromGenerate
+        buckets.select(F.explode_outer(pair_gen).alias("p"))
+        .filter(F.col("p").isNotNull())
         .select(
             F.col("p.id_a").alias("id_a"),
             F.col("p.id_b").alias("id_b"),
@@ -323,8 +325,15 @@ def ngram_jaccard_pairs(
         .select(
             F.col(id_col),
             F.size("shingles").alias("n_sh"),
-            F.explode(F.transform("shingles", lambda s: md5_long(s))).alias("h"),
+            # explode_outer: a plain explode makes InferFiltersFromGenerate
+            # push a size()>0 filter that re-inlines the whole shingle+hash
+            # expression into the scan (see session.py note); hash elements
+            # are never null so the guard restores inner semantics.
+            F.explode_outer(F.transform("shingles", lambda s: md5_long(s))).alias(
+                "h"
+            ),
         )
+        .filter(F.col("h").isNotNull())
     )
     counts = sh.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"))
     # Posting list per shingle hash, sorted so generated pairs are
@@ -350,7 +359,10 @@ def ngram_jaccard_pairs(
         )
     )
     inter = (
-        buckets.select(F.explode(pair_gen).alias("p"))
+        # explode_outer: avoid the inferred size(pair_gen)>0 filter that
+        # would run the in-bucket pair generation twice per bucket row
+        buckets.select(F.explode_outer(pair_gen).alias("p"))
+        .filter(F.col("p").isNotNull())
         .groupBy("p")
         .agg(F.count("*").cast("long").alias("n_common"))
         .select(
@@ -677,7 +689,8 @@ def duplicate_spans(
         w.filter(cnt >= span_n)
         .select(
             F.col(id_col),
-            F.explode(
+            # explode_outer: see session.py note on InferFiltersFromGenerate
+            F.explode_outer(
                 F.transform(
                     idx,
                     lambda i: F.concat_ws(
@@ -686,6 +699,7 @@ def duplicate_spans(
                 )
             ).alias("_span"),
         )
+        .filter(F.col("_span").isNotNull())
         .select(F.col(id_col), md5_long(F.col("_span")).alias("h"))
     )
     per_doc = spans.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))

@@ -399,9 +399,12 @@ def bm25_scores(
     k1p1 = k1 + 1.0
     omb = 1.0 - b
 
+    # explode_outer: see session.py note on InferFiltersFromGenerate (a
+    # plain explode re-runs the word-extraction regex in an inferred scan
+    # filter); the != '' guard already drops the null from empty arrays
     toks = docs.select(
-        id_col, F.explode(extract_words(F.col(text_col))).alias("term")
-    ).filter(F.col("term") != "")
+        id_col, F.explode_outer(extract_words(F.col(text_col))).alias("term")
+    ).filter(F.col("term").isNotNull() & (F.col("term") != ""))
     dl = toks.groupBy(id_col).agg(F.count("*").cast("long").alias("dl"))
     n = docs.agg(F.count("*").cast("long").alias("n_docs"))
     sum_dl = dl.agg(F.sum("dl").cast("long").alias("sum_dl"))
@@ -519,11 +522,28 @@ def doc_fingerprint(text: Column, k: int = 8, shingle_words: int = 3) -> Column:
     shingles (a winnowing-style rolling signature). Expression-only —
     shingles via word-array slicing, hash via md5-prefix (portable to any
     SQL oracle), bottom-k via array_sort + slice.
+
+    PERF: this convenience form embeds the tokenizer expression inside the
+    shingle lambda, which re-evaluates per element (no CSE in interpreted
+    higher-order functions) — O(words^2) per doc. Hot paths must
+    materialize the words array as a real column first and call
+    ``doc_fingerprint_from_words`` (19.7s -> sub-second for 40k docs at
+    sf0.1).
     """
-    from .dedup import md5_long, word_shingles
+    from .dedup import split_words
+
+    return doc_fingerprint_from_words(split_words(text), k, shingle_words)
+
+
+def doc_fingerprint_from_words(
+    words: Column, k: int = 8, shingle_words: int = 3
+) -> Column:
+    """``doc_fingerprint`` over an already-materialized words array column
+    — the form every hot path should use (see perf note above)."""
+    from .dedup import md5_long, shingles_from_words
 
     hashes = F.transform(
-        word_shingles(text, shingle_words), lambda s: md5_long(s)
+        shingles_from_words(words, shingle_words), lambda s: md5_long(s)
     )
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, k)
 
@@ -556,14 +576,15 @@ def bigram_coverage(
     )
     bigrams = w.select(
         id_col,
-        F.explode(
+        # explode_outer: see session.py note on InferFiltersFromGenerate
+        F.explode_outer(
             F.zip_with(
                 F.slice("ws", F.lit(1), F.col("n") - 1),
                 F.slice("ws", F.lit(2), F.col("n") - 1),
                 lambda a, b: F.concat(a, F.lit(" "), b),
             )
         ).alias("bg"),
-    )
+    ).filter(F.col("bg").isNotNull())
     hashed = bigrams.select(id_col, md5_long(F.col("bg")).alias("h"))
     counted = hashed.withColumn(
         "c", F.count("*").over(Window.partitionBy("h"))

@@ -1485,10 +1485,27 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output is scalar-typed (driver canonicalization can't sort array
     cells); the array-valued library form stays `text.doc_fingerprint`."""
     docs = _read(spark, sf_dir, "documents")
-    fp = docs.select(
-        "doc_id", text_ops.doc_fingerprint(F.col("text"), k=8).alias("fingerprint")
+    # the corpus arrives as one row-group -> one task; the md5-per-shingle
+    # map is pure CPU, so spread it before the heavy stage (the text
+    # payload this reshuffles is tiny next to the hash work it parallelizes)
+    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    # words materialized as a real column first — the inline convenience
+    # form re-splits per shingle element (no CSE inside transform lambdas)
+    w = docs.select("doc_id", dedup_ops.split_words(F.col("text")).alias("_w"))
+    fp = w.select(
+        "doc_id",
+        text_ops.doc_fingerprint_from_words(F.col("_w"), k=8).alias("fingerprint"),
     )
-    return fp.select("doc_id", F.explode("fingerprint").alias("fp"))
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    # explode into a size(...)>0 scan filter that re-inlines the whole
+    # fingerprint expression below the repartition (single-partition, no
+    # CSE — the exact O(words^2) form the materialization avoids). The
+    # outer form infers nothing; the null guard restores inner semantics.
+    return (
+        fp.select("doc_id", F.explode_outer("fingerprint").alias("fp"))
+        .filter(F.col("fp").isNotNull())
+    )
 
 
 # --- Multimodal ------------------------------------------------------------
@@ -2247,9 +2264,13 @@ def q_html_sellers_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = s.groupBy("productId").agg(
         F.concat(F.lit("<html>"), F.array_join(row_html, ""), F.lit("</html>")).alias("html")
     )
+    # explode_outer: a plain explode lets InferFiltersFromGenerate add a
+    # size(parse(...))>0 filter that runs the Pandas-UDF HTML parser a
+    # second time over every page (see session.py note)
     parsed = pages.select(
-        "productId", F.explode(html_ops.parse_sellers_html(F.col("html"))).alias("s")
-    )
+        "productId",
+        F.explode_outer(html_ops.parse_sellers_html(F.col("html"))).alias("s"),
+    ).filter(F.col("s").isNotNull())
     return parsed.select(
         "productId",
         F.col("s.name").alias("name"),
@@ -3512,13 +3533,14 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = docs.select("doc_id", dedup_ops.split_words(F.col("text")).alias("_w"))
     hx = w.select(
         "doc_id",
-        F.explode(
+        # explode_outer: see session.py note on InferFiltersFromGenerate
+        F.explode_outer(
             F.transform(
                 dedup_ops.shingles_from_words(F.col("_w"), 5),
                 lambda s: dedup_ops.md5_long(s),
             )
         ).alias("h"),
-    )
+    ).filter(F.col("h").isNotNull())
     bench = hx.filter(F.col("doc_id") % 97 == 0).select("h").distinct()
     corp = hx.filter(F.col("doc_id") % 97 != 0)
     return (

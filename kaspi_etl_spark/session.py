@@ -45,6 +45,19 @@ def get_spark(
         # iterative jobs far more in per-round task overhead
         # (dedup_clusters ~ +50%); the default is the right trade.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate turns every explode(expensive_expr)
+        # into a size(expensive_expr)>0 filter that predicate-pushdown
+        # then re-inlines into the SCAN (alias substitution ignores
+        # expression cost) — measured 27x on doc_fingerprints, and it
+        # re-executes Pandas UDFs whose output is exploded. Our generators
+        # are shingle/fingerprint/pair arrays where the inferred filter
+        # never prunes anything the explode wouldn't. Driver-facing
+        # queries additionally use explode_outer at the hot sites, since
+        # the driver runs them on a vanilla session without this conf.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
