@@ -48,6 +48,11 @@ HEADLINE = [
     "winnowing_fingerprints",
     "ann_cosine_topk",
     "ann_lsh_topk",
+    # r4 additions: substring-level dedup, bottom-k fingerprints, and the
+    # Pandas-UDF HTML parse path (the engine's one justified Python stage)
+    "duplicate_spans",
+    "doc_fingerprints",
+    "html_sellers_parse",
 ]
 
 
