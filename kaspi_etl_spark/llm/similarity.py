@@ -388,3 +388,61 @@ def embedding_centroids(
             lambda s: s["cv"],
         ).alias("centroid"),
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 10,
+) -> DataFrame:
+    """One deterministic Lloyd assignment step: each vector goes to the
+    nearest of k seed centroids (the k lowest-``id_col`` vectors), with
+    squared L2 computed in EXACT integer arithmetic.
+
+    Floating-point distance sums are fold-order-dependent, so an argmin
+    over them is not reproducible across engines or partitionings. Instead
+    components quantize to round(x * 2^scale_bits) and the squared
+    distance is an int64 sum (exact, order-independent), so the argmin —
+    tie-broken by seed rank — is bit-stable anywhere. This is the
+    assignment half of k-means; composing it with
+    ``embedding_centroids(group_col='cluster')`` gives a full Lloyd
+    iteration, reproducible end to end.
+
+    Shape: seeds are k rows (broadcast); assignment is a narrow map over
+    a k-element array fold per vector — no shuffle at all. The iterative
+    driver loop is the same localCheckpoint pattern as connected
+    components.
+
+    Output: (id_col, cluster BIGINT, dist BIGINT) — dist in quantized
+    squared units.
+    """
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+    vecs = df.select(F.col(id_col), q.alias("qv"))
+    # k lowest ids via TakeOrderedAndProject (no global sort); the rank
+    # window then runs over k rows only — bounded, not data-sized
+    w = Window.orderBy(id_col)
+    seeds = (
+        vecs.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .withColumn("cluster", (F.row_number().over(w) - 1).cast("long"))
+        .select("cluster", F.col("qv").alias("qc"))
+    )
+    dist = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qc"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = vecs.join(F.broadcast(seeds)).select(
+        F.col(id_col), F.struct(dist.alias("d"), F.col("cluster").alias("c")).alias("sc")
+    )
+    best = scored.groupBy(id_col).agg(F.min("sc").alias("b"))
+    return best.select(
+        id_col,
+        F.col("b.c").alias("cluster"),
+        F.col("b.d").alias("dist"),
+    )

@@ -5073,3 +5073,44 @@ def q_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     same distributed prefix sum as token_budget_sample."""
     d = _read(spark, sf_dir, "documents")
     return text_ops.token_shard_assignment(d, shard_tokens=10000)
+
+
+@register(
+    "kmeans_assign",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+             qv AS qc
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT v.vec_id, s.cluster,
+             CAST(list_sum(list_transform(range(len(v.qv)),
+                    i -> (v.qv[i + 1] - s.qc[i + 1]) * (v.qv[i + 1] - s.qc[i + 1])))
+                  AS BIGINT) AS d
+      FROM q v CROSS JOIN seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, cluster, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+      FROM scored
+    )
+    SELECT vec_id, cluster, CAST(d AS BIGINT) AS dist
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd assignment over the embeddings table: nearest
+    of the 8 lowest-vec_id seed centroids by EXACT integer squared-L2
+    (components quantized to 2^10 fixed point). Composing with
+    embedding_centroids(group='cluster') is one full reproducible k-means
+    iteration; see llm/similarity.py kmeans_assign."""
+    e = _read(spark, sf_dir, "embeddings")
+    return sim_ops.kmeans_assign(e, k=8)

@@ -95,3 +95,34 @@ def test_bucketed_pairs_dim_derived(spark):
         ).collect()
     }
     assert got == exact == {(1, 2)}
+
+
+def test_kmeans_assign_exact_and_composes(spark):
+    from kaspi_etl_spark.llm.similarity import embedding_centroids, kmeans_assign
+
+    # seeds are ids 1 and 2 (k=2): vectors near (0,0) join cluster 0,
+    # near (10,10) join cluster 1; equidistant ties break to the lower
+    # seed rank.
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [10.0, 10.0]),
+        (3, [1.0, 0.0]),
+        (4, [9.0, 10.0]),
+        (5, [5.0, 5.0]),  # equidistant -> cluster 0 by tie-break
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.vec_id: r for r in kmeans_assign(df, k=2).collect()}
+    assert [out[i].cluster for i in (1, 2, 3, 4, 5)] == [0, 1, 0, 1, 0]
+    assert out[1].dist == 0 and out[2].dist == 0
+    # quantized squared units: (1.0 * 1024)^2
+    assert out[3].dist == 1024 * 1024
+
+    # one full Lloyd iteration: assignment feeds the fixed-point centroid
+    assigned = kmeans_assign(df, k=2).withColumnRenamed("cluster", "label")
+    joined = df.join(assigned, "vec_id")
+    cents = {
+        r.label: r.centroid
+        for r in embedding_centroids(joined, "label", "embedding").collect()
+    }
+    assert cents[0] == [2.0, (0.0 + 0.0 + 5.0) / 3]
+    assert cents[1] == [9.5, 10.0]
