@@ -174,3 +174,30 @@ def delete_keys_parquet(
     os.rename(staging, path)
     shutil.rmtree(backup, ignore_errors=True)
     return before - after
+
+
+def write_token_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Training-shard writer: assign every doc a token-balanced shard id
+    (``llm.text.token_shard_assignment`` — hash-ordered distributed prefix
+    sum, each shard within one document of ``shard_tokens``) and write one
+    output partition per shard. ``repartition(shard_id)`` makes the files
+    line up 1:1 with shards, so a downstream trainer streams
+    shard_id=K/part-*.parquet as one ~fixed-token unit."""
+    from .llm.text import token_shard_assignment
+
+    shards = token_shard_assignment(
+        docs, shard_tokens, text_col=text_col, id_col=id_col
+    ).select(id_col, "shard_id")
+    out = docs.join(shards, id_col).repartition("shard_id")
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

@@ -164,3 +164,33 @@ def test_delete_keys_parquet_removes_only_listed(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 97
     assert back.filter(F.col("user_id").isin(3, 50, 99)).count() == 0
+
+
+def test_write_token_shards_balanced_files(spark, tmp_path):
+    from kaspi_etl_spark import sinks
+
+    rows = [(i, ("tok " * (i % 13 + 1)).strip()) for i in range(120)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "shards")
+    sinks.write_token_shards(docs, path, shard_tokens=100)
+
+    back = spark.read.parquet(path)
+    assert back.count() == 120
+    assert set(back.columns) == {"doc_id", "text", "shard_id"}
+    # every shard directory except the last holds within-one-doc of the
+    # target token count
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark.llm.text import whitespace_token_count
+
+    sizes = {
+        r.shard_id: r.t
+        for r in back.groupBy("shard_id")
+        .agg(F.sum(whitespace_token_count(F.col("text"))).alias("t"))
+        .collect()
+    }
+    last = max(sizes)
+    assert set(sizes) == set(range(last + 1))
+    for sid, tot in sizes.items():
+        if sid != last:
+            assert 100 - 13 < tot < 100 + 13
