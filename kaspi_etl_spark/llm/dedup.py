@@ -682,6 +682,12 @@ def duplicate_spans(
     Returns one row per doc that has at least one full span:
     (id, n_spans, n_dup_spans, n_shared_hashes) — all exact ints.
     """
+    sc = docs.sparkSession.sparkContext
+    if docs.rdd.getNumPartitions() < sc.defaultParallelism:
+        # single-file corpora arrive as one task; spread the per-doc span
+        # hashing (pure CPU) before the heavy map — same rationale as
+        # doc_fingerprints
+        docs = docs.repartition(sc.defaultParallelism, id_col)
     w = docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
     cnt = F.size("_w")
     idx = F.sequence(F.lit(0), cnt - span_n)
