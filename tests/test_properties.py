@@ -307,3 +307,53 @@ def test_scd2_matches_python_reference(spark, snaps):
         for k, v, d, to, cur, ver in _py_scd2(snaps)
     ]
     assert got == want
+
+
+def py_duplicate_spans(docs: list[tuple[int, str]], n: int = 8):
+    """Independent brute-force reference for dedup.duplicate_spans."""
+    import re as _re
+    from collections import Counter, defaultdict
+
+    spans_by_doc: dict[int, list[str]] = {}
+    for doc_id, text in docs:
+        words = _re.split(r"\s+", text.strip().lower()) if text.strip() else [""]
+        if len(words) < n:
+            continue
+        spans_by_doc[doc_id] = [
+            " ".join(words[i : i + n]) for i in range(len(words) - n + 1)
+        ]
+    doc_sets: dict[str, set[int]] = defaultdict(set)
+    for doc_id, spans in spans_by_doc.items():
+        for s in set(spans):
+            doc_sets[s].add(doc_id)
+    out = {}
+    for doc_id, spans in spans_by_doc.items():
+        c = Counter(spans)
+        shared = {s for s in c if len(doc_sets[s]) >= 2}
+        out[doc_id] = (
+            len(spans),
+            sum(k for s, k in c.items() if s in shared),
+            len(shared),
+        )
+    return out
+
+
+@FAST
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from("a b c d aa bb".split()), min_size=0, max_size=14
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_duplicate_spans_matches_bruteforce(spark, texts):
+    docs = [(i, t) for i, t in enumerate(texts)]
+    expected = py_duplicate_spans(docs, n=8)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_spans, r.n_dup_spans, r.n_shared_hashes)
+        for r in dedup.duplicate_spans(df).collect()
+    }
+    assert got == expected
