@@ -199,3 +199,12 @@ def test_token_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
     assert specs, "expected window stages in the prefix-sum plan"
     partitioned = [s for s in specs if "_bucket" in s]
     assert partitioned, f"no bucket-partitioned window found: {specs}"
+
+
+def test_kmeans_assign_broadcasts_seeds_no_shuffle_scoring(spark, sf_dir):
+    # scoring is a broadcast join against the k-row seed side; the only
+    # exchange should be the final per-vector min aggregation, never a
+    # sort-merge of the full vector table against seeds.
+    plan = plan_of(spark, sf_dir, "kmeans_assign")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
