@@ -75,9 +75,11 @@ def blocked_name_matches(
     #    evaluating it IN the join condition prunes most of a block's pairs
     #    before they materialize (TPC-H-style low-vocabulary names produce
     #    huge blocks where almost every pair fails this).
-    #  - dedupe the two passes on the id pair (names are functionally
-    #    dependent on ids), so the hash agg carries 16 bytes per pair, not
-    #    four strings, and Levenshtein runs once per distinct pair.
+    #  - dedupe the two passes on the id pair, so the hash agg carries
+    #    16 bytes per pair, not four strings, and Levenshtein runs once
+    #    per distinct pair. The max is over ONE struct, not per-column
+    #    maxes, so both names always come from the same source row even
+    #    if an upstream ever carried name variants per id (ADVICE r4).
     cand = (
         a.join(b, ["pass_id", "key"])
         .filter(
@@ -85,7 +87,13 @@ def blocked_name_matches(
             & (F.abs(F.length("name_a") - F.length("name_b")) <= max_dist)
         )
         .groupBy("id_a", "id_b")
-        .agg(F.max("name_a").alias("name_a"), F.max("name_b").alias("name_b"))
+        .agg(F.max(F.struct("name_a", "name_b")).alias("_nm"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_nm.name_a").alias("name_a"),
+            F.col("_nm.name_b").alias("name_b"),
+        )
     )
     # thresholded Levenshtein early-abandons rows past max_dist (-1)
     return cand.withColumn(

@@ -1488,8 +1488,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the corpus arrives as one row-group -> one task; the md5-per-shingle
     # map is pure CPU, so spread it before the heavy stage (the text
     # payload this reshuffles is tiny next to the hash work it parallelizes)
-    if docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism:
-        docs = docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    docs = dedup_ops.spread_corpus(docs, "doc_id")
     # words materialized as a real column first — the inline convenience
     # form re-splits per shingle element (no CSE inside transform lambdas)
     w = docs.select("doc_id", dedup_ops.split_words(F.col("text")).alias("_w"))
@@ -1885,7 +1884,9 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
            'Out of stock' AS name, CAST(0 AS BIGINT) AS price, '' AS deliveryDate,
            FALSE AS isPriceBot
     FROM labeled l
-    WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.productId = l.productId)
+    WHERE NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.masterProductId = l.masterProductId
+                        AND p.productId = l.productId AND p.label = l.label)
     """,
 )
 def q_export_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1894,7 +1895,15 @@ def q_export_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free; only the placeholder side aggregates (a count per
     variant — tiny partial-agg shuffle, no array building). The nested
     collect_list -> explode round-trip that proves re-nesting is lossless
-    lives in ``export_roundtrip`` (equivalence-tested against this)."""
+    lives in ``export_roundtrip`` (equivalence-tested against this).
+
+    The placeholder is PER VARIANT — the reference emits 'Out of stock'
+    for each variant whose sellers[] is empty (CURSOR_TASK.md:194), so
+    the oracle's anti-join keys on the full (master, product, label)
+    triple. An earlier oracle keyed on productId alone and agreed only
+    because label is functionally dependent on productId in the test
+    generator (ADVICE r4); both sides now state the variant-grain rule
+    explicitly."""
     base = sellers_table(spark, sf_dir).withColumn(
         "label", F.concat_ws("/", "variantColor", "variantSize")
     )
@@ -1942,7 +1951,9 @@ def q_export_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
            'Out of stock' AS name, CAST(0 AS BIGINT) AS price, '' AS deliveryDate,
            FALSE AS isPriceBot
     FROM labeled l
-    WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.productId = l.productId)
+    WHERE NOT EXISTS (SELECT 1 FROM pos p
+                      WHERE p.masterProductId = l.masterProductId
+                        AND p.productId = l.productId AND p.label = l.label)
     """,
 )
 def q_export_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -87,8 +87,17 @@ def _parse_one(html: str | None) -> list[dict]:
 @pandas_udf(SELLER_SCHEMA)
 def parse_sellers_html(html: pd.Series) -> pd.Series:
     """X5/S13: html -> array<struct<name, price, deliveryDate>>.
-    Arrow-batched; use with explode() for the UDTF shape."""
-    return html.map(_parse_one)
+    Arrow-batched; use with explode() for the UDTF shape.
+
+    Callers pair this with explode_outer + isNotNull (the
+    InferFiltersFromGenerate guard), which would silently DROP a null
+    array element — so a null element is a hard error here, where it is
+    a parser bug, not downstream, where it would vanish (ADVICE r4)."""
+    out = html.map(_parse_one)
+    for sellers in out:
+        if any(s is None for s in sellers):
+            raise ValueError("parse_sellers_html: parser emitted a null seller")
+    return out
 
 
 JSONLD_SCHEMA = T.StructType(
