@@ -53,6 +53,9 @@ HEADLINE = [
     "duplicate_spans",
     "doc_fingerprints",
     "html_sellers_parse",
+    # r5: capped entity resolution — the bounded-output production form
+    # (the uncapped gate emits 5.5M pairs at sf0.1 by design)
+    "part_name_matches_capped",
 ]
 
 

@@ -17,8 +17,10 @@ here for that reason.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..llm.dedup import md5_long
 
 
 def blocked_name_matches(
@@ -31,15 +33,23 @@ def blocked_name_matches(
     """Near-duplicate name pairs (id_a < id_b) with Levenshtein <= max_dist,
     candidates from first-token and last-token blocking.
 
-    ``max_block`` (optional) drops blocks larger than the cap — the
-    posting-list guard for stopword-heavy corpora; None keeps all blocks
-    (exact two-pass-blocking semantics, mirrored by the oracle).
+    ``max_block`` (optional) TRUNCATES every block to its ``max_block``
+    lowest-(salted-hash, id) members before pair generation. Truncation,
+    not block dropping: over a low-vocabulary population (TPC-H part
+    names: 16 block keys, every block the same size) a drop-the-block
+    cap is all-or-nothing, while the deterministic hash-rank sample
+    bounds output at n_blocks * C(cap, 2) and keeps recall proportional
+    in every block. None keeps all blocks (exact two-pass-blocking
+    semantics — the uncapped output itself grows near-quadratically:
+    measured 5.5M pairs from 200k names at sf0.1, so any at-scale run
+    should set the cap; ``part_name_matches_capped`` is the gated and
+    benched form, the uncapped one a local parity check).
 
-    Output cardinality is data-dependent: over a low-vocabulary name
-    population (e.g. TPC-H part names) dist<=2 matches en masse and the
-    result itself grows near-quadratically — measured 5.5M pairs from
-    200k names at sf0.1. The uncapped form is the correctness gate; any
-    at-scale run should set ``max_block``.
+    Scale shape of the cap: row_number + filter <= cap compiles to
+    WindowGroupLimit — a PARTIAL per-input-partition limit runs before
+    the exchange (same plan family as the pinned top-k in
+    ``top3_cheapest``), so a stopword block never funnels its full
+    contents through one task's sort.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -56,13 +66,14 @@ def blocked_name_matches(
         )
     )
     if max_block is not None:
-        counts = blocks.groupBy("pass_id", "key").agg(
-            F.count("*").alias("_bn")
+        wb = Window.partitionBy("pass_id", "key").orderBy(
+            md5_long(F.col("id").cast("string"), "erb").asc(), F.col("id").asc()
         )
-        blocks = blocks.join(
-            F.broadcast(counts.filter(F.col("_bn") <= max_block)),
-            ["pass_id", "key"],
-        ).drop("_bn")
+        blocks = (
+            blocks.withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= max_block)
+            .drop("_rk")
+        )
 
     a = blocks.select(
         "pass_id", "key", F.col("id").alias("id_a"), F.col("name").alias("name_a")

@@ -4213,10 +4213,59 @@ from .ops import entity as entity_ops  # noqa: E402
 )
 def q_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy part-name matching: token-blocked candidates, Levenshtein <= 2
-    verify. See ops/entity.py blocked_name_matches."""
+    verify. UNCAPPED exact-blocking form — output grows near-quadratically
+    on this low-vocabulary corpus, so the gated/benched production form is
+    ``part_name_matches_capped``; this one stays as a local parity check.
+    See ops/entity.py blocked_name_matches."""
     p = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
     return entity_ops.blocked_name_matches(
         p, id_col="p_partkey", name_col="p_name", max_dist=2
+    )
+
+
+@register(
+    "part_name_matches_capped",
+    rf"""
+    WITH toks AS (
+      SELECT p_partkey AS id, lower(p_name) AS name,
+             string_split_regex(lower(p_name), '\s+') AS ws
+      FROM part
+    ),
+    blocks AS (
+      SELECT 'f' AS pass_id, ws[1] AS key, id, name FROM toks
+      UNION ALL
+      SELECT 'l' AS pass_id, ws[-1] AS key, id, name FROM toks
+    ),
+    kept AS (
+      SELECT pass_id, key, id, name FROM (
+        SELECT pass_id, key, id, name,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pass_id, key
+                 ORDER BY {_sql_md5_long("CAST(id AS VARCHAR) || 'erb'")}, id
+               ) AS rk
+        FROM blocks)
+      WHERE rk <= 200
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                      a.name AS name_a, b.name AS name_b
+      FROM kept a JOIN kept b
+        ON a.pass_id = b.pass_id AND a.key = b.key AND a.id < b.id
+    )
+    SELECT id_a, id_b, name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand WHERE levenshtein(name_a, name_b) <= 2
+    """,
+)
+def q_part_name_matches_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production entity-resolution form: every block deterministically
+    truncated to its 200 lowest-(salted-hash, id) members before pair
+    generation, bounding output at n_blocks * C(200, 2) regardless of
+    corpus size (the uncapped form emits 5.5M pairs at sf0.1). The oracle
+    mirrors the hash-rank truncation row for row."""
+    p = _read(spark, sf_dir, "part").select("p_partkey", "p_name")
+    return entity_ops.blocked_name_matches(
+        p, id_col="p_partkey", name_col="p_name", max_dist=2, max_block=200
     )
 
 

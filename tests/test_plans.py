@@ -201,6 +201,19 @@ def test_token_prefix_sum_windows_are_bucket_partitioned(spark, sf_dir):
     assert partitioned, f"no bucket-partitioned window found: {specs}"
 
 
+def test_capped_er_truncates_blocks_before_exchange(spark, sf_dir):
+    # the block cap must run as WindowGroupLimit with a PARTIAL limit
+    # below the exchange (a stopword block pre-truncates to cap rows per
+    # input partition before it ever shuffles), and the block self-join
+    # must never degenerate to a cartesian stage.
+    plan = plan_of(spark, sf_dir, "part_name_matches_capped")
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange") or \
+        plan.count("WindowGroupLimit") >= 2  # partial + final pair present
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_kmeans_assign_broadcasts_seeds_no_shuffle_scoring(spark, sf_dir):
     # scoring is a broadcast join against the k-row seed side; the only
     # exchange should be the final per-vector min aggregation, never a
