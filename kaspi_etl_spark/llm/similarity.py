@@ -6,8 +6,10 @@ against the corpus, dot products computed JVM-side with zip_with/aggregate
 
 Scale path: LSH bucketing via random hyperplanes (sign bits) — corpus and
 queries hash to bucket keys; candidate generation is an equi-join on
-buckets, turning O(N*Q) into O(collisions). An IVF-style variant can use
-k-means centroids from MLlib the same way (bucket = nearest centroid).
+buckets, turning O(N*Q) into O(collisions). The IVF variant buckets by
+nearest centroid instead, trained by the in-repo deterministic
+fixed-point k-means (``kmeans_train``) so results are bit-reproducible
+and oracle-checkable end to end.
 """
 
 from __future__ import annotations
@@ -115,32 +117,39 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    seed: int = 42,
+    train_iters: int = 2,
+    scale_bits: int = 10,
 ) -> DataFrame:
-    """IVF-style ANN: k-means coarse quantizer (MLlib, fixed seed)
-    assigns every vector to its nearest centroid's list; search compares
-    a query only against its own list. Same shuffle shape as LSH
-    bucketing — an equi-join on list ids — but with data-adaptive
-    partitions. Not SQL-oracle-expressible (kmeans training), so it is
-    verified as rows-only + recall tests.
+    """IVF-style ANN: a deterministic k-means coarse quantizer
+    (``kmeans_train`` — fixed-point Lloyd, lowest-id seeds) assigns every
+    vector to its nearest centroid's list; search compares a query only
+    against its own list. Same shuffle shape as LSH bucketing — an
+    equi-join on list ids — but with data-adaptive partitions.
+
+    Training is bit-reproducible (exact integer distances, centroid
+    updates on the quantized grid), so the whole search result is
+    deterministic and SQL-oracle-expressible by unrolling the training
+    iterations — the registered ``ann_ivf_topk`` gate does exactly that.
+    List assignment is a narrow map over broadcast centroid literals (no
+    join, no shuffle); only the list equi-join shuffles.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array  # noqa: F401
-
-    train = corpus.select(array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_lists, seed=seed, maxIter=20).fit(train)
-    predict = model.transform  # assigns 'prediction'
-
-    cb = predict(
-        with_normalized(corpus, vec_col, "_cvec").withColumn(
-            "features", array_to_vector(F.col(vec_col))
-        )
-    ).select(F.col(id_col), "_cvec", F.col("prediction").alias("_list"))
-    qb = predict(
-        with_normalized(queries, vec_col, "_qvec").withColumn(
-            "features", array_to_vector(F.col(vec_col))
-        )
-    ).select(F.col(query_id_col), "_qvec", F.col("prediction").alias("_list"))
+    cents = kmeans_train(
+        corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col,
+        scale_bits=scale_bits,
+    )
+    qv = _quantized(vec_col, scale_bits)
+    cb = (
+        with_normalized(corpus, vec_col, "_cvec")
+        .withColumn("_qv", qv)
+        .withColumn("_list", _nearest_centroid(F.col("_qv"), cents)["c"])
+        .select(F.col(id_col), "_cvec", "_list")
+    )
+    qb = (
+        with_normalized(queries, vec_col, "_qvec")
+        .withColumn("_qv", qv)
+        .withColumn("_list", _nearest_centroid(F.col("_qv"), cents)["c"])
+        .select(F.col(query_id_col), "_qvec", "_list")
+    )
     scored = cb.join(F.broadcast(qb), "_list").select(
         query_id_col,
         id_col,
@@ -445,4 +454,111 @@ def kmeans_assign(
         id_col,
         F.col("b.c").alias("cluster"),
         F.col("b.d").alias("dist"),
+    )
+
+
+def _quantized(vec_col: str, scale_bits: int) -> Column:
+    """Fixed-point quantization of a vector column: round(x * 2^bits)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * (1 << scale_bits)).cast("long"),
+    )
+
+
+def _nearest_centroid(qv: Column, centroids: list[tuple[int, list[int]]]) -> Column:
+    """struct(d, c) of the nearest centroid LITERAL by exact integer
+    squared L2, ties to the lowest cluster id. Centroids are k small
+    literal arrays baked into the plan — assignment is a narrow map with
+    zero shuffles and zero joins (cheaper than even a broadcast join:
+    nothing to build, nothing to probe)."""
+    opts = []
+    for cid, qc in centroids:
+        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in qc])
+        d = F.aggregate(
+            F.zip_with(qv, lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        opts.append(F.struct(d.alias("d"), F.lit(int(cid)).cast("long").alias("c")))
+    return F.array_min(F.array(*opts))
+
+
+def kmeans_train(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 10,
+) -> list[tuple[int, list[int]]]:
+    """Full deterministic Lloyd training loop; returns the trained
+    centroids as ``[(cluster_id, quantized_components)]``.
+
+    Every step is bit-reproducible across engines and partitionings:
+    seeds are the k lowest-``id_col`` vectors; assignment is the exact
+    integer-L2 argmin of ``kmeans_assign``; the centroid update keeps
+    centroids ON the quantized grid — per-dimension integer sums (order
+    independent), one IEEE division, and the rounding done IN Spark
+    (``F.round``), never in driver Python, so a SQL oracle can replay
+    the identical op sequence. An unrolled-CTE DuckDB mirror gates this
+    end to end (registry: ``kmeans_iterations``, ``ann_ivf_topk``).
+
+    Scale shape per iteration: assignment is a zero-shuffle narrow map
+    over centroid literals; the update is ONE shuffle of (cluster, pos)
+    keyed integer pairs — k * dim rows after map-side partial agg,
+    independent of input size. The driver reads back k * dim ints per
+    round (bounded scalar read, same class as the connected-components
+    convergence check); lineage does not grow with iterations because
+    each round plans from the base frame plus fresh literals, so no
+    localCheckpoint is needed. Converges early (and exactly) when the
+    quantized centroids stop moving; a cluster that loses all members
+    is dropped (both engines derive centroids only from present groups).
+    """
+    vecs = df.select(F.col(id_col).alias("_id"), _quantized(vec_col, scale_bits).alias("_qv"))
+    seed_rows = vecs.orderBy(F.col("_id").asc()).limit(k).collect()
+    cents = [(j, [int(v) for v in r["_qv"]]) for j, r in enumerate(seed_rows)]
+    for _ in range(iters):
+        assigned = vecs.select(
+            _nearest_centroid(F.col("_qv"), cents)["c"].alias("cluster"), "_qv"
+        )
+        upd = (
+            assigned.select("cluster", F.posexplode("_qv").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("c")
+            )
+        )
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in upd.collect():  # bounded: at most k * dim rows
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(r["c"])
+        new_cents = [
+            (cid, [dims[p] for p in sorted(dims)])
+            for cid, dims in sorted(by_cluster.items())
+        ]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return cents
+
+
+def kmeans_assign_trained(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Assignment against trained centroid literals: (id, cluster BIGINT,
+    dist BIGINT). Zero shuffles — the argmin folds k literal arrays per
+    row; dist is in quantized squared units like ``kmeans_assign``."""
+    vecs = df.select(F.col(id_col), _quantized(vec_col, scale_bits).alias("_qv"))
+    best = vecs.select(
+        F.col(id_col), _nearest_centroid(F.col("_qv"), centroids).alias("_b")
+    )
+    return best.select(
+        id_col, F.col("_b.c").alias("cluster"), F.col("_b.d").alias("dist")
     )

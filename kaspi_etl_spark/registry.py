@@ -2434,19 +2434,6 @@ def q_lang_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_topk")  # rows-only: kmeans training is not SQL-expressible
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN scale path: MLlib k-means coarse quantizer (seeded),
-    search within the query's list only. Recall vs brute force is
-    asserted in tests/test_similarity.py."""
-    emb = _read(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
-    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    return sim_ops.ivf_topk(corpus, queries, k=10, n_lists=8)
-
-
 @register(
     "embedding_quantize",
     """
@@ -5174,3 +5161,146 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration; see llm/similarity.py kmeans_assign."""
     e = _read(spark, sf_dir, "embeddings")
     return sim_ops.kmeans_assign(e, k=8)
+
+
+# --- Full k-means training loop + IVF on top of it -------------------------
+
+# Exact integer squared-L2 between a vector row {V} and a centroid row {S}.
+_SQL_QL2 = (
+    "list_sum(list_transform(range(len({V}.qv)), "
+    "i -> ({V}.qv[i + 1] - {S}.qc[i + 1]) * ({V}.qv[i + 1] - {S}.qc[i + 1])))"
+)
+
+
+def _sql_kmeans_cents(iters: int, k: int = 8, scale_bits: int = 10) -> str:
+    """CTE chain mirroring llm/similarity.py kmeans_train op for op:
+    ``q`` (quantized vectors), ``cent0`` (k lowest-id seeds), then per
+    iteration an exact-argmin assignment and a round(sum/count) centroid
+    update on the quantized grid. Ends at ``cent{iters}``. Every
+    arithmetic step is integer-exact or a single IEEE double division +
+    round, so the unrolled SQL reproduces Spark's training bit for bit."""
+    d = _SQL_QL2.replace("{V}", "v").replace("{S}", "s")
+    parts = [
+        f"""q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * {1 << scale_bits}) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+             qv AS qc
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    asg{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT v.vec_id, s.cluster, {d} AS d
+              FROM q v CROSS JOIN cent{t - 1} s))
+      WHERE rn = 1
+    ),
+    ex{t} AS (
+      SELECT a.cluster,
+             unnest(range(len(v.qv))) AS pos,
+             unnest(v.qv) AS x
+      FROM asg{t} a JOIN q v USING (vec_id)
+    ),
+    upd{t} AS (
+      SELECT cluster, pos,
+             CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  AS BIGINT) AS c
+      FROM ex{t} GROUP BY cluster, pos
+    ),
+    cent{t} AS (
+      SELECT cluster, list(c ORDER BY pos) AS qc FROM upd{t} GROUP BY cluster
+    )"""
+        )
+    return "".join(parts)
+
+
+_KMEANS_ITERS = 2
+
+
+@register(
+    "kmeans_iterations",
+    f"""
+    WITH {_sql_kmeans_cents(_KMEANS_ITERS)}
+    SELECT vec_id, cluster, CAST(d AS BIGINT) AS dist FROM (
+      SELECT vec_id, cluster, d,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+      FROM (SELECT v.vec_id, s.cluster,
+                   {_SQL_QL2.replace("{V}", "v").replace("{S}", "s")} AS d
+            FROM q v CROSS JOIN cent{_KMEANS_ITERS} s))
+    WHERE rn = 1
+    """,
+)
+def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL k-means training: {_KMEANS_ITERS} deterministic Lloyd
+    iterations (exact integer distances, fixed-point centroid updates,
+    early-exact convergence), then the final assignment against the
+    trained centroids. The oracle unrolls the training loop as CTEs —
+    possible only because every step is bit-reproducible; a float k-means
+    could never be gated this way. See llm/similarity.py kmeans_train."""
+    e = _read(spark, sf_dir, "embeddings")
+    cents = sim_ops.kmeans_train(e, k=8, iters=_KMEANS_ITERS)
+    return sim_ops.kmeans_assign_trained(e, cents)
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH {_sql_kmeans_cents(_KMEANS_ITERS)},
+    asgf AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT v.vec_id, s.cluster,
+                     {_SQL_QL2.replace("{V}", "v").replace("{S}", "s")} AS d
+              FROM q v CROSS JOIN cent{_KMEANS_ITERS} s))
+      WHERE rn = 1
+    ),
+    normed AS ({SQL_NORMALIZED_EMB}),
+    lists AS (
+      SELECT a.vec_id, a.cluster, n.vn
+      FROM asgf a JOIN normed n USING (vec_id)
+    ),
+    qy AS (
+      SELECT vec_id AS query_id, cluster, vn AS qn
+      FROM lists WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT qy.query_id, lists.vec_id,
+             {SQL_DOT.replace("{A}", "qn").replace("{B}", "vn")} AS cosine_sim
+      FROM lists JOIN qy ON lists.cluster = qy.cluster
+      WHERE qy.query_id <> lists.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN scale path: deterministic fixed-point k-means coarse
+    quantizer, search within the query's list only. The training loop is
+    bit-reproducible, so unlike classical float k-means IVF this gate has
+    a FULL value oracle (training unrolled as CTEs) — upgraded from the
+    r4 rows-only check. Recall vs brute force is separately asserted in
+    tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.ivf_topk(
+        corpus, queries, k=10, n_lists=8, train_iters=_KMEANS_ITERS
+    )

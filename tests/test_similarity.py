@@ -97,6 +97,29 @@ def test_bucketed_pairs_dim_derived(spark):
     assert got == exact == {(1, 2)}
 
 
+def test_kmeans_train_converges_to_true_clusters(spark):
+    from kaspi_etl_spark.llm.similarity import kmeans_assign_trained, kmeans_train
+
+    # both seeds (ids 1, 2) start inside the left cluster; training must
+    # migrate centroid 1 to the right cluster and converge exactly on the
+    # quantized grid: round(1024/3) = 341, round(31744/3) = 10581.
+    rows = [
+        (1, [0.0, 0.0]),
+        (2, [1.0, 0.0]),
+        (3, [0.0, 1.0]),
+        (4, [10.0, 10.0]),
+        (5, [11.0, 10.0]),
+        (6, [10.0, 11.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cents = kmeans_train(df, k=2, iters=10)
+    assert cents == [(0, [341, 341]), (1, [10581, 10581])]
+    out = {r.vec_id: r.cluster for r in kmeans_assign_trained(df, cents).collect()}
+    assert out == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1, 6: 1}
+    # convergence is exact: training longer changes nothing
+    assert kmeans_train(df, k=2, iters=20) == cents
+
+
 def test_kmeans_assign_exact_and_composes(spark):
     from kaspi_etl_spark.llm.similarity import embedding_centroids, kmeans_assign
 
