@@ -1,11 +1,15 @@
 """Multimodal columns — image/audio/video as opaque binary with typed
 metadata; decode/feature-extract as Arrow-batched Pandas stages.
 
-The container has no image/audio codecs, so the decode kernels are
-deterministic fakes gated behind ``DECODERS_AVAILABLE`` (STUB — swap in
-PIL/torchaudio implementations in production). Everything Spark-side —
-schemas, partition sizing, mapInPandas batch shape, metadata pushdown — is
-real and tested.
+Decode kernels by modality:
+  - audio (PCM WAV): REAL — stdlib ``wave`` + numpy, no external codecs
+    needed. ``extract_features`` decodes RIFF/WAVE payloads to per-slice
+    RMS energy vectors; see ``_wav_features``.
+  - image / video: the container has no codecs (PIL/ffmpeg absent), so
+    those kernels remain deterministic fakes gated behind
+    ``DECODERS_AVAILABLE`` (STUB — swap in PIL / pyav in production).
+Everything Spark-side — schemas, partition sizing, mapInPandas batch
+shape, metadata pushdown — is real and tested for every modality.
 
 Scale notes: binary payloads dominate partition size, so reads should set
 spark.sql.files.maxPartitionBytes low enough that a batch of decoded
@@ -16,13 +20,22 @@ checking the scan's ReadSchema excludes `content`).
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-DECODERS_AVAILABLE = False  # real codecs absent in this environment
+DECODERS_AVAILABLE = False  # image/video codecs absent in this environment
+
+try:  # the WAV path needs only stdlib wave + numpy
+    import numpy as _np
+
+    WAV_DECODER_AVAILABLE = True
+except ImportError:  # pragma: no cover - numpy is baked into this env
+    WAV_DECODER_AVAILABLE = False
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -77,9 +90,9 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
 def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     """STUB decode kernel: deterministic byte-histogram 'features'.
 
-    Production: replace with PIL.Image.open / torchaudio.load etc. The
-    signature (bytes -> fixed-dim float vector) is what the real kernel
-    must keep.
+    Production: replace with PIL.Image.open / pyav etc. The signature
+    (bytes -> fixed-dim float vector) is what the real kernel must keep
+    — ``_wav_features`` below is the real-kernel instance of it.
     """
     if DECODERS_AVAILABLE:  # pragma: no cover
         raise NotImplementedError("plug real decoder here")
@@ -97,12 +110,68 @@ def _fake_decode_features(content: bytes, dim: int = 8) -> list[float]:
     ]
 
 
+def _wav_features(content: bytes, dim: int = 8) -> list[float] | None:
+    """REAL audio decode kernel: PCM WAV via stdlib ``wave`` + numpy.
+
+    Decodes 8/16-bit PCM, mixes channels to mono (mean), splits the
+    signal into ``dim`` contiguous time slices and returns each slice's
+    RMS energy normalized to full scale — a fixed-dim float vector in
+    [0, 1], the same contract as the stub kernel. Returns None for
+    payloads that are not (valid) RIFF/WAVE so the caller can fall back;
+    vectorized numpy throughout, no per-sample Python.
+    """
+    if not (
+        len(content) >= 12
+        and content[:4] == b"RIFF"
+        and content[8:12] == b"WAVE"
+    ):
+        return None
+    try:
+        with wave.open(io.BytesIO(content), "rb") as w:
+            n_channels, sampwidth = w.getnchannels(), w.getsampwidth()
+            frames = w.readframes(w.getnframes())
+    except (wave.Error, EOFError):
+        return None
+    if sampwidth == 2:
+        x = _np.frombuffer(frames, dtype="<i2").astype(_np.float64)
+        full_scale = 32768.0
+    elif sampwidth == 1:  # 8-bit WAV is unsigned, midpoint 128
+        x = _np.frombuffer(frames, dtype=_np.uint8).astype(_np.float64) - 128.0
+        full_scale = 128.0
+    else:  # 24/32-bit: outside this kernel's scope
+        return None
+    if n_channels > 1:
+        n = (x.size // n_channels) * n_channels
+        x = x[:n].reshape(-1, n_channels).mean(axis=1)
+    if x.size == 0:
+        return [0.0] * dim
+    out = []
+    for i in range(dim):
+        lo, hi = i * x.size // dim, (i + 1) * x.size // dim
+        sl = x[lo:hi]
+        out.append(
+            float(_np.sqrt(_np.mean(sl * sl)) / full_scale) if sl.size else 0.0
+        )
+    return out
+
+
+def _decode_features(content: bytes, dim: int = 8) -> list[float]:
+    """Per-payload dispatch: real WAV decode when the payload is
+    RIFF/WAVE (and numpy is present), byte-histogram stub otherwise."""
+    if WAV_DECODER_AVAILABLE:
+        feats = _wav_features(content, dim)
+        if feats is not None:
+            return feats
+    return _fake_decode_features(content, dim)
+
+
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """Arrow-batched feature extraction over the binary column.
 
     mapInPandas so one task processes a whole Arrow batch of payloads —
     the per-row Python cost is amortized and the binary column never
-    round-trips through JVM object rows.
+    round-trips through JVM object rows. PCM WAV payloads decode for
+    real (``_wav_features``); other payloads use the stub kernel.
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -110,7 +179,7 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
         for pdf in batches:
             feats = [
-                _fake_decode_features(c if isinstance(c, bytes) else bytes(c), dim)
+                _decode_features(c if isinstance(c, bytes) else bytes(c), dim)
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(

@@ -123,6 +123,81 @@ def test_media_feature_extraction_stub(spark, sf_dir):
     assert all(again[r.media_id] == r.feature for r in rows)
 
 
+def _make_wav(sampwidth: int, channels: int, samples_per_ch: list[list[int]]) -> bytes:
+    """Build a real PCM WAV payload with stdlib wave (the encoder side of
+    the decode kernel under test)."""
+    import struct
+    import wave as wave_mod
+    from io import BytesIO
+
+    buf = BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(sampwidth)
+        w.setframerate(8000)
+        n = len(samples_per_ch[0])
+        frames = bytearray()
+        for i in range(n):
+            for ch in range(channels):
+                v = samples_per_ch[ch][i]
+                if sampwidth == 2:
+                    frames += struct.pack("<h", v)
+                else:
+                    frames += struct.pack("B", v)
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_wav_decode_kernel_real_bytes(spark):
+    """The audio kernel decodes REAL RIFF/WAVE bytes inside the
+    media_features mapInPandas path: DC segments of known amplitude give
+    exactly-known per-slice RMS (16384/32768 = 0.5, 8192/32768 = 0.25)."""
+    from pyspark.sql import Row
+
+    assert multimodal.WAV_DECODER_AVAILABLE
+    # mono 16-bit: first half amplitude 16384, second half 8192
+    mono = _make_wav(2, 1, [[16384] * 400 + [8192] * 400])
+    # stereo 16-bit: L=16384, R=0 -> mixed mono amplitude 8192
+    stereo = _make_wav(2, 2, [[16384] * 800, [0] * 800])
+    # not a WAV: must take the byte-histogram stub path, not crash
+    text = b"plain text payload, definitely not RIFF"
+    rows = [
+        Row(media_id=1, kind="audio", mime="audio/wav", content=mono,
+            meta=Row(width=0, height=0, duration_ms=100, codec="pcm_s16le")),
+        Row(media_id=2, kind="audio", mime="audio/wav", content=stereo,
+            meta=Row(width=0, height=0, duration_ms=100, codec="pcm_s16le")),
+        Row(media_id=3, kind="image", mime="application/octet-stream",
+            content=text,
+            meta=Row(width=16, height=16, duration_ms=0, codec="fake")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(media, dim=8).collect()}
+    assert out[1].feature[:4] == [0.5] * 4 and out[1].feature[4:] == [0.25] * 4
+    assert out[2].feature == [0.25] * 8
+    assert out[1].n_bytes == len(mono)
+    # the non-WAV payload matches the stub kernel exactly (feature is
+    # array<float>, so round the float64 expectation through float32)
+    import numpy as np
+
+    expected = np.asarray(
+        multimodal._fake_decode_features(text, 8), dtype=np.float32
+    ).tolist()
+    assert out[3].feature == expected
+
+
+def test_wav_decode_kernel_edge_payloads(spark):
+    """8-bit WAVs decode (unsigned, midpoint 128); truncated/corrupt RIFF
+    falls back to the stub instead of failing the batch."""
+    eight = _make_wav(1, 1, [[192] * 256])  # amplitude 64/128 = 0.5
+    assert multimodal._wav_features(eight, dim=4) == [0.5] * 4
+    corrupt = b"RIFF\x00\x00\x00\x00WAVEgarbage-not-a-real-chunk"
+    assert multimodal._wav_features(corrupt, dim=4) is None
+    assert multimodal._decode_features(corrupt, 4) == multimodal._fake_decode_features(corrupt, 4)
+    # 24-bit samples are out of kernel scope -> None (fallback), not junk
+    wav24 = _make_wav(2, 1, [[0] * 8]).replace(b"\x02\x00\x10\x00", b"\x02\x00\x18\x00")
+    assert multimodal._wav_features(wav24, dim=4) in (None, [0.0] * 4)
+
+
 def test_media_metadata_query_prunes_binary(spark, sf_dir):
     """Metadata-only aggregation must not read the binary content column
     (parquet column pruning) — checked via the scan's ReadSchema."""
