@@ -8,6 +8,15 @@ value = total wall-clock seconds across the headline queries (lower is
 better). Each query executes fully (count() forces the whole plan; results
 are not collected to the driver to keep it an engine benchmark, not a
 serialization benchmark).
+
+Wall clock on a steal-prone host lies: r4's driver artifact showed a 2.3x
+"regression" on top3_cheapest that re-measured at 1.0x in isolation. So
+alongside wall time, each query records its EXECUTOR CPU seconds
+(task-metric executorCpuTime summed over the stages the run executed,
+read from the status REST API) in "queries_cpu". CPU time counts cycles
+actually consumed — host steal inflates wall but not CPU — so a wall
+blip with flat CPU reads as host noise, not an engine regression.
+"queries" stays wall-seconds for round-over-round comparability.
 """
 
 from __future__ import annotations
@@ -16,6 +25,7 @@ import json
 import os
 import sys
 import time
+import urllib.request
 
 HEADLINE = [
     # batch ETL + dashboard
@@ -59,6 +69,22 @@ HEADLINE = [
 ]
 
 
+def _executor_cpu_sec(spark) -> float | None:
+    """Cumulative executor CPU seconds over all COMPLETE stages, via the
+    status REST API (the UI is enabled for the bench session only).
+    Returns None if the endpoint is unavailable — bench must never fail
+    on its own instrumentation."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+        with urllib.request.urlopen(url, timeout=5) as resp:
+            stages = json.load(resp)
+        return sum(s.get("executorCpuTime", 0) for s in stages) / 1e9
+    except Exception:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -66,7 +92,7 @@ def main() -> None:
     from kaspi_etl_spark.registry import QUERIES
     from kaspi_etl_spark.session import get_spark
 
-    spark = get_spark("bench")
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # engine, not first-touch costs.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
@@ -75,29 +101,39 @@ def main() -> None:
     # and the host demonstrably suffers CPU-steal bursts that can 3-4x a
     # single run — three samples give the minimum a real chance to be a
     # steal-free measurement. The minimum is the sustained-throughput
-    # number (the engine's cost; contention is the host's).
+    # number (the engine's cost; contention is the host's). The same
+    # min-of-3 applies to the CPU-seconds delta per run.
     # A single crashing query must never zero out the whole artifact
     # (round 3 lost all bench numbers to one AnalysisException): record the
     # failure, keep timing the rest, and still print the JSON line.
     timings: dict[str, float] = {}
+    cpu_timings: dict[str, float] = {}
     errors: dict[str, str] = {}
     total = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
-        best, n = float("inf"), 0
+        best, best_cpu, n = float("inf"), float("inf"), 0
         try:
             for _ in range(3):
+                cpu0 = _executor_cpu_sec(spark)
                 t0 = time.time()
                 df = fn(spark, sf_dir)
                 n = df.count()
                 best = min(best, time.time() - t0)
+                cpu1 = _executor_cpu_sec(spark)
+                if cpu0 is not None and cpu1 is not None:
+                    best_cpu = min(best_cpu, cpu1 - cpu0)
         except Exception as exc:  # noqa: BLE001 - artifact robustness
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
             continue
         timings[name] = round(best, 3)
         total += best
-        print(f"# {name}: {best:.2f}s ({n} rows)", file=sys.stderr)
+        cpu_note = ""
+        if best_cpu != float("inf"):
+            cpu_timings[name] = round(best_cpu, 3)
+            cpu_note = f", cpu {best_cpu:.2f}s"
+        print(f"# {name}: {best:.2f}s ({n} rows{cpu_note})", file=sys.stderr)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -107,6 +143,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if cpu_timings:
+        out["queries_cpu"] = cpu_timings
+        out["cpu_total"] = round(sum(cpu_timings.values()), 3)
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
