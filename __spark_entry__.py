@@ -24,62 +24,74 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``.
 # Registration order in registry.py groups by module; this curated prefix
-# instead spends the 50 slots on one gate per distinct operator family —
-# pulling in the event-time/behavioral, SCD2, sketch, graph, and
-# semantic-dedup families — and leaves redundant near-duplicate gates
-# (e.g. sizing_kids vs sizing_adult, bot_flags vs bot_sliding_window) to the
-# local ``tools/check_oracle.py`` run, which still checks all entries.
+# instead spends the 50 slots on one gate per distinct operator family and
+# leaves redundant near-duplicate gates to the local
+# ``tools/check_oracle.py`` run, which still checks all entries.
+#
+# Round-5 rotation (VERDICT r4 top-next): 16 slots whose families stayed
+# covered by a sibling gate (e.g. revenue_kpis by daily_net_revenue,
+# daily_demand by inventory_reorder which composes it, minhash_signatures
+# by minhash_lsh_pairs, media_metadata_summary by media_features) were
+# swapped for queries that had never been driver-verified: the winnowing /
+# duplicate-span / token-budget / shard samplers, the full k-means
+# training loop, CUBE, TPC-H Q5, the quantile sketch, session windows,
+# as-of cost join, the DQ report, Gopher quality gates, corpus mixing,
+# capped entity resolution, IVF ANN (full-oracle since r5), and the
+# capped-Jaccard bench headline. Every rotated-out query remains
+# value-verified against its DuckDB oracle by tests/test_entry.py and the
+# local check_oracle run.
 _GATE_PRIORITY = [
     "daily_net_revenue",
-    "revenue_kpis",
     "margin_by_sku",
-    "daily_demand",
     "inventory_reorder",
     "seller_dedupe",
     "variant_stats",
     "price_deltas",
     "global_analytics",
     "reprice_proposals",
-    "pricebot_kpis",
     "sizing_adult",
     "sales_etl_enrich",
     "purchases_upsert",
     "top3_cheapest",
-    "docs_coverage_report",
     "master_attrs_union",
     "bot_sliding_window",
     "dedup_exact",
-    "minhash_signatures",
     "minhash_lsh_pairs",
-    "ngram_jaccard_pairs",
     "simhash_pairs",
+    "ngram_jaccard_capped",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "text_features",
-    "doc_fingerprints",
-    "media_metadata_summary",
     "media_features",
     "events_tumbling_stats",
-    "events_sliding_stats",
-    "ann_lsh_topk",
     "export_flat",
     "import_coerce",
-    "offers_text_search",
     "catalog_validation",
     "events_json_probe",
     "html_sellers_parse",
     "dedup_clusters",
-    "docs_sample_deterministic",
-    "token_histogram",
     "semantic_dedup_keep",
     "tfidf_top_terms",
-    "bm25_scores",
     "events_funnel",
-    "events_retention",
-    "events_pivot_daily",
     "purchases_scd2",
     "events_asof_join",
     "token_countmin",
     "supplier_pagerank",
+    # first-time driver verification (r5 rotation)
+    "winnowing_fingerprints",
+    "duplicate_spans",
+    "token_budget_sample",
+    "token_shards",
+    "kmeans_iterations",
+    "orders_cube",
+    "tpch_q5_local_supplier",
+    "price_quantile_sketch",
+    "events_session_windows",
+    "purchases_cost_asof",
+    "dq_orders_report",
+    "docs_quality_gopher",
+    "corpus_mix_allocation",
+    "part_name_matches_capped",
 ]
 
 
