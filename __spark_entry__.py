@@ -39,7 +39,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # capped entity resolution, IVF ANN (full-oracle since r5), and the
 # capped-Jaccard bench headline. Every rotated-out query remains
 # value-verified against its DuckDB oracle by tests/test_entry.py and the
-# local check_oracle run.
+# local check_oracle run (ORACLE_FULL_r05.json records the full 112-query
+# sf0.01 sweep: all green). simhash_pairs later ceded its slot to the new
+# ann_pq_topk (IVF-PQ) gate; its family stays covered by minhash_lsh_pairs
+# and ngram_jaccard_capped.
 _GATE_PRIORITY = [
     "daily_net_revenue",
     "margin_by_sku",
@@ -57,10 +60,10 @@ _GATE_PRIORITY = [
     "bot_sliding_window",
     "dedup_exact",
     "minhash_lsh_pairs",
-    "simhash_pairs",
     "ngram_jaccard_capped",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "text_features",
     "media_features",
     "events_tumbling_stats",

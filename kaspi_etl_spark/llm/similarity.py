@@ -562,3 +562,143 @@ def kmeans_assign_trained(
     return best.select(
         id_col, F.col("_b.c").alias("cluster"), F.col("_b.d").alias("dist")
     )
+
+
+def _sub_l2(qv_slice: Column, qc: list[int]) -> Column:
+    """Exact integer squared L2 between a quantized subvector column and a
+    codebook centroid literal."""
+    lit_c = F.array(*[F.lit(int(v)).cast("long") for v in qc])
+    return F.aggregate(
+        F.zip_with(qv_slice, lit_c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_sub: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 10,
+) -> list[list[tuple[int, list[int]]]]:
+    """Train the M product-quantization codebooks: split the dim-D vector
+    into M contiguous subvectors and run the deterministic fixed-point
+    ``kmeans_train`` independently in each subspace. Centroids come back
+    renumbered 0..len-1 in ascending trained-cluster order so codes can
+    index a positional lookup table even when a cluster emptied out
+    during training (Lloyd drops memberless clusters).
+
+    Each subspace trains on a (id, subvector) projection of the same
+    scan; driver state is M * k_sub * (dim/M) ints — bounded, tiny.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_len = dim // m
+    books = []
+    for s in range(m):
+        sub = corpus.select(
+            F.col(id_col),
+            F.slice(F.col(vec_col), s * sub_len + 1, sub_len).alias(vec_col),
+        )
+        trained = kmeans_train(
+            sub, k=k_sub, iters=iters, id_col=id_col, vec_col=vec_col,
+            scale_bits=scale_bits,
+        )
+        books.append([(j, qc) for j, (_, qc) in enumerate(sorted(trained))])
+    return books
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    m: int = 4,
+    k_sub: int = 8,
+    n_lists: int = 8,
+    train_iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    scale_bits: int = 10,
+) -> DataFrame:
+    """IVF-PQ approximate nearest neighbour — the classic billion-scale
+    ANN layout (coarse quantizer + product codes), built entirely from
+    deterministic fixed-point arithmetic so the whole pipeline is
+    bit-reproducible and SQL-oracle-checkable.
+
+    Index side: a k-means coarse quantizer (``kmeans_train``) routes each
+    vector to one of ``n_lists`` inverted lists; M per-subspace codebooks
+    (``pq_train_codebooks``) compress the vector to M small codes. At 100
+    TB this is the point: the search structure stores M small codes + a list id
+    per vector instead of the raw floats (64 floats -> M codes), and
+    candidate generation is an equi-join on list ids, never all-pairs.
+
+    Query side: each query computes, per subspace, a lookup table of
+    exact integer squared-L2 distances to all k_sub centroids (an M x
+    k_sub literal fold — narrow, no shuffle, no join). Scoring a
+    candidate is then asymmetric distance computation (ADC): sum of M
+    table lookups by code — O(M) per pair instead of O(dim). The only
+    shuffle is the broadcast list-equi-join; encode and LUT stages are
+    zero-shuffle narrow maps over centroid literals.
+
+    Output: (query_id, vec_id, adc_dist BIGINT, rank) — ascending ADC,
+    ties to the lower vec_id, within the query's own list (nprobe=1),
+    self-matches excluded.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub_len = dim // m
+    coarse = kmeans_train(
+        corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col,
+        scale_bits=scale_bits,
+    )
+    books = pq_train_codebooks(
+        corpus, dim, m=m, k_sub=k_sub, iters=train_iters, id_col=id_col,
+        vec_col=vec_col, scale_bits=scale_bits,
+    )
+    qv = _quantized(vec_col, scale_bits)
+
+    enc = corpus.withColumn("_qv", qv).withColumn(
+        "_list", _nearest_centroid(F.col("_qv"), coarse)["c"]
+    )
+    for s, book in enumerate(books):
+        sub = F.slice(F.col("_qv"), s * sub_len + 1, sub_len)
+        enc = enc.withColumn(f"_c{s}", _nearest_centroid(sub, book)["c"])
+    enc = enc.select(
+        F.col(id_col),
+        "_list",
+        *[F.col(f"_c{s}") for s in range(m)],
+    )
+
+    qb = queries.withColumn("_qv", qv).withColumn(
+        "_list", _nearest_centroid(F.col("_qv"), coarse)["c"]
+    )
+    for s, book in enumerate(books):
+        sub = F.slice(F.col("_qv"), s * sub_len + 1, sub_len)
+        qb = qb.withColumn(
+            f"_lut{s}", F.array(*[_sub_l2(sub, qc) for _, qc in book])
+        )
+    qb = qb.select(
+        F.col(query_id_col), "_list", *[F.col(f"_lut{s}") for s in range(m)]
+    )
+
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col(f"_lut{s}"), (F.col(f"_c{s}") + 1).cast("int"))
+        adc = term if adc is None else adc + term
+    scored = (
+        enc.join(F.broadcast(qb), "_list")
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, adc.cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc_dist").asc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

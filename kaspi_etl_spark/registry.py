@@ -5304,3 +5304,163 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ivf_topk(
         corpus, queries, k=10, n_lists=8, train_iters=_KMEANS_ITERS
     )
+
+
+# --- IVF-PQ: product-quantization ANN --------------------------------------
+
+def _sql_l2_expr(a: str, b: str) -> str:
+    """Exact integer squared L2 between two list expressions."""
+    return (
+        f"list_sum(list_transform(range(len({a})), "
+        f"i -> ({a}[i + 1] - {b}[i + 1]) * ({a}[i + 1] - {b}[i + 1])))"
+    )
+
+
+def _sql_pq_codebook(s: int, start: int, sub_len: int, iters: int, k: int) -> str:
+    """CTE chain training one PQ subspace codebook: s{s}q (sliced
+    quantized subvectors out of the coarse ``q``), the same unrolled
+    fixed-point Lloyd loop as _sql_kmeans_cents under s{s}-prefixed
+    names, then s{s}cb (centroids renumbered 0..len-1 in trained-cluster
+    order, mirroring pq_train_codebooks) and s{s}code (the per-vector
+    argmin code)."""
+    p = f"s{s}"
+    d = _SQL_QL2.replace("{V}", "v").replace("{S}", "s")
+    parts = [
+        f""",
+    {p}q AS (
+      SELECT vec_id, list_slice(qv, {start}, {start + sub_len - 1}) AS qv FROM q
+    ),
+    {p}cent0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+             qv AS qc
+      FROM (SELECT vec_id, qv FROM {p}q ORDER BY vec_id LIMIT {k})
+    )"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+    {p}asg{t} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT v.vec_id, s.cluster, {d} AS d
+              FROM {p}q v CROSS JOIN {p}cent{t - 1} s))
+      WHERE rn = 1
+    ),
+    {p}ex{t} AS (
+      SELECT a.cluster,
+             unnest(range(len(v.qv))) AS pos,
+             unnest(v.qv) AS x
+      FROM {p}asg{t} a JOIN {p}q v USING (vec_id)
+    ),
+    {p}upd{t} AS (
+      SELECT cluster, pos,
+             CAST(round(CAST(sum(x) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  AS BIGINT) AS c
+      FROM {p}ex{t} GROUP BY cluster, pos
+    ),
+    {p}cent{t} AS (
+      SELECT cluster, list(c ORDER BY pos) AS qc FROM {p}upd{t} GROUP BY cluster
+    )"""
+        )
+    parts.append(
+        f""",
+    {p}cb AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cluster) - 1 AS BIGINT) AS j, qc
+      FROM {p}cent{iters}
+    ),
+    {p}code AS (
+      SELECT vec_id, j FROM (
+        SELECT vec_id, j,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM (SELECT v.vec_id, s.j,
+                     {_SQL_QL2.replace("{V}", "v").replace("{S}", "s").replace(".qc", ".qc")} AS d
+              FROM {p}q v CROSS JOIN {p}cb s))
+      WHERE rn = 1
+    )"""
+    )
+    return "".join(parts)
+
+
+_PQ_M = 8
+_PQ_KSUB = 16
+_PQ_DIM = 64
+_PQ_SUB = _PQ_DIM // _PQ_M
+
+
+def _sql_pq_topk() -> str:
+    books = "".join(
+        _sql_pq_codebook(s, s * _PQ_SUB + 1, _PQ_SUB, _KMEANS_ITERS, _PQ_KSUB)
+        for s in range(_PQ_M)
+    )
+    code_joins = " ".join(
+        f"JOIN s{s}code c{s} ON c{s}.vec_id = a.vec_id" for s in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"c{s}.j AS c{s}" for s in range(_PQ_M))
+    cb_joins = " ".join(f"JOIN s{s}cb b{s} ON b{s}.j = c.c{s}" for s in range(_PQ_M))
+    adc = " + ".join(
+        _sql_l2_expr(
+            f"list_slice(qy.qv, {s * _PQ_SUB + 1}, {(s + 1) * _PQ_SUB})",
+            f"b{s}.qc",
+        )
+        for s in range(_PQ_M)
+    )
+    d = _SQL_QL2.replace("{V}", "v").replace("{S}", "s")
+    return f"""
+    WITH {_sql_kmeans_cents(_KMEANS_ITERS)},
+    asgf AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM (SELECT v.vec_id, s.cluster, {d} AS d
+              FROM q v CROSS JOIN cent{_KMEANS_ITERS} s))
+      WHERE rn = 1
+    ){books},
+    codes AS (
+      SELECT a.vec_id, a.cluster AS list, {code_cols}
+      FROM asgf a {code_joins}
+    ),
+    qy AS (
+      SELECT q.vec_id AS query_id, a.cluster AS list, q.qv
+      FROM q JOIN asgf a USING (vec_id)
+      WHERE q.vec_id % 50 = 0
+    ),
+    scored AS (
+      SELECT qy.query_id, c.vec_id, CAST({adc} AS BIGINT) AS adc_dist
+      FROM codes c
+      JOIN qy ON c.list = qy.list AND qy.query_id <> c.vec_id
+      {cb_joins}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, CAST(adc_dist AS BIGINT) AS adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 10
+    """
+
+
+@register("ann_pq_topk", _sql_pq_topk())
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN: the billion-scale index layout (coarse k-means lists +
+    per-subspace product codes + asymmetric-distance scoring), made fully
+    deterministic by the fixed-point Lloyd trainer so BOTH training
+    stages unroll into the SQL oracle — coarse quantizer and all eight
+    subspace codebooks replayed as CTEs, bit for bit. The engine stores M
+    codes + a list id per vector (8 nibble codes vs 64 floats here)
+    and scores candidates with M table lookups instead of a dim-wide dot
+    product; candidates come from a list equi-join, never all-pairs. See
+    llm/similarity.py pq_topk."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim_ops.pq_topk(
+        corpus, queries, dim=_PQ_DIM, k=10, m=_PQ_M, k_sub=_PQ_KSUB, n_lists=8,
+        train_iters=_KMEANS_ITERS,
+    )

@@ -149,3 +149,83 @@ def test_kmeans_assign_exact_and_composes(spark):
     }
     assert cents[0] == [2.0, (0.0 + 0.0 + 5.0) / 3]
     assert cents[1] == [9.5, 10.0]
+
+
+def test_pq_recall_vs_exact_l2(spark, sf_dir):
+    """ADC on 8 codes must recover a meaningful fraction of the exact
+    integer-L2 top-k over the same candidate lists — this isolates the
+    product-quantization distortion from coarse-list routing (and from
+    the cosine-vs-L2 metric difference vs brute_force_topk)."""
+    corpus, queries = _vectors(spark, sf_dir)
+    approx = similarity.pq_topk(corpus, queries, dim=64, k=10, m=8, k_sub=16, n_lists=4)
+    a = {(r.query_id, r.vec_id) for r in approx.collect()}
+
+    coarse = similarity.kmeans_train(corpus, k=4, iters=2)
+    qvs = {
+        r["vec_id"]: [round(x * 1024) for x in r["embedding"]]
+        for r in corpus.collect()
+    }
+
+    def nearest(qv, cents):
+        return min(
+            (sum((x - c) ** 2 for x, c in zip(qv, qc)), cid) for cid, qc in cents
+        )[1]
+
+    lists: dict[int, list[int]] = {}
+    for vid, qv in qvs.items():
+        lists.setdefault(nearest(qv, coarse), []).append(vid)
+    e = set()
+    for qid in {q for q, _ in a}:
+        cands = [v for v in lists[nearest(qvs[qid], coarse)] if v != qid]
+        cands.sort(key=lambda v: (
+            sum((x - y) ** 2 for x, y in zip(qvs[qid], qvs[v])), v))
+        e.update((qid, v) for v in cands[:10])
+    recall = len(e & a) / len(e)
+    assert recall >= 0.3, f"recall {recall}"
+
+
+def test_pq_deterministic(spark, sf_dir):
+    corpus, queries = _vectors(spark, sf_dir)
+    a1 = sorted(map(tuple, similarity.pq_topk(corpus, queries, dim=64, k=5).collect()))
+    a2 = sorted(map(tuple, similarity.pq_topk(corpus, queries, dim=64, k=5).collect()))
+    assert a1 == a2
+    assert a1, "non-empty result"
+
+
+def test_pq_codebooks_shape(spark, sf_dir):
+    corpus, _ = _vectors(spark, sf_dir)
+    books = similarity.pq_train_codebooks(corpus, dim=64, m=4, k_sub=8)
+    assert len(books) == 4
+    for book in books:
+        assert 1 <= len(book) <= 8
+        assert [j for j, _ in book] == list(range(len(book)))
+        for _, qc in book:
+            assert len(qc) == 16
+
+
+def test_pq_adc_matches_direct_distance(spark, sf_dir):
+    """The LUT lookup path must equal recomputing the subspace distances
+    directly: ADC(q, doc) == sum_m L2(q_sub_m, codebook_m[code_m])."""
+    corpus, queries = _vectors(spark, sf_dir)
+    books = similarity.pq_train_codebooks(corpus, dim=64, m=4, k_sub=8)
+    res = similarity.pq_topk(corpus, queries, dim=64, k=5, m=4).collect()
+    qvs = {
+        r["vec_id"]: [round(x * 1024) for x in r["embedding"]]
+        for r in corpus.collect()
+    }
+    coarse = similarity.kmeans_train(corpus, k=8, iters=2)
+
+    def nearest(qv, cents):
+        return min((sum((a - b) ** 2 for a, b in zip(qv, qc)), cid) for cid, qc in cents)[1]
+
+    for r in res:
+        qv = qvs[r["vec_id"]]
+        expect = 0
+        for s, book in enumerate(books):
+            sub = qvs[r["query_id"]][s * 16 : (s + 1) * 16]
+            code = nearest(qv[s * 16 : (s + 1) * 16], book)
+            cent = dict(book)[code]
+            expect += sum((a - b) ** 2 for a, b in zip(sub, cent))
+        assert r["adc_dist"] == expect, (r, expect)
+        # candidate really came from the query's coarse list
+        assert nearest(qv, coarse) == nearest(qvs[r["query_id"]], coarse)

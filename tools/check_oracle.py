@@ -101,6 +101,7 @@ def compare(name: str, spark_df, con) -> dict:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument("--json", help="write per-query results as a JSON file")
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
 
@@ -112,6 +113,7 @@ def main():
     qs = entrymod.queries()
     names = args.queries or list(qs)
     failures = 0
+    results = []
     for name in names:
         if name not in qs:
             print(f"{name}: NOT REGISTERED")
@@ -124,8 +126,19 @@ def main():
             r = {"name": name, "status": "ERROR", "error": str(e)[:2000]}
         ok = r.get("status") in ("OK", "rows_only")
         failures += 0 if ok else 1
+        results.append(r)
         print(r)
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if args.json:
+        import json
+
+        payload = {
+            "sf_dir": args.sf,
+            "passed": len(names) - failures,
+            "total": len(names),
+            "results": results,
+        }
+        Path(args.json).write_text(json.dumps(payload, indent=1, default=str) + "\n")
     sys.exit(1 if failures else 0)
 
 
