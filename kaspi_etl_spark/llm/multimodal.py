@@ -5,9 +5,15 @@ Decode kernels by modality:
   - audio (PCM WAV): REAL — stdlib ``wave`` + numpy, no external codecs
     needed. ``extract_features`` decodes RIFF/WAVE payloads to per-slice
     RMS energy vectors; see ``_wav_features``.
-  - image / video: the container has no codecs (PIL/ffmpeg absent), so
-    those kernels remain deterministic fakes gated behind
-    ``DECODERS_AVAILABLE`` (STUB — swap in PIL / pyav in production).
+  - image (uncompressed BMP): REAL — header parse + numpy pixel math, no
+    codec needed. ``extract_features`` turns 24-bit BI_RGB payloads into
+    per-band mean-luminance vectors (``_bmp_features``) and
+    ``resize_images`` does nearest-neighbour resampling that re-emits a
+    valid BMP (``_bmp_resize``). Compressed formats (PNG/JPEG) stay
+    stubbed (PIL absent).
+  - video: the container has no codecs (ffmpeg/pyav absent), so the
+    frame-sampling kernel remains a deterministic fake gated behind
+    ``DECODERS_AVAILABLE`` (STUB — swap in pyav in production).
 Everything Spark-side — schemas, partition sizing, mapInPandas batch
 shape, metadata pushdown — is real and tested for every modality.
 
@@ -155,11 +161,92 @@ def _wav_features(content: bytes, dim: int = 8) -> list[float] | None:
     return out
 
 
+def _parse_bmp(content: bytes):
+    """Parse an uncompressed 24-bit BI_RGB BMP into (height, width, 3)
+    uint8 BGR. Returns None for anything that is not such a BMP (wrong
+    magic, compressed, other bit depths, truncated pixel data) so callers
+    can fall back. Bottom-up rows (positive height) are flipped to
+    top-down; top-down (negative height) pass through."""
+    import struct
+
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    pix_off = struct.unpack_from("<I", content, 10)[0]
+    dib = struct.unpack_from("<I", content, 14)[0]
+    if dib < 40:  # BITMAPCOREHEADER etc.: out of scope
+        return None
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    comp = struct.unpack_from("<I", content, 30)[0]
+    if planes != 1 or bpp != 24 or comp != 0 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = ((w * 3 + 3) // 4) * 4
+    need = pix_off + stride * h
+    if len(content) < need:
+        return None
+    rows = _np.frombuffer(content, dtype=_np.uint8, count=stride * h, offset=pix_off)
+    rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+    return rows if top_down else rows[::-1]
+
+
+def _bmp_features(content: bytes, dim: int = 8) -> list[float] | None:
+    """REAL image decode kernel: uncompressed 24-bit BMP -> ``dim``
+    vertical bands of mean luminance (ITU-R BT.601 integer weights
+    77/150/29 over 256) normalized to [0, 1] — same bytes-in,
+    fixed-dim-vector-out contract as the WAV and stub kernels.
+    Vectorized numpy; returns None for non-BMP payloads."""
+    px = _parse_bmp(content)
+    if px is None:
+        return None
+    # BGR order in BMP: luminance = (29*B + 150*G + 77*R) / 256
+    x = px.astype(_np.uint32)
+    lum = (29 * x[:, :, 0] + 150 * x[:, :, 1] + 77 * x[:, :, 2]) >> 8
+    h = lum.shape[0]
+    out = []
+    for i in range(dim):
+        lo, hi = i * h // dim, (i + 1) * h // dim
+        band = lum[lo:hi]
+        out.append(float(band.mean() / 255.0) if band.size else 0.0)
+    return out
+
+
+def _bmp_resize(content: bytes, dst_w: int, dst_h: int) -> bytes | None:
+    """REAL image resize kernel: nearest-neighbour resample of an
+    uncompressed 24-bit BMP, re-encoded as a minimal valid 24-bit BMP
+    (54-byte header, 4-byte-aligned bottom-up rows). Returns None for
+    non-BMP payloads so callers can fall back to the stub."""
+    import struct
+
+    px = _parse_bmp(content)
+    if px is None or dst_w <= 0 or dst_h <= 0:
+        return None
+    src_h, src_w = px.shape[:2]
+    ys = (_np.arange(dst_h) * src_h) // dst_h
+    xs = (_np.arange(dst_w) * src_w) // dst_w
+    out = px[ys][:, xs]  # (dst_h, dst_w, 3) BGR top-down
+    stride = ((dst_w * 3 + 3) // 4) * 4
+    pad = stride - dst_w * 3
+    body = bytearray()
+    for row in out[::-1]:  # bottom-up storage
+        body += row.tobytes() + b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, dst_w, dst_h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
 def _decode_features(content: bytes, dim: int = 8) -> list[float]:
-    """Per-payload dispatch: real WAV decode when the payload is
-    RIFF/WAVE (and numpy is present), byte-histogram stub otherwise."""
+    """Per-payload dispatch: real WAV decode for RIFF/WAVE, real BMP
+    decode for uncompressed 24-bit BMP (both need only numpy),
+    byte-histogram stub otherwise."""
     if WAV_DECODER_AVAILABLE:
         feats = _wav_features(content, dim)
+        if feats is None:
+            feats = _bmp_features(content, dim)
         if feats is not None:
             return feats
     return _fake_decode_features(content, dim)
@@ -170,8 +257,9 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
     mapInPandas so one task processes a whole Arrow batch of payloads —
     the per-row Python cost is amortized and the binary column never
-    round-trips through JVM object rows. PCM WAV payloads decode for
-    real (``_wav_features``); other payloads use the stub kernel.
+    round-trips through JVM object rows. PCM WAV and uncompressed BMP
+    payloads decode for real (``_wav_features`` / ``_bmp_features``);
+    other payloads use the stub kernel.
     """
 
     def run(batches: Iterator) -> Iterator:
@@ -215,6 +303,16 @@ def _fake_resize(content: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int)
     return content[::ratio][: max(1, dst_w * dst_h // 8)]
 
 
+def _resize_dispatch(content: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int) -> bytes:
+    """Real nearest-neighbour resize for uncompressed BMP payloads
+    (``_bmp_resize``), stub byte-subsample for everything else."""
+    if WAV_DECODER_AVAILABLE:  # numpy present
+        out = _bmp_resize(content, dst_w, dst_h)
+        if out is not None:
+            return out
+    return _fake_resize(content, src_w, src_h, dst_w, dst_h)
+
+
 def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
     """Image resize stage over mapInPandas: only rows with kind='image'
     are decoded; the filter happens BEFORE the Python boundary so audio
@@ -234,7 +332,7 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
                         "kind": row["kind"],
                         "out_width": width,
                         "out_height": height,
-                        "content": _fake_resize(
+                        "content": _resize_dispatch(
                             c, row["meta"]["width"], row["meta"]["height"], width, height
                         ),
                     }

@@ -235,3 +235,87 @@ def test_media_frame_sampling_expands_rows(spark, sf_dir):
         by_media.setdefault(r.media_id, []).append(r.frame_idx)
     for idxs in by_media.values():
         assert sorted(idxs) == list(range(len(idxs)))  # contiguous frame ids
+
+
+def _make_bmp(width: int, height: int, rows_bgr: list[list[tuple[int, int, int]]]) -> bytes:
+    """Build a real uncompressed 24-bit BMP (bottom-up, padded rows) from
+    top-down BGR pixel rows — the encoder side of what _parse_bmp reads."""
+    import struct
+
+    stride = ((width * 3 + 3) // 4) * 4
+    pad = stride - width * 3
+    body = bytearray()
+    for row in reversed(rows_bgr):  # bottom-up storage
+        for b, g, r in row:
+            body += bytes((b, g, r))
+        body += b"\x00" * pad
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(body), 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def test_bmp_decode_kernel_real_bytes(spark):
+    """The image kernel decodes REAL BMP bytes inside media_features:
+    solid-luminance bands give exactly-known per-band means (white
+    (255,255,255) -> lum 255 via integer BT.601, black -> 0)."""
+    from pyspark.sql import Row
+
+    # 2x4: top two rows white, bottom two rows black
+    white, black = (255, 255, 255), (0, 0, 0)
+    img = _make_bmp(2, 4, [[white] * 2, [white] * 2, [black] * 2, [black] * 2])
+    rows = [
+        Row(media_id=1, kind="image", mime="image/bmp", content=img,
+            meta=Row(width=2, height=4, duration_ms=0, codec="bmp")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(media, dim=4).collect()}
+    # integer luminance of white: (29+150+77)=256, so (256*255)>>8 = 255
+    assert out[1].feature == [1.0, 1.0, 0.0, 0.0]
+    assert out[1].n_bytes == len(img)
+
+
+def test_bmp_decode_rejects_non_bmp_and_compressed():
+    assert multimodal._bmp_features(b"nope", 4) is None
+    img = _make_bmp(2, 2, [[(1, 2, 3)] * 2] * 2)
+    # flip the compression field (offset 30) to BI_RLE8: must reject
+    bad = img[:30] + b"\x01\x00\x00\x00" + img[34:]
+    assert multimodal._bmp_features(bad, 4) is None
+    # truncated pixel data: must reject, not crash
+    assert multimodal._bmp_features(img[:-3], 4) is None
+
+
+def test_bmp_resize_kernel_roundtrip(spark):
+    """resize_images produces a VALID BMP whose pixels are the
+    nearest-neighbour sample of the source (checked by re-parsing the
+    output with the same parser)."""
+    from pyspark.sql import Row
+
+    # 4x2 source: left half red, right half blue (BGR tuples)
+    red, blue = (0, 0, 255), (255, 0, 0)
+    img = _make_bmp(4, 2, [[red, red, blue, blue]] * 2)
+    rows = [
+        Row(media_id=7, kind="image", mime="image/bmp", content=img,
+            meta=Row(width=4, height=2, duration_ms=0, codec="bmp")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = multimodal.resize_images(media, width=2, height=1).collect()
+    assert len(out) == 1 and out[0].out_width == 2 and out[0].out_height == 1
+    px = multimodal._parse_bmp(bytes(out[0].content))
+    assert px is not None and px.shape == (1, 2, 3)
+    assert tuple(px[0, 0]) == red and tuple(px[0, 1]) == blue
+
+
+def test_bmp_resize_top_down_and_fallback():
+    import struct
+
+    img = _make_bmp(2, 2, [[(9, 9, 9)] * 2, [(1, 1, 1)] * 2])
+    # rewrite height as negative (top-down) with rows reordered: same pixels
+    td = img[:18] + struct.pack("<ii", 2, -2) + img[26:54]
+    body = bytes((9, 9, 9, 9, 9, 9, 0, 0)) + bytes((1, 1, 1, 1, 1, 1, 0, 0))
+    td += body
+    px = multimodal._parse_bmp(td)
+    assert px is not None and tuple(px[0, 0]) == (9, 9, 9) and tuple(px[1, 0]) == (1, 1, 1)
+    # non-BMP payloads fall back to the stub subsample
+    stub = multimodal._resize_dispatch(b"not an image", 16, 16, 4, 4)
+    assert stub == multimodal._fake_resize(b"not an image", 16, 16, 4, 4)

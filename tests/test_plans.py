@@ -221,3 +221,14 @@ def test_kmeans_assign_broadcasts_seeds_no_shuffle_scoring(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "kmeans_assign")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_pq_topk_encode_is_narrow_and_list_join_broadcasts(spark, sf_dir):
+    # IVF-PQ: codebooks and the coarse quantizer are literals baked into
+    # the plan, so encode and query-LUT stages must be narrow maps — the
+    # only join is the broadcast list equi-join; nothing may sort-merge,
+    # and nothing may cartesian (candidate generation is list-bounded).
+    plan = plan_of(spark, sf_dir, "ann_pq_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
