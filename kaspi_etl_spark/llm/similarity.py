@@ -138,10 +138,15 @@ def ivf_topk(
         scale_bits=scale_bits,
     )
     qv = _quantized(vec_col, scale_bits)
+    # corpus-side list assignment via the codegen'd join form (the
+    # literal fold is interpreted per element — measured ~2s vs ~0.3s at
+    # 5k x 8 x 64); attaching it back is an id-keyed equi-join
+    lists = assign_nearest_join(
+        corpus, cents, id_col=id_col, vec_col=vec_col, scale_bits=scale_bits
+    ).select(F.col(id_col), F.col("cluster").alias("_list"))
     cb = (
         with_normalized(corpus, vec_col, "_cvec")
-        .withColumn("_qv", qv)
-        .withColumn("_list", _nearest_centroid(F.col("_qv"), cents)["c"])
+        .join(lists, id_col)
         .select(F.col(id_col), "_cvec", "_list")
     )
     qb = (
@@ -503,38 +508,57 @@ def kmeans_train(
     the identical op sequence. An unrolled-CTE DuckDB mirror gates this
     end to end (registry: ``kmeans_iterations``, ``ann_ivf_topk``).
 
-    Scale shape per iteration: assignment is a zero-shuffle narrow map
-    over centroid literals; the update is ONE shuffle of (cluster, pos)
-    keyed integer pairs — k * dim rows after map-side partial agg,
-    independent of input size. The driver reads back k * dim ints per
-    round (bounded scalar read, same class as the connected-components
-    convergence check); lineage does not grow with iterations because
-    each round plans from the base frame plus fresh literals, so no
-    localCheckpoint is needed. Converges early (and exactly) when the
-    quantized centroids stop moving; a cluster that loses all members
-    is dropped (both engines derive centroids only from present groups).
+    Scale shape per iteration: the whole round runs as exploded
+    (id, pos, x) element rows through codegen'd hash aggregates — the
+    argmin is a broadcast equi-join on pos against the k*dim centroid
+    element rows, never an interpreted per-row array fold (higher-order
+    functions don't whole-stage-codegen; an aggregate(zip_with(...))
+    literal fold measured ~3s per iteration at 5k x 64 x 8 where this
+    shape is ~0.3s). The centroid update is one (cluster, pos) shuffle of
+    k * dim rows after map-side partial agg, independent of input size;
+    rounding happens IN Spark (``F.round``), never in driver Python. The
+    driver reads back k * dim ints per round (bounded scalar read, same
+    class as the connected-components convergence check); lineage does
+    not grow with iterations because each round plans from the base
+    frame plus a fresh tiny centroid frame. Converges early (and
+    exactly) when the quantized centroids stop moving; a cluster that
+    loses all members is dropped (both engines derive centroids only
+    from present groups).
     """
+    spark = df.sparkSession
     vecs = df.select(F.col(id_col).alias("_id"), _quantized(vec_col, scale_bits).alias("_qv"))
     seed_rows = vecs.orderBy(F.col("_id").asc()).limit(k).collect()
     cents = [(j, [int(v) for v in r["_qv"]]) for j, r in enumerate(seed_rows)]
+    ex = vecs.select("_id", F.posexplode("_qv").alias("_pos", "_x"))
     for _ in range(iters):
-        assigned = vecs.select(
-            _nearest_centroid(F.col("_qv"), cents)["c"].alias("cluster"), "_qv"
+        cent_rows = spark.createDataFrame(
+            [(int(cid), p, int(c)) for cid, qc in cents for p, c in enumerate(qc)],
+            "_cl BIGINT, _pos INT, _c BIGINT",
+        )
+        diff = F.col("_x") - F.col("_c")
+        scored = (
+            ex.join(F.broadcast(cent_rows), "_pos")
+            .groupBy("_id", "_cl")
+            .agg(F.sum(diff * diff).alias("_d"))
+        )
+        best = scored.groupBy("_id").agg(
+            F.min(F.struct(F.col("_d").alias("d"), F.col("_cl").alias("c")))["c"]
+            .alias("_bc")
         )
         upd = (
-            assigned.select("cluster", F.posexplode("_qv").alias("pos", "x"))
-            .groupBy("cluster", "pos")
+            ex.join(best, "_id")
+            .groupBy(F.col("_bc").alias("_cl"), F.col("_pos"))
             .agg(
                 F.round(
-                    F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")
+                    F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
                 )
                 .cast("long")
-                .alias("c")
+                .alias("_c")
             )
         )
         by_cluster: dict[int, dict[int, int]] = {}
         for r in upd.collect():  # bounded: at most k * dim rows
-            by_cluster.setdefault(int(r["cluster"]), {})[int(r["pos"])] = int(r["c"])
+            by_cluster.setdefault(int(r["_cl"]), {})[int(r["_pos"])] = int(r["_c"])
         new_cents = [
             (cid, [dims[p] for p in sorted(dims)])
             for cid, dims in sorted(by_cluster.items())
@@ -543,6 +567,44 @@ def kmeans_train(
             break
         cents = new_cents
     return cents
+
+
+def assign_nearest_join(
+    df: DataFrame,
+    centroids: list[tuple[int, list[int]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Assignment against trained centroids as an exploded broadcast
+    equi-join + codegen'd hash aggregates: (id, cluster BIGINT, dist
+    BIGINT), dist in exact quantized squared units, ties to the lowest
+    cluster id — bit-identical to the literal-fold form but JVM-compiled.
+    Higher-order-function folds run interpreted (no whole-stage codegen),
+    so the fold form pays ~µs per array element; this shape streams
+    (id, pos, x) element rows through a broadcast join on pos against
+    k * dim centroid element rows and two hash aggregations instead.
+    Shuffle: one (id, cluster) partial-agg'd exchange — rows bounded by
+    n * k after map-side combine, elements never shuffle."""
+    spark = df.sparkSession
+    cent_rows = spark.createDataFrame(
+        [(int(cid), p, int(c)) for cid, qc in centroids for p, c in enumerate(qc)],
+        "_cl BIGINT, _pos INT, _c BIGINT",
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(_quantized(vec_col, scale_bits)).alias("_pos", "_x")
+    )
+    diff = F.col("_x") - F.col("_c")
+    best = (
+        ex.join(F.broadcast(cent_rows), "_pos")
+        .groupBy(id_col, "_cl")
+        .agg(F.sum(diff * diff).alias("_d"))
+        .groupBy(id_col)
+        .agg(F.min(F.struct(F.col("_d").alias("d"), F.col("_cl").alias("c"))).alias("_b"))
+    )
+    return best.select(
+        id_col, F.col("_b.c").alias("cluster"), F.col("_b.d").alias("dist")
+    )
 
 
 def kmeans_assign_trained(
@@ -554,7 +616,9 @@ def kmeans_assign_trained(
 ) -> DataFrame:
     """Assignment against trained centroid literals: (id, cluster BIGINT,
     dist BIGINT). Zero shuffles — the argmin folds k literal arrays per
-    row; dist is in quantized squared units like ``kmeans_assign``."""
+    row; dist is in quantized squared units like ``kmeans_assign``.
+    Prefer ``assign_nearest_join`` when n * k * dim is large: the fold
+    here is interpreted per element, the join form is codegen'd."""
     vecs = df.select(F.col(id_col), _quantized(vec_col, scale_bits).alias("_qv"))
     best = vecs.select(
         F.col(id_col), _nearest_centroid(F.col("_qv"), centroids).alias("_b")
@@ -587,29 +651,98 @@ def pq_train_codebooks(
 ) -> list[list[tuple[int, list[int]]]]:
     """Train the M product-quantization codebooks: split the dim-D vector
     into M contiguous subvectors and run the deterministic fixed-point
-    ``kmeans_train`` independently in each subspace. Centroids come back
-    renumbered 0..len-1 in ascending trained-cluster order so codes can
-    index a positional lookup table even when a cluster emptied out
-    during training (Lloyd drops memberless clusters).
+    Lloyd loop in every subspace. Centroids come back renumbered
+    0..len-1 in ascending trained-cluster order so codes can index a
+    positional lookup table even when a cluster emptied out during
+    training (Lloyd drops memberless clusters).
 
-    Each subspace trains on a (id, subvector) projection of the same
-    scan; driver state is M * k_sub * (dim/M) ints — bounded, tiny.
+    All M subspaces train JOINTLY in one distributed loop over exploded
+    (id, subspace, pos, x) element rows: assignment is a broadcast
+    equi-join on (subspace, pos) against the m * k_sub * (dim/m)
+    centroid element rows feeding codegen'd hash aggregates (exact
+    integer L2 per (id, subspace, candidate), then a min-struct argmin),
+    and the centroid update is one (subspace, cluster, pos) shuffle with
+    ONE bounded driver read per iteration — versus m separate training
+    jobs with interpreted literal-array folds, which dominated wall
+    clock. Per-row work never crosses subspaces, so the math is
+    identical to training each subspace independently and the unrolled
+    SQL oracle is unchanged. Early-exits exactly when no codebook moved
+    (Lloyd fixed point, same result as per-book convergence).
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    spark = corpus.sparkSession
     sub_len = dim // m
-    books = []
-    for s in range(m):
-        sub = corpus.select(
-            F.col(id_col),
-            F.slice(F.col(vec_col), s * sub_len + 1, sub_len).alias(vec_col),
+    qv = _quantized(vec_col, scale_bits)
+    full = corpus.select(F.col(id_col).alias("_id"), qv.alias("_qv"))
+    # (id, subspace, pos-in-subspace, element): one explode of the full
+    # vector, subspace derived from the global position
+    ex = full.select("_id", F.posexplode("_qv").alias("_gp", "_x")).select(
+        "_id",
+        (F.col("_gp") / sub_len).cast("int").alias("_s"),
+        (F.col("_gp") % sub_len).cast("int").alias("_pos"),
+        "_x",
+    )
+    seed_rows = full.orderBy(F.col("_id").asc()).limit(k_sub).collect()
+    # original seed-rank cluster ids through training (tie-breaks and
+    # dropped-cluster gaps must match per-subspace training / the SQL
+    # oracle); renumber to positional codes only on return
+    cents = [
+        [
+            (cid, [int(v) for v in r["_qv"][s * sub_len : (s + 1) * sub_len]])
+            for cid, r in enumerate(seed_rows)
+        ]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        cent_rows = spark.createDataFrame(
+            [
+                (s, int(cid), p, int(c))
+                for s, book in enumerate(cents)
+                for cid, qc in book
+                for p, c in enumerate(qc)
+            ],
+            "_s INT, _cl BIGINT, _pos INT, _c BIGINT",
         )
-        trained = kmeans_train(
-            sub, k=k_sub, iters=iters, id_col=id_col, vec_col=vec_col,
-            scale_bits=scale_bits,
+        diff = F.col("_x") - F.col("_c")
+        scored = (
+            ex.join(F.broadcast(cent_rows), ["_s", "_pos"])
+            .groupBy("_id", "_s", "_cl")
+            .agg(F.sum(diff * diff).alias("_d"))
         )
-        books.append([(j, qc) for j, (_, qc) in enumerate(sorted(trained))])
-    return books
+        best = scored.groupBy("_id", "_s").agg(
+            F.min(F.struct(F.col("_d").alias("d"), F.col("_cl").alias("c")))["c"]
+            .alias("_bc")
+        )
+        upd = (
+            ex.join(best, ["_id", "_s"])
+            .groupBy("_s", F.col("_bc").alias("_cl"), F.col("_pos"))
+            .agg(
+                F.round(
+                    F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("_c")
+            )
+        )
+        nested: dict[int, dict[int, dict[int, int]]] = {}
+        for r in upd.collect():  # bounded: at most m * k_sub * sub_len rows
+            nested.setdefault(int(r["_s"]), {}).setdefault(int(r["_cl"]), {})[
+                int(r["_pos"])
+            ] = int(r["_c"])
+        new_cents = [
+            [
+                (cid, [dims[p] for p in sorted(dims)])
+                for cid, dims in sorted(nested.get(s, {}).items())
+            ]
+            for s in range(m)
+        ]
+        if new_cents == cents:
+            break
+        cents = new_cents
+    return [
+        [(j, qc) for j, (_, qc) in enumerate(book)] for book in cents
+    ]
 
 
 def pq_topk(
@@ -663,16 +796,57 @@ def pq_topk(
     )
     qv = _quantized(vec_col, scale_bits)
 
-    enc = corpus.withColumn("_qv", qv).withColumn(
-        "_list", _nearest_centroid(F.col("_qv"), coarse)["c"]
+    # Corpus encode as ONE exploded broadcast-join + hash-agg pass
+    # (codegen'd), not per-row interpreted literal folds: every centroid
+    # element — the coarse quantizer tagged subspace -1 over global
+    # positions, each PQ codebook over its in-subspace positions — joins
+    # the element rows on (subspace, pos); exact integer L2 per
+    # (id, subspace, candidate); min-struct argmin per (id, subspace);
+    # one pivot agg emits (id, list, code_0..code_{m-1}). No id-to-id
+    # join anywhere, so nothing can sort-merge.
+    spark = corpus.sparkSession
+    cent_elems = [
+        (-1, int(cid), p, int(c))
+        for cid, qc in coarse
+        for p, c in enumerate(qc)
+    ] + [
+        (s, int(j), p, int(c))
+        for s, book in enumerate(books)
+        for j, qc in book
+        for p, c in enumerate(qc)
+    ]
+    cent_rows = spark.createDataFrame(
+        cent_elems, "_s INT, _cl BIGINT, _pos INT, _c BIGINT"
     )
-    for s, book in enumerate(books):
-        sub = F.slice(F.col("_qv"), s * sub_len + 1, sub_len)
-        enc = enc.withColumn(f"_c{s}", _nearest_centroid(sub, book)["c"])
-    enc = enc.select(
-        F.col(id_col),
-        "_list",
-        *[F.col(f"_c{s}") for s in range(m)],
+    full = corpus.select(F.col(id_col), qv.alias("_qv"))
+    elems = full.select(id_col, F.posexplode("_qv").alias("_gp", "_x"))
+    ex = elems.select(
+        id_col, F.lit(-1).alias("_s"), F.col("_gp").alias("_pos"), "_x"
+    ).unionAll(
+        elems.select(
+            id_col,
+            (F.col("_gp") / sub_len).cast("int").alias("_s"),
+            (F.col("_gp") % sub_len).cast("int").alias("_pos"),
+            "_x",
+        )
+    )
+    diff = F.col("_x") - F.col("_c")
+    best = (
+        ex.join(F.broadcast(cent_rows), ["_s", "_pos"])
+        .groupBy(id_col, "_s", "_cl")
+        .agg(F.sum(diff * diff).alias("_d"))
+        .groupBy(id_col, "_s")
+        .agg(
+            F.min(F.struct(F.col("_d").alias("d"), F.col("_cl").alias("c")))["c"]
+            .alias("_bc")
+        )
+    )
+    enc = best.groupBy(id_col).agg(
+        F.max(F.when(F.col("_s") == -1, F.col("_bc"))).alias("_list"),
+        *[
+            F.max(F.when(F.col("_s") == s, F.col("_bc"))).alias(f"_c{s}")
+            for s in range(m)
+        ],
     )
 
     qb = queries.withColumn("_qv", qv).withColumn(

@@ -5249,7 +5249,7 @@ def q_kmeans_iterations(spark: SparkSession, sf_dir: str) -> DataFrame:
     could never be gated this way. See llm/similarity.py kmeans_train."""
     e = _read(spark, sf_dir, "embeddings")
     cents = sim_ops.kmeans_train(e, k=8, iters=_KMEANS_ITERS)
-    return sim_ops.kmeans_assign_trained(e, cents)
+    return sim_ops.assign_nearest_join(e, cents)
 
 
 @register(
