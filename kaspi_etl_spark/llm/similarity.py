@@ -119,19 +119,23 @@ def ivf_topk(
     query_id_col: str = "query_id",
     train_iters: int = 2,
     scale_bits: int = 10,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic k-means coarse quantizer
     (``kmeans_train`` — fixed-point Lloyd, lowest-id seeds) assigns every
     vector to its nearest centroid's list; search compares a query only
-    against its own list. Same shuffle shape as LSH bucketing — an
-    equi-join on list ids — but with data-adaptive partitions.
+    against its ``nprobe`` nearest lists (1 = own list only). Same
+    shuffle shape as LSH bucketing — an equi-join on list ids — but with
+    data-adaptive partitions; nprobe > 1 explodes each query to nprobe
+    (query, list) probes before the same join, trading nprobe x
+    candidate volume for recall exactly as production IVF does.
 
     Training is bit-reproducible (exact integer distances, centroid
     updates on the quantized grid), so the whole search result is
     deterministic and SQL-oracle-expressible by unrolling the training
-    iterations — the registered ``ann_ivf_topk`` gate does exactly that.
-    List assignment is a narrow map over broadcast centroid literals (no
-    join, no shuffle); only the list equi-join shuffles.
+    iterations — the registered ``ann_ivf_topk`` gate does exactly that
+    at nprobe=1. Lists partition the corpus, so multi-probe candidates
+    are disjoint and need no dedup.
     """
     cents = kmeans_train(
         corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col,
@@ -149,10 +153,15 @@ def ivf_topk(
         .join(lists, id_col)
         .select(F.col(id_col), "_cvec", "_list")
     )
+    probe = (
+        _nearest_centroid(F.col("_qv"), cents)["c"]
+        if nprobe == 1
+        else F.explode(_nearest_lists(F.col("_qv"), cents, nprobe))
+    )
     qb = (
         with_normalized(queries, vec_col, "_qvec")
         .withColumn("_qv", qv)
-        .withColumn("_list", _nearest_centroid(F.col("_qv"), cents)["c"])
+        .withColumn("_list", probe)
         .select(F.col(query_id_col), "_qvec", "_list")
     )
     scored = cb.join(F.broadcast(qb), "_list").select(
@@ -488,6 +497,24 @@ def _nearest_centroid(qv: Column, centroids: list[tuple[int, list[int]]]) -> Col
     return F.array_min(F.array(*opts))
 
 
+def _nearest_lists(qv: Column, centroids: list[tuple[int, list[int]]], nprobe: int) -> Column:
+    """Array of the ``nprobe`` nearest centroid ids by exact integer
+    squared L2, ordered nearest-first (ties to the lowest id) — the
+    multi-probe generalization of ``_nearest_centroid``. Same k literal
+    folds; the sort is over the k-element in-row array, not data."""
+    opts = []
+    for cid, qc in centroids:
+        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in qc])
+        d = F.aggregate(
+            F.zip_with(qv, lit_c, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        opts.append(F.struct(d.alias("d"), F.lit(int(cid)).cast("long").alias("c")))
+    ranked = F.slice(F.array_sort(F.array(*opts)), 1, nprobe)
+    return F.transform(ranked, lambda s: s["c"])
+
+
 def kmeans_train(
     df: DataFrame,
     k: int = 8,
@@ -758,6 +785,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     scale_bits: int = 10,
+    nprobe: int = 1,
 ) -> DataFrame:
     """IVF-PQ approximate nearest neighbour — the classic billion-scale
     ANN layout (coarse quantizer + product codes), built entirely from
@@ -780,7 +808,9 @@ def pq_topk(
     zero-shuffle narrow maps over centroid literals.
 
     Output: (query_id, vec_id, adc_dist BIGINT, rank) — ascending ADC,
-    ties to the lower vec_id, within the query's own list (nprobe=1),
+    ties to the lower vec_id, candidates from the query's ``nprobe``
+    nearest lists (default 1 = own list, the oracle-gated form; lists
+    partition the corpus so multi-probe candidates are disjoint),
     self-matches excluded.
     """
     if dim % m:
@@ -849,9 +879,12 @@ def pq_topk(
         ],
     )
 
-    qb = queries.withColumn("_qv", qv).withColumn(
-        "_list", _nearest_centroid(F.col("_qv"), coarse)["c"]
+    probe = (
+        _nearest_centroid(F.col("_qv"), coarse)["c"]
+        if nprobe == 1
+        else F.explode(_nearest_lists(F.col("_qv"), coarse, nprobe))
     )
+    qb = queries.withColumn("_qv", qv).withColumn("_list", probe)
     for s, book in enumerate(books):
         sub = F.slice(F.col("_qv"), s * sub_len + 1, sub_len)
         qb = qb.withColumn(

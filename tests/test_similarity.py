@@ -229,3 +229,43 @@ def test_pq_adc_matches_direct_distance(spark, sf_dir):
         assert r["adc_dist"] == expect, (r, expect)
         # candidate really came from the query's coarse list
         assert nearest(qv, coarse) == nearest(qvs[r["query_id"]], coarse)
+
+
+def test_ivf_nprobe_monotone_recall_and_full_probe_is_exact(spark, sf_dir):
+    """Multi-probe IVF: recall vs brute force is monotone in nprobe, and
+    probing ALL lists must reproduce the exact brute-force top-k (lists
+    partition the corpus; scoring and tie-breaks are identical)."""
+    corpus, queries = _vectors(spark, sf_dir)
+    e = {(r.query_id, r.vec_id) for r in
+         similarity.brute_force_topk(corpus, queries, k=10).collect()}
+
+    def recall(nprobe):
+        a = {(r.query_id, r.vec_id) for r in
+             similarity.ivf_topk(corpus, queries, k=10, n_lists=4,
+                                 nprobe=nprobe).collect()}
+        return len(e & a) / len(e)
+
+    r1, r2, r4 = recall(1), recall(2), recall(4)
+    assert r1 <= r2 <= r4, (r1, r2, r4)
+    assert r4 == 1.0, r4
+
+
+def test_pq_nprobe_expands_candidates(spark, sf_dir):
+    """nprobe=2 PQ results are a superset-quality ranking: every query
+    still answers, and the nprobe=2 top-k ADC distances are <= the
+    nprobe=1 ones rank-for-rank (more candidates can only improve)."""
+    corpus, queries = _vectors(spark, sf_dir)
+    one = similarity.pq_topk(corpus, queries, dim=64, k=5, m=8, k_sub=16,
+                             n_lists=4, nprobe=1).collect()
+    two = similarity.pq_topk(corpus, queries, dim=64, k=5, m=8, k_sub=16,
+                             n_lists=4, nprobe=2).collect()
+    d1 = {}
+    for r in one:
+        d1.setdefault(r.query_id, []).append((r["rank"], r.adc_dist))
+    d2 = {}
+    for r in two:
+        d2.setdefault(r.query_id, []).append((r["rank"], r.adc_dist))
+    assert set(d1) == set(d2)
+    for q in d1:
+        for (rk1, a1), (rk2, a2) in zip(sorted(d1[q]), sorted(d2[q])):
+            assert rk1 == rk2 and a2 <= a1
