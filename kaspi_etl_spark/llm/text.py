@@ -758,3 +758,44 @@ def _hash_order_running_tokens(
         .cast("long")
         .alias("cum_tokens"),
     )
+
+
+def term_rarity(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document rarity profile from corpus document frequencies — the
+    quality signal that separates natural prose (mid-frequency terms)
+    from OOV-heavy noise (hapax-dominated: mojibake, random ids, rare-
+    language fragments) and boilerplate (high-df-dominated).
+
+    Per doc over its DISTINCT lowercase word terms: ``n_terms``,
+    ``sum_df``/``mean_df`` (document frequency mass; exact BIGINT sum,
+    one IEEE division), and ``n_hapax`` (terms appearing in no other
+    document). Shuffle profile: distinct on (doc, term), df groupBy on
+    term, a term-keyed equi-join that reuses the df partitioning, and
+    the final doc groupBy — all map-side combined, no collect, no UDF.
+    Docs with no extractable terms drop (inner semantics, mirrored by
+    the oracle).
+    """
+    toks = (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.regexp_extract_all(F.lower(text_col), F.lit(WORD_REGEX), F.lit(0))
+            ).alias("tok"),
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    dfreq = toks.groupBy("tok").agg(F.count("*").cast("long").alias("_df"))
+    joined = toks.join(dfreq, "tok")
+    agg = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_terms"),
+        F.sum("_df").cast("long").alias("sum_df"),
+        F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).cast("long").alias("n_hapax"),
+    )
+    return agg.select(
+        id_col,
+        "n_terms",
+        "sum_df",
+        (F.col("sum_df").cast("double") / F.col("n_terms").cast("double")).alias("mean_df"),
+        "n_hapax",
+    )

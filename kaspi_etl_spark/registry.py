@@ -5464,3 +5464,31 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, queries, dim=_PQ_DIM, k=10, m=_PQ_M, k_sub=_PQ_KSUB, n_lists=8,
         train_iters=_KMEANS_ITERS,
     )
+
+
+@register(
+    "docs_term_rarity",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest({_SQL_WORDS_EXPR}) AS tok FROM documents
+      ) WHERE tok <> ''
+    ),
+    dfreq AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(d.df) AS BIGINT) AS sum_df,
+           CAST(SUM(d.df) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_df,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+    FROM toks t JOIN dfreq d USING (tok)
+    GROUP BY t.doc_id
+    """,
+)
+def q_docs_term_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc term-rarity quality profile: document-frequency mass and
+    hapax share over distinct word terms — flags OOV/noise docs (hapax-
+    dominated) and boilerplate (high-df-dominated). Exact integer sums +
+    one IEEE division; see llm/text.py term_rarity."""
+    return text_ops.term_rarity(_read(spark, sf_dir, "documents"))

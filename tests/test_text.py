@@ -187,3 +187,21 @@ def test_token_shard_assignment_balanced(spark):
     for sid, tot in sizes.items():
         if sid != last:
             assert S - max_doc < tot < S + max_doc
+
+
+def test_term_rarity_hand_computed(spark):
+    from kaspi_etl_spark.llm.text import term_rarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat"),          # the:2, cat:2, sat:1
+            (2, "the cat ran ran"),      # the:2, cat:2, ran:1 (distinct terms)
+            (3, "zz9!"),                 # zz -> hapax (digits/punct stripped)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in term_rarity(docs).collect()}
+    assert out[1].n_terms == 3 and out[1].sum_df == 5 and out[1].n_hapax == 1
+    assert out[2].n_terms == 3 and out[2].sum_df == 5 and out[2].n_hapax == 1
+    assert out[3].n_terms == 1 and out[3].sum_df == 1 and out[3].n_hapax == 1
+    assert out[1].mean_df == 5 / 3
