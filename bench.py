@@ -66,6 +66,9 @@ HEADLINE = [
     # r5: capped entity resolution — the bounded-output production form
     # (the uncapped gate emits 5.5M pairs at sf0.1 by design)
     "part_name_matches_capped",
+    # r5: the IVF scale path incl. its deterministic k-means training
+    # (~3 bounded driver round-trips dominate its wall at this SF)
+    "ann_ivf_topk",
 ]
 
 
