@@ -425,3 +425,73 @@ def dedup_stream_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+def stream_stream_join_job(
+    spark,
+    left_dir: str,
+    right_dir: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    left_schema: T.StructType | str,
+    right_schema: T.StructType | str,
+    join_key: str = "event_id",
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    watermark: str = "10 minutes",
+    within: str = "interval 15 minutes",
+    trigger_seconds: int | None = None,
+):
+    """Watermarked stream-stream inner join: two file-source NDJSON
+    streams joined on ``join_key`` with the event-time range condition
+    ``right.ts BETWEEN left.ts - within AND left.ts + within``
+    (the enrich-clicks-with-impressions shape). Both sides carry
+    watermarks AND the join has a time-range predicate — the two
+    conditions Spark needs to bound state: each side buffers only rows
+    younger than watermark + range, and evicts as the watermark
+    advances, which is what keeps a forever-running join from growing
+    state with stream length at 100 TB/day. Output columns are the key,
+    both event times, and each side's payload columns suffixed _l/_r.
+    ``trigger_seconds=None`` runs availableNow (drain-and-stop).
+    """
+    left = (
+        spark.readStream.schema(left_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(left_dir)
+        .withWatermark(left_ts, watermark)
+    )
+    right = (
+        spark.readStream.schema(right_schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(right_dir)
+        .withWatermark(right_ts, watermark)
+    )
+    lcols = [c for c in left.columns if c not in (join_key, left_ts)]
+    rcols = [c for c in right.columns if c not in (join_key, right_ts)]
+    l = left.select(
+        F.col(join_key),
+        F.col(left_ts).alias("_lts"),
+        *[F.col(c).alias(f"{c}_l") for c in lcols],
+    )
+    r = right.select(
+        F.col(join_key).alias("_rk"),
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"{c}_r") for c in rcols],
+    )
+    joined = l.join(
+        r,
+        F.expr(
+            f"{join_key} = _rk AND "
+            f"_rts BETWEEN _lts - {within} AND _lts + {within}"
+        ),
+        "inner",
+    ).drop("_rk")
+    writer = (
+        joined.writeStream.format("json")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -326,3 +326,50 @@ def test_watermark_drops_late_data(spark):
     finally:
         for d in (src, sink, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_stream_join_within_range(spark):
+    """Watermarked stream-stream join: a click joins the impression with
+    the same id inside the +/-15-min event-time range; an out-of-range
+    pair must NOT join. Both sides watermarked + range predicate =
+    bounded state (Spark rejects an unbounded stream-stream join in
+    append mode without them)."""
+    import time as _time
+
+    imp = tempfile.mkdtemp(prefix="ssj_imp_")
+    clk = tempfile.mkdtemp(prefix="ssj_clk_")
+    sink = tempfile.mkdtemp(prefix="ssj_sink_")
+    ckpt = tempfile.mkdtemp(prefix="ssj_ckpt_")
+    t0 = datetime.datetime(2025, 9, 1, 12, 0, 0)
+    try:
+        spark.createDataFrame(
+            [(1, t0, "banner"), (2, t0, "video")],
+            "event_id long, ts timestamp, creative string",
+        ).coalesce(1).write.mode("overwrite").json(f"{imp}/tick_0")
+        spark.createDataFrame(
+            [
+                (1, t0 + datetime.timedelta(minutes=5), 0.5),   # in range
+                (2, t0 + datetime.timedelta(minutes=40), 0.9),  # out of range
+            ],
+            "event_id long, ts timestamp, cost double",
+        ).coalesce(1).write.mode("overwrite").json(f"{clk}/tick_0")
+
+        q = watch.stream_stream_join_job(
+            spark,
+            f"{imp}/tick_*",
+            f"{clk}/tick_*",
+            sink,
+            ckpt,
+            left_schema="event_id long, ts timestamp, creative string",
+            right_schema="event_id long, ts timestamp, cost double",
+        ).start()
+        q.awaitTermination(120)
+        got = spark.read.schema(
+            "event_id long, _lts timestamp, creative_l string, _rts timestamp, cost_r double"
+        ).json(sink)
+        rows = {r.event_id: r for r in got.collect()}
+        assert set(rows) == {1}
+        assert rows[1].creative_l == "banner" and rows[1].cost_r == 0.5
+    finally:
+        for d in (imp, clk, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
