@@ -5492,3 +5492,121 @@ def q_docs_term_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     dominated) and boilerplate (high-df-dominated). Exact integer sums +
     one IEEE division; see llm/text.py term_rarity."""
     return text_ops.term_rarity(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    WITH scored AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_c,
+             CAST(o_orderdate AS DATE) AS orderdate
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND CAST(o_orderdate AS DATE) < DATE '1996-07-01'
+        AND l_shipdate > DATE '1996-07-01'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+    )
+    SELECT l_orderkey, revenue_c, orderdate FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY revenue_c DESC, l_orderkey ASC) AS rn
+      FROM scored)
+    WHERE rn <= 10
+    """,
+)
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): unshipped-revenue top-10 for one
+    market segment. Scale shape: the segment filter reaches the customer
+    scan and the date filters reach both fact scans BEFORE any join; the
+    customer dim broadcasts; orders-lineitem shuffles on orderkey; the
+    top-10 is a rank window over the aggregated (not raw) rows with a
+    pinned total order. Revenue on the exact cents grid (as Q5)."""
+    cust = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .withColumn("orderdate", F.col("o_orderdate").cast("date"))
+        .filter(F.col("orderdate") < F.lit("1996-07-01").cast("date"))
+        .select("o_orderkey", "o_custkey", "orderdate")
+    )
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > F.lit("1996-07-01").cast("date"))
+        .select(
+            "l_orderkey",
+            (
+                F.round("l_extendedprice").cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_c"),
+        )
+    )
+    scored = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey", "orderdate")
+        .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+    )
+    w = Window.orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("l_orderkey", "revenue_c", "orderdate")
+    )
+
+
+@register(
+    "tpch_q18_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 180
+    )
+    SELECT c_name, o_orderkey, total_qty, totalprice_c FROM (
+      SELECT c.c_name, o.o_orderkey, b.total_qty,
+             CAST(round(o.o_totalprice * 100) AS BIGINT) AS totalprice_c,
+             ROW_NUMBER() OVER (ORDER BY CAST(round(o.o_totalprice * 100) AS BIGINT) DESC,
+                                o.o_orderkey ASC) AS rn
+      FROM big b
+      JOIN orders o ON o.o_orderkey = b.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey)
+    WHERE rn <= 100
+    """,
+)
+def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, top-100 by order value. Scale shape: the
+    HAVING pre-aggregation runs on lineitem alone (map-side combined on
+    orderkey) so only qualifying orderkeys reach the joins — the
+    classic aggregate-before-join rewrite of the correlated subquery;
+    the customer join broadcasts. Quantities and prices on exact
+    integer grids; rank order pinned."""
+    big = (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("long")).cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("totalprice_c"),
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    w = Window.orderBy(F.col("totalprice_c").desc(), F.col("o_orderkey").asc())
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 100)
+        .select("c_name", "o_orderkey", "total_qty", "totalprice_c")
+    )
