@@ -5610,3 +5610,136 @@ def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("c_name", "o_orderkey", "total_qty", "totalprice_c")
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    """,
+)
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking), adapted to the reduced testdata
+    schema: the EXISTS predicate is `l_returnflag = 'R'` (the generator
+    carries no commitdate/receiptdate columns) — the plan shape is the
+    point: the correlated EXISTS compiles to a LEFT SEMI join, so each
+    qualifying order is counted once no matter how many lineitems match,
+    with the quarter filter pushed to the orders scan and the returnflag
+    filter pushed to the lineitem scan before the exchange."""
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .withColumn("o_date", F.col("o_orderdate").cast("date"))
+        .filter(
+            (F.col("o_date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_date") < F.lit("1996-04-01").cast("date"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    returned = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(returned, orders.o_orderkey == returned.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("long").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q13_custdist",
+    """
+    SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey,
+             CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority NOT LIKE '%URGENT%'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution), adapted: the exclusion
+    predicate is `o_orderpriority NOT LIKE '%URGENT%'` (no o_comment in
+    the reduced schema). Plan shape preserved from the spec query: a
+    LEFT OUTER join whose non-equi predicate lives in the join condition
+    (NOT the post-join filter — a WHERE would turn it inner and drop
+    zero-order customers), then a two-level aggregation producing the
+    orders-per-customer histogram. count(o_orderkey) over the null-
+    extended rows yields the required 0 bucket.
+
+    Scale: the LIKE filter prunes orders before the shuffle; both aggs
+    are map-side combinable; the second groupBy keys on c_count (tiny
+    domain) so the final exchange is negligible."""
+    cust = _read(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(~F.col("o_orderpriority").like("%URGENT%"))
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("long").alias("custdist")
+    )
+
+
+@register(
+    "tpch_q16_supplier_cnt",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND p_type NOT LIKE 'SMALL%'
+      AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted: the part-supplier
+    pairs come from lineitem (the reduced schema has no partsupp table)
+    and the excluded-supplier subquery keys on `s_acctbal < 0` (no
+    s_comment). Plan shape preserved: part-attribute filters pushed to
+    the part scan, the NOT IN compiles to a broadcast LEFT ANTI join
+    against the (tiny) excluded-supplier list, and the count(DISTINCT)
+    runs as the two-phase partial-distinct expand — no per-group sort.
+
+    Scale: part is the build side of a broadcast join after its selective
+    filters; the only shuffle is the distinct-aggregate on the grouping
+    key; the anti-join never shuffles the fact table."""
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").like("SMALL%"))
+            & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = (
+        _read(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(excluded), li.l_suppkey == excluded.s_suppkey, "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )

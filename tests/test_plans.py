@@ -232,3 +232,25 @@ def test_pq_topk_encode_is_narrow_and_list_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q4_exists_is_semi_join_with_pushed_filters(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan  # EXISTS must compile to a semi join
+    li_scans = [
+        ln for ln in plan.splitlines() if "FileScan" in ln and "lineitem" in ln
+    ]
+    assert li_scans and "l_returnflag" in li_scans[0].split("PushedFilters")[-1]
+
+
+def test_q13_outer_join_keeps_zero_bucket(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q13_custdist")
+    assert "LeftOuter" in plan
+    # exclusion predicate prunes orders BEFORE the join, not after
+    assert "Inner" not in plan
+
+
+def test_q16_anti_join_broadcasts_and_no_sort_distinct(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_cnt")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
