@@ -5743,3 +5743,264 @@ def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
     )
+
+
+# --- PII profiling / redaction and URL-domain analytics ----------------------
+
+from .llm import pii as pii_ops  # noqa: E402
+from .llm import web as web_ops  # noqa: E402
+
+# The synthetic documents carry no PII/URLs, so both engines derive the
+# same enriched text: deterministic doc_id-keyed PII strings appended to
+# the raw text. The SQL fragment is the source of truth; the Spark
+# helper mirrors it op-for-op (same modulus gates, same lpad widths).
+SQL_DOCS_PII = r"""
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com today.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' Call +7 (70' || CAST(doc_id % 10 AS VARCHAR) || ') 555-'
+                      || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-'
+                      || lpad(CAST((doc_id * 7) % 100 AS VARCHAR), 2, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'
+                      || CAST(doc_id % 100 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN ' card 4400 1234 5678 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def docs_pii_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" Contact user"), did.cast("string"), F.lit("@example.com today.")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" Call +7 (70"),
+                (did % 10).cast("string"),
+                F.lit(") 555-"),
+                F.lpad((did % 100).cast("string"), 2, "0"),
+                F.lit("-"),
+                F.lpad(((did * 7) % 100).cast("string"), 2, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(
+                F.lit(" from 10."),
+                (did % 256).cast("string"),
+                F.lit(".0."),
+                (did % 100).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.concat(
+                F.lit(" card 4400 1234 5678 "),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return d.select("doc_id", "source", text2.alias("text"))
+
+
+_P_EMAIL, _P_CARD = pii_ops.PII_PATTERNS["email"][0], pii_ops.PII_PATTERNS["card"][0]
+_P_PHONE, _P_IP = pii_ops.PII_PATTERNS["phone"][0], pii_ops.PII_PATTERNS["ipv4"][0]
+
+
+@register(
+    "docs_pii_profile",
+    r"""
+    WITH pii_docs AS (
+    """
+    + SQL_DOCS_PII
+    + r"""
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '"""
+    + _P_EMAIL
+    + r"""')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '"""
+    + _P_CARD
+    + r"""')) AS BIGINT) AS n_card,
+           CAST(len(regexp_extract_all(text, '"""
+    + _P_PHONE
+    + r"""')) AS BIGINT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '"""
+    + _P_IP
+    + r"""')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '"""
+    + _P_EMAIL
+    + r"""'))
+              + len(regexp_extract_all(text, '"""
+    + _P_CARD
+    + r"""'))
+              + len(regexp_extract_all(text, '"""
+    + _P_PHONE
+    + r"""'))
+              + len(regexp_extract_all(text, '"""
+    + _P_IP
+    + r"""')) AS BIGINT) AS pii_total,
+           CAST(length(text) - length(
+                 regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+                   '"""
+    + _P_EMAIL
+    + r"""', '', 'g'),
+                   '"""
+    + _P_CARD
+    + r"""', '', 'g'),
+                   '"""
+    + _P_PHONE
+    + r"""', '', 'g'),
+                   '"""
+    + _P_IP
+    + r"""', '', 'g')) AS BIGINT) AS redacted_chars
+    FROM pii_docs
+    """,
+)
+def q_docs_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII profile (email/card/phone/IPv4 counts + chars a
+    redaction pass would delete) over PII-enriched documents. All four
+    regexes use Java/RE2-identical constructs so the DuckDB oracle
+    mirrors detection AND redaction exactly; the whole query is scalar
+    expressions — zero shuffles (plan-pinned)."""
+    return pii_ops.pii_profile(docs_pii_table(spark, sf_dir))
+
+
+BLOCKED_DOMAINS = ["spam.example.com", "ads.example.net"]
+
+SQL_DOCS_URLS = r"""
+  SELECT doc_id, source,
+         text
+         || CASE WHEN doc_id % 2 = 0
+                 THEN ' See https://news.example.com/a/' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' and http://blog.example.org/p' || CAST(doc_id % 50 AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 9 = 0
+                 THEN ' via https://spam.example.com/x' || CAST(doc_id AS VARCHAR)
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN ' ref https://ads.example.net/'
+                 ELSE '' END
+         AS text
+  FROM documents
+"""
+
+
+def docs_urls_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    text2 = F.concat(
+        F.col("text"),
+        F.when(
+            did % 2 == 0,
+            F.concat(F.lit(" See https://news.example.com/a/"), did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" and http://blog.example.org/p"), (did % 50).cast("string")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 9 == 0,
+            F.concat(F.lit(" via https://spam.example.com/x"), did.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit(" ref https://ads.example.net/")).otherwise(
+            F.lit("")
+        ),
+    )
+    return d.select("doc_id", "source", text2.alias("text"))
+
+
+_SQL_URLS_UNNEST = (
+    r"""
+    SELECT doc_id,
+           unnest(regexp_extract_all(text, '"""
+    + web_ops.URL_PATTERN
+    + r"""')) AS url
+    FROM url_docs
+"""
+)
+
+
+@register(
+    "url_domain_rollup",
+    r"""
+    WITH url_docs AS ("""
+    + SQL_DOCS_URLS
+    + r"""),
+    urls AS ("""
+    + _SQL_URLS_UNNEST
+    + r""")
+    SELECT regexp_extract(url, '"""
+    + web_ops.DOMAIN_PATTERN
+    + r"""', 1) AS domain,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           max(regexp_extract(url, '"""
+    + web_ops.DOMAIN_PATTERN
+    + r"""', 1)
+               IN ('spam.example.com', 'ads.example.net')) AS blocked
+    FROM urls
+    GROUP BY 1
+    """,
+)
+def q_url_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain URL/citing-doc counts with a blocklist flag: regex
+    extract-all -> explode over the narrow (id, urls) projection ->
+    map-side-combinable hash aggregate. The distinct-doc count runs as
+    the two-phase partial-distinct expand, never a per-group sort."""
+    return web_ops.domain_rollup(docs_urls_table(spark, sf_dir), BLOCKED_DOMAINS)
+
+
+@register(
+    "docs_url_blocklist",
+    r"""
+    WITH url_docs AS ("""
+    + SQL_DOCS_URLS
+    + r""")
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept
+    FROM url_docs d
+    WHERE NOT EXISTS (
+      SELECT 1 FROM ("""
+    + _SQL_URLS_UNNEST
+    + r""") u
+      WHERE u.doc_id = d.doc_id
+        AND regexp_extract(u.url, '"""
+    + web_ops.DOMAIN_PATTERN
+    + r"""', 1)
+            IN ('spam.example.com', 'ads.example.net'))
+    GROUP BY source
+    """,
+)
+def q_docs_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving the domain blocklist, rolled up by source.
+
+    The offending-doc set (docs citing a blocklisted domain) is tiny, so
+    it broadcasts as the build side of a LEFT ANTI join — the corpus
+    never shuffles, and URL-free documents survive without ever entering
+    the join (plan-pinned)."""
+    kept = web_ops.filter_blocked_domains(
+        docs_urls_table(spark, sf_dir), BLOCKED_DOMAINS
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs_kept")
+    )
