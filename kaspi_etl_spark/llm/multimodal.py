@@ -11,9 +11,12 @@ Decode kernels by modality:
     ``resize_images`` does nearest-neighbour resampling that re-emits a
     valid BMP (``_bmp_resize``). Compressed formats (PNG/JPEG) stay
     stubbed (PIL absent).
-  - video: the container has no codecs (ffmpeg/pyav absent), so the
-    frame-sampling kernel remains a deterministic fake gated behind
-    ``DECODERS_AVAILABLE`` (STUB — swap in pyav in production).
+  - video (concatenated BMP): REAL — the container is back-to-back
+    uncompressed BMP frames, each self-delimiting via its header's
+    file-size field, so ``sample_frames`` walks, splits, and emits
+    complete decodable BMP frames (``_bmp_video_frames``) with no codec
+    dependency. Codec'd containers (mp4/webm) stay stubbed behind
+    ``DECODERS_AVAILABLE`` (swap in pyav in production).
 Everything Spark-side — schemas, partition sizing, mapInPandas batch
 shape, metadata pushdown — is real and tested for every modality.
 
@@ -212,13 +215,30 @@ def _bmp_features(content: bytes, dim: int = 8) -> list[float] | None:
     return out
 
 
-def _bmp_resize(content: bytes, dst_w: int, dst_h: int) -> bytes | None:
-    """REAL image resize kernel: nearest-neighbour resample of an
-    uncompressed 24-bit BMP, re-encoded as a minimal valid 24-bit BMP
-    (54-byte header, 4-byte-aligned bottom-up rows). Returns None for
-    non-BMP payloads so callers can fall back to the stub."""
+def encode_bmp(px) -> bytes:
+    """Encode a (h, w, 3) uint8 BGR top-down array as a minimal valid
+    uncompressed 24-bit BMP (54-byte header, 4-byte-aligned bottom-up
+    rows) — the inverse of ``_parse_bmp``."""
     import struct
 
+    h, w = px.shape[:2]
+    stride = ((w * 3 + 3) // 4) * 4
+    pad = stride - w * 3
+    body = bytearray()
+    for row in px[::-1]:  # bottom-up storage
+        body += row.tobytes() + b"\x00" * pad
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return bytes(header) + bytes(body)
+
+
+def _bmp_resize(content: bytes, dst_w: int, dst_h: int) -> bytes | None:
+    """REAL image resize kernel: nearest-neighbour resample of an
+    uncompressed 24-bit BMP, re-encoded via ``encode_bmp``. Returns None
+    for non-BMP payloads so callers can fall back to the stub."""
     px = _parse_bmp(content)
     if px is None or dst_w <= 0 or dst_h <= 0:
         return None
@@ -226,17 +246,7 @@ def _bmp_resize(content: bytes, dst_w: int, dst_h: int) -> bytes | None:
     ys = (_np.arange(dst_h) * src_h) // dst_h
     xs = (_np.arange(dst_w) * src_w) // dst_w
     out = px[ys][:, xs]  # (dst_h, dst_w, 3) BGR top-down
-    stride = ((dst_w * 3 + 3) // 4) * 4
-    pad = stride - dst_w * 3
-    body = bytearray()
-    for row in out[::-1]:  # bottom-up storage
-        body += row.tobytes() + b"\x00" * pad
-    header = struct.pack(
-        "<2sIHHI", b"BM", 54 + len(body), 0, 0, 54
-    ) + struct.pack(
-        "<IiiHHIIiiII", 40, dst_w, dst_h, 1, 24, 0, len(body), 2835, 2835, 0, 0
-    )
-    return bytes(header) + bytes(body)
+    return encode_bmp(_np.ascontiguousarray(out))
 
 
 def _decode_features(content: bytes, dim: int = 8) -> list[float]:
@@ -365,6 +375,68 @@ def _fake_frames(content: bytes, duration_ms: int, every_ms: int) -> list[tuple[
     return out
 
 
+def split_bmp_video(content: bytes) -> list[bytes] | None:
+    """Split a concatenated-BMP video container into its frames.
+
+    The container is simply back-to-back uncompressed BMP files — each
+    frame is self-delimiting via the file-size field at byte offset 2 of
+    its own header, so the walk is O(frames) with no index structure.
+    Returns None unless the WHOLE payload parses as one or more valid
+    BMPs (so arbitrary binary payloads fall through to the stub)."""
+    import struct
+
+    frames: list[bytes] = []
+    pos = 0
+    while pos < len(content):
+        if content[pos : pos + 2] != b"BM" or pos + 6 > len(content):
+            return None
+        size = struct.unpack_from("<I", content, pos + 2)[0]
+        if size < 54 or pos + size > len(content):
+            return None
+        frame = content[pos : pos + size]
+        if _parse_bmp(frame) is None:
+            return None
+        frames.append(frame)
+        pos += size
+    return frames or None
+
+
+def _bmp_video_frames(
+    content: bytes, duration_ms: int, every_ms: int
+) -> list[tuple[int, int, bytes]] | None:
+    """REAL video frame-sampling kernel over the concatenated-BMP
+    container: decode the frame list, then for each sample timestamp
+    (every ``every_ms``, capped at 16 samples like the stub) emit the
+    frame whose position corresponds to that fraction of the duration.
+    Each emitted frame is a complete, valid BMP — downstream
+    ``_bmp_features``/``_bmp_resize`` consume it directly. Returns None
+    for payloads that are not concatenated BMPs."""
+    frames = split_bmp_video(content)
+    if frames is None:
+        return None
+    n_frames = len(frames)
+    n_samples = min(max(1, duration_ms // every_ms), 16)
+    out = []
+    for i in range(n_samples):
+        t = i * every_ms
+        idx = min(t * n_frames // max(1, duration_ms), n_frames - 1)
+        out.append((i, t, frames[idx]))
+    return out
+
+
+def _frames_dispatch(
+    content: bytes, duration_ms: int, every_ms: int
+) -> list[tuple[int, int, bytes]]:
+    """Real concatenated-BMP sampling when the payload parses, stub byte
+    slices otherwise — same dispatch contract as the feature/resize
+    kernels."""
+    if WAV_DECODER_AVAILABLE:  # numpy present
+        out = _bmp_video_frames(content, duration_ms, every_ms)
+        if out is not None:
+            return out
+    return _fake_frames(content, duration_ms, every_ms)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
     """Frame sampling for kind='video': mapInPandas row -> N frame rows
     (a UDTF-shaped expansion). Batch output is flattened frames, so
@@ -378,7 +450,7 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
             for _, row in pdf.iterrows():
                 c = row["content"]
                 c = c if isinstance(c, bytes) else bytes(c)
-                for idx, ms, frame in _fake_frames(
+                for idx, ms, frame in _frames_dispatch(
                     c, int(row["meta"]["duration_ms"]), every_ms
                 ):
                     rows.append(

@@ -319,3 +319,52 @@ def test_bmp_resize_top_down_and_fallback():
     # non-BMP payloads fall back to the stub subsample
     stub = multimodal._resize_dispatch(b"not an image", 16, 16, 4, 4)
     assert stub == multimodal._fake_resize(b"not an image", 16, 16, 4, 4)
+
+
+def _solid_bmp(b: int, g: int, r: int) -> bytes:
+    return _make_bmp(2, 2, [[(b, g, r)] * 2] * 2)
+
+
+def test_bmp_video_split_and_sampling():
+    frames_px = [(10 * i, 20 * i, 30 * i) for i in range(5)]
+    video = b"".join(_solid_bmp(*px) for px in frames_px)
+    parts = multimodal.split_bmp_video(video)
+    assert parts is not None and len(parts) == 5
+    # 10s clip sampled every 2.5s -> 4 samples mapping onto frames 0..3
+    sampled = multimodal._bmp_video_frames(video, 10000, 2500)
+    assert [(i, ms) for i, ms, _ in sampled] == [
+        (0, 0),
+        (1, 2500),
+        (2, 5000),
+        (3, 7500),
+    ]
+    for k, (_, _, frame) in enumerate(sampled):
+        px = multimodal._parse_bmp(frame)
+        assert tuple(int(v) for v in px[0, 0]) == frames_px[k]
+    # invalid containers fall through to the stub path
+    assert multimodal.split_bmp_video(b"not a video") is None
+    assert multimodal.split_bmp_video(video + b"trailing-garbage") is None
+
+
+def test_video_kernel_samples_real_frames_in_spark(spark):
+    """sample_frames decodes REAL concatenated-BMP video payloads inside
+    the mapInPandas path: each emitted frame is itself a valid BMP that
+    the image kernel can decode downstream."""
+    video = b"".join(_solid_bmp(40 * i, 0, 0) for i in range(4))
+    media = spark.createDataFrame(
+        [(1, "video", "video/x-bmp-seq", bytearray(video), (2, 2, 8000, "bmpseq"))],
+        schema=multimodal.MEDIA_SCHEMA,
+    )
+    rows = multimodal.sample_frames(media, every_ms=2000).collect()
+    assert [r.frame_idx for r in rows] == [0, 1, 2, 3]
+    for k, r in enumerate(rows):
+        px = multimodal._parse_bmp(bytes(r.frame))
+        assert int(px[0, 0][0]) == 40 * k  # blue channel identifies frame
+
+
+def test_encode_bmp_parse_roundtrip():
+    import numpy as np
+
+    px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    back = multimodal._parse_bmp(multimodal.encode_bmp(px))
+    assert (back == px).all()
