@@ -556,7 +556,10 @@ def kmeans_train(
     vecs = df.select(F.col(id_col).alias("_id"), _quantized(vec_col, scale_bits).alias("_qv"))
     seed_rows = vecs.orderBy(F.col("_id").asc()).limit(k).collect()
     cents = [(j, [int(v) for v in r["_qv"]]) for j, r in enumerate(seed_rows)]
-    ex = vecs.select("_id", F.posexplode("_qv").alias("_pos", "_x"))
+    # persist the element rows across iterations: every round re-reads
+    # them, and recomputing scan+quantize+explode per round costs more
+    # than the (3-int-per-element) cache footprint at any scale
+    ex = vecs.select("_id", F.posexplode("_qv").alias("_pos", "_x")).persist()
     for _ in range(iters):
         cent_rows = spark.createDataFrame(
             [(int(cid), p, int(c)) for cid, qc in cents for p, c in enumerate(qc)],
@@ -593,6 +596,7 @@ def kmeans_train(
         if new_cents == cents:
             break
         cents = new_cents
+    ex.unpersist()
     return cents
 
 
@@ -709,7 +713,7 @@ def pq_train_codebooks(
         (F.col("_gp") / sub_len).cast("int").alias("_s"),
         (F.col("_gp") % sub_len).cast("int").alias("_pos"),
         "_x",
-    )
+    ).persist()  # every iteration re-reads the element rows
     seed_rows = full.orderBy(F.col("_id").asc()).limit(k_sub).collect()
     # original seed-rank cluster ids through training (tie-breaks and
     # dropped-cluster gaps must match per-subspace training / the SQL
@@ -767,6 +771,7 @@ def pq_train_codebooks(
         if new_cents == cents:
             break
         cents = new_cents
+    ex.unpersist()
     return [
         [(j, qc) for j, (_, qc) in enumerate(book)] for book in cents
     ]
