@@ -5552,10 +5552,12 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "orderdate")
         .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
     )
-    w = Window.orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+    # global top-10 via TakeOrderedAndProject: each partition keeps its
+    # local top-10, the driver merges — no single-partition WindowExec
+    # (an unpartitioned rank window never gets WindowGroupLimit)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
+        scored.orderBy(F.col("revenue_c").desc(), F.col("l_orderkey").asc())
+        .limit(10)
         .select("l_orderkey", "revenue_c", "orderdate")
     )
 
@@ -5604,10 +5606,10 @@ def q_tpch_q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(orders, big.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
     )
-    w = Window.orderBy(F.col("totalprice_c").desc(), F.col("o_orderkey").asc())
+    # global top-100 via TakeOrderedAndProject (see Q3 note)
     return (
-        joined.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 100)
+        joined.orderBy(F.col("totalprice_c").desc(), F.col("o_orderkey").asc())
+        .limit(100)
         .select("c_name", "o_orderkey", "total_qty", "totalprice_c")
     )
 
@@ -6003,4 +6005,300 @@ def q_docs_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return kept.groupBy("source").agg(
         F.count("*").cast("long").alias("n_docs_kept")
+    )
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS sum_disc_price_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS BIGINT) AS sum_charge_c,
+           CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_price_c,
+           CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS avg_disc_pct,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): the canonical wide-aggregate
+    scan. Every sum runs on an exact integer grid (cents / percent
+    units) so the reductions are order-independent and bit-identical
+    cross-engine; the averages are single IEEE divisions of those exact
+    sums. One scan, one map-side-combinable exchange on a 6-row key
+    domain — the textbook Q1 plan."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("date")
+    )
+    qty = F.round("l_quantity").cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    tax_pct = F.round(F.col("l_tax") * 100).cast("long")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).cast("long").alias("sum_qty"),
+        F.sum(price_c).cast("long").alias("sum_base_price_c"),
+        F.sum(price_c * (F.lit(100) - disc_pct)).cast("long").alias("sum_disc_price_c"),
+        F.sum(price_c * (F.lit(100) - disc_pct) * (F.lit(100) + tax_pct))
+        .cast("long")
+        .alias("sum_charge_c"),
+        (F.sum(qty).cast("double") / F.count("*").cast("double")).alias("avg_qty"),
+        (F.sum(price_c).cast("double") / F.count("*").cast("double")).alias(
+            "avg_price_c"
+        ),
+        (F.sum(disc_pct).cast("double") / F.count("*").cast("double")).alias(
+            "avg_disc_pct"
+        ),
+        F.count("*").cast("long").alias("count_order"),
+    )
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate < DATE '1997-01-01'
+      AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): single-table conditional
+    aggregate. The date and quantity predicates push to the parquet
+    scan; the discount-band predicate is on a derived exact-integer
+    column (evaluated post-scan, pre-aggregate); the sum is an exact
+    integer product so the global reduction is order-independent."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_quantity") < 24)
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.withColumn("_disc", disc_pct)
+        .filter(F.col("_disc").between(5, 7))
+        .agg(F.sum(price_c * F.col("_disc")).cast("long").alias("revenue_c"))
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    """
+    SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(round(l_extendedprice) AS BIGINT)
+                         * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                    ELSE 0 END) AS BIGINT) AS promo_revenue_c,
+           CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_revenue_c,
+           CAST(100.0 AS DOUBLE)
+             * CAST(sum(CASE WHEN p_type = 'PROMO'
+                        THEN CAST(round(l_extendedprice) AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                        ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS DOUBLE)
+           AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-04-01'
+    """,
+)
+def q_tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): conditional share of revenue over a
+    fact-dim join. The month filter prunes lineitem at the scan; part
+    (the dim) broadcasts; promo/total are exact integer sums and the
+    percentage is one IEEE division at the end — the global aggregate
+    needs no shuffle beyond the single-partition final combine."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.round("l_extendedprice").cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("long")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    return joined.agg(
+        F.sum(promo).cast("long").alias("promo_revenue_c"),
+        F.sum(rev).cast("long").alias("total_revenue_c"),
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(rev).cast("double")
+        ).alias("promo_pct"),
+    )
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(min(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS ps_supplycost_c
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost_c,
+             s.s_name, s.s_acctbal, n.n_name
+      FROM ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ),
+    minc AS (
+      SELECT ps_partkey, CAST(min(ps_supplycost_c) AS BIGINT) AS min_cost_c
+      FROM eligible GROUP BY ps_partkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, ps_supplycost_c FROM (
+      SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, e.ps_supplycost_c,
+             ROW_NUMBER() OVER (ORDER BY e.s_acctbal DESC, e.n_name ASC,
+                                e.s_name ASC, p.p_partkey ASC) AS rn
+      FROM eligible e
+      JOIN minc m ON m.ps_partkey = e.ps_partkey
+                 AND e.ps_supplycost_c = m.min_cost_c
+      JOIN part p ON p.p_partkey = e.ps_partkey
+      WHERE p.p_size = 15 AND p.p_type = 'LARGE')
+    WHERE rn <= 100
+    """,
+)
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted: the partsupp table is
+    derived from lineitem as min-observed-price per (part, supplier) and
+    the region/size/type constants adjusted to the generator's domains.
+    Plan shape preserved from the spec query: the correlated min-cost
+    subquery is rewritten as aggregate-then-join-back on (part,
+    min_cost); supplier/nation/region broadcast; the part filter prunes
+    before the final join; top-100 by a pinned total order.
+
+    Scale: the only fact-sized shuffles are the (part, supplier) groupBy
+    and the per-part min — both map-side combinable; everything after
+    runs on dimension-sized frames."""
+    li = _read(spark, sf_dir, "lineitem")
+    ps = (
+        li.groupBy(
+            F.col("l_partkey").alias("ps_partkey"),
+            F.col("l_suppkey").alias("ps_suppkey"),
+        )
+        .agg(
+            F.min(F.round("l_extendedprice").cast("long"))
+            .cast("long")
+            .alias("ps_supplycost_c")
+        )
+    )
+    supp = _read(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        ps.join(F.broadcast(supp), ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("ps_partkey", "ps_supplycost_c", "s_name", "s_acctbal", "n_name")
+    )
+    minc = eligible.groupBy(F.col("ps_partkey").alias("mp_partkey")).agg(
+        F.min("ps_supplycost_c").cast("long").alias("min_cost_c")
+    )
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "LARGE"))
+        .select("p_partkey")
+    )
+    best = eligible.join(
+        minc,
+        (F.col("ps_partkey") == F.col("mp_partkey"))
+        & (F.col("ps_supplycost_c") == F.col("min_cost_c")),
+    ).join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+    # global top-100 via TakeOrderedAndProject (see Q3 note); the sort
+    # key is a total order so the result is deterministic under ties
+    return (
+        best.select("s_acctbal", "s_name", "n_name", "p_partkey", "ps_supplycost_c")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22_global_sales_opportunity",
+    """
+    WITH avg_bal AS (
+      SELECT CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS v
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name AS nation,
+           CAST(count(*) AS BIGINT) AS numcust,
+           CAST(sum(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE CAST(CAST(round(c.c_acctbal * 100) AS BIGINT) AS DOUBLE) > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority LIKE '%URGENT%')
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: nation stands in
+    for the phone country code, and the "no orders" predicate becomes
+    "no URGENT-priority orders" (this generator gives every customer at
+    least one order, which would make the spec predicate vacuous).
+    Shape preserved: a scalar subquery (global positive-balance average)
+    feeds the filter, and qualifying customers survive a LEFT ANTI join
+    against the filtered orders fact — never a NOT IN materialization. The balance compare
+    runs on the exact cents grid against one IEEE division, identical
+    in both engines.
+
+    Scale: the anti-join shuffles on custkey (orders projected to the
+    single join column first); the scalar average is a one-row broadcast."""
+    cust = _read(spark, sf_dir, "customer").withColumn(
+        "bal_c", F.round(F.col("c_acctbal") * 100).cast("long")
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (F.sum("bal_c").cast("double") / F.count("*").cast("double")).alias("v")
+        )
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority").like("%URGENT%"))
+        .select("o_custkey")
+    )
+    nation = _read(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("bal_c").cast("double") > F.col("v")
+    )
+    no_orders = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return (
+        no_orders.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").cast("long").alias("numcust"),
+            F.sum("bal_c").cast("long").alias("totacctbal_c"),
+        )
     )

@@ -254,3 +254,33 @@ def test_q16_anti_join_broadcasts_and_no_sort_distinct(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q16_supplier_cnt")
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q1_is_single_exchange_wide_agg(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing_summary")
+    body = plan.split("== Initial Plan ==")[0]
+    assert body.count("Exchange") <= 1  # one shuffle on the 6-row key domain
+    assert "Join" not in body
+
+
+def test_q2_min_cost_join_back_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    # global top-100 must be TakeOrderedAndProject (per-partition top-k,
+    # driver merge), never a single-partition rank window
+    assert "TakeOrderedAndProject" in plan and "Window" not in plan
+
+
+def test_global_topk_queries_avoid_rank_windows(spark, sf_dir):
+    for name in ("tpch_q3_shipping_priority", "tpch_q18_large_volume"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+
+def test_q22_scalar_subquery_and_anti_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q22_global_sales_opportunity")
+    assert "LeftAnti" in plan
+    # the URGENT filter must prune orders before the anti-join
+    scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "orders" in ln]
+    assert scans and "o_orderpriority" in scans[0]
