@@ -1,0 +1,85 @@
+"""Multi-dimensional data layout: Z-order clustering for scan pruning.
+
+The lakehouse OPTIMIZE ZORDER pattern (Delta/Iceberg): interleave the
+bits of several key columns into one sort key so that files and row
+groups written in that order have NARROW min/max ranges on EVERY keyed
+column — parquet predicate pushdown can then prune files for filters on
+any of them, not just the leading sort column.
+
+Everything is pure ``pyspark.sql.functions`` bit arithmetic (shift/and/
+or) inside whole-stage codegen; the write path is repartitionByRange on
+the z-value + a within-partition sort, so the only shuffle is the range
+partitioner's (sampled, balanced) exchange.
+
+Scale notes: at 100 TB the z-value costs a few dozen integer ops per
+row — negligible against the write itself; range partitioning keeps
+output files balanced even under skewed keys because the partitioner
+samples the z-value distribution, not any single column's.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def zorder_value(cols: list[Column], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` bits of each column into a Z-value.
+
+    Columns must already be non-negative integers on comparable scales
+    (callers map domains onto the grid first — e.g. ``pct_rank * 2^bits``
+    or a modulus). Bit b of column c lands at position b * len(cols) + c,
+    so sorting by the result alternates locality between all columns.
+    Pure integer Column arithmetic — codegen'd, no UDF.
+    """
+    m = len(cols)
+    if m == 0:
+        raise ValueError("zorder_value needs at least one column")
+    out = F.lit(0).cast("long")
+    for c_idx, col in enumerate(cols):
+        masked = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
+        for b in range(bits):
+            bit = F.shiftright(masked, b).bitwiseAND(F.lit(1))
+            out = out + (bit * F.lit(1 << (b * m + c_idx)))
+    return out
+
+
+def zorder_sql(cols: list[str], bits: int = 16) -> str:
+    """The DuckDB/ANSI mirror of ``zorder_value`` over column names —
+    generated term-for-term so oracles can replay the interleave."""
+    m = len(cols)
+    terms = []
+    for c_idx, name in enumerate(cols):
+        masked = f"({name} & {(1 << bits) - 1})"
+        for b in range(bits):
+            terms.append(
+                f"((({masked} >> {b}) & 1) * {1 << (b * m + c_idx)})"
+            )
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    num_files: int = 8,
+) -> None:
+    """Write ``df`` as parquet clustered by the Z-order of ``cols``.
+
+    repartitionByRange on the z-value assigns each output file a
+    contiguous z-range (the partitioner samples the distribution, so
+    files are balanced under skew); the within-partition sort makes row
+    groups inside each file contiguous too. Filters on ANY of ``cols``
+    then prune most files via parquet min/max stats — the property
+    ``tests/test_layout.py`` asserts against an unclustered write.
+    """
+    z = zorder_value([F.col(c) for c in cols], bits).alias("_z")
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -6302,3 +6302,33 @@ def q_tpch_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> Dat
             F.sum("bal_c").cast("long").alias("totacctbal_c"),
         )
     )
+
+
+# --- Z-order layout ---------------------------------------------------------
+
+from . import layout as layout_ops  # noqa: E402
+
+_Z_BITS = 12
+
+
+@register(
+    "orders_zorder_curve",
+    f"""
+    SELECT o_orderkey,
+           CAST({layout_ops.zorder_sql(['o_custkey', 'o_orderkey'], _Z_BITS)}
+                AS BIGINT) AS zval
+    FROM orders
+    """,
+)
+def q_orders_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order curve values for orders on (custkey, orderkey): the sort
+    key ``layout.write_zordered`` clusters by, surfaced as a query so
+    the bit-interleave is oracle-checked term-for-term. Pure integer
+    Column arithmetic — zero shuffles, zero UDFs; the layout writer
+    itself (range partition + within-partition sort + min/max pruning
+    effect) is property-tested in tests/test_layout.py."""
+    orders = _read(spark, sf_dir, "orders")
+    z = layout_ops.zorder_value(
+        [F.col("o_custkey"), F.col("o_orderkey")], _Z_BITS
+    )
+    return orders.select("o_orderkey", z.cast("long").alias("zval"))
