@@ -282,3 +282,112 @@ def cms_estimate(
             .alias("est_count")
         )
     )
+
+
+# --- Bloom filter -----------------------------------------------------------
+
+BLOOM_BITS = 1 << 14  # 16384 bits, stored 63 per word (see below)
+BLOOM_HASHES = 4
+# 63 usable bits per word, not 64: bit index 63 would need 1 << 63,
+# which overflows signed-BIGINT engines that check (DuckDB) — and the
+# sign bit buys nothing at this sketch size.
+BLOOM_WORD_BITS = 63
+
+
+def _bloom_positions(key: Column, n_hashes: int, m_bits: int) -> list[Column]:
+    """The k bit positions of a key — independent salted md5_long hashes,
+    portable to any engine that can mirror the md5 expression."""
+    return [md5_long(key, f"bf{i}") % F.lit(m_bits) for i in range(n_hashes)]
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Build a Bloom filter as (word_idx BIGINT, word BIGINT) rows.
+
+    Each key contributes its k bit positions (exploded map-side); the
+    only shuffle is a groupBy over at most m_bits/64 word groups — the
+    sketch is constant-size no matter how many keys went in, and two
+    filters over the same (m, k) merge by word-wise BIT_OR (set union).
+    Words with no set bits are absent (sparse representation).
+    """
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col).cast("string"), n_hashes, m_bits))
+    ).alias("_pos")
+    return (
+        keys.select(pos)
+        .select(
+            # integer DIV/% (never a double division + cast: DuckDB casts
+            # round, not floor); shiftleft by a COLUMN needs the SQL form
+            F.expr(f"_pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(_pos % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("_bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_bit").alias("word"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union of two same-shape Bloom filters: word-wise BIT_OR."""
+    return (
+        a.unionByName(b)
+        .groupBy("word_idx")
+        .agg(F.bit_or("word").alias("word"))
+    )
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Membership test: adds ``out_col`` (boolean; false negatives never,
+    false positives at the usual Bloom rate).
+
+    Each probe row explodes to its k positions, equi-joins the (tiny,
+    broadcast) word table on word_idx, and counts positions whose bit is
+    set — might_contain iff all k are. The probe side never shuffles
+    beyond the per-key count aggregate; at scale this is the classic
+    pre-join pruning filter that drops most of a fact table before an
+    expensive shuffle join.
+    """
+    key = F.col(key_col).cast("string")
+    ex = probes.select(
+        key_col,
+        F.posexplode(F.array(*_bloom_positions(key, n_hashes, m_bits))).alias(
+            "_i", "_pos"
+        ),
+    ).select(
+        key_col,
+        F.expr(f"_pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
+        F.expr(f"CAST(_pos % {BLOOM_WORD_BITS} AS INT)").alias("_bit"),
+    )
+    hits = (
+        ex.join(F.broadcast(bloom), "word_idx", "left")
+        .select(
+            key_col,
+            F.expr(
+                "CAST((shiftright(coalesce(word, CAST(0 AS BIGINT)), _bit) & 1) = 1"
+                " AS INT)"
+            ).alias("_hit"),
+        )
+        .groupBy(key_col)
+        .agg((F.sum("_hit") == F.lit(n_hashes)).alias(out_col))
+    )
+    return probes.join(hits, key_col, "left")
+
+
+def bloom_sql_positions(key_expr: str, n_hashes: int = BLOOM_HASHES, m_bits: int = BLOOM_BITS) -> list[str]:
+    """DuckDB mirrors of ``_bloom_positions`` over a SQL expression."""
+    return [
+        f"(('0x' || substr(md5({key_expr} || 'bf{i}'), 1, 15))::BIGINT % {m_bits})"
+        for i in range(n_hashes)
+    ]

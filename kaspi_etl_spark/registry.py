@@ -6332,3 +6332,73 @@ def q_orders_zorder_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_custkey"), F.col("o_orderkey")], _Z_BITS
     )
     return orders.select("o_orderkey", z.cast("long").alias("zval"))
+
+
+# --- Bloom-filter membership ------------------------------------------------
+
+from .llm import sketch as sketch_ops  # noqa: E402
+
+
+def _sql_bloom_probe() -> str:
+    """DuckDB mirror of bloom_build + bloom_probe over the customer
+    tables: member set = acctbal > 7500 custkeys; probes = all."""
+    build_pos = sketch_ops.bloom_sql_positions("CAST(c_custkey AS VARCHAR)")
+    k = sketch_ops.BLOOM_HASHES
+    wb = sketch_ops.BLOOM_WORD_BITS
+    pos_rows = " UNION ALL ".join(
+        f"SELECT c_custkey, {p} AS pos FROM members" for p in build_pos
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT c_custkey, {p} AS pos FROM customer" for p in build_pos
+    )
+    return f"""
+    WITH members AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > CAST(7500 AS DOUBLE)
+    ),
+    bloom AS (
+      SELECT pos // {wb} AS word_idx, bit_or(1::BIGINT << (pos % {wb})) AS word
+      FROM ({pos_rows}) GROUP BY 1
+    ),
+    probe_hits AS (
+      SELECT p.c_custkey,
+             CAST(sum(CASE WHEN ((COALESCE(b.word, 0) >> (p.pos % {wb})) & 1) = 1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS hits
+      FROM ({probe_rows}) p
+      LEFT JOIN bloom b ON b.word_idx = (p.pos // {wb})
+      GROUP BY p.c_custkey
+    )
+    SELECT h.c_custkey,
+           h.hits = {k} AS might_contain,
+           EXISTS (SELECT 1 FROM members m WHERE m.c_custkey = h.c_custkey) AS actual
+    FROM probe_hits h
+    """
+
+
+@register("customer_bloom_probe", _sql_bloom_probe())
+def q_customer_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bloom filter build + probe: the membership set (high-
+    balance customers) compresses to a constant-size (word_idx, word)
+    sketch via an exploded-positions BIT_OR aggregate; every customer is
+    then probed through a broadcast join on word_idx. Output carries the
+    ground-truth flag so the gate also verifies the no-false-negatives
+    property end to end (false positives are deterministic given the
+    md5-based hashes, so the DuckDB mirror reproduces them exactly).
+
+    At 100 TB this is the pre-join pruning pattern: build on the small
+    side, probe the fact table map-side, and skip the shuffle for rows
+    that cannot match."""
+    cust = _read(spark, sf_dir, "customer")
+    members = cust.filter(F.col("c_acctbal") > 7500.0).select("c_custkey")
+    bloom = sketch_ops.bloom_build(members, "c_custkey")
+    probed = sketch_ops.bloom_probe(
+        cust.select("c_custkey"), bloom, "c_custkey"
+    )
+    actual = members.withColumn("actual", F.lit(True))
+    return (
+        probed.join(F.broadcast(actual), "c_custkey", "left")
+        .select(
+            "c_custkey",
+            "might_contain",
+            F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
+        )
+    )

@@ -206,3 +206,33 @@ def test_duplicate_spans_within_doc_repeat_not_cross(spark):
     row = dedup.duplicate_spans(df).collect()[0]
     assert row.n_dup_spans == 0 and row.n_shared_hashes == 0
     assert row.n_spans == 10
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from kaspi_etl_spark.llm import sketch
+
+    a = spark.range(0, 200).select(F.col("id").alias("k"))
+    b = spark.range(200, 400).select(F.col("id").alias("k"))
+    bloom_a = sketch.bloom_build(a, "k")
+    bloom_b = sketch.bloom_build(b, "k")
+    merged = sketch.bloom_merge(bloom_a, bloom_b)
+    both = sketch.bloom_build(a.unionByName(b), "k")
+    # merge == build-on-union, word for word
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
+
+    probes = spark.range(0, 1000).select(F.col("id").alias("k"))
+    out = {r["k"]: r["might_contain"] for r in
+           sketch.bloom_probe(probes, merged, "k").collect()}
+    # every member answers True (no false negatives, ever)
+    assert all(out[k] for k in range(400))
+    # non-members mostly answer False at this fill factor
+    fp = sum(1 for k in range(400, 1000) if out[k])
+    assert fp / 600 < 0.05
+
+
+def test_bloom_sketch_is_constant_size(spark):
+    from kaspi_etl_spark.llm import sketch
+
+    big = spark.range(0, 5000).select(F.col("id").alias("k"))
+    words = sketch.bloom_build(big, "k").count()
+    assert words <= sketch.BLOOM_BITS // sketch.BLOOM_WORD_BITS + 1
