@@ -43,13 +43,24 @@ def entry(spark: SparkSession) -> DataFrame:
 # sf0.01 sweep: all green). simhash_pairs later ceded its slot to the new
 # ann_pq_topk (IVF-PQ) gate; its family stays covered by minhash_lsh_pairs
 # and ngram_jaccard_capped.
+#
+# Late-r5 swap: five slots whose families stay covered ceded to the new
+# operator families added after the first rotation — margin_by_sku ->
+# url_domain_rollup (agg family: daily_net_revenue, global_analytics),
+# price_deltas -> orders_zorder_curve (window family: top3_cheapest,
+# bot_sliding_window), ann_cosine_topk -> customer_bloom_probe (ANN
+# family: ann_ivf_topk, ann_pq_topk), text_features -> docs_pii_profile
+# (text family: docs_quality_gopher, tfidf_top_terms, token_countmin),
+# events_tumbling_stats -> tpch_q1_pricing_summary (event-window family:
+# events_session_windows, events_asof_join, events_funnel). All five
+# newcomers were parity-checked on a vanilla driver-style session first.
 _GATE_PRIORITY = [
     "daily_net_revenue",
-    "margin_by_sku",
+    "url_domain_rollup",
     "inventory_reorder",
     "seller_dedupe",
     "variant_stats",
-    "price_deltas",
+    "orders_zorder_curve",
     "global_analytics",
     "reprice_proposals",
     "sizing_adult",
@@ -61,12 +72,12 @@ _GATE_PRIORITY = [
     "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_capped",
-    "ann_cosine_topk",
+    "customer_bloom_probe",
     "ann_ivf_topk",
     "ann_pq_topk",
-    "text_features",
+    "docs_pii_profile",
     "media_features",
-    "events_tumbling_stats",
+    "tpch_q1_pricing_summary",
     "export_flat",
     "import_coerce",
     "catalog_validation",

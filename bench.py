@@ -69,6 +69,12 @@ HEADLINE = [
     # r5: the IVF scale path incl. its deterministic k-means training
     # (~3 bounded driver round-trips dominate its wall at this SF)
     "ann_ivf_topk",
+    # late r5: the corpus-cleaning stage (regex PII + URL blocklist),
+    # the Bloom pre-join filter, and the iconic TPC-H wide aggregate
+    "docs_pii_profile",
+    "docs_url_blocklist",
+    "customer_bloom_probe",
+    "tpch_q1_pricing_summary",
 ]
 
 

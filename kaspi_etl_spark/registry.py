@@ -6402,3 +6402,102 @@ def q_customer_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("actual"), F.lit(False)).alias("actual"),
         )
     )
+
+
+@register(
+    "docs_pii_redacted",
+    r"""
+    WITH pii_docs AS (
+    """
+    + SQL_DOCS_PII
+    + r"""
+    )
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+             '"""
+    + _P_EMAIL
+    + r"""', '[EMAIL]', 'g'),
+             '"""
+    + _P_CARD
+    + r"""', '[CARD]', 'g'),
+             '"""
+    + _P_PHONE
+    + r"""', '[PHONE]', 'g'),
+             '"""
+    + _P_IP
+    + r"""', '[IP]', 'g') AS text
+    FROM pii_docs
+    """,
+)
+def q_docs_pii_redacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-release redaction pass itself, value-gated: every PII
+    match replaced by its category token in the fixed pattern order. The
+    oracle replays the same regexp_replace chain, so the full redacted
+    text — not just its length — is compared byte-for-byte."""
+    return pii_ops.redact_documents(docs_pii_table(spark, sf_dir)).select(
+        "doc_id", "text"
+    )
+
+
+@register(
+    "sku_demand_trend",
+    """
+    WITH daily AS (
+      SELECT l_partkey AS sku,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS x,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem
+      GROUP BY l_partkey, CAST(l_shipdate AS DATE)
+    )
+    SELECT sku,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS slope_num,
+           CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT) AS slope_den,
+           CASE WHEN count(*) * sum(x * x) - sum(x) * sum(x) > 0
+                THEN CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                     / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE)
+                ELSE CAST(0 AS DOUBLE) END AS slope
+    FROM daily
+    GROUP BY sku
+    """,
+)
+def q_sku_demand_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SKU demand trend: ordinary-least-squares slope of daily
+    quantity over day index, computed from the normal equations with
+    EXACT integer sums (n·Σxy − Σx·Σy over n·Σx² − (Σx)²) and one IEEE
+    division at the end — distributed model fitting with no UDF, no
+    per-group sort, no collect. Two map-side-combinable aggregations
+    (day rollup, then moment sums per SKU); at 100 TB both shuffles
+    carry one row per (sku, day) and per sku respectively."""
+    li = _read(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.col("l_partkey").alias("sku"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("sku", "x")
+        .agg(F.sum("qty").cast("long").alias("y"))
+    )
+    m = daily.groupBy("sku").agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long")
+    den = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long")
+    return m.select(
+        "sku",
+        "n_days",
+        num.alias("slope_num"),
+        den.alias("slope_den"),
+        F.when(den > 0, num.cast("double") / den.cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("slope"),
+    )
