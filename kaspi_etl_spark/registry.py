@@ -5756,9 +5756,9 @@ from .llm import web as web_ops  # noqa: E402
 # same enriched text: deterministic doc_id-keyed PII strings appended to
 # the raw text. The SQL fragment is the source of truth; the Spark
 # helper mirrors it op-for-op (same modulus gates, same lpad widths).
-SQL_DOCS_PII = r"""
-  SELECT doc_id, source,
-         text
+# appended-text chains shared between the PII-only, URL-only, and combined
+# corpus derivations (SQL suffixes appended after `text`)
+_SQL_PII_SUFFIX = r"""
          || CASE WHEN doc_id % 3 = 0
                  THEN ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com today.'
                  ELSE '' END
@@ -5774,16 +5774,17 @@ SQL_DOCS_PII = r"""
          || CASE WHEN doc_id % 11 = 0
                  THEN ' card 4400 1234 5678 ' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                  ELSE '' END
-         AS text
-  FROM documents
 """
 
+SQL_DOCS_PII = (
+    "SELECT doc_id, source, text" + _SQL_PII_SUFFIX + " AS text FROM documents"
+)
 
-def docs_pii_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    text2 = F.concat(
-        F.col("text"),
+
+def _inject_pii(text: Column, did: Column) -> Column:
+    """Spark mirror of _SQL_PII_SUFFIX appended to ``text``."""
+    return F.concat(
+        text,
         F.when(
             did % 3 == 0,
             F.concat(
@@ -5818,7 +5819,15 @@ def docs_pii_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    return d.select("doc_id", "source", text2.alias("text"))
+
+
+def docs_pii_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        _inject_pii(F.col("text"), F.col("doc_id")).alias("text"),
+    )
 
 
 _P_EMAIL, _P_CARD = pii_ops.PII_PATTERNS["email"][0], pii_ops.PII_PATTERNS["card"][0]
@@ -5886,9 +5895,7 @@ def q_docs_pii_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BLOCKED_DOMAINS = ["spam.example.com", "ads.example.net"]
 
-SQL_DOCS_URLS = r"""
-  SELECT doc_id, source,
-         text
+_SQL_URL_SUFFIX = r"""
          || CASE WHEN doc_id % 2 = 0
                  THEN ' See https://news.example.com/a/' || CAST(doc_id AS VARCHAR)
                  ELSE '' END
@@ -5901,16 +5908,17 @@ SQL_DOCS_URLS = r"""
          || CASE WHEN doc_id % 13 = 0
                  THEN ' ref https://ads.example.net/'
                  ELSE '' END
-         AS text
-  FROM documents
 """
 
+SQL_DOCS_URLS = (
+    "SELECT doc_id, source, text" + _SQL_URL_SUFFIX + " AS text FROM documents"
+)
 
-def docs_urls_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _read(spark, sf_dir, "documents")
-    did = F.col("doc_id")
-    text2 = F.concat(
-        F.col("text"),
+
+def _inject_urls(text: Column, did: Column) -> Column:
+    """Spark mirror of _SQL_URL_SUFFIX appended to ``text``."""
+    return F.concat(
+        text,
         F.when(
             did % 2 == 0,
             F.concat(F.lit(" See https://news.example.com/a/"), did.cast("string")),
@@ -5929,7 +5937,27 @@ def docs_urls_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("")
         ),
     )
-    return d.select("doc_id", "source", text2.alias("text"))
+
+
+def docs_urls_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "source",
+        _inject_urls(F.col("text"), F.col("doc_id")).alias("text"),
+    )
+
+
+def docs_corpus_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents with BOTH URL and PII injections — the raw corpus the
+    end-to-end cleaning pipeline starts from."""
+    d = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        _inject_pii(_inject_urls(F.col("text"), did), did).alias("text"),
+    )
 
 
 _SQL_URLS_UNNEST = (
@@ -6501,3 +6529,67 @@ def q_sku_demand_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("slope"),
     )
+
+
+def _sql_corpus_clean_pipeline() -> str:
+    """Oracle for the end-to-end cleaning composition: every stage is the
+    same SQL already gated individually, chained as CTEs."""
+    redact = "text"
+    for pat, tok in [
+        (_P_EMAIL, "[EMAIL]"),
+        (_P_CARD, "[CARD]"),
+        (_P_PHONE, "[PHONE]"),
+        (_P_IP, "[IP]"),
+    ]:
+        redact = f"regexp_replace({redact}, '{pat}', '{tok}', 'g')"
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, source, text{_SQL_URL_SUFFIX}{_SQL_PII_SUFFIX} AS text
+      FROM documents
+    ),
+    kept AS (
+      SELECT * FROM corpus d
+      WHERE NOT EXISTS (
+        SELECT 1 FROM (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(text, '{web_ops.URL_PATTERN}')) AS url
+          FROM corpus) u
+        WHERE u.doc_id = d.doc_id
+          AND regexp_extract(u.url, '{web_ops.DOMAIN_PATTERN}', 1)
+              IN ('spam.example.com', 'ads.example.net'))
+    ),
+    red AS (
+      SELECT doc_id, source, {redact} AS text FROM kept
+    ),
+    qual AS (
+      SELECT doc_id, source, text,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens
+      FROM red
+    )
+    SELECT doc_id, source, n_tokens
+    FROM qual
+    WHERE n_tokens BETWEEN 30 AND 5000
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """
+
+
+@register("corpus_clean_pipeline", _sql_corpus_clean_pipeline())
+def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus cleaning as ONE composed plan: domain-blocklist
+    filter (broadcast anti-join on the offending-id set) -> PII token
+    redaction (scalar regex chain) -> token-count quality gate (scalar)
+    -> exact dedup (first doc per content hash). Each stage is gated
+    individually elsewhere; this query proves the COMPOSITION stays
+    bit-exact and that the stages fuse into few shuffles: the blocklist
+    anti-join, then the dedup hash window — everything between is
+    narrow. This is the shape of a real corpus-release job at 100 TB."""
+    docs = docs_corpus_table(spark, sf_dir)
+    kept = web_ops.filter_blocked_domains(docs, BLOCKED_DOMAINS)
+    red = pii_ops.redact_documents(kept)
+    qual = red.withColumn(
+        "n_tokens", text_ops.whitespace_token_count(F.col("text"))
+    ).filter(F.col("n_tokens").between(30, 5000))
+    surv = dedup_ops.exact_dedup_keep(qual)
+    return surv.select("doc_id", "source", "n_tokens")

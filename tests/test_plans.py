@@ -284,3 +284,12 @@ def test_q22_scalar_subquery_and_anti_join(spark, sf_dir):
     # the URGENT filter must prune orders before the anti-join
     scans = [ln for ln in plan.splitlines() if "FileScan" in ln and "orders" in ln]
     assert scans and "o_orderpriority" in scans[0]
+
+
+def test_corpus_clean_pipeline_shape(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_clean_pipeline")
+    # blocklist filter must be a broadcast anti-join; the corpus side
+    # shuffles only for the dedup hash window
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
