@@ -6593,3 +6593,731 @@ def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("n_tokens").between(30, 5000))
     surv = dedup_ops.exact_dedup_keep(qual)
     return surv.select("doc_id", "source", "n_tokens")
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, ship_year,
+           CAST(sum(rev_c) AS BIGINT) AS revenue_c
+    FROM (
+      SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+             CAST(year(CAST(l_shipdate AS DATE)) AS BIGINT) AS ship_year,
+             CAST(round(l_extendedprice) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1998-01-01'
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')))
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade by
+    ship year. Plan shape: the nation table joins TWICE under different
+    aliases (customer side and supplier side) — both broadcast; the
+    disjunctive nation-pair predicate runs after both attachments; the
+    only fact-sized shuffle is orders-lineitem on orderkey with the
+    two-year filter pushed to the lineitem scan."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .withColumn("ship_d", F.col("l_shipdate").cast("date"))
+        .filter(
+            (F.col("ship_d") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("ship_d") < F.lit("1998-01-01").cast("date"))
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("ship_d").cast("long").alias("ship_year"),
+            (
+                F.round("l_extendedprice").cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_c"),
+        )
+    )
+    orders = _read(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        (F.col("cust_nation") == "NATION_1") & (F.col("supp_nation") == "NATION_2")
+    ) | ((F.col("cust_nation") == "NATION_2") & (F.col("supp_nation") == "NATION_1"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+    )
+
+
+@register(
+    "tpch_q8_market_share",
+    """
+    WITH base AS (
+      SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(round(l_extendedprice) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_c,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part     ON p_partkey = l_partkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region   ON r_regionkey = n1.n_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+      WHERE r_name = 'ASIA'
+        AND p_type = 'STANDARD'
+        AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+    )
+    SELECT o_year,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_c ELSE 0 END)
+                AS BIGINT) AS nation_rev_c,
+           CAST(sum(rev_c) AS BIGINT) AS total_rev_c,
+           CAST(sum(CASE WHEN supp_nation = 'NATION_5' THEN rev_c ELSE 0 END) AS DOUBLE)
+             / CAST(sum(rev_c) AS DOUBLE) AS mkt_share
+    FROM base GROUP BY o_year
+    """,
+)
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one supplier nation's share of
+    a region's revenue for one part type, by order year. The classic
+    8-table join where every dimension broadcasts and the single wide
+    shuffle is orders-lineitem; the share is exact-integer sums with one
+    IEEE division (conditional-aggregate rewrite of the spec's CASE
+    inside sum)."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.round("l_extendedprice").cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c"),
+    )
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .withColumn("o_d", F.col("o_orderdate").cast("date"))
+        .filter(
+            (F.col("o_d") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_d") < F.lit("1998-01-01").cast("date"))
+        )
+        .select(
+            "o_orderkey", "o_custkey", F.year("o_d").cast("long").alias("o_year")
+        )
+    )
+    cust = _read(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"), "n_regionkey"
+    )
+    region = (
+        _read(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n2 = _read(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    nation_rev = F.when(F.col("supp_nation") == "NATION_5", F.col("rev_c")).otherwise(
+        F.lit(0)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy("o_year")
+        .agg(
+            F.sum(nation_rev).cast("long").alias("nation_rev_c"),
+            F.sum("rev_c").cast("long").alias("total_rev_c"),
+            (F.sum(nation_rev).cast("double") / F.sum("rev_c").cast("double")).alias(
+                "mkt_share"
+            ),
+        )
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(min(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS ps_supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT nation, o_year, CAST(sum(amount) AS BIGINT) AS profit_c
+    FROM (
+      SELECT n_name AS nation,
+             CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS o_year,
+             CAST(round(l_extendedprice) AS BIGINT)
+               * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               - ps_supplycost * CAST(round(l_quantity) AS BIGINT) * 100 AS amount
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN ps ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE p_name LIKE '%red%')
+    GROUP BY nation, o_year
+    """,
+)
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), adapted: supply cost comes from
+    the lineitem-derived partsupp surrogate (min observed price per
+    part-supplier; no partsupp table), so profit = revenue minus
+    supplycost*qty on one exact integer grid (both terms in
+    cent-percent units). Plan: the ps aggregate is the second fact-sized
+    shuffle (partkey, suppkey); the ps-lineitem join co-partitions on
+    the same key pair; part (name-filtered), supplier, nation broadcast;
+    orders joins on orderkey."""
+    li = _read(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.round("l_extendedprice").cast("long"))
+        .cast("long")
+        .alias("ps_supplycost")
+    )
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .withColumn("o_d", F.col("o_orderdate").cast("date"))
+        .select("o_orderkey", F.year("o_d").cast("long").alias("o_year"))
+    )
+    amount = (
+        F.round("l_extendedprice").cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        - F.col("ps_supplycost") * F.round("l_quantity").cast("long") * F.lit(100)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            ps,
+            (F.col("l_partkey") == F.col("ps_partkey"))
+            & (F.col("l_suppkey") == F.col("ps_suppkey")),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("nation", "o_year", amount.alias("amount"))
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").cast("long").alias("profit_c"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name, nation, revenue_c FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name AS nation,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS revenue_c,
+             ROW_NUMBER() OVER (ORDER BY
+               sum(CAST(round(l_extendedprice) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))) DESC,
+               c.c_custkey ASC) AS rn
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(o.o_orderdate AS DATE) < DATE '1996-04-01'
+        AND l.l_returnflag = 'R'
+      GROUP BY c.c_custkey, c.c_name, n.n_name)
+    WHERE rn <= 20
+    """,
+)
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned item reporting): lost revenue per customer
+    from returned lineitems in one quarter, top 20. The quarter filter
+    prunes orders and the returnflag filter prunes lineitem — both at
+    their scans, before the orderkey shuffle; customer/nation broadcast;
+    the top-20 is TakeOrderedAndProject over the aggregated rows."""
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .withColumn("o_d", F.col("o_orderdate").cast("date"))
+        .filter(
+            (F.col("o_d") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_d") < F.lit("1996-04-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select(
+            "l_orderkey",
+            (
+                F.round("l_extendedprice").cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            ).alias("rev_c"),
+        )
+    )
+    cust = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = _read(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    agg = (
+        orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "nation")
+        .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+    )
+    return (
+        agg.orderBy(F.col("revenue_c").desc(), F.col("c_custkey").asc())
+        .limit(20)
+        .select("c_custkey", "c_name", "nation", "revenue_c")
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey,
+             CAST(min(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT) AS cost_c,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS availqty,
+             l_suppkey AS ps_suppkey
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    scoped AS (
+      SELECT ps_partkey, CAST(cost_c * availqty AS BIGINT) AS value_c
+      FROM ps JOIN supplier ON s_suppkey = ps_suppkey
+              JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_3'
+    ),
+    total AS (SELECT CAST(sum(value_c) AS BIGINT) AS t FROM scoped)
+    SELECT ps_partkey, CAST(sum(value_c) AS BIGINT) AS part_value_c
+    FROM scoped, total
+    GROUP BY ps_partkey, t
+    HAVING sum(value_c) * 1000 > t
+    """,
+)
+def q_tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: partsupp is
+    the lineitem-derived surrogate (min price as cost, shipped-quantity
+    sum as availqty). Plan shape preserved: per-part value aggregation,
+    a scalar total (one-row broadcast), and the HAVING fraction test —
+    done as the integer cross-multiplication value*1000 > total, so the
+    threshold needs no division and stays bit-exact."""
+    li = _read(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.round("l_extendedprice").cast("long")).cast("long").alias("cost_c"),
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("availqty"),
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        _read(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    scoped = (
+        ps.join(F.broadcast(supp), F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", (F.col("cost_c") * F.col("availqty")).alias("value_c"))
+    )
+    total = scoped.agg(F.sum("value_c").cast("long").alias("t"))
+    return (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum("value_c").cast("long").alias("part_value_c"))
+        .join(F.broadcast(total))
+        .filter(F.col("part_value_c") * 1000 > F.col("t"))
+        .select("ps_partkey", "part_value_c")
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT shipmode,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM (
+      SELECT CASE CAST(l_linenumber % 3 AS INT)
+               WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' ELSE 'AIR' END AS shipmode,
+             o_orderpriority
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + INTERVAL 60 DAY)
+    GROUP BY shipmode
+    """,
+)
+def q_tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes and order priority), adapted: shipmode
+    is derived deterministically from the line number (no l_shipmode
+    column) and "late receipt" becomes shipped-more-than-60-days-after-
+    order (no commit/receipt dates). Shape preserved: the fact-fact join
+    with a cross-table date predicate, then the dual conditional count
+    per mode. The year filter pushes to the lineitem scan; the 60-day
+    lateness predicate evaluates post-join (it references both sides)."""
+    li = (
+        _read(spark, sf_dir, "lineitem")
+        .withColumn("ship_d", F.col("l_shipdate").cast("date"))
+        .filter(
+            (F.col("ship_d") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("ship_d") < F.lit("1997-01-01").cast("date"))
+        )
+        .select(
+            "l_orderkey",
+            "ship_d",
+            F.when((F.col("l_linenumber") % 3).cast("int") == 0, "MAIL")
+            .when((F.col("l_linenumber") % 3).cast("int") == 1, "SHIP")
+            .otherwise("AIR")
+            .alias("shipmode"),
+        )
+    )
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_orderdate").cast("date").alias("o_d"),
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("ship_d") > F.date_add(F.col("o_d"), 60))
+        .groupBy("shipmode")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                      * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                  AS BIGINT) AS total_revenue_c
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue_c
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_c = (SELECT max(total_revenue_c) FROM revenue)
+    """,
+)
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue view + scalar-max subquery.
+    Exact integer revenue makes the max-equality join safe (float
+    revenue would make "= max" engine-dependent). The quarter filter
+    pushes to the scan; the max is a one-row broadcast back onto the
+    aggregated (supplier-sized, not fact-sized) frame."""
+    rev = (
+        _read(spark, sf_dir, "lineitem")
+        .withColumn("ship_d", F.col("l_shipdate").cast("date"))
+        .filter(
+            (F.col("ship_d") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("ship_d") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.round("l_extendedprice").cast("long")
+                * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+            )
+            .cast("long")
+            .alias("total_revenue_c")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_c").alias("mx"))
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_revenue_c") == F.col("mx"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_c")
+    )
+
+
+@register(
+    "tpch_q17_small_quantity",
+    """
+    WITH stats AS (
+      SELECT l_partkey AS sp_partkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(count(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+             AS total_price_c,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+             / CAST(7.0 AS DOUBLE) AS avg_yearly_c
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN stats ON sp_partkey = l_partkey
+    WHERE p_brand = 'Brand#3'
+      AND CAST(round(l_quantity) AS BIGINT) * 5 * n < sum_qty
+    """,
+)
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated per-part
+    average-quantity subquery, rewritten as aggregate-then-join-back.
+    The 'quantity < 0.2 * avg' predicate cross-multiplies to the exact
+    integer form qty * 5 * n < sum_qty — no division, no float compare.
+    The brand filter broadcasts part; the stats aggregate is the one
+    fact-sized shuffle and co-partitions with the join back on
+    partkey."""
+    li = _read(spark, sf_dir, "lineitem")
+    stats = li.groupBy(F.col("l_partkey").alias("sp_partkey")).agg(
+        F.sum(F.round("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.count("*").cast("long").alias("n"),
+    )
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("long")
+    small = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(stats, F.col("l_partkey") == F.col("sp_partkey"))
+        .filter(
+            F.round("l_quantity").cast("long") * 5 * F.col("n") < F.col("sum_qty")
+        )
+    )
+    return small.agg(
+        F.sum(price_c).cast("long").alias("total_price_c"),
+        (F.sum(price_c).cast("double") / F.lit(7.0)).alias("avg_yearly_c"),
+    )
+
+
+@register(
+    "tpch_q19_discounted_revenue",
+    """
+    SELECT CAST(sum(CAST(round(l_extendedprice) AS BIGINT)
+                    * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                AS BIGINT) AS revenue_c
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+           AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 30)
+    """,
+)
+def q_tpch_q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue), adapted: the container/shipmode
+    legs of each disjunct become size/quantity ranges (reduced schema).
+    The point is the plan: an OR-of-ANDs predicate referencing BOTH join
+    sides must still extract the partkey equi-join (never a nested-loop
+    over the disjunction) with the residual disjunction as a post-join
+    filter — asserted in tests."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round("l_quantity").cast("long").alias("qty"),
+        (
+            F.round("l_extendedprice").cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+        ).alias("rev_c"),
+    )
+    part = _read(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    disj = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("qty").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+           & F.col("qty").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+           & F.col("qty").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .agg(F.sum("rev_c").cast("long").alias("revenue_c"))
+    )
+
+
+@register(
+    "tpch_q20_part_promotion",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS availqty,
+             CAST(sum(CASE WHEN CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+                            AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+                           THEN CAST(round(l_quantity) AS BIGINT) ELSE 0 END)
+                  AS BIGINT) AS shipped96
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE n_name = 'NATION_4'
+      AND EXISTS (
+        SELECT 1 FROM ps
+        WHERE ps_suppkey = s_suppkey
+          AND availqty * 2 > shipped96
+          AND shipped96 > 0
+          AND EXISTS (SELECT 1 FROM part
+                      WHERE p_partkey = ps_partkey AND p_name LIKE 'small%'))
+    """,
+)
+def q_tpch_q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: partsupp is the
+    lineitem surrogate with all-time shipped quantity as availqty and
+    1996 shipments as the demand half of the spec's availqty > 0.5 *
+    shipped predicate — cross-multiplied to exact integers. Shape
+    preserved: the two nested IN subqueries compile to a chain of LEFT
+    SEMI joins (part-name semi onto ps, qualifying-ps semi onto the
+    nation-filtered suppliers) — never a distinct-then-inner-join."""
+    li = _read(spark, sf_dir, "lineitem")
+    in96 = (
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+    )
+    qty = F.round("l_quantity").cast("long")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum(qty).cast("long").alias("availqty"),
+        F.sum(F.when(in96, qty).otherwise(F.lit(0))).cast("long").alias("shipped96"),
+    )
+    part = (
+        _read(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    qual = (
+        ps.filter((F.col("availqty") * 2 > F.col("shipped96")) & (F.col("shipped96") > 0))
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .select("ps_suppkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = (
+        _read(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_4")
+        .select("n_nationkey")
+    )
+    return (
+        supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(qual, F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'
+    )
+    SELECT s_name, CAST(count(*) AS BIGINT) AS numwait FROM (
+      SELECT s.s_name, l1.l_orderkey
+      FROM late l1
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE n.n_name = 'NATION_6'
+        AND o.o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey))
+    GROUP BY s_name
+    """,
+)
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" is
+    the returned flag (no commit/receipt dates). The interesting shape
+    survives intact: the same fact feeds a LEFT SEMI (another supplier
+    participated in the order) AND a LEFT ANTI (no OTHER supplier was
+    late) against correlated subqueries with a non-equi component
+    (suppkey <>) on top of the orderkey equi-join. Supplier/nation
+    broadcast; orders filter prunes at its scan."""
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    late = (
+        _read(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+    )
+    supp = _read(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    nation = (
+        _read(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_6")
+        .select("n_nationkey")
+    )
+    orders = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l1 = (
+        late.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("sk2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("sk3")
+    )
+    waited = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return waited.groupBy("s_name").agg(F.count("*").cast("long").alias("numwait"))

@@ -293,3 +293,22 @@ def test_corpus_clean_pipeline_shape(spark, sf_dir):
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q19_disjunction_still_equi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q19_discounted_revenue")
+    # the OR-of-ANDs predicate must not defeat equi-join extraction
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_q21_semi_and_anti_on_same_fact(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q21_waiting_suppliers")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_compiles_to_semi_chain(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q20_part_promotion")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
