@@ -357,3 +357,99 @@ def test_duplicate_spans_matches_bruteforce(spark, texts):
         for r in dedup.duplicate_spans(df).collect()
     }
     assert got == expected
+
+
+# --- PII regex parity vs Python re (independent engine #3) -----------------
+
+_PII_TEXT = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
+                           whitelist_characters="@.+-()[]_%"),
+    max_size=120,
+)
+
+
+@FAST
+@given(st.lists(_PII_TEXT, min_size=1, max_size=30))
+def test_pii_counts_match_python_re(spark, texts):
+    import re
+
+    from kaspi_etl_spark.llm import pii
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_email"], r["n_card"], r["n_phone"], r["n_ipv4"])
+        for r in pii.pii_profile(df).collect()
+    }
+    for i, t in rows:
+        want = tuple(
+            len(re.findall(pat, t))
+            for pat, _ in (
+                pii.PII_PATTERNS["email"],
+                pii.PII_PATTERNS["card"],
+                pii.PII_PATTERNS["phone"],
+                pii.PII_PATTERNS["ipv4"],
+            )
+        )
+        assert got[i] == want, (t, got[i], want)
+
+
+# --- Bloom filter: never a false negative, any key set ----------------------
+
+
+@FAST
+@given(
+    st.lists(st.integers(min_value=-(10**12), max_value=10**12),
+             min_size=1, max_size=100, unique=True)
+)
+def test_bloom_never_false_negative(spark, keys):
+    from kaspi_etl_spark.llm import sketch
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    bloom = sketch.bloom_build(df, "k")
+    out = sketch.bloom_probe(df, bloom, "k").collect()
+    assert all(r["might_contain"] for r in out)
+
+
+# --- Concatenated-BMP video: split inverts concat for any frame set ---------
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(1, 5),
+                  st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bmp_video_split_roundtrip(frames):
+    import numpy as np
+
+    from kaspi_etl_spark.llm import multimodal
+
+    encoded = []
+    for w, h, b, g, r in frames:
+        px = np.zeros((h, w, 3), dtype=np.uint8)
+        px[:, :] = (b, g, r)
+        encoded.append(multimodal.encode_bmp(px))
+    video = b"".join(encoded)
+    parts = multimodal.split_bmp_video(video)
+    assert parts == encoded
+
+
+# --- Z-order: equal inputs -> equal z; single-column z is identity-ordered --
+
+
+@FAST
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 16) - 1),
+                min_size=1, max_size=50))
+def test_zorder_single_column_preserves_order(spark, vals):
+    from kaspi_etl_spark import layout
+
+    df = spark.createDataFrame([(v,) for v in vals], "a long")
+    out = df.select(
+        "a", layout.zorder_value([F.col("a")], bits=16).alias("z")
+    ).collect()
+    # with one column the interleave is the identity on the masked bits
+    assert all(r["z"] == r["a"] for r in out)
