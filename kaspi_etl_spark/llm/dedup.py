@@ -351,14 +351,16 @@ def ngram_jaccard_pairs(
             F.col(id_col),
             F.size("shingles").alias("n_sh"),
             # explode_outer: a plain explode makes InferFiltersFromGenerate
-            # push a size()>0 filter that re-inlines the whole shingle+hash
-            # expression into the scan (see session.py note); hash elements
-            # are never null so the guard restores inner semantics.
-            F.explode_outer(F.transform("shingles", lambda s: md5_long(s))).alias(
-                "h"
-            ),
+            # push a size()>0 filter that re-inlines the whole shingle
+            # expression into the scan (see session.py note); shingle
+            # elements are never null so the guard restores inner
+            # semantics. The md5 hash runs AFTER the explode as a plain
+            # column expression — inside whole-stage codegen — not inside
+            # an interpreted transform() lambda per array element.
+            F.explode_outer("shingles").alias("_s"),
         )
-        .filter(F.col("h").isNotNull())
+        .filter(F.col("_s").isNotNull())
+        .select(F.col(id_col), "n_sh", md5_long(F.col("_s")).alias("h"))
     )
     counts = sh.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"))
     # Posting list per shingle hash, sorted so generated pairs are
