@@ -7321,3 +7321,72 @@ def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return waited.groupBy("s_name").agg(F.count("*").cast("long").alias("numwait"))
+
+
+@register(
+    "sku_demand_ewma",
+    """
+    WITH daily AS (
+      SELECT l_partkey AS sku,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS BIGINT) AS x,
+             CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem
+      GROUP BY l_partkey, CAST(l_shipdate AS DATE)
+    ),
+    contrib AS (
+      SELECT sku, x + d.d AS tx,
+             CAST(y AS DOUBLE) / CAST(1::BIGINT << (d.d + 1) AS DOUBLE) AS c
+      FROM daily CROSS JOIN (SELECT unnest(range(0, 32)) AS d) d
+    ),
+    acc AS (
+      SELECT sku, tx, sum(c) AS ewma FROM contrib GROUP BY sku, tx
+    )
+    SELECT daily.sku, daily.x, daily.y, acc.ewma
+    FROM daily JOIN acc ON acc.sku = daily.sku AND acc.tx = daily.x
+    """,
+)
+def q_sku_demand_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SKU exponentially weighted moving average of daily demand with
+    alpha = 1/2 and a 31-day lookback — and it is bit-exact across
+    engines, which float EWMAs never are: every contribution y * 2^-(d+1)
+    is a dyadic rational, and with y < 2^10 and d <= 31 all partial sums
+    stay inside the 53-bit mantissa, so the double SUM is EXACT and
+    therefore order-independent. The recursion is flattened into a
+    contribution explode (each observed day pushes its decayed weight
+    onto the next 32 days) + one hash aggregate — no sequential
+    per-partition scan, no window ordering dependence; at 100 TB both
+    shuffles carry (sku, day) rows only."""
+    li = _read(spark, sf_dir, "lineitem")
+    daily = (
+        li.select(
+            F.col("l_partkey").alias("sku"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("x"),
+            F.round("l_quantity").cast("long").alias("qty"),
+        )
+        .groupBy("sku", "x")
+        .agg(F.sum("qty").cast("long").alias("y"))
+    )
+    contrib = daily.select(
+        "sku",
+        "x",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("d"),
+    ).select(
+        "sku",
+        (F.col("x") + F.col("d")).alias("tx"),
+        (
+            F.col("y").cast("double")
+            / F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(d + 1 AS INT)) AS DOUBLE)")
+        ).alias("c"),
+    )
+    acc = contrib.groupBy(
+        F.col("sku").alias("a_sku"), F.col("tx")
+    ).agg(F.sum("c").alias("ewma"))
+    return daily.join(
+        acc,
+        (F.col("sku") == F.col("a_sku")) & (F.col("x") == F.col("tx")),
+    ).select("sku", "x", "y", "ewma")

@@ -87,3 +87,69 @@ def incremental_agg_stream_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+def merge_bloom_batch(
+    spark: SparkSession,
+    batch_df,
+    state_path: str,
+    key_col: str,
+) -> None:
+    """Fold one batch's keys into a persistent Bloom filter table.
+
+    Word-wise BIT_OR is associative/commutative/idempotent, so replayed
+    batches (foreachBatch at-least-once before checkpoint commit) cannot
+    corrupt the state — re-adding a key sets bits that are already set.
+    Stage-and-swap for the same can't-overwrite-own-input reason as the
+    aggregate state above.
+    """
+    from ..llm import sketch
+
+    batch_bloom = sketch.bloom_build(batch_df, key_col)
+    if os.path.exists(state_path):
+        old = spark.read.parquet(state_path)
+        merged = sketch.bloom_merge(old, batch_bloom)
+    else:
+        merged = batch_bloom
+    staging = f"{state_path}__stage_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    backup = f"{state_path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(state_path):
+        os.rename(state_path, backup)
+        os.rename(staging, state_path)
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        os.rename(staging, state_path)
+
+
+def bloom_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    key_col: str,
+    trigger_seconds: int | None = None,
+):
+    """Streaming membership-sketch maintenance: an NDJSON key stream
+    folds into a constant-size parquet Bloom filter any batch job can
+    read mid-stream for pre-join pruning (`sketch.bloom_probe`).
+
+    The state is O(BLOOM_BITS) forever — unlike a streaming distinct
+    store there is nothing to evict, which is exactly the trade a
+    dedup-hint sketch wants at 100 TB: no watermark, no state growth,
+    false positives only.
+    """
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_bloom_batch(spark, batch_df, state_path, key_col)
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

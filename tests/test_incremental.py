@@ -136,3 +136,53 @@ def test_incremental_stream_job_converges_to_batch_recompute(spark):
     finally:
         for d in (src, os.path.dirname(state), ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_stream_job_converges_to_batch_build(spark):
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.llm import sketch
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="bloom_src_")
+    state = tempfile.mkdtemp(prefix="bloom_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="bloom_ckpt_")
+    schema = "k long"
+    try:
+        batches = [[(i,) for i in range(0, 50)], [(i,) for i in range(40, 90)]]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)
+
+        q = sinc.bloom_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            state_path=state,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            key_col="k",
+        ).start()
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(state)
+        batch = sketch.bloom_build(
+            spark.createDataFrame([(i,) for i in range(0, 90)], schema), "k"
+        )
+        # streamed state == one-shot batch build, word for word (BIT_OR
+        # merge is order/replay-insensitive)
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, batch.collect())
+        )
+        # and it answers membership with no false negatives mid-pipeline
+        probes = spark.createDataFrame([(i,) for i in range(0, 120)], schema)
+        out = {r["k"]: r["might_contain"]
+               for r in sketch.bloom_probe(probes, streamed, "k").collect()}
+        assert all(out[i] for i in range(90))
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(ckpt, ignore_errors=True)
+        _shutil.rmtree(state, ignore_errors=True)
