@@ -914,3 +914,48 @@ def pq_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def save_centroids(
+    spark, centroids: list[tuple[int, list[int]]], path: str
+) -> None:
+    """Persist trained centroids as a tiny parquet table
+    (cluster BIGINT, qc ARRAY<BIGINT>) — the model artifact an offline
+    training job hands to online assignment/search jobs. Quantized
+    components round-trip exactly (they are integers), so a reloaded
+    model reproduces assignments bit-for-bit."""
+    spark.createDataFrame(
+        [(int(cid), [int(v) for v in qc]) for cid, qc in centroids],
+        "cluster BIGINT, qc ARRAY<BIGINT>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[tuple[int, list[int]]]:
+    """Inverse of save_centroids, ordered by cluster id (driver-side read
+    of k rows — bounded, same class as the training convergence read)."""
+    rows = spark.read.parquet(path).orderBy("cluster").collect()
+    return [(int(r["cluster"]), [int(v) for v in r["qc"]]) for r in rows]
+
+
+def save_pq_codebooks(
+    spark, codebooks: list[list[tuple[int, list[int]]]], path: str
+) -> None:
+    """Persist PQ codebooks as (subspace, code, qc) rows."""
+    spark.createDataFrame(
+        [
+            (s, int(code), [int(v) for v in qc])
+            for s, book in enumerate(codebooks)
+            for code, qc in book
+        ],
+        "subspace INT, code BIGINT, qc ARRAY<BIGINT>",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pq_codebooks(spark, path: str) -> list[list[tuple[int, list[int]]]]:
+    rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    books: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in rows:
+        books.setdefault(int(r["subspace"]), []).append(
+            (int(r["code"]), [int(v) for v in r["qc"]])
+        )
+    return [books[s] for s in sorted(books)]

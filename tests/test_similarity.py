@@ -269,3 +269,28 @@ def test_pq_nprobe_expands_candidates(spark, sf_dir):
     for q in d1:
         for (rk1, a1), (rk2, a2) in zip(sorted(d1[q]), sorted(d2[q])):
             assert rk1 == rk2 and a2 <= a1
+
+
+def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark.llm import similarity as sim
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = sim.kmeans_train(emb, k=4, iters=2)
+    path = str(tmp_path / "model")
+    sim.save_centroids(spark, cents, path)
+    assert sim.load_centroids(spark, path) == cents
+    # a reloaded model reproduces assignments bit-for-bit
+    a = sorted(map(tuple, sim.assign_nearest_join(emb, cents).collect()))
+    b = sorted(
+        map(tuple, sim.assign_nearest_join(emb, sim.load_centroids(spark, path)).collect())
+    )
+    assert a == b
+
+    books = sim.pq_train_codebooks(emb, dim=len(cents[0][1]), m=4, k_sub=4, iters=1)
+    bpath = str(tmp_path / "books")
+    sim.save_pq_codebooks(spark, books, bpath)
+    assert sim.load_pq_codebooks(spark, bpath) == books
