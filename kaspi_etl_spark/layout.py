@@ -35,6 +35,11 @@ def zorder_value(cols: list[Column], bits: int = 16) -> Column:
     m = len(cols)
     if m == 0:
         raise ValueError("zorder_value needs at least one column")
+    if m * bits > 63:
+        raise ValueError(
+            f"zorder_value: {m} columns x {bits} bits = {m * bits} interleaved "
+            "bits does not fit a signed 64-bit key; lower bits or split columns"
+        )
     out = F.lit(0).cast("long")
     for c_idx, col in enumerate(cols):
         masked = col.cast("long").bitwiseAND(F.lit((1 << bits) - 1))
