@@ -7390,3 +7390,135 @@ def q_sku_demand_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         acc,
         (F.col("sku") == F.col("a_sku")) & (F.col("x") == F.col("tx")),
     ).select("sku", "x", "y", "ewma")
+
+
+@register(
+    "events_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id, p.user_id, p.ts,
+           c.click_id AS attributed_click,
+           CASE WHEN c.click_id IS NULL THEN NULL
+                ELSE CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) END AS gap_us
+    FROM p ASOF LEFT JOIN c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase annotated with the user's
+    most recent click at or before it and the click-to-purchase gap.
+    Clicks pre-aggregate to one row per (user, ts) — max event_id — so
+    the as-of match is unambiguous in BOTH engines (DuckDB's native
+    ASOF picks an arbitrary row among exact-ts duplicates otherwise).
+    Same union-tag carry-forward as events_asof_join: one shuffle on
+    user_id, no range self-join."""
+    ev = read_events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("c_ts"))
+        .agg(F.max("event_id").cast("long").alias("click_id"))
+    )
+    joined = asof_ops.asof_join(
+        purchases,
+        clicks,
+        key="user_id",
+        left_ts="ts",
+        right_ts="c_ts",
+        value_cols=["click_id", "c_ts"],
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_id_asof").alias("attributed_click"),
+        F.when(
+            F.col("click_id_asof").isNotNull(),
+            F.unix_micros("ts") - F.unix_micros(F.col("c_ts_asof")),
+        )
+        .cast("long")
+        .alias("gap_us"),
+    )
+
+
+@register(
+    "copurchase_item_sim",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
+    ),
+    n AS (SELECT item, CAST(count(*) AS BIGINT) AS n_orders FROM basket GROUP BY item),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, CAST(count(*) AS BIGINT) AS co
+      FROM basket a JOIN basket b ON a.o = b.o AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b, co, cosine, rank FROM (
+      SELECT co.item_a, co.item_b, co.co,
+             CAST(co.co AS DOUBLE) / sqrt(CAST(na.n_orders * nb.n_orders AS DOUBLE)) AS cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY co.item_a
+               ORDER BY CAST(co.co AS DOUBLE)
+                          / sqrt(CAST(na.n_orders * nb.n_orders AS DOUBLE)) DESC,
+                        co.item_b ASC) AS BIGINT) AS rank
+      FROM co
+      JOIN n na ON na.item = co.item_a
+      JOIN n nb ON nb.item = co.item_b)
+    WHERE rank <= 5
+    """,
+)
+def q_copurchase_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-purchase similarity (collaborative-filtering prep):
+    cosine = co-count / sqrt(n_a * n_b) over distinct order baskets,
+    top-5 neighbors per item. Deterministic cross-engine because the
+    counts are exact integers and IEEE sqrt/divide are correctly
+    rounded — the rank order is total (cosine desc, item_b asc).
+
+    Scale: pair generation is the basket self-join on orderkey —
+    fan-out bounded by per-order basket size squared (baskets are
+    small; a hub order would need the same frequency-cap treatment as
+    dedup shingles); the co-counts shuffle on the (a, b) pair key, and
+    the per-item top-5 compiles to WindowGroupLimit (partial top-k
+    before the exchange)."""
+    li = _read(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+    ).distinct()
+    n = basket.groupBy("item").agg(F.count("*").cast("long").alias("n_orders"))
+    a = basket.select(F.col("o"), F.col("item").alias("item_a"))
+    b = basket.select(F.col("o").alias("o2"), F.col("item").alias("item_b"))
+    co = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count("*").cast("long").alias("co"))
+    )
+    na = n.select(F.col("item").alias("na_item"), F.col("n_orders").alias("n_a"))
+    nb = n.select(F.col("item").alias("nb_item"), F.col("n_orders").alias("n_b"))
+    scored = (
+        co.join(na, F.col("item_a") == F.col("na_item"))
+        .join(nb, F.col("item_b") == F.col("nb_item"))
+        .select(
+            "item_a",
+            "item_b",
+            "co",
+            (
+                F.col("co").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("item_a").orderBy(
+        F.col("cosine").desc(), F.col("item_b").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )

@@ -312,3 +312,9 @@ def test_q20_nested_in_compiles_to_semi_chain(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "tpch_q20_part_promotion")
     assert plan.count("LeftSemi") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_copurchase_topk_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "copurchase_item_sim")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
