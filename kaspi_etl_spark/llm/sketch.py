@@ -380,7 +380,11 @@ def bloom_probe(
             ).alias("_hit"),
         )
         .groupBy(key_col)
-        .agg((F.sum("_hit") == F.lit(n_hashes)).alias(out_col))
+        # every exploded position row must hit — phrased as sum == count
+        # so DUPLICATE probe keys stay correct (a key occurring r times
+        # contributes r * n_hashes rows; "== n_hashes" would flip both
+        # ways for r > 1 — caught by the 10x stress run)
+        .agg((F.sum("_hit") == F.count(F.lit(1))).alias(out_col))
     )
     return probes.join(hits, key_col, "left")
 
@@ -391,3 +395,43 @@ def bloom_sql_positions(key_expr: str, n_hashes: int = BLOOM_HASHES, m_bits: int
         f"(('0x' || substr(md5({key_expr} || 'bf{i}'), 1, 15))::BIGINT % {m_bits})"
         for i in range(n_hashes)
     ]
+
+
+def bloom_probe_literal(
+    probes: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Map-side membership test: the word table (at most
+    m_bits/BLOOM_WORD_BITS + 1 longs — a few KB) collects to the driver
+    once and bakes into the plan as a dense literal array, so the probe
+    is a pure scalar expression per row: no explode, no join, no
+    shuffle. This is the true pre-join pruning form at 100 TB (the
+    filter rides inside the fact table's scan stage); use
+    ``bloom_probe`` when m_bits is too large to broadcast as literals.
+
+    The bounded driver read is the same class as the k-means
+    convergence read — O(sketch), never O(data).
+    """
+    n_words = m_bits // BLOOM_WORD_BITS + 1
+    dense = [0] * n_words
+    for r in bloom.collect():  # bounded: sketch-sized
+        dense[int(r["word_idx"])] = int(r["word"])
+    # one array Literal (constant-folded), NOT F.array(*lits) — a
+    # CreateArray of hundreds of literals is re-built per input row
+    arr = F.lit(dense).cast("array<bigint>")
+    key = F.col(key_col).cast("string")
+    out = probes.withColumn("_bw", arr)
+    for i, pos in enumerate(_bloom_positions(key, n_hashes, m_bits)):
+        out = out.withColumn(f"_p{i}", pos)
+    cond = " AND ".join(
+        f"(shiftright(element_at(_bw, CAST(_p{i} DIV {BLOOM_WORD_BITS} AS INT) + 1),"
+        f" CAST(_p{i} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+        for i in range(n_hashes)
+    )
+    return out.withColumn(out_col, F.expr(cond)).drop(
+        "_bw", *[f"_p{i}" for i in range(n_hashes)]
+    )

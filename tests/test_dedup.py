@@ -236,3 +236,27 @@ def test_bloom_sketch_is_constant_size(spark):
     big = spark.range(0, 5000).select(F.col("id").alias("k"))
     words = sketch.bloom_build(big, "k").count()
     assert words <= sketch.BLOOM_BITS // sketch.BLOOM_WORD_BITS + 1
+
+
+def test_bloom_probe_literal_equals_join_form(spark):
+    from kaspi_etl_spark.llm import sketch
+
+    members = spark.range(0, 300).select((F.col("id") * 7).alias("k"))
+    bloom = sketch.bloom_build(members, "k")
+    # duplicate probe rows included: the aggregate form must stay
+    # per-row correct when a key occurs many times
+    probes = spark.range(0, 4000).select((F.col("id") % 2000).alias("k"))
+    a = {r["k"]: r["might_contain"]
+         for r in sketch.bloom_probe(probes, bloom, "k").collect()}
+    b = {r["k"]: r["might_contain"]
+         for r in sketch.bloom_probe_literal(probes, bloom, "k").collect()}
+    assert a == b
+    # no false negatives even with duplicates
+    mset = {r["k"] for r in members.collect()}
+    assert all(a[k] for k in a if k in mset)
+    # and the literal form is join-free
+    plan = (
+        sketch.bloom_probe_literal(probes, bloom, "k")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan

@@ -114,6 +114,81 @@ def main() -> None:
         n_emb,
     )
 
+    # Late-r5 operators at K x scale: Bloom build+probe over K x 600k
+    # lineitem keys, z-order clustering write of the scaled key frame,
+    # the dyadic EWMA over the scaled daily series, and the composed
+    # corpus-cleaning pipeline over the duplicated docs.
+    from kaspi_etl_spark import layout  # noqa: E402
+    from kaspi_etl_spark.llm import pii, sketch, web  # noqa: E402
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    li_parts = [
+        li.select(
+            (F.col("l_orderkey") + F.lit(i * 100_000_000)).alias("k"),
+            (F.col("l_partkey") + F.lit(i * 10_000_000)).alias("p"),
+        )
+        for i in range(k)
+    ]
+    keys = li_parts[0]
+    for pt in li_parts[1:]:
+        keys = keys.unionByName(pt)
+    keys = keys.localCheckpoint()
+    n_keys = keys.count()
+    print(f"# stress keys: {n_keys} rows ({k} x sf0.1 lineitem)")
+
+    if not only or "bloom" in only:
+        t0 = time.time()
+        # ~1.2k distinct member keys: a 16384-bit sketch holds them at
+        # ~30% fill (size the sketch to the member set — %100 here would
+        # saturate it and flag everything)
+        members = keys.filter(F.col("k") % 1000 == 0).select("k")
+        bloom = sketch.bloom_build(members, "k").localCheckpoint()
+        t1 = time.time()
+        probed = sketch.bloom_probe(keys, bloom, "k")
+        n_might = probed.filter(F.col("might_contain")).count()
+        t2 = time.time()
+        n_lit = (
+            sketch.bloom_probe_literal(keys, bloom, "k")
+            .filter(F.col("might_contain"))
+            .count()
+        )
+        t3 = time.time()
+        assert n_lit == n_might
+        print(
+            f"bloom: build {t1 - t0:.1f}s, join-probe {t2 - t1:.1f}s "
+            f"({n_keys / (t2 - t1):.0f} rows/s), literal-probe {t3 - t2:.1f}s "
+            f"({n_keys / (t3 - t2):.0f} rows/s), {n_might} might-contain"
+        )
+
+    if not only or "zorder" in only:
+        import shutil
+        import tempfile
+
+        zdir = tempfile.mkdtemp(prefix="stress_z_") + "/t"
+        t0 = time.time()
+        layout.write_zordered(keys, zdir, ["k", "p"], bits=20, num_files=64)
+        dt = time.time() - t0
+        print(f"zorder_write: {dt:.1f}s ({n_keys} rows, {n_keys / dt:.0f} rows/s)")
+        shutil.rmtree(zdir.rsplit("/", 1)[0], ignore_errors=True)
+
+    if not only or "pipeline" in only:
+        t0 = time.time()
+        cleaned = dedup.exact_dedup_keep(
+            pii.redact_documents(
+                web.filter_blocked_domains(
+                    docs.withColumn("source", F.lit("s")), ["spam.example.com"]
+                )
+            )
+        )
+        n_clean = cleaned.count()
+        dt = time.time() - t0
+        print(
+            f"corpus_pipeline: {dt:.1f}s ({n_docs} docs in, {n_clean} out, "
+            f"{n_docs / dt:.0f} docs/s)"
+        )
+
 
 if __name__ == "__main__":
     main()
