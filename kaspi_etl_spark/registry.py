@@ -7522,3 +7522,94 @@ def q_copurchase_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+@register(
+    "events_unpivot_daily",
+    """
+    WITH wide AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+             CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+             CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+      FROM events GROUP BY 1
+    )
+    SELECT day, event_type, n
+    FROM wide
+    UNPIVOT (n FOR event_type IN (view, click, signup, purchase, error))
+    """,
+)
+def q_events_unpivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the wide daily event matrix back to long form via
+    ``F.stack`` — the inverse of events_pivot_daily, round-tripping the
+    wide layout analysts export back into the narrow layout pipelines
+    join on. stack() is a generator projection — zero extra shuffles on
+    top of the pivot aggregate. (UNPIVOT in both engines keeps rows with
+    n = 0; only NULL cells would drop.)"""
+    wide = behavior_ops.daily_pivot(read_events(spark, sf_dir), _PIVOT_TYPES).drop(
+        "total"
+    )
+    cols = ", ".join(f"'{t}', {t}" for t in _PIVOT_TYPES)
+    return wide.select(
+        "day",
+        F.expr(f"stack({len(_PIVOT_TYPES)}, {cols}) AS (event_type, n)"),
+    ).select("day", "event_type", F.col("n").cast("long").alias("n"))
+
+
+@register(
+    "returnflag_qty_price_corr",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n,
+           CASE WHEN (count(*) * sum(x * x) - sum(x) * sum(x)) > 0
+                 AND (count(*) * sum(y * y) - sum(y) * sum(y)) > 0
+                THEN CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE)
+                     / sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE))
+                     / sqrt(CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE))
+                ELSE CAST(0 AS DOUBLE) END AS corr_qty_price
+    FROM (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem)
+    GROUP BY l_returnflag
+    """,
+)
+def q_returnflag_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped Pearson correlation (quantity vs price per returnflag)
+    from EXACT integer moment sums — the n·Σxy − Σx·Σy form with two
+    correctly-rounded IEEE sqrt/divides at the end, so unlike F.corr
+    (a float streaming covariance whose result depends on partition
+    fold order) the value is bit-identical across engines and
+    partitionings. One map-side-combinable aggregation; no second
+    pass for the means."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("long").alias("x"),
+        F.round("l_extendedprice").cast("long").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov.cast("double")
+            / F.sqrt(vx.cast("double"))
+            / F.sqrt(vy.cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("corr_qty_price"),
+    )
