@@ -799,3 +799,51 @@ def term_rarity(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         (F.col("sum_df").cast("double") / F.col("n_terms").cast("double")).alias("mean_df"),
         "n_hapax",
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_bits: int = 16,
+) -> DataFrame:
+    """Tokenize-and-pack planning: assign every document its exact span
+    inside fixed-length training sequences (the pretraining packing
+    step), with documents split across sequence boundaries exactly as a
+    concatenate-then-chunk tokenizer pipeline would.
+
+    A doc occupying global token positions [cum - n, cum) contributes
+    one output row per training sequence it touches: sequence
+    ``seq_id = pos div seq_len``, starting at ``seq_offset`` inside it,
+    covering ``n_in_seq`` tokens from doc offset ``doc_offset``. The
+    global order is the deterministic hash order of the two-phase
+    distributed prefix sum (never a global-order window); the per-doc
+    explode is bounded by ceil(n / seq_len) + 1 rows, so output size is
+    O(total_tokens / seq_len + n_docs) no matter how the corpus is
+    partitioned.
+
+    Downstream: repartition on seq_id and write — each partition holds
+    complete sequences, every sequence is exactly seq_len tokens except
+    the last.
+    """
+    base = _hash_order_running_tokens(docs, text_col, id_col, bucket_bits)
+    start = F.col("cum_tokens") - F.col("n_tokens")
+    first_seq = F.expr(f"(cum_tokens - n_tokens) div {int(seq_len)}")
+    last_seq = F.expr(f"(cum_tokens - 1) div {int(seq_len)}")
+    spans = base.filter(F.col("n_tokens") > 0).select(
+        id_col,
+        "n_tokens",
+        start.alias("_start"),
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    seq_start = F.col("seq_id") * seq_len
+    seg_lo = F.greatest(F.col("_start"), seq_start)
+    seg_hi = F.least(F.col("_start") + F.col("n_tokens"), seq_start + seq_len)
+    return spans.select(
+        id_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (seg_lo - seq_start).cast("long").alias("seq_offset"),
+        (seg_lo - F.col("_start")).cast("long").alias("doc_offset"),
+        (seg_hi - seg_lo).cast("long").alias("n_in_seq"),
+    )

@@ -7613,3 +7613,47 @@ def q_returnflag_qty_price_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("corr_qty_price"),
     )
+
+
+@register(
+    "token_pack_sequences",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens,
+             {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'tbs'")} AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY pri, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, cum - n_tokens AS start,
+             unnest(range(CAST((cum - n_tokens) // 512 AS BIGINT),
+                          CAST((cum - 1) // 512 + 1 AS BIGINT))) AS seq_id
+      FROM r WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(start, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+           CAST(greatest(start, seq_id * 512) - start AS BIGINT) AS doc_offset,
+           CAST(least(start + n_tokens, seq_id * 512 + 512)
+                - greatest(start, seq_id * 512) AS BIGINT) AS n_in_seq
+    FROM spans
+    """,
+)
+def q_token_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining tokenize-and-pack): every document's
+    exact span inside fixed 512-token training sequences, docs split
+    across boundaries exactly like a concatenate-then-chunk tokenizer.
+    Built on the two-phase distributed prefix sum (no global-order
+    window); per-doc fan-out bounded by ceil(n/512) + 1. The seq_id is
+    the repartition key for the sequence writer."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.pack_sequences(d, seq_len=512)

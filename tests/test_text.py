@@ -205,3 +205,38 @@ def test_term_rarity_hand_computed(spark):
     assert out[2].n_terms == 3 and out[2].sum_df == 5 and out[2].n_hapax == 1
     assert out[3].n_terms == 1 and out[3].sum_df == 1 and out[3].n_hapax == 1
     assert out[1].mean_df == 5 / 3
+
+
+def test_pack_sequences_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark.llm import text
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in enumerate([100, 700, 1, 511, 513, 0])],
+        "doc_id long, text string",
+    )
+    out = text.pack_sequences(docs, seq_len=512).collect()
+    total = sum(r["n_in_seq"] for r in out)
+    assert total == 100 + 700 + 1 + 511 + 513  # empty doc contributes nothing
+    # per-doc segments reassemble the doc exactly, in order
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, segs in by_doc.items():
+        segs.sort(key=lambda r: r["doc_offset"])
+        assert segs[0]["doc_offset"] == 0
+        for a, b in zip(segs, segs[1:]):
+            assert a["doc_offset"] + a["n_in_seq"] == b["doc_offset"]
+    # per-sequence segments tile [0, 512) without overlap, full except last
+    by_seq = {}
+    for r in out:
+        by_seq.setdefault(r["seq_id"], []).append(r)
+    for seq_id, segs in sorted(by_seq.items()):
+        segs.sort(key=lambda r: r["seq_offset"])
+        pos = 0
+        for sg in segs:
+            assert sg["seq_offset"] == pos
+            pos += sg["n_in_seq"]
+        if seq_id < max(by_seq):
+            assert pos == 512  # interior sequences are exactly full
