@@ -194,3 +194,74 @@ def test_write_token_shards_balanced_files(spark, tmp_path):
     for sid, tot in sizes.items():
         if sid != last:
             assert 100 - 13 < tot < 100 + 13
+
+
+def test_upsert_crash_before_swap_leaves_old_state_intact(spark, tmp_path, monkeypatch):
+    """Failure injection: if the job dies while WRITING the staging dir
+    (any point before the first rename), the live table is untouched."""
+    import os as _os
+
+    from kaspi_etl_spark import sinks
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sinks.upsert_parquet(spark, base, path, ["k"])
+
+    real_rename = _os.rename
+
+    def explode(src, dst):
+        raise OSError("injected crash at first rename")
+
+    monkeypatch.setattr(_os, "rename", explode)
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    try:
+        sinks.upsert_parquet(spark, incoming, path, ["k"])
+        raise AssertionError("expected injected crash")
+    except OSError:
+        pass
+    finally:
+        monkeypatch.setattr(_os, "rename", real_rename)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "b"}  # old state fully intact
+
+
+def test_upsert_crash_between_renames_loses_nothing(spark, tmp_path, monkeypatch):
+    """Failure injection at the narrow window BETWEEN the two renames:
+    the live path is briefly absent, but both the old state (backup dir)
+    and the new state (staging dir) exist complete on disk — nothing is
+    corrupt, recovery is a rename."""
+    import glob as _glob
+    import os as _os
+
+    from kaspi_etl_spark import sinks
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    sinks.upsert_parquet(spark, base, path, ["k"])
+
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def fail_second(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("injected crash between renames")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", fail_second)
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    try:
+        sinks.upsert_parquet(spark, incoming, path, ["k"])
+        raise AssertionError("expected injected crash")
+    except OSError:
+        pass
+    finally:
+        monkeypatch.setattr(_os, "rename", real_rename)
+
+    backups = _glob.glob(f"{path}__old_*")
+    stagings = _glob.glob(f"{path}__stage_*")
+    assert backups and stagings
+    old = {r["k"]: r["v"] for r in spark.read.parquet(backups[0]).collect()}
+    new = {r["k"]: r["v"] for r in spark.read.parquet(stagings[0]).collect()}
+    assert old == {1: "a", 2: "b"}
+    assert new == {1: "a", 2: "B", 3: "c"}
