@@ -19,6 +19,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .ops.purchases import upsert as upsert_transform
 
@@ -199,5 +200,37 @@ def write_token_shards(
         out.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("shard_id")
+        .parquet(path)
+    )
+
+
+def write_packed_sequences(
+    docs: DataFrame,
+    path: str,
+    seq_len: int,
+    seqs_per_file: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Packed-sequence writer: materialize ``llm.text.pack_sequences``
+    spans joined back to the document text, bucketed so each output
+    partition holds ``seqs_per_file`` complete training sequences
+    (partitioning per individual sequence would drown the filesystem in
+    tiny files). A trainer streams seq_bucket=K, sorts rows by
+    (seq_id, seq_offset) — cheap: a bucket is seqs_per_file * seq_len
+    tokens — and slices each doc's text span by (doc_offset, n_in_seq).
+    """
+    from .llm.text import pack_sequences
+
+    spans = pack_sequences(docs, seq_len, text_col=text_col, id_col=id_col)
+    out = (
+        spans.join(docs.select(id_col, text_col), id_col)
+        .withColumn("seq_bucket", (F.col("seq_id") / seqs_per_file).cast("long"))
+        .repartition("seq_bucket")
+    )
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("seq_bucket")
         .parquet(path)
     )

@@ -265,3 +265,32 @@ def test_upsert_crash_between_renames_loses_nothing(spark, tmp_path, monkeypatch
     new = {r["k"]: r["v"] for r in spark.read.parquet(stagings[0]).collect()}
     assert old == {1: "a", 2: "b"}
     assert new == {1: "a", 2: "B", 3: "c"}
+
+
+def test_write_packed_sequences_roundtrip(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark import sinks
+    from kaspi_etl_spark.llm.text import whitespace_token_count
+
+    docs = spark.createDataFrame(
+        [(i, " ".join([f"w{i}"] * (37 * (i + 1) % 300 + 1))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "seqs")
+    sinks.write_packed_sequences(docs, path, seq_len=128, seqs_per_file=4)
+    back = spark.read.parquet(path)
+    # every token of every doc lands in exactly one sequence span
+    total_tokens = docs.select(
+        F.sum(whitespace_token_count(F.col("text")))
+    ).collect()[0][0]
+    assert back.agg(F.sum("n_in_seq")).collect()[0][0] == total_tokens
+    # buckets hold only their own sequences
+    bad = back.filter(
+        (F.col("seq_id") / 4).cast("long") != F.col("seq_bucket")
+    ).count()
+    assert bad == 0
+    # interior sequences are exactly full
+    per_seq = back.groupBy("seq_id").agg(F.sum("n_in_seq").alias("n")).collect()
+    max_seq = max(r["seq_id"] for r in per_seq)
+    assert all(r["n"] == 128 for r in per_seq if r["seq_id"] < max_seq)
