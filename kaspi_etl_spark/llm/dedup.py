@@ -593,44 +593,51 @@ def connected_components_star(
 SIMHASH_BITS = 60  # md5_long yields 60 usable bits
 
 
-def with_simhash(docs: DataFrame, text_col: str = "text", out_col: str = "sig") -> DataFrame:
+def with_simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    out_col: str = "sig",
+    id_col: str = "doc_id",
+) -> DataFrame:
     """60-bit SimHash over distinct whitespace tokens: bit i of the
     signature is the majority vote of bit i across token hashes.
 
-    Single fold over the token-hash array accumulating a 60-counter
-    vote vector (zip_with), with the vote vector materialized as a real
-    column before the per-bit sign readout — per-bit aggregate folds or
-    an inline votes expression would re-run the fold 60 times. 60 bits
-    (not 32): bucket selectivity is what keeps the chunk join linear;
-    coarse signatures over templated corpora collide catastrophically.
-    md5-based token hashes keep it portable to any SQL oracle."""
+    Shape: explode the distinct tokens, md5 in whole-stage codegen, ONE
+    map-side-combinable groupBy computing all 60 bit-vote sums, then
+    assemble the signature from the 60 aggregate columns and join it
+    back on ``id_col``. The earlier aggregate(zip_with(...)) fold built
+    a 60-element array per token inside interpreted lambdas — the same
+    interpreter tax purged from the k-means/MinHash/Jaccard paths; the
+    exchange here carries one partially-aggregated row per doc.
+    Token-less docs keep their sig = 0 semantics (explode_outer emits a
+    null token whose vote is 0 on every bit). 60 bits (not 32): bucket
+    selectivity is what keeps the chunk join linear; coarse signatures
+    over templated corpora collide catastrophically. md5-based token
+    hashes keep it portable to any SQL oracle."""
     tokens = F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-    hashes = F.transform(tokens, lambda t: md5_long(t))
-
-    def bit_votes(h):
-        return F.array(
-            *[
-                F.when(h.bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
-                for i in range(SIMHASH_BITS)
-            ]
-        )
-
-    votes = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b),
+    ex = docs.select(F.col(id_col), F.explode_outer(tokens).alias("_t")).select(
+        F.col(id_col), md5_long(F.col("_t")).alias("_h")
     )
-    with_votes = docs.withColumn("_votes", votes)
+    votes = [
+        F.sum(
+            F.when(F.col("_h").isNull(), 0)
+            .when(F.col("_h").bitwiseAND(F.lit(1 << i)) != 0, 1)
+            .otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
     sig = sum(
         (
-            F.when(F.element_at(F.col("_votes"), i + 1) > 0, F.lit(1 << i))
+            F.when(F.col(f"_v{i}") > 0, F.lit(1 << i))
             .otherwise(F.lit(0))
             .cast("long")
             for i in range(SIMHASH_BITS)
         ),
         F.lit(0).cast("long"),
     )
-    return with_votes.withColumn(out_col, sig).drop("_votes")
+    sigs = agg.select(F.col(id_col), sig.alias(out_col))
+    return docs.join(sigs, id_col)
 
 
 def simhash_pairs(
