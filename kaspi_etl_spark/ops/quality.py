@@ -74,3 +74,29 @@ def orphan_count(
         F.count("*").cast("double").alias("metric"),
         (F.count("*") == 0).alias("passed"),
     )
+
+
+def observed_write_metrics(
+    df: DataFrame, watch_cols: list[str]
+) -> tuple[DataFrame, "Observation"]:
+    """Attach in-flight data-quality metrics to a frame so the NEXT
+    action over it (typically the write) also produces row count and
+    per-column null counts — zero extra scans, unlike a separate
+    metrics_report pass over the same input.
+
+    Returns (observed_df, observation); after the action completes,
+    ``observation.get`` yields {'n_rows': ..., 'nulls_<col>': ...}.
+    This is the production form of the DQ suite for write paths: the
+    declarative metrics_report stays for audits, the observation rides
+    along with every load. (Spark computes observed metrics as
+    accumulator-style aggregates during the action — they are exact,
+    not sampled.)
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("write_metrics")
+    metrics = [F.count(F.lit(1)).alias("n_rows")] + [
+        F.sum(F.col(c).isNull().cast("long")).alias(f"nulls_{c}")
+        for c in watch_cols
+    ]
+    return df.observe(obs, *metrics), obs

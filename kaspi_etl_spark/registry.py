@@ -7657,3 +7657,36 @@ def q_token_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     the repartition key for the sequence writer."""
     d = _read(spark, sf_dir, "documents")
     return text_ops.pack_sequences(d, seq_len=512)
+
+
+@register(
+    "events_variant_probe",
+    """
+    SELECT CAST(k % 10 AS BIGINT) AS k_mod,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events)
+    WHERE k IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q_events_variant_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured probe via the Spark 4 VARIANT type: props parses
+    once into the binary variant encoding (``parse_json``) and fields
+    extract with ``variant_get`` — the open-lakehouse answer to
+    repeated-schema-on-read JSON string parsing (one parse, typed
+    paths, shreddable at the storage layer). The oracle is DuckDB's
+    JSON extraction over the same strings; rollup on exact integer
+    sums."""
+    ev = read_events(spark, sf_dir)
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select(k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy((F.col("k") % 10).cast("long").alias("k_mod"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )

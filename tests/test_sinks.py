@@ -294,3 +294,17 @@ def test_write_packed_sequences_roundtrip(spark, tmp_path):
     per_seq = back.groupBy("seq_id").agg(F.sum("n_in_seq").alias("n")).collect()
     max_seq = max(r["seq_id"] for r in per_seq)
     assert all(r["n"] == 128 for r in per_seq if r["seq_id"] < max_seq)
+
+
+def test_observed_write_metrics_ride_the_write(spark, tmp_path):
+    from kaspi_etl_spark.ops import quality
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "k long, v string"
+    )
+    observed, obs = quality.observed_write_metrics(df, ["v"])
+    observed.write.mode("overwrite").parquet(str(tmp_path / "t"))
+    got = obs.get
+    assert got["n_rows"] == 4 and got["nulls_v"] == 2
+    # the write itself is complete and correct
+    assert spark.read.parquet(str(tmp_path / "t")).count() == 4
