@@ -435,3 +435,55 @@ def bloom_probe_literal(
     return out.withColumn(out_col, F.expr(cond)).drop(
         "_bw", *[f"_p{i}" for i in range(n_hashes)]
     )
+
+
+# --- KMV (k-minimum-values) distinct sketch ---------------------------------
+
+KMV_K = 64
+KMV_SPACE = 1 << 60  # md5_long range
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group KMV distinct sketch: the k smallest distinct 60-bit key
+    hashes. Mergeable (union = k smallest of the concatenation) and —
+    unlike the opaque HLL binary — exact integers end to end, so any
+    SQL engine reproduces the sketch AND the estimate bit-for-bit.
+
+    Estimator: when a group holds fewer than k distinct hashes the
+    count is exact; otherwise DV ~= (k - 1) * SPACE / kth_min — the
+    classic KMV unbiased form, computed as one integer division.
+
+    Shape: distinct -> per-group bottom-k via a rank window (compiles
+    to WindowGroupLimit: each partition keeps k rows per group before
+    the exchange) -> per-group max+count. No per-group full sort, no
+    collect; state is O(k) per group forever.
+    """
+    from pyspark.sql import Window
+
+    hashed = df.select(
+        F.col(group_col), md5_long(F.col(key_col).cast("string"), "kmv").alias("_h")
+    ).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
+    bottom = hashed.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= k
+    )
+    return bottom.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max("_h").cast("long").alias("kth_min"),
+    ).select(
+        group_col,
+        "n_kept",
+        "kth_min",
+        F.when(F.col("n_kept") < k, F.col("n_kept"))
+        .otherwise(
+            # explicit floor: a bare decimal -> BIGINT cast truncates in
+            # Spark but rounds in DuckDB — pin the floor in the expression
+            F.expr(
+                f"CAST(floor(({k} - 1) * CAST({KMV_SPACE} AS DECIMAL(38,0))"
+                " / kth_min) AS BIGINT)"
+            )
+        )
+        .alias("dv_estimate"),
+    )

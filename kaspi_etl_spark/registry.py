@@ -7690,3 +7690,54 @@ def q_events_variant_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("long").alias("sum_k"),
         )
     )
+
+
+@register(
+    "orders_kmv_distinct",
+    f"""
+    WITH hashed AS (
+      SELECT DISTINCT o_orderpriority,
+             {_sql_md5_long("CAST(o_custkey AS VARCHAR) || 'kmv'")} AS h
+      FROM orders
+    ),
+    bottom AS (
+      SELECT o_orderpriority, h
+      FROM hashed
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h ASC) <= 64
+    ),
+    agg AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_kept,
+             CAST(max(h) AS BIGINT) AS kth_min
+      FROM bottom GROUP BY o_orderpriority
+    ),
+    est AS (
+      SELECT o_orderpriority, n_kept, kth_min,
+             CASE WHEN n_kept < 64 THEN n_kept
+                  ELSE CAST(floor(63 * CAST(1152921504606846976 AS DECIMAL(38,0))
+                                  / kth_min) AS BIGINT) END AS dv_estimate
+      FROM agg
+    )
+    SELECT e.o_orderpriority, e.n_kept, e.kth_min, e.dv_estimate,
+           x.exact_dv
+    FROM est e JOIN (
+      SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_dv
+      FROM orders GROUP BY o_orderpriority) x
+      ON x.o_orderpriority = e.o_orderpriority
+    """,
+)
+def q_orders_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch per order priority, alongside the exact
+    distinct for error inspection. Unlike the HLL binary (opaque,
+    engine-specific), every piece — bottom-64 hash set, kth-min, the
+    (k-1)*space/kth_min estimate — is exact integer arithmetic, so the
+    DuckDB oracle reproduces the SKETCH itself bit-for-bit, not just a
+    tolerance band. The bottom-k compiles to WindowGroupLimit (partial
+    per-partition top-k before the exchange); sketch state is O(k) per
+    group and merges by keeping the k smallest of a union."""
+    orders = _read(spark, sf_dir, "orders")
+    sk = sketch_ops.kmv_sketch(orders, "o_orderpriority", "o_custkey")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_dv")
+    )
+    return sk.join(exact, "o_orderpriority")

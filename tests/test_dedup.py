@@ -260,3 +260,21 @@ def test_bloom_probe_literal_equals_join_form(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in plan and "Exchange" not in plan
+
+
+def test_kmv_sketch_exact_below_k_and_sane_above(spark):
+    from kaspi_etl_spark.llm import sketch
+
+    # group "small": 30 distinct keys -> exact; "big": 5000 -> estimated
+    rows = [("small", i) for i in range(30)] + [("big", i) for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r["g"]: r for r in sketch.kmv_sketch(df, "g", "k").collect()}
+    assert out["small"]["dv_estimate"] == 30  # exact under k
+    est = out["big"]["dv_estimate"]
+    assert 0.6 * 5000 < est < 1.6 * 5000  # KMV error band at k=64
+    # duplicates never change the sketch
+    dup = spark.createDataFrame(rows + rows, "g string, k long")
+    out2 = {r["g"]: r for r in sketch.kmv_sketch(dup, "g", "k").collect()}
+    assert {g: (r["kth_min"], r["dv_estimate"]) for g, r in out.items()} == {
+        g: (r["kth_min"], r["dv_estimate"]) for g, r in out2.items()
+    }
