@@ -460,15 +460,45 @@ def kmv_sketch(
     the exchange) -> per-group max+count. No per-group full sort, no
     collect; state is O(k) per group forever.
     """
+    return kmv_estimate(kmv_bottom(df, group_col, key_col, k), k)
+
+
+def kmv_bottom(
+    df: DataFrame, group_col: str, key_col: str, k: int = KMV_K
+) -> DataFrame:
+    """The sketch STATE: per-group k smallest distinct key hashes as
+    (group, h) rows — what gets persisted and merged."""
     from pyspark.sql import Window
 
     hashed = df.select(
         F.col(group_col), md5_long(F.col(key_col).cast("string"), "kmv").alias("_h")
     ).distinct()
     w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
-    bottom = hashed.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= k
+    return (
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, "_h")
     )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame:
+    """Union of two KMV states: the k smallest of the combined distinct
+    hash sets — identical to sketching the unioned input directly
+    (property-tested), so shards/streams sketch independently and merge."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b).distinct()
+    w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
+    return (
+        u.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select(group_col, "_h")
+    )
+
+
+def kmv_estimate(bottom: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Estimate from a KMV state (see kmv_sketch for the math)."""
+    group_col = [c for c in bottom.columns if c != "_h"][0]
     return bottom.groupBy(group_col).agg(
         F.count("*").cast("long").alias("n_kept"),
         F.max("_h").cast("long").alias("kth_min"),

@@ -278,3 +278,18 @@ def test_kmv_sketch_exact_below_k_and_sane_above(spark):
     assert {g: (r["kth_min"], r["dv_estimate"]) for g, r in out.items()} == {
         g: (r["kth_min"], r["dv_estimate"]) for g, r in out2.items()
     }
+
+
+def test_kmv_merge_equals_sketch_of_union(spark):
+    from kaspi_etl_spark.llm import sketch
+
+    a = spark.createDataFrame([("g", i) for i in range(0, 400)], "g string, k long")
+    b = spark.createDataFrame([("g", i) for i in range(300, 800)], "g string, k long")
+    merged = sketch.kmv_merge(
+        sketch.kmv_bottom(a, "g", "k"), sketch.kmv_bottom(b, "g", "k"), "g"
+    )
+    direct = sketch.kmv_bottom(a.unionByName(b), "g", "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est_m = sketch.kmv_estimate(merged).collect()[0]["dv_estimate"]
+    est_d = sketch.kmv_estimate(direct).collect()[0]["dv_estimate"]
+    assert est_m == est_d
