@@ -821,14 +821,25 @@ def pq_topk(
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub_len = dim // m
-    coarse = kmeans_train(
-        corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col,
-        scale_bits=scale_bits,
-    )
-    books = pq_train_codebooks(
-        corpus, dim, m=m, k_sub=k_sub, iters=train_iters, id_col=id_col,
-        vec_col=vec_col, scale_bits=scale_bits,
-    )
+    # The two training loops are independent given the corpus and each
+    # is driver-paced (bounded collect per iteration), so run them as
+    # concurrent Spark jobs from two threads — the scheduler interleaves
+    # their small stages instead of serializing the driver round-trips.
+    # Determinism is unaffected: the loops share nothing but the
+    # read-only corpus frame.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_coarse = pool.submit(
+            kmeans_train, corpus, k=n_lists, iters=train_iters, id_col=id_col,
+            vec_col=vec_col, scale_bits=scale_bits,
+        )
+        f_books = pool.submit(
+            pq_train_codebooks, corpus, dim, m=m, k_sub=k_sub,
+            iters=train_iters, id_col=id_col, vec_col=vec_col,
+            scale_bits=scale_bits,
+        )
+        coarse, books = f_coarse.result(), f_books.result()
     qv = _quantized(vec_col, scale_bits)
 
     # Corpus encode as ONE exploded broadcast-join + hash-agg pass
