@@ -7349,9 +7349,11 @@ def q_sku_demand_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SKU exponentially weighted moving average of daily demand with
     alpha = 1/2 and a 31-day lookback — and it is bit-exact across
     engines, which float EWMAs never are: every contribution y * 2^-(d+1)
-    is a dyadic rational, and with y < 2^10 and d <= 31 all partial sums
-    stay inside the 53-bit mantissa, so the double SUM is EXACT and
-    therefore order-independent. The recursion is flattened into a
+    is a dyadic rational, and as long as the daily sum y stays below
+    2^21 (true by orders of magnitude here; at 100 TB partition days
+    further if a single key's daily quantity approaches millions) every
+    partial sum spans at most 21 + 32 = 53 mantissa bits, so the double
+    SUM is EXACT and therefore order-independent. The recursion is flattened into a
     contribution explode (each observed day pushes its decayed weight
     onto the next 32 days) + one hash aggregate — no sequential
     per-partition scan, no window ordering dependence; at 100 TB both
