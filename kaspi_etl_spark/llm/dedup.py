@@ -637,7 +637,9 @@ def with_simhash(
         F.lit(0).cast("long"),
     )
     sigs = agg.select(F.col(id_col), sig.alias(out_col))
-    return docs.join(sigs, id_col)
+    # LEFT join: a null-id row can't match a groupBy key, but it must
+    # not vanish from the output — it survives with a null signature
+    return docs.join(sigs, id_col, "left")
 
 
 def simhash_pairs(
@@ -650,7 +652,7 @@ def simhash_pairs(
     """SimHash near-dup: band the 60-bit signature into 15-bit chunks
     (pigeonhole: hamming <= 3 guarantees one identical chunk of 4), join
     on identical chunks, verify hamming distance."""
-    sigs = with_simhash(docs, text_col).select(F.col(id_col), "sig")
+    sigs = with_simhash(docs, text_col, id_col=id_col).select(F.col(id_col), "sig")
     chunk_bits = SIMHASH_BITS // bands
     chunks = sigs.select(
         id_col,

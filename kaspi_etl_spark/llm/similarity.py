@@ -560,6 +560,14 @@ def kmeans_train(
     # them, and recomputing scan+quantize+explode per round costs more
     # than the (3-int-per-element) cache footprint at any scale
     ex = vecs.select("_id", F.posexplode("_qv").alias("_pos", "_x")).persist()
+    try:
+        cents = _kmeans_loop(spark, ex, cents, iters)
+    finally:
+        ex.unpersist()
+    return cents
+
+
+def _kmeans_loop(spark, ex, cents, iters):
     for _ in range(iters):
         cent_rows = spark.createDataFrame(
             [(int(cid), p, int(c)) for cid, qc in cents for p, c in enumerate(qc)],
@@ -596,7 +604,6 @@ def kmeans_train(
         if new_cents == cents:
             break
         cents = new_cents
-    ex.unpersist()
     return cents
 
 
@@ -725,53 +732,55 @@ def pq_train_codebooks(
         ]
         for s in range(m)
     ]
-    for _ in range(iters):
-        cent_rows = spark.createDataFrame(
-            [
-                (s, int(cid), p, int(c))
-                for s, book in enumerate(cents)
-                for cid, qc in book
-                for p, c in enumerate(qc)
-            ],
-            "_s INT, _cl BIGINT, _pos INT, _c BIGINT",
-        )
-        diff = F.col("_x") - F.col("_c")
-        scored = (
-            ex.join(F.broadcast(cent_rows), ["_s", "_pos"])
-            .groupBy("_id", "_s", "_cl")
-            .agg(F.sum(diff * diff).alias("_d"))
-        )
-        best = scored.groupBy("_id", "_s").agg(
-            F.min(F.struct(F.col("_d").alias("d"), F.col("_cl").alias("c")))["c"]
-            .alias("_bc")
-        )
-        upd = (
-            ex.join(best, ["_id", "_s"])
-            .groupBy("_s", F.col("_bc").alias("_cl"), F.col("_pos"))
-            .agg(
-                F.round(
-                    F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
-                )
-                .cast("long")
-                .alias("_c")
+    try:
+        for _ in range(iters):
+            cent_rows = spark.createDataFrame(
+                [
+                    (s, int(cid), p, int(c))
+                    for s, book in enumerate(cents)
+                    for cid, qc in book
+                    for p, c in enumerate(qc)
+                ],
+                "_s INT, _cl BIGINT, _pos INT, _c BIGINT",
             )
-        )
-        nested: dict[int, dict[int, dict[int, int]]] = {}
-        for r in upd.collect():  # bounded: at most m * k_sub * sub_len rows
-            nested.setdefault(int(r["_s"]), {}).setdefault(int(r["_cl"]), {})[
-                int(r["_pos"])
-            ] = int(r["_c"])
-        new_cents = [
-            [
-                (cid, [dims[p] for p in sorted(dims)])
-                for cid, dims in sorted(nested.get(s, {}).items())
+            diff = F.col("_x") - F.col("_c")
+            scored = (
+                ex.join(F.broadcast(cent_rows), ["_s", "_pos"])
+                .groupBy("_id", "_s", "_cl")
+                .agg(F.sum(diff * diff).alias("_d"))
+            )
+            best = scored.groupBy("_id", "_s").agg(
+                F.min(F.struct(F.col("_d").alias("d"), F.col("_cl").alias("c")))["c"]
+                .alias("_bc")
+            )
+            upd = (
+                ex.join(best, ["_id", "_s"])
+                .groupBy("_s", F.col("_bc").alias("_cl"), F.col("_pos"))
+                .agg(
+                    F.round(
+                        F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
+                    )
+                    .cast("long")
+                    .alias("_c")
+                )
+            )
+            nested: dict[int, dict[int, dict[int, int]]] = {}
+            for r in upd.collect():  # bounded: at most m * k_sub * sub_len rows
+                nested.setdefault(int(r["_s"]), {}).setdefault(int(r["_cl"]), {})[
+                    int(r["_pos"])
+                ] = int(r["_c"])
+            new_cents = [
+                [
+                    (cid, [dims[p] for p in sorted(dims)])
+                    for cid, dims in sorted(nested.get(s, {}).items())
+                ]
+                for s in range(m)
             ]
-            for s in range(m)
-        ]
-        if new_cents == cents:
-            break
-        cents = new_cents
-    ex.unpersist()
+            if new_cents == cents:
+                break
+            cents = new_cents
+    finally:
+        ex.unpersist()
     return [
         [(j, qc) for j, (_, qc) in enumerate(book)] for book in cents
     ]

@@ -362,9 +362,7 @@ def bloom_probe(
     key = F.col(key_col).cast("string")
     ex = probes.select(
         key_col,
-        F.posexplode(F.array(*_bloom_positions(key, n_hashes, m_bits))).alias(
-            "_i", "_pos"
-        ),
+        F.explode(F.array(*_bloom_positions(key, n_hashes, m_bits))).alias("_pos"),
     ).select(
         key_col,
         F.expr(f"_pos DIV {BLOOM_WORD_BITS}").alias("word_idx"),
@@ -386,7 +384,10 @@ def bloom_probe(
         # ways for r > 1 — caught by the 10x stress run)
         .agg((F.sum("_hit") == F.count(F.lit(1))).alias(out_col))
     )
-    return probes.join(hits, key_col, "left")
+    joined = probes.join(hits, key_col, "left")
+    # a NULL probe key hashes to NULL positions and can never be a
+    # member — answer False, not NULL (the boolean contract)
+    return joined.withColumn(out_col, F.coalesce(F.col(out_col), F.lit(False)))
 
 
 def bloom_sql_positions(key_expr: str, n_hashes: int = BLOOM_HASHES, m_bits: int = BLOOM_BITS) -> list[str]:
@@ -432,9 +433,9 @@ def bloom_probe_literal(
         f" CAST(_p{i} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
         for i in range(n_hashes)
     )
-    return out.withColumn(out_col, F.expr(cond)).drop(
-        "_bw", *[f"_p{i}" for i in range(n_hashes)]
-    )
+    return out.withColumn(
+        out_col, F.coalesce(F.expr(cond), F.lit(False))
+    ).drop("_bw", *[f"_p{i}" for i in range(n_hashes)])
 
 
 # --- KMV (k-minimum-values) distinct sketch ---------------------------------

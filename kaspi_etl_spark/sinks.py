@@ -213,18 +213,29 @@ def write_packed_sequences(
     id_col: str = "doc_id",
 ) -> None:
     """Packed-sequence writer: materialize ``llm.text.pack_sequences``
-    spans joined back to the document text, bucketed so each output
-    partition holds ``seqs_per_file`` complete training sequences
-    (partitioning per individual sequence would drown the filesystem in
-    tiny files). A trainer streams seq_bucket=K, sorts rows by
-    (seq_id, seq_offset) — cheap: a bucket is seqs_per_file * seq_len
-    tokens — and slices each doc's text span by (doc_offset, n_in_seq).
+    spans with each span's OWN slice of the document text, bucketed so
+    each output partition holds ``seqs_per_file`` complete training
+    sequences (partitioning per individual sequence would drown the
+    filesystem in tiny files). A trainer streams seq_bucket=K and sorts
+    rows by (seq_id, seq_offset) — cheap: a bucket is seqs_per_file *
+    seq_len tokens — concatenating span_text values verbatim.
     """
     from .llm.text import pack_sequences
 
     spans = pack_sequences(docs, seq_len, text_col=text_col, id_col=id_col)
+    # slice each span's OWN tokens out of the doc text at write time: a
+    # long doc touching many sequences must not duplicate its full text
+    # into every span row (that write amplification is quadratic in doc
+    # length). slice() on the split array is codegen'd, not a HOF lambda.
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    span_text = F.concat_ws(
+        " ",
+        F.slice(toks, (F.col("doc_offset") + 1).cast("int"), F.col("n_in_seq").cast("int")),
+    )
     out = (
         spans.join(docs.select(id_col, text_col), id_col)
+        .withColumn("span_text", span_text)
+        .drop(text_col)
         .withColumn("seq_bucket", (F.col("seq_id") / seqs_per_file).cast("long"))
         .repartition("seq_bucket")
     )

@@ -361,9 +361,11 @@ def test_duplicate_spans_matches_bruteforce(spark, texts):
 
 # --- PII regex parity vs Python re (independent engine #3) -----------------
 
+# ASCII only: Java regex (Spark) treats \d and \b as ASCII while
+# Python re is Unicode-aware — a Unicode digit or letter adjacent to a
+# match would make the two engines legitimately disagree
 _PII_TEXT = st.text(
-    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd", "Zs"),
-                           whitelist_characters="@.+-()[]_%"),
+    alphabet="ABCXYZabcxyz0123456789 @.+-()[]_%",
     max_size=120,
 )
 

@@ -285,6 +285,15 @@ def test_write_packed_sequences_roundtrip(spark, tmp_path):
         F.sum(whitespace_token_count(F.col("text")))
     ).collect()[0][0]
     assert back.agg(F.sum("n_in_seq")).collect()[0][0] == total_tokens
+    # each row carries exactly its span's slice of the text, no more
+    # (write amplification stays O(total_tokens))
+    bad_len = back.filter(
+        whitespace_token_count(F.col("span_text")) != F.col("n_in_seq")
+    ).count()
+    assert bad_len == 0
+    assert back.select(
+        F.sum(whitespace_token_count(F.col("span_text")))
+    ).collect()[0][0] == total_tokens
     # buckets hold only their own sequences
     bad = back.filter(
         (F.col("seq_id") / 4).cast("long") != F.col("seq_bucket")
