@@ -1,0 +1,111 @@
+"""Global plan-hazard guard over EVERY registered query.
+
+tests/test_plans.py pins specific shapes for specific queries; this
+module guards the whole registry against the failure modes that sink a
+100 TB run, so a NEW query (or a regression in a helper) cannot ship a
+quadratic join or an unreviewed Python stage unnoticed:
+
+- CartesianProduct: never allowed, no exceptions.
+- BroadcastNestedLoopJoin: allowed ONLY where the build side is a
+  single-row scalar aggregate broadcast back onto a frame (the
+  join-with-a-global-total pattern) or a deliberate broadcast
+  cross-product over a bounded query set (brute-force ANN baseline).
+- Python stages (Arrow UDF / mapInPandas): allowed ONLY for the
+  operators whose semantics genuinely need Python (HTML parsing, media
+  decode, vectorized rolling hashes).
+
+Plans are built (analyzed + physically planned), not executed, so the
+sweep stays cheap at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kaspi_etl_spark.registry import QUERIES
+
+# Single-row scalar broadcast (global max/avg/total/N joined back), or —
+# for ann_cosine_topk — the deliberate broadcast cross-product of a
+# bounded query set against the corpus.
+BNLJ_ALLOWED = {
+    "daily_demand",
+    "inventory_reorder",
+    "ann_cosine_topk",
+    "sizing_kids",
+    "tfidf_top_terms",
+    "bm25_scores",
+    "supplier_pagerank",
+    "copurchase_triangles",
+    "order_key_skew_profile",
+    "bigram_pmi_top",
+    "kmeans_assign",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q11_important_stock",
+}
+
+# The justified Python boundary (SURVEY X5 + media kernels + the
+# vectorized rolling-hash fingerprints).
+PYTHON_ALLOWED = {
+    "html_sellers_parse",
+    "media_features",
+    "media_resize",
+    "media_frame_sample",
+    "winnowing_fingerprints",
+}
+
+PY_TAGS = (
+    "ArrowEvalPython",
+    "BatchEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+)
+
+
+@pytest.fixture(scope="module")
+def all_plans(spark, sf_dir):
+    plans = {}
+    for name, fn in QUERIES.items():
+        plans[name] = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    return plans
+
+
+def test_every_query_plans(all_plans):
+    assert len(all_plans) == len(QUERIES)
+
+
+def test_no_cartesian_product_anywhere(all_plans):
+    offenders = [n for n, p in all_plans.items() if "CartesianProduct" in p]
+    assert not offenders, offenders
+
+
+def test_nested_loop_joins_only_where_justified(all_plans):
+    offenders = [
+        n
+        for n, p in all_plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in BNLJ_ALLOWED
+    ]
+    assert not offenders, offenders
+
+
+def test_python_stages_only_where_justified(all_plans):
+    offenders = [
+        n
+        for n, p in all_plans.items()
+        if any(t in p for t in PY_TAGS) and n not in PYTHON_ALLOWED
+    ]
+    assert not offenders, offenders
+
+
+def test_allowlists_not_stale(all_plans):
+    """Allowlisted queries that no longer exhibit the hazard should be
+    removed — a stale allowlist hides future regressions."""
+    stale_bnlj = [
+        n for n in BNLJ_ALLOWED if "BroadcastNestedLoopJoin" not in all_plans[n]
+    ]
+    stale_py = [
+        n
+        for n in PYTHON_ALLOWED
+        if not any(t in all_plans[n] for t in PY_TAGS)
+    ]
+    assert not stale_bnlj, stale_bnlj
+    assert not stale_py, stale_py
