@@ -76,3 +76,54 @@ def asof_join(
         *[F.col("_lrow")[c].alias(c) for c in left.columns],
         *[F.col("_rmatch")[c].alias(f"{c}{suffix}") for c in value_cols],
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two table snapshots: one row per key that
+    was added, removed, or changed, with the change kind.
+
+    The CDC primitive for plain-parquet pipelines (Delta's CHANGE DATA
+    FEED without the format): FULL OUTER join on the keys, change kind
+    from null-side analysis, 'changed' decided by comparing the
+    non-key columns as one struct (null-safe: <=> via eqNullSafe on the
+    struct). One shuffle on the key columns; at scale, run it
+    per-partition after partition pruning (unchanged partitions skip
+    entirely when writers maintain partition-level fingerprints).
+
+    Output: keys + change ('added' | 'removed' | 'changed').
+    """
+    compare_cols = compare_cols or [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_oval"),
+    )
+    n = new.select(
+        *[F.col(k).alias(f"_nk_{k}") for k in keys],
+        F.struct(*[F.col(c) for c in compare_cols]).alias("_nval"),
+    )
+    cond = None
+    for k in keys:
+        c = F.col(f"_ok_{k}") == F.col(f"_nk_{k}")
+        cond = c if cond is None else cond & c
+    joined = o.join(n, cond, "full_outer")
+    change = (
+        F.when(F.col(f"_ok_{keys[0]}").isNull(), F.lit("added"))
+        .when(F.col(f"_nk_{keys[0]}").isNull(), F.lit("removed"))
+        .when(~F.col("_oval").eqNullSafe(F.col("_nval")), F.lit("changed"))
+    )
+    return (
+        joined.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(
+            *[
+                F.coalesce(F.col(f"_ok_{k}"), F.col(f"_nk_{k}")).alias(k)
+                for k in keys
+            ],
+            "change",
+        )
+    )

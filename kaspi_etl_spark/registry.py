@@ -7743,3 +7743,58 @@ def q_orders_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_custkey").cast("long").alias("exact_dv")
     )
     return sk.join(exact, "o_orderpriority")
+
+
+@register(
+    "orders_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, CAST(round(o_totalprice) AS BIGINT) AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CAST(round(o_totalprice) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS price
+      FROM orders WHERE o_orderkey % 17 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.price IS DISTINCT FROM n.price THEN 'changed'
+           END AS change
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           OR o.price IS DISTINCT FROM n.price)
+    """,
+)
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (plain-parquet CDC): two deterministic views of the
+    orders table — different row subsets, a status mutation on one key
+    class, a price bump on another — diffed into added/removed/changed
+    rows via ONE full-outer key join with a null-safe struct compare.
+    The oracle mirrors it with IS DISTINCT FROM semantics."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice").cast("long").alias("price"),
+    )
+    old = orders.filter(F.col("o_orderkey") % 13 != 0)
+    new = (
+        orders.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "price",
+            F.col("price")
+            + F.when(F.col("o_orderkey") % 11 == 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    return asof_ops.snapshot_diff(old, new, ["o_orderkey"])

@@ -455,3 +455,35 @@ def test_zorder_single_column_preserves_order(spark, vals):
     ).collect()
     # with one column the interleave is the identity on the masked bits
     assert all(r["z"] == r["a"] for r in out)
+
+
+# --- As-of join vs an independent brute force --------------------------------
+
+
+@FAST
+@given(
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+             min_size=1, max_size=25),
+    st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+             min_size=0, max_size=25),
+)
+def test_asof_join_matches_brute_force(spark, lefts, rights):
+    from kaspi_etl_spark.ops import asof
+
+    rights = list({(k, t) for k, t in rights})  # unique (key, ts): the
+    # documented determinism precondition (equal-ts right rows tie-break
+    # by internal order otherwise)
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(lefts)], "k long, ts long, lid long"
+    )
+    rdf = spark.createDataFrame(
+        [(k, t, k * 1000 + t) for k, t in rights], "k long, ts long, v long"
+    )
+    out = {
+        r["lid"]: r["v_asof"]
+        for r in asof.asof_join(ldf, rdf, key="k", value_cols=["v"]).collect()
+    }
+    for i, (k, t) in enumerate(lefts):
+        cand = [(rt, k * 1000 + rt) for rk, rt in rights if rk == k and rt <= t]
+        want = max(cand)[1] if cand else None
+        assert out[i] == want, (k, t, out[i], want)
