@@ -186,3 +186,62 @@ def test_bloom_stream_job_converges_to_batch_build(spark):
         _shutil.rmtree(src, ignore_errors=True)
         _shutil.rmtree(ckpt, ignore_errors=True)
         _shutil.rmtree(state, ignore_errors=True)
+
+
+def test_incremental_job_restart_processes_only_new_files(spark):
+    """Exactly-once across restarts: run the job to completion, add more
+    source files, run AGAIN with the SAME checkpoint — the old batches
+    must not re-merge (state equals the one-shot recompute, not a
+    double-count)."""
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.ops import incremental as inc
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="rs_src_")
+    state = tempfile.mkdtemp(prefix="rs_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="rs_ckpt_")
+    schema = "day string, amount long"
+    try:
+        first = [("d1", 10), ("d1", 5), ("d2", 7)]
+        spark.createDataFrame(first, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{src}/tick_0")
+
+        def run():
+            q = sinc.incremental_agg_stream_job(
+                spark,
+                source_dir=f"{src}/tick_*",
+                state_path=state,
+                checkpoint_dir=ckpt,
+                schema=schema,
+                keys=["day"],
+                val_col="amount",
+            ).start()
+            q.awaitTermination(120)
+
+        run()
+        _time.sleep(1.2)
+        second = [("d1", 100), ("d3", 1)]
+        spark.createDataFrame(second, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{src}/tick_1")
+        run()  # restart on the same checkpoint
+
+        got = {
+            r["day"]: (r["n_rows"], r["sum_val"])
+            for r in spark.read.parquet(state).collect()
+        }
+        full = inc.partial_state(
+            spark.createDataFrame(first + second, schema), ["day"], "amount"
+        )
+        want = {
+            r["day"]: (r["n_rows"], r["sum_val"]) for r in full.collect()
+        }
+        assert got == want  # tick_0 merged exactly once despite the restart
+    finally:
+        for d in (src, ckpt):
+            _shutil.rmtree(d, ignore_errors=True)
+        _shutil.rmtree(state, ignore_errors=True)
