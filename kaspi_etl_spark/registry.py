@@ -411,7 +411,7 @@ SQL_VARIANT_STATS = """
     "variant_stats",
     f"""
     WITH sellers AS ({SQL_SELLERS})
-    {SQL_VARIANT_STATS.replace("FROM sellers", "FROM sellers", 1)}
+    {SQL_VARIANT_STATS}
     """,
 )
 def q_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -619,7 +619,8 @@ SQL_REPRICE_PROPOSALS = f"""
     WITH opponents AS ({SQL_OPPONENTS}),
     settings AS ({SQL_SETTINGS}),
     kept AS (
-      SELECT * FROM opponents WHERE merchantId NOT IN ('M3', 'M7')
+      SELECT * FROM opponents
+      WHERE merchantId NOT IN ({", ".join(f"'{m}'" for m in GLOBAL_IGNORE_MERCHANTS)})
     ),
     best AS (
       SELECT sku, CAST(MIN(price) AS BIGINT) AS best_price
@@ -1856,7 +1857,14 @@ def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs via the bucketed scale path (banded hyperplane LSH
     candidates + exact cosine verify) — the oracle stays the exact
     all-pairs SQL, so the gate also proves the bucketing loses no pair
-    on this corpus. The all-pairs DataFrame form remains available as
+    on this corpus. NOTE the nature of that claim: it is a recall CHECK,
+    not an identity — banded LSH has a small per-pair miss probability
+    (~3e-5 at threshold 0.99 with these band parameters), so a corpus
+    whose true pairs cluster right at the threshold could legitimately
+    fail the gate by one row. The parameters are sized so the expected
+    miss count on gate-scale corpora is << 1, and a miss would surface
+    loudly as ROWCOUNT_MISMATCH rather than silently. The all-pairs
+    DataFrame form remains available as
     `similarity.cosine_near_dup_pairs` for small-N verification."""
     return sim_ops.cosine_near_dup_pairs_bucketed(
         emb_augmented(spark, sf_dir), threshold=0.99, id_col="vec_id", vec_col="v",
@@ -2080,9 +2088,9 @@ def import_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH raw AS ({SQL_IMPORT_RAW})
     SELECT sku,
            lower(trim(active_raw)) SIMILAR TO '(on|true|1)' AS active,
-           TRY_CAST(TRY_CAST(regexp_replace(min_price_raw, '[^0-9.]', '', 'g') AS DOUBLE) AS BIGINT) AS min_price,
+           TRY_CAST(trunc(TRY_CAST(regexp_replace(min_price_raw, '[^0-9.]', '', 'g') AS DOUBLE)) AS BIGINT) AS min_price,
            TRY_CAST(REPLACE(trim(cur_price_raw), ',', '.') AS DOUBLE) AS current_price,
-           TRY_CAST(TRY_CAST(regexp_replace(min_price_raw, '[^0-9.]', '', 'g') AS DOUBLE) AS BIGINT) IS NOT NULL AS row_valid
+           TRY_CAST(trunc(TRY_CAST(regexp_replace(min_price_raw, '[^0-9.]', '', 'g') AS DOUBLE)) AS BIGINT) IS NOT NULL AS row_valid
     FROM raw
     """,
 )
@@ -2167,8 +2175,8 @@ def catalog_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT trim("SKU_ID") AS sku_id,
              trim("Store_name") AS store_name,
              TRY_CAST(REPLACE(trim("Weight_kg"), ',', '.') AS DOUBLE) AS weight_kg,
-             TRY_CAST(TRY_CAST(regexp_replace("Initial_KSP_Price", '[^0-9.]', '', 'g') AS DOUBLE) AS BIGINT) AS initial_price,
-             COALESCE(TRY_CAST(TRY_CAST(regexp_replace("Stock_entered", '[^0-9.]', '', 'g') AS DOUBLE) AS BIGINT), 0) AS stock_entered
+             TRY_CAST(trunc(TRY_CAST(regexp_replace("Initial_KSP_Price", '[^0-9.]', '', 'g') AS DOUBLE)) AS BIGINT) AS initial_price,
+             COALESCE(TRY_CAST(trunc(TRY_CAST(regexp_replace("Stock_entered", '[^0-9.]', '', 'g') AS DOUBLE)) AS BIGINT), 0) AS stock_entered
       FROM raw
     )
     SELECT sku_id, store_name, weight_kg, initial_price, stock_entered,
@@ -2732,8 +2740,13 @@ def q_rep_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     word trigrams that are repeats. High values flag boilerplate /
     looping generations for the quality filter."""
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    # whitespace tokens (the SQL_WORDS mirror) — NOT the letter-run
+    # regex tokenizer: the two only agree on the generator's pure
+    # lowercase-letter corpus; the operator is specified on whitespace
+    # tokens and the oracle shingles those
     words = d.select(
-        "doc_id", F.regexp_extract_all(F.lower("text"), F.lit(text_ops.WORD_REGEX), F.lit(0)).alias("_w")
+        "doc_id",
+        F.split(F.trim(F.lower("text")), r"\s+").alias("_w"),
     )
     tri = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size("_w") - 3, F.lit(0))),
@@ -2800,7 +2813,9 @@ from .ops import asof as asof_ops  # noqa: E402
     "events_asof_join",
     """
     WITH v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
-    p AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    p AS (SELECT user_id, ts, max(value) AS value
+          FROM events WHERE event_type = 'purchase'
+          GROUP BY user_id, ts)
     SELECT v.event_id, v.user_id, v.ts,
            p.value AS value_asof, p.ts AS ts_asof
     FROM v ASOF LEFT JOIN p
@@ -2815,8 +2830,14 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     native operator's semantics exactly."""
     ev = read_events(spark, sf_dir)
     views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "ts", "value"
+    # one row per (user, ts): duplicate same-instant purchases would make
+    # BOTH engines' as-of pick arbitrary (DuckDB ASOF chooses any tied
+    # row; the carry-forward window's order among ties is partition-
+    # dependent) — max(value) pins a deterministic representative
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
     )
     joined = asof_ops.asof_join(
         views,
@@ -6531,7 +6552,7 @@ def q_sku_demand_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_corpus_clean_pipeline() -> str:
+def _sql_corpus_release_pipeline() -> str:
     """Oracle for the end-to-end cleaning composition: every stage is the
     same SQL already gated individually, chained as CTEs."""
     redact = "text"
@@ -6575,9 +6596,13 @@ def _sql_corpus_clean_pipeline() -> str:
     """
 
 
-@register("corpus_clean_pipeline", _sql_corpus_clean_pipeline())
-def q_corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end corpus cleaning as ONE composed plan: domain-blocklist
+@register("corpus_release_pipeline", _sql_corpus_release_pipeline())
+def q_corpus_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus-RELEASE cleaning as ONE composed plan (distinct
+    from corpus_clean_pipeline, the dedup->quality->language composition
+    registered earlier — this one covers the web-sanitization stages;
+    the name collision that briefly shadowed the older gate is why this
+    is now release_): domain-blocklist
     filter (broadcast anti-join on the offending-id set) -> PII token
     redaction (scalar regex chain) -> token-count quality gate (scalar)
     -> exact dedup (first doc per content hash). Each stage is gated

@@ -286,8 +286,8 @@ def test_q22_scalar_subquery_and_anti_join(spark, sf_dir):
     assert scans and "o_orderpriority" in scans[0]
 
 
-def test_corpus_clean_pipeline_shape(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "corpus_clean_pipeline")
+def test_corpus_release_pipeline_shape(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_release_pipeline")
     # blocklist filter must be a broadcast anti-join; the corpus side
     # shuffles only for the dedup hash window
     assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
