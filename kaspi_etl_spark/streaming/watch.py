@@ -495,3 +495,37 @@ def stream_stream_join_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+def stream_static_enrich_job(
+    spark,
+    source_dir: str,
+    dim_path: str,
+    sink_dir: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    join_key: str,
+    trigger_seconds: int | None = None,
+):
+    """Stream-static broadcast enrichment: an NDJSON fact stream joined
+    per-micro-batch to a parquet dimension, appended as NDJSON.
+
+    The third cell of the streaming-join matrix (stream-stream and
+    streaming dedup are above): a stream-static join needs NO watermark
+    and keeps NO join state — each micro-batch probes the (broadcast)
+    dimension fresh, so dimension updates between batches are picked up
+    automatically. Left join: facts with no dimension row survive with
+    nulls (monitorable), never silently dropped."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    stream = spark.readStream.schema(schema).json(source_dir)
+    dim = spark.read.parquet(dim_path)
+    enriched = stream.join(F.broadcast(dim), join_key, "left")
+    writer = (
+        enriched.writeStream.format("json")
+        .option("path", sink_dir)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

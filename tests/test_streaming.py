@@ -373,3 +373,43 @@ def test_stream_stream_join_within_range(spark):
     finally:
         for d in (imp, clk, sink, ckpt):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_static_enrich_job(spark, tmp_path):
+    import json as _json
+    import glob as _glob
+
+    from pyspark.sql import functions as F
+
+    from kaspi_etl_spark.streaming import watch
+
+    src = str(tmp_path / "src")
+    dimp = str(tmp_path / "dim")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300), (9, 900)], "sku long, qty long"
+    ).coalesce(1).write.json(src)
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "sku long, name string"
+    ).write.parquet(dimp)
+
+    q = watch.stream_static_enrich_job(
+        spark,
+        source_dir=src,
+        dim_path=dimp,
+        sink_dir=sink,
+        checkpoint_dir=ckpt,
+        schema="sku long, qty long",
+        join_key="sku",
+    ).start()
+    q.awaitTermination(120)
+
+    rows = []
+    for f in _glob.glob(f"{sink}/*.json"):
+        with open(f) as fh:
+            rows += [_json.loads(ln) for ln in fh if ln.strip()]
+    by_sku = {r["sku"]: r for r in rows}
+    assert by_sku[1]["name"] == "alpha" and by_sku[3]["name"] == "gamma"
+    # unmatched fact survives the LEFT join with a null dimension value
+    assert 9 in by_sku and by_sku[9].get("name") is None
