@@ -318,3 +318,23 @@ def test_copurchase_topk_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "copurchase_item_sim")
     assert "WindowGroupLimit" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_snapshot_diff_is_single_full_outer_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_snapshot_diff")
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ewma_has_no_ordered_window(spark, sf_dir):
+    # the recursion is flattened into explode + hash aggregates; a
+    # window would reintroduce per-key ordering (and an unpartitioned
+    # one, a single-partition sort)
+    plan = plan_of(spark, sf_dir, "sku_demand_ewma")
+    assert "Window" not in plan
+    assert plan.count("Exchange") >= 1  # the (sku, day) aggregates
+
+
+def test_kmv_bottom_k_uses_window_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "orders_kmv_distinct")
+    assert "WindowGroupLimit" in plan  # partial bottom-k before the exchange
