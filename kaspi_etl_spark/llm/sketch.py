@@ -319,6 +319,10 @@ def bloom_build(
     ).alias("_pos")
     return (
         keys.select(pos)
+        # a NULL member key hashes to NULL positions — without this filter
+        # the build emits a (NULL, NULL) word row that crashes the literal
+        # probe's int() loop; NULL keys are simply not members
+        .filter(F.col("_pos").isNotNull())
         .select(
             # integer DIV/% (never a double division + cast: DuckDB casts
             # round, not floor); shiftleft by a COLUMN needs the SQL form
@@ -420,6 +424,14 @@ def bloom_probe_literal(
     n_words = m_bits // BLOOM_WORD_BITS + 1
     dense = [0] * n_words
     for r in bloom.collect():  # bounded: sketch-sized
+        if r["word_idx"] is None or r["word"] is None:
+            continue  # legacy sketch built before the NULL-key filter
+        if not 0 <= int(r["word_idx"]) < n_words:
+            raise ValueError(
+                f"bloom word_idx {r['word_idx']} out of range for m_bits="
+                f"{m_bits} ({n_words} words) — probe called with a "
+                "different m_bits than the sketch was built with"
+            )
         dense[int(r["word_idx"])] = int(r["word"])
     # one array Literal (constant-folded), NOT F.array(*lits) — a
     # CreateArray of hundreds of literals is re-built per input row
@@ -471,9 +483,17 @@ def kmv_bottom(
     (group, h) rows — what gets persisted and merged."""
     from pyspark.sql import Window
 
-    hashed = df.select(
-        F.col(group_col), md5_long(F.col(key_col).cast("string"), "kmv").alias("_h")
-    ).distinct()
+    hashed = (
+        df.select(
+            F.col(group_col),
+            md5_long(F.col(key_col).cast("string"), "kmv").alias("_h"),
+        )
+        # NULL keys hash to NULL; Spark sorts NULLs FIRST ascending while
+        # SQL engines commonly sort them LAST — drop them outright to
+        # match count-distinct's null-ignoring semantics on both engines
+        .filter(F.col("_h").isNotNull())
+        .distinct()
+    )
     w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
     return (
         hashed.withColumn("_rn", F.row_number().over(w))
@@ -488,7 +508,7 @@ def kmv_merge(a: DataFrame, b: DataFrame, group_col: str, k: int = KMV_K) -> Dat
     (property-tested), so shards/streams sketch independently and merge."""
     from pyspark.sql import Window
 
-    u = a.unionByName(b).distinct()
+    u = a.unionByName(b).filter(F.col("_h").isNotNull()).distinct()
     w = Window.partitionBy(group_col).orderBy(F.col("_h").asc())
     return (
         u.withColumn("_rn", F.row_number().over(w))

@@ -6398,15 +6398,17 @@ def _sql_bloom_probe() -> str:
         f"SELECT c_custkey, {p} AS pos FROM members" for p in build_pos
     )
     probe_rows = " UNION ALL ".join(
-        f"SELECT c_custkey, {p} AS pos FROM customer" for p in build_pos
+        f"SELECT c_custkey, {p} AS pos FROM customer WHERE c_custkey IS NOT NULL"
+        for p in build_pos
     )
     return f"""
     WITH members AS (
-      SELECT c_custkey FROM customer WHERE c_acctbal > CAST(7500 AS DOUBLE)
+      SELECT c_custkey FROM customer
+      WHERE c_acctbal > CAST(7500 AS DOUBLE) AND c_custkey IS NOT NULL
     ),
     bloom AS (
       SELECT pos // {wb} AS word_idx, bit_or(1::BIGINT << (pos % {wb})) AS word
-      FROM ({pos_rows}) GROUP BY 1
+      FROM ({pos_rows}) WHERE pos IS NOT NULL GROUP BY 1
     ),
     probe_hits AS (
       SELECT p.c_custkey,
@@ -6436,7 +6438,9 @@ def q_customer_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB this is the pre-join pruning pattern: build on the small
     side, probe the fact table map-side, and skip the shuffle for rows
     that cannot match."""
-    cust = _read(spark, sf_dir, "customer")
+    cust = _read(spark, sf_dir, "customer").filter(
+        F.col("c_custkey").isNotNull()
+    )
     members = cust.filter(F.col("c_acctbal") > 7500.0).select("c_custkey")
     bloom = sketch_ops.bloom_build(members, "c_custkey")
     probed = sketch_ops.bloom_probe(
@@ -7726,6 +7730,7 @@ def q_events_variant_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT o_orderpriority,
              {_sql_md5_long("CAST(o_custkey AS VARCHAR) || 'kmv'")} AS h
       FROM orders
+      WHERE o_custkey IS NOT NULL
     ),
     bottom AS (
       SELECT o_orderpriority, h

@@ -236,7 +236,10 @@ def write_packed_sequences(
         spans.join(docs.select(id_col, text_col), id_col)
         .withColumn("span_text", span_text)
         .drop(text_col)
-        .withColumn("seq_bucket", (F.col("seq_id") / seqs_per_file).cast("long"))
+        # integer DIV, per the repo's discipline (token_shard_assignment,
+        # pack_sequences): float division is exact only below 2^53
+        # sequences and truncates rather than floors
+        .withColumn("seq_bucket", F.expr(f"seq_id div {int(seqs_per_file)}"))
         .repartition("seq_bucket")
     )
     (

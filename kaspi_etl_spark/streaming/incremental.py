@@ -25,20 +25,28 @@ from pyspark.sql import types as T
 from ..ops import incremental as inc
 
 
-def merge_batch_into_state(
-    spark: SparkSession,
-    batch_df,
-    state_path: str,
-    keys: list[str],
-    val_col: str,
-) -> None:
-    """Fold one batch into the parquet state table (stage-and-swap)."""
-    batch_state = inc.partial_state(batch_df, keys, val_col)
-    if os.path.exists(state_path):
-        old = spark.read.parquet(state_path)
-        merged = inc.merge_states(old, batch_state, keys)
-    else:
-        merged = batch_state
+def _recover_state(state_path: str) -> None:
+    """Crash recovery for the two-rename swap below: a crash BETWEEN the
+    renames leaves ``state_path`` absent with a ``__old_*`` backup still
+    on disk — without this, the next merge would silently rebuild from
+    only new batches (fatal for the Bloom state, whose contract is
+    'false negatives never'). Recovery is a rename, mirroring the sinks
+    tests' documented invariant."""
+    import glob
+
+    backups = sorted(glob.glob(glob.escape(state_path) + "__old_*"))
+    if not os.path.exists(state_path) and backups:
+        os.rename(backups[0], state_path)
+        backups = backups[1:]
+    # a backup alongside a live state is post-swap debris; stale staging
+    # dirs are pre-swap debris — both safe to drop
+    for leftover in backups + glob.glob(glob.escape(state_path) + "__stage_*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+
+
+def _swap_state(merged, state_path: str) -> None:
+    """Atomic-enough publish: write staging, two renames, drop backup.
+    Pair with ``_recover_state`` at the top of every merge."""
     staging = f"{state_path}__stage_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(staging)
     backup = f"{state_path}__old_{uuid.uuid4().hex[:8]}"
@@ -48,6 +56,24 @@ def merge_batch_into_state(
         shutil.rmtree(backup, ignore_errors=True)
     else:
         os.rename(staging, state_path)
+
+
+def merge_batch_into_state(
+    spark: SparkSession,
+    batch_df,
+    state_path: str,
+    keys: list[str],
+    val_col: str,
+) -> None:
+    """Fold one batch into the parquet state table (stage-and-swap)."""
+    _recover_state(state_path)
+    batch_state = inc.partial_state(batch_df, keys, val_col)
+    if os.path.exists(state_path):
+        old = spark.read.parquet(state_path)
+        merged = inc.merge_states(old, batch_state, keys)
+    else:
+        merged = batch_state
+    _swap_state(merged, state_path)
 
 
 def incremental_agg_stream_job(
@@ -105,21 +131,14 @@ def merge_bloom_batch(
     """
     from ..llm import sketch
 
+    _recover_state(state_path)
     batch_bloom = sketch.bloom_build(batch_df, key_col)
     if os.path.exists(state_path):
         old = spark.read.parquet(state_path)
         merged = sketch.bloom_merge(old, batch_bloom)
     else:
         merged = batch_bloom
-    staging = f"{state_path}__stage_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(staging)
-    backup = f"{state_path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(state_path):
-        os.rename(state_path, backup)
-        os.rename(staging, state_path)
-        shutil.rmtree(backup, ignore_errors=True)
-    else:
-        os.rename(staging, state_path)
+    _swap_state(merged, state_path)
 
 
 def bloom_stream_job(

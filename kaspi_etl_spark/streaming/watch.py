@@ -513,9 +513,13 @@ def stream_static_enrich_job(
     The third cell of the streaming-join matrix (stream-stream and
     streaming dedup are above): a stream-static join needs NO watermark
     and keeps NO join state — each micro-batch probes the (broadcast)
-    dimension fresh, so dimension updates between batches are picked up
-    automatically. Left join: facts with no dimension row survive with
-    nulls (monitorable), never silently dropped."""
+    dimension. NOTE on refresh semantics: for a parquet static side the
+    FILE LISTING is resolved at plan time, so dimension files added (or
+    rewritten — which can error) while the query runs are NOT seen;
+    picking up dimension updates requires restarting the query, a
+    snapshot-refreshing table format, or re-reading the dimension inside
+    a foreachBatch join. Left join: facts with no dimension row survive
+    with nulls (monitorable), never silently dropped."""
     from pyspark.sql import functions as F  # noqa: F811
 
     stream = spark.readStream.schema(schema).json(source_dir)

@@ -280,6 +280,58 @@ def test_kmv_sketch_exact_below_k_and_sane_above(spark):
     }
 
 
+def test_bloom_null_keys_build_and_probe(spark):
+    """NULL member keys are not members (no (NULL, NULL) word row); NULL
+    probe keys answer False in both probe forms; an m_bits mismatch
+    between sketch and probe raises a clear error, not IndexError."""
+    import pytest
+
+    from kaspi_etl_spark.llm import sketch
+
+    members = spark.createDataFrame(
+        [(1,), (2,), (None,), (3,)], "k long"
+    )
+    bloom = sketch.bloom_build(members, "k")
+    rows = bloom.collect()
+    assert all(r["word_idx"] is not None and r["word"] is not None for r in rows)
+    probes = spark.createDataFrame([(1,), (None,), (999,)], "k long")
+    got_join = {r["k"]: r["might_contain"]
+                for r in sketch.bloom_probe(probes, bloom, "k").collect()}
+    got_lit = {r["k"]: r["might_contain"]
+               for r in sketch.bloom_probe_literal(probes, bloom, "k").collect()}
+    assert got_join == got_lit
+    assert got_join[1] is True and got_join[None] is False
+    with pytest.raises(ValueError, match="m_bits"):
+        sketch.bloom_probe_literal(probes, bloom, "k", m_bits=64).collect()
+
+
+def test_kmv_ignores_null_keys(spark):
+    """NULL keys don't count as a distinct value (count-distinct
+    semantics) and never enter the bottom-k — Spark sorts NULLs first
+    ascending, SQL oracles last, so keeping them would silently diverge
+    cross-engine (ADVICE r5)."""
+    from kaspi_etl_spark.llm import sketch
+
+    with_nulls = spark.createDataFrame(
+        [("g", str(i)) for i in range(30)] + [("g", None)] * 5,
+        "g string, k string",
+    )
+    without = spark.createDataFrame(
+        [("g", str(i)) for i in range(30)], "g string, k string"
+    )
+    a = sketch.kmv_sketch(with_nulls, "g", "k").collect()[0]
+    b = sketch.kmv_sketch(without, "g", "k").collect()[0]
+    assert (a["n_kept"], a["kth_min"], a["dv_estimate"]) == (
+        b["n_kept"], b["kth_min"], b["dv_estimate"])
+    assert a["dv_estimate"] == 30
+    merged = sketch.kmv_merge(
+        sketch.kmv_bottom(with_nulls, "g", "k"),
+        sketch.kmv_bottom(without, "g", "k"),
+        "g",
+    )
+    assert merged.filter(F.col("_h").isNull()).count() == 0
+
+
 def test_kmv_merge_equals_sketch_of_union(spark):
     from kaspi_etl_spark.llm import sketch
 

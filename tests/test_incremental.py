@@ -245,3 +245,48 @@ def test_incremental_job_restart_processes_only_new_files(spark):
         for d in (src, ckpt):
             _shutil.rmtree(d, ignore_errors=True)
         _shutil.rmtree(state, ignore_errors=True)
+
+
+def test_state_swap_crash_recovery(spark, tmp_path):
+    """A crash BETWEEN the two swap renames leaves state_path absent with
+    a __old_* backup on disk; the next merge must rename the backup back
+    (recovery-is-a-rename) instead of silently rebuilding from only new
+    batches — which for the Bloom state would mean false negatives from
+    a sketch whose contract is 'false negatives never' (ADVICE r5)."""
+    import os
+
+    from kaspi_etl_spark.llm import sketch
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    state = str(tmp_path / "bloom_state")
+    b0 = spark.createDataFrame([(i,) for i in range(0, 40)], "k long")
+    b1 = spark.createDataFrame([(i,) for i in range(40, 80)], "k long")
+    sinc.merge_bloom_batch(spark, b0, state, "k")
+    # simulate the crash window: state renamed away, new state never landed
+    os.rename(state, state + "__old_deadbeef")
+    assert not os.path.exists(state)
+    sinc.merge_bloom_batch(spark, b1, state, "k")
+    got = sorted(map(tuple, spark.read.parquet(state).collect()))
+    want = sorted(map(tuple, sketch.bloom_build(
+        spark.createDataFrame([(i,) for i in range(0, 80)], "k long"), "k"
+    ).collect()))
+    assert got == want  # batch 0's members survived the crash
+    assert not os.path.exists(state + "__old_deadbeef")
+
+    # the aggregate-state merge shares the same swap + recovery
+    agg_state = str(tmp_path / "agg_state")
+    rows0 = [("d1", 10), ("d2", 5)]
+    rows1 = [("d1", 7)]
+    schema = "day string, amount long"
+    sinc.merge_batch_into_state(
+        spark, spark.createDataFrame(rows0, schema), agg_state, ["day"], "amount"
+    )
+    os.rename(agg_state, agg_state + "__old_cafe")
+    sinc.merge_batch_into_state(
+        spark, spark.createDataFrame(rows1, schema), agg_state, ["day"], "amount"
+    )
+    got_agg = {
+        r["day"]: (r["n_rows"], r["sum_val"])
+        for r in spark.read.parquet(agg_state).collect()
+    }
+    assert got_agg["d1"] == (2, 17) and got_agg["d2"] == (1, 5)

@@ -296,7 +296,7 @@ def test_write_packed_sequences_roundtrip(spark, tmp_path):
     ).collect()[0][0] == total_tokens
     # buckets hold only their own sequences
     bad = back.filter(
-        (F.col("seq_id") / 4).cast("long") != F.col("seq_bucket")
+        F.expr("seq_id div 4") != F.col("seq_bucket")
     ).count()
     assert bad == 0
     # interior sequences are exactly full
