@@ -44,19 +44,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # ann_pq_topk (IVF-PQ) gate; its family stays covered by minhash_lsh_pairs
 # and ngram_jaccard_capped.
 #
-# Late-r5 swap: five slots whose families stay covered ceded to the new
-# operator families added after the first rotation — margin_by_sku ->
-# url_domain_rollup (agg family: daily_net_revenue, global_analytics),
-# price_deltas -> orders_zorder_curve (window family: top3_cheapest,
-# bot_sliding_window), ann_cosine_topk -> customer_bloom_probe (ANN
-# family: ann_ivf_topk, ann_pq_topk), text_features -> docs_pii_profile
-# (text family: docs_quality_gopher, tfidf_top_terms, token_countmin),
-# events_tumbling_stats -> tpch_q1_pricing_summary (event-window family:
-# events_session_windows, events_asof_join, events_funnel). All five
-# newcomers were parity-checked on a vanilla driver-style session first.
+# Round-6 rotation (VERDICT r5 top-next #2): 15 slots whose operator
+# families keep a driver-green representative in the prefix ceded to
+# queries that have never had the driver's own check —
+#   winnowing_fingerprints -> docs_line_dedup (fingerprint/text-dedup:
+#     duplicate_spans stays), token_shards -> pack_sequences (prefix-sum
+#     family: token_budget_sample stays), kmeans_iterations ->
+#     copurchase_item_sim (k-means training rides inside ann_pq_topk's
+#     oracle), ann_ivf_topk -> sku_demand_ewma (ANN: ann_pq_topk stays,
+#     a strict superset of the IVF machinery), orders_cube ->
+#     customer_revenue_deciles (analytic agg: daily_net_revenue,
+#     global_analytics, tpch_q1 stay), tpch_q5_local_supplier ->
+#     tpch_q9_product_profit and docs_quality_gopher -> docs_quality_c4
+#     and events_session_windows -> events_variant_probe (sibling
+#     first-time checks within the same family),
+#   price_quantile_sketch -> orders_kmv_distinct (sketch family:
+#     token_countmin + customer_bloom_probe stay), purchases_cost_asof ->
+#     events_attribution (as-of: events_asof_join stays), purchases_scd2
+#     -> orders_snapshot_diff (CDC: purchases_upsert stays),
+#   semantic_dedup_keep -> returnflag_qty_price_corr (dedup family keeps
+#     dedup_exact/minhash_lsh_pairs/dedup_clusters/ngram_jaccard_capped),
+#   tfidf_top_terms -> daily_revenue_outliers (text-stats keeps
+#     docs_pii_profile/token_countmin), supplier_pagerank ->
+#     tpch_q21_waiting_suppliers (multi-join analytic), url_domain_rollup
+#     -> events_unpivot_daily (web-cleaning machinery stays gated via
+#     docs_pii_profile).
+# events_json_probe / events_funnel / events_asof_join /
+# customer_bloom_probe stay put deliberately: all four changed in the
+# round-6 adversarial-sweep fixes, so they get re-verified by the driver.
+# Every rotated-out query remains green in the local full sweep
+# (ORACLE_FULL_r06.json) AND the adversarial-data sweep
+# (ORACLE_ADV_r06.json).
 _GATE_PRIORITY = [
     "daily_net_revenue",
-    "url_domain_rollup",
     "inventory_reorder",
     "seller_dedupe",
     "variant_stats",
@@ -73,7 +93,6 @@ _GATE_PRIORITY = [
     "minhash_lsh_pairs",
     "ngram_jaccard_capped",
     "customer_bloom_probe",
-    "ann_ivf_topk",
     "ann_pq_topk",
     "docs_pii_profile",
     "media_features",
@@ -84,28 +103,30 @@ _GATE_PRIORITY = [
     "events_json_probe",
     "html_sellers_parse",
     "dedup_clusters",
-    "semantic_dedup_keep",
-    "tfidf_top_terms",
     "events_funnel",
-    "purchases_scd2",
     "events_asof_join",
     "token_countmin",
-    "supplier_pagerank",
-    # first-time driver verification (r5 rotation)
-    "winnowing_fingerprints",
     "duplicate_spans",
     "token_budget_sample",
-    "token_shards",
-    "kmeans_iterations",
-    "orders_cube",
-    "tpch_q5_local_supplier",
-    "price_quantile_sketch",
-    "events_session_windows",
-    "purchases_cost_asof",
     "dq_orders_report",
-    "docs_quality_gopher",
     "corpus_mix_allocation",
     "part_name_matches_capped",
+    # first-time driver verification (r6 rotation)
+    "orders_kmv_distinct",
+    "orders_snapshot_diff",
+    "events_attribution",
+    "events_unpivot_daily",
+    "events_variant_probe",
+    "copurchase_item_sim",
+    "docs_line_dedup",
+    "docs_quality_c4",
+    "pack_sequences",
+    "sku_demand_ewma",
+    "returnflag_qty_price_corr",
+    "daily_revenue_outliers",
+    "customer_revenue_deciles",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_suppliers",
 ]
 
 

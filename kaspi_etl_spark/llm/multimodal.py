@@ -9,8 +9,12 @@ Decode kernels by modality:
     codec needed. ``extract_features`` turns 24-bit BI_RGB payloads into
     per-band mean-luminance vectors (``_bmp_features``) and
     ``resize_images`` does nearest-neighbour resampling that re-emits a
-    valid BMP (``_bmp_resize``). Compressed formats (PNG/JPEG) stay
-    stubbed (PIL absent).
+    valid BMP (``_bmp_resize``).
+  - image (PNG): REAL — stdlib ``zlib`` inflate + numpy scanline
+    unfiltering (all five PNG filter types), 8-bit gray/RGB/RGBA,
+    non-interlaced (``_parse_png``); ``encode_png`` writes valid PNGs
+    back, so the resize path stays format-preserving. JPEG stays stubbed
+    (a DCT codec genuinely needs PIL).
   - video (concatenated BMP): REAL — the container is back-to-back
     uncompressed BMP frames, each self-delimiting via its header's
     file-size field, so ``sample_frames`` walks, splits, and emits
@@ -194,17 +198,11 @@ def _parse_bmp(content: bytes):
     return rows if top_down else rows[::-1]
 
 
-def _bmp_features(content: bytes, dim: int = 8) -> list[float] | None:
-    """REAL image decode kernel: uncompressed 24-bit BMP -> ``dim``
-    vertical bands of mean luminance (ITU-R BT.601 integer weights
-    77/150/29 over 256) normalized to [0, 1] — same bytes-in,
-    fixed-dim-vector-out contract as the WAV and stub kernels.
-    Vectorized numpy; returns None for non-BMP payloads."""
-    px = _parse_bmp(content)
-    if px is None:
-        return None
-    # BGR order in BMP: luminance = (29*B + 150*G + 77*R) / 256
+def _luminance_bands(px, dim: int) -> list[float]:
+    """(h, w, 3) uint8 BGR -> ``dim`` vertical bands of mean luminance
+    (ITU-R BT.601 integer weights 77/150/29 over 256) in [0, 1]."""
     x = px.astype(_np.uint32)
+    # BGR order: luminance = (29*B + 150*G + 77*R) / 256
     lum = (29 * x[:, :, 0] + 150 * x[:, :, 1] + 77 * x[:, :, 2]) >> 8
     h = lum.shape[0]
     out = []
@@ -213,6 +211,175 @@ def _bmp_features(content: bytes, dim: int = 8) -> list[float] | None:
         band = lum[lo:hi]
         out.append(float(band.mean() / 255.0) if band.size else 0.0)
     return out
+
+
+def _bmp_features(content: bytes, dim: int = 8) -> list[float] | None:
+    """REAL image decode kernel: uncompressed 24-bit BMP -> luminance
+    band vector — same bytes-in, fixed-dim-vector-out contract as the
+    WAV and stub kernels. Vectorized numpy; None for non-BMP payloads."""
+    px = _parse_bmp(content)
+    if px is None:
+        return None
+    return _luminance_bands(px, dim)
+
+
+# --- PNG (stdlib zlib + numpy — no external codec) --------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Reverse PNG scanline filtering -> (h, w*ch) uint8.
+
+    Filters None(0) and Up(2) vectorize outright; Sub(1) is a per-channel
+    cumulative sum (addition is associative mod 256, so the mod can wait
+    until the end); Average(3) and Paeth(4) depend on the already-
+    reconstructed left pixel AND need the mod applied per step, so those
+    rows walk pixels — numpy row math everywhere else keeps the common
+    case (filters 0-2, what most encoders emit for synthetic data) fast.
+    """
+    stride = w * ch
+    if len(raw) < h * (stride + 1):
+        return None
+    out = _np.zeros((h, stride), dtype=_np.int32)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        row = _np.frombuffer(raw, dtype=_np.uint8, count=stride, offset=pos + 1).astype(
+            _np.int32
+        )
+        pos += stride + 1
+        prev = out[y - 1] if y > 0 else _np.zeros(stride, dtype=_np.int32)
+        if f == 0:
+            rec = row
+        elif f == 2:  # Up
+            rec = (row + prev) & 0xFF
+        elif f == 1:  # Sub: cumsum per channel lane, mod deferred
+            rec = row.reshape(-1, ch).cumsum(axis=0).reshape(-1) & 0xFF
+        elif f == 3:  # Average
+            rec = _np.zeros(stride, dtype=_np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (row[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = _np.zeros(stride, dtype=_np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (row[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec
+    return out.astype(_np.uint8)
+
+
+def _parse_png(content: bytes):
+    """Parse an 8-bit non-interlaced gray/RGB/RGBA PNG into (h, w, 3)
+    uint8 BGR top-down — the same array contract as ``_parse_bmp``, so
+    the banding/resize math downstream is shared. Pure stdlib ``zlib``
+    inflate + numpy filter reversal; returns None for anything else
+    (16-bit, palette, interlaced, truncated, non-PNG)."""
+    import struct
+    import zlib
+
+    if len(content) < 8 + 25 or content[:8] != _PNG_SIG:
+        return None
+    pos = 8
+    w = h = None
+    ch = 0
+    idat = bytearray()
+    while pos + 8 <= len(content):
+        length, ctype = struct.unpack_from(">I4s", content, pos)
+        pos += 8
+        if pos + length + 4 > len(content):
+            return None
+        data = content[pos : pos + length]
+        pos += length + 4  # skip CRC
+        if ctype == b"IHDR":
+            if length != 13:
+                return None
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+                return None
+            ch = {0: 1, 2: 3, 6: 4}.get(color)
+            if ch is None or w == 0 or h == 0:
+                return None
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    px = _png_unfilter(raw, h, w, ch)
+    if px is None:
+        return None
+    px = px.reshape(h, w, ch)
+    if ch == 1:
+        px = _np.repeat(px, 3, axis=2)  # gray -> BGR
+    elif ch == 4:
+        px = px[:, :, :3]  # drop alpha
+    if px.shape[2] == 3 and ch != 1:
+        px = px[:, :, ::-1]  # PNG stores RGB; pipeline contract is BGR
+    return _np.ascontiguousarray(px)
+
+
+def encode_png(px) -> bytes:
+    """Encode a (h, w, 3) uint8 BGR top-down array as a valid 8-bit RGB
+    PNG (filter 0 scanlines, one zlib IDAT) — the inverse of
+    ``_parse_png``, keeping the resize path format-preserving."""
+    import struct
+    import zlib
+
+    h, w = px.shape[:2]
+    rgb = px[:, :, ::-1]  # BGR -> RGB
+    raw = b"".join(b"\x00" + rgb[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_features(content: bytes, dim: int = 8) -> list[float] | None:
+    """REAL compressed-image decode kernel: PNG -> luminance band vector
+    via ``_parse_png`` — zero new dependencies (stdlib zlib + numpy)."""
+    px = _parse_png(content)
+    if px is None:
+        return None
+    return _luminance_bands(px, dim)
+
+
+def _png_resize(content: bytes, dst_w: int, dst_h: int) -> bytes | None:
+    """REAL PNG resize kernel: decode, nearest-neighbour resample,
+    re-encode as PNG (format-preserving, like the BMP kernel)."""
+    px = _parse_png(content)
+    if px is None or dst_w <= 0 or dst_h <= 0:
+        return None
+    src_h, src_w = px.shape[:2]
+    ys = (_np.arange(dst_h) * src_h) // dst_h
+    xs = (_np.arange(dst_w) * src_w) // dst_w
+    return encode_png(_np.ascontiguousarray(px[ys][:, xs]))
 
 
 def encode_bmp(px) -> bytes:
@@ -250,11 +417,13 @@ def _bmp_resize(content: bytes, dst_w: int, dst_h: int) -> bytes | None:
 
 
 def _decode_features(content: bytes, dim: int = 8) -> list[float]:
-    """Per-payload dispatch: real WAV decode for RIFF/WAVE, real BMP
-    decode for uncompressed 24-bit BMP (both need only numpy),
-    byte-histogram stub otherwise."""
+    """Per-payload dispatch: real WAV decode for RIFF/WAVE, real PNG
+    decode (zlib + numpy), real BMP decode for uncompressed 24-bit BMP,
+    byte-histogram stub otherwise (JPEG/mp4 — codecs absent here)."""
     if WAV_DECODER_AVAILABLE:
         feats = _wav_features(content, dim)
+        if feats is None:
+            feats = _png_features(content, dim)
         if feats is None:
             feats = _bmp_features(content, dim)
         if feats is not None:
@@ -314,10 +483,13 @@ def _fake_resize(content: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int)
 
 
 def _resize_dispatch(content: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int) -> bytes:
-    """Real nearest-neighbour resize for uncompressed BMP payloads
-    (``_bmp_resize``), stub byte-subsample for everything else."""
+    """Real nearest-neighbour resize for PNG (``_png_resize``) and
+    uncompressed BMP payloads (``_bmp_resize``), each format-preserving;
+    stub byte-subsample for everything else."""
     if WAV_DECODER_AVAILABLE:  # numpy present
-        out = _bmp_resize(content, dst_w, dst_h)
+        out = _png_resize(content, dst_w, dst_h)
+        if out is None:
+            out = _bmp_resize(content, dst_w, dst_h)
         if out is not None:
             return out
     return _fake_resize(content, src_w, src_h, dst_w, dst_h)

@@ -37,10 +37,19 @@ def asof_join(
     DuckDB ASOF). If multiple right rows share one timestamp, the last
     one in (ts, its own ordering) wins — pass a uniquifying column in
     ``value_cols`` ordering upstream if that matters.
+
+    NULL keys follow equi-join semantics (NULL matches nothing): a
+    NULL-key left row gets NULL as-of columns. Without the filter below
+    the carry-forward window would group all NULL keys into one
+    partition and happily 'match' them to each other — a divergence
+    from every SQL engine's ASOF that only NULL-key data exposes
+    (adversarial sweep finding). NULL right timestamps likewise cannot
+    be 'the latest at-or-before' anything.
     """
     value_cols = value_cols or [
         c for c in right.columns if c not in (key, right_ts)
     ]
+    right = right.filter(F.col(key).isNotNull() & F.col(right_ts).isNotNull())
     # The right row travels as ONE nullable struct so the carry-forward
     # is atomic (independent per-column carries could stitch together
     # values from different right rows when some columns are null).

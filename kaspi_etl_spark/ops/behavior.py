@@ -48,7 +48,13 @@ def funnel(events: DataFrame, steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFram
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id")
-    df = events.select("user_id", "event_type", "ts")
+    # NULL users can't be funnel subjects: the window would pool them
+    # into one pseudo-user and 'complete' steps across unrelated
+    # anonymous events, where any join-based formulation (and every SQL
+    # engine) drops them (adversarial sweep finding)
+    df = events.select("user_id", "event_type", "ts").filter(
+        F.col("user_id").isNotNull()
+    )
     first = steps[0]
     df = df.withColumn(
         f"t_{first}",
@@ -99,15 +105,19 @@ def retention(events: DataFrame) -> DataFrame:
 
 def daily_pivot(events: DataFrame, event_types: list[str]) -> DataFrame:
     """Wide daily table: one row per day, one count column per event type
-    (explicit value list — no distinct-values pre-job) plus a total."""
-    wide = (
-        events.groupBy(F.to_date("ts").alias("day"))
-        .pivot("event_type", event_types)
-        .count()
-        .na.fill(0, event_types)
+    (explicit value list — no distinct-values pre-job) plus a total.
+
+    ``total`` counts ALL events that day — including types outside the
+    list. The earlier form summed the pivot columns instead, which
+    silently under-reported whenever the data held an unlisted type
+    (adversarial sweep finding: an empty-string event_type dropped out
+    of the total). Conditional counts in one aggregate keep it a single
+    exchange with map-side partials, same as ``.pivot`` but without the
+    column-sum coupling."""
+    aggs = [
+        F.count(F.when(F.col("event_type") == t, 1)).cast("long").alias(t)
+        for t in event_types
+    ]
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        *aggs, F.count("*").cast("long").alias("total")
     )
-    total = None
-    for t in event_types:
-        wide = wide.withColumn(t, F.col(t).cast("long"))
-        total = F.col(t) if total is None else total + F.col(t)
-    return wide.withColumn("total", total.cast("long"))

@@ -2201,6 +2201,15 @@ def q_catalog_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_json_probe",
     """
+    WITH ev AS (
+      -- Spark's get_json_object returns NULL on malformed JSON;
+      -- DuckDB's json_extract_string THROWS — null out invalid payloads
+      -- first so both engines treat junk as missing (adversarial sweep)
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN props END AS props
+      FROM events
+    )
     SELECT event_type,
            CAST(SUM(COALESCE(
              TRY_CAST(json_extract_string(props, '$.k') AS BIGINT),
@@ -2209,7 +2218,7 @@ def q_catalog_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
              0)) AS BIGINT) AS k_sum,
            CAST(COUNT(CASE WHEN json_extract_string(props, '$.k') IS NULL THEN 1 END) AS BIGINT)
              AS missing
-    FROM events GROUP BY event_type
+    FROM ev GROUP BY event_type
     """,
 )
 def q_events_json_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3581,7 +3590,8 @@ from .ops import behavior as behavior_ops  # noqa: E402
     """
     WITH t1 AS (
       SELECT user_id, MIN(ts) AS t_view
-      FROM events WHERE event_type = 'view' GROUP BY user_id
+      FROM events WHERE event_type = 'view' AND user_id IS NOT NULL
+      GROUP BY user_id
     ),
     t2 AS (
       SELECT e.user_id, MIN(e.ts) AS t_click
@@ -7696,7 +7706,9 @@ def q_token_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(k % 10 AS BIGINT) AS k_mod,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(k) AS BIGINT) AS sum_k
-    FROM (SELECT TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM (SELECT TRY_CAST(json_extract_string(
+            CASE WHEN props IS NOT NULL AND json_valid(props) THEN props END,
+            '$.k') AS BIGINT) AS k
           FROM events)
     WHERE k IS NOT NULL
     GROUP BY 1
@@ -7709,9 +7721,11 @@ def q_events_variant_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeated-schema-on-read JSON string parsing (one parse, typed
     paths, shreddable at the storage layer). The oracle is DuckDB's
     JSON extraction over the same strings; rollup on exact integer
-    sums."""
+    sums. ``try_parse_json`` (not ``parse_json``): parse_json FAILFASTs
+    on malformed payloads — a junk string in ONE row would kill the
+    whole job (adversarial sweep finding)."""
     ev = read_events(spark, sf_dir)
-    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         ev.select(k.alias("k"))
         .filter(F.col("k").isNotNull())

@@ -368,3 +368,134 @@ def test_encode_bmp_parse_roundtrip():
     px = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
     back = multimodal._parse_bmp(multimodal.encode_bmp(px))
     assert (back == px).all()
+
+
+# --- PNG kernel (stdlib zlib + numpy; VERDICT r5 advisory #3) ---------------
+
+
+def _filtered_png(px_rgb, filters):
+    """Hand-build a PNG whose scanlines use the GIVEN filter types, by
+    applying each filter's forward transform — exercises the decoder's
+    unfilter paths independently of what encode_png happens to emit."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = px_rgb.shape
+    assert len(filters) == h
+    raw = bytearray()
+    rec = px_rgb.reshape(h, w * ch).astype(np.int32)
+    for y, f in enumerate(filters):
+        row = rec[y]
+        prev = rec[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.int32)
+        filt = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = row[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            filt[x] = (row[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(filt.astype(np.uint8).tobytes())
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def test_png_parse_all_filter_types():
+    """All five PNG scanline filters reverse correctly (the decoder's
+    core): a 5-row image with one row per filter type round-trips."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    px_rgb = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    png = _filtered_png(px_rgb, filters=[0, 1, 2, 3, 4])
+    got = multimodal._parse_png(png)  # BGR top-down
+    assert got is not None
+    assert np.array_equal(got, px_rgb[:, :, ::-1])
+
+
+def test_png_encode_parse_roundtrip():
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px_bgr = rng.integers(0, 256, size=(9, 7, 3), dtype=np.uint8)
+    again = multimodal._parse_png(multimodal.encode_png(px_bgr))
+    assert np.array_equal(again, px_bgr)
+
+
+def test_png_gray_and_rgba_and_rejects():
+    import numpy as np
+
+    # grayscale replicates into all three channels
+    gray = np.arange(12, dtype=np.uint8).reshape(3, 4, 1)
+    png = _filtered_png(gray, filters=[0, 1, 2])
+    got = multimodal._parse_png(png)
+    assert got.shape == (3, 4, 3)
+    assert np.array_equal(got[:, :, 0], gray[:, :, 0])
+    assert np.array_equal(got[:, :, 1], gray[:, :, 0])
+    # RGBA drops alpha
+    rgba = np.zeros((2, 2, 4), dtype=np.uint8)
+    rgba[..., 0] = 10  # R
+    rgba[..., 2] = 30  # B
+    rgba[..., 3] = 200  # alpha
+    got = multimodal._parse_png(_filtered_png(rgba, filters=[0, 4]))
+    assert got.shape == (2, 2, 3)
+    assert tuple(got[0, 0]) == (30, 0, 10)  # BGR
+    # rejects: not a PNG, truncated IDAT, 16-bit depth
+    assert multimodal._parse_png(b"BM not a png") is None
+    good = multimodal.encode_png(np.zeros((4, 4, 3), dtype=np.uint8))
+    assert multimodal._parse_png(good[:40]) is None
+    import struct
+
+    bad_depth = bytearray(good)
+    # IHDR data starts at offset 16; depth byte is at 16+8
+    bad_depth[24] = 16
+    assert multimodal._parse_png(bytes(bad_depth)) is None
+
+
+def test_png_decode_kernel_in_spark_pipeline(spark):
+    """media_features decodes real PNG bytes through the same
+    mapInPandas path as WAV/BMP: solid bands give exactly-known means,
+    and resize_images emits a VALID PNG (format-preserving)."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    px = np.zeros((4, 2, 3), dtype=np.uint8)
+    px[:2] = 255  # top half white, bottom half black
+    png = multimodal.encode_png(px)
+    rows = [
+        Row(media_id=42, kind="image", mime="image/png", content=png,
+            meta=Row(width=2, height=4, duration_ms=0, codec="png")),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in multimodal.extract_features(media, dim=4).collect()}
+    assert out[42].feature == [1.0, 1.0, 0.0, 0.0]
+
+    resized = multimodal.resize_images(media, width=1, height=2).collect()
+    assert len(resized) == 1
+    back = multimodal._parse_png(bytes(resized[0].content))
+    assert back is not None and back.shape == (2, 1, 3)
+    assert tuple(back[0, 0]) == (255, 255, 255)
+    assert tuple(back[1, 0]) == (0, 0, 0)

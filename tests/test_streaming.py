@@ -413,3 +413,78 @@ def test_stream_static_enrich_job(spark, tmp_path):
     assert by_sku[1]["name"] == "alpha" and by_sku[3]["name"] == "gamma"
     # unmatched fact survives the LEFT join with a null dimension value
     assert 9 in by_sku and by_sku[9].get("name") is None
+
+
+def test_session_stream_on_rocksdb_state_store(spark):
+    """The 100 TB state story, tested rather than asserted: the same
+    sessionization job runs on the RocksDB state store provider (the
+    spill-to-disk store a real cluster uses when streaming state exceeds
+    executor heap). Verifies (a) results identical to the default
+    HDFS-backed store, (b) the provider actually engaged (RocksDB custom
+    metrics present in progress), and (c) watermark eviction bounds the
+    state (closed sessions leave the store)."""
+    import time as _time
+
+    src = tempfile.mkdtemp(prefix="rdb_src_")
+    sink = tempfile.mkdtemp(prefix="rdb_sink_")
+    ckpt = tempfile.mkdtemp(prefix="rdb_ckpt_")
+    t = lambda h, m: datetime.datetime(2025, 9, 1, h, m, 0)  # noqa: E731
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_key, None)
+    try:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+
+        def tick(idx, rows):
+            spark.createDataFrame(rows, "user_id long, ts timestamp, v long").coalesce(
+                1
+            ).write.mode("overwrite").json(f"{src}/tick_{idx}")
+
+        tick(0, [(1, t(12, 0), 10), (1, t(12, 20), 5)])
+        _time.sleep(1.2)
+        tick(1, [(1, t(12, 40), 1)])
+        _time.sleep(1.2)
+        tick(2, [(1, t(14, 0), 7), (1, t(18, 0), 0)])
+
+        q = watch.session_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            sink_dir=sink,
+            checkpoint_dir=ckpt,
+            schema="user_id long, ts timestamp, v long",
+        ).start()
+        q.awaitTermination(180)
+        progress = list(q.recentProgress)
+
+        got = spark.read.schema(
+            "user_id long, session_start timestamp, n_events long, sum_v long"
+        ).json(sink)
+        by_start = {r.session_start: (r.n_events, r.sum_v) for r in got.collect()}
+        # identical results to the default-provider test above
+        assert by_start[t(12, 0)] == (3, 16)
+        assert by_start[t(14, 0)] == (1, 7)
+
+        state_ops = [
+            so for p in progress for so in (p.get("stateOperators") or [])
+        ]
+        assert state_ops, "no stateful operator progress recorded"
+        # RocksDB provider actually engaged: its custom metrics ride in
+        # the progress (absent entirely under the HDFS-backed default)
+        assert any(
+            any(k.startswith("rocksdb") for k in (so.get("customMetrics") or {}))
+            for so in state_ops
+        ), "RocksDB custom metrics missing - provider did not engage"
+        # eviction: closed sessions were removed from the store, and the
+        # final state holds at most the open tail session
+        assert sum(so.get("numRowsRemoved", 0) for so in state_ops) >= 2
+        assert state_ops[-1].get("numRowsTotal", 99) <= 1
+    finally:
+        if old is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old)
+        for d in (src, sink, ckpt):
+            shutil.rmtree(d, ignore_errors=True)
