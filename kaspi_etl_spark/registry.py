@@ -7842,3 +7842,66 @@ def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return asof_ops.snapshot_diff(old, new, ["o_orderkey"])
+
+
+def _orders_old_new(spark: SparkSession, sf_dir: str):
+    """The deterministic old/new orders snapshot pair shared by
+    orders_snapshot_diff and orders_merge_upsert."""
+    orders = _read(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice").cast("long").alias("price"),
+    )
+    old = orders.filter(F.col("o_orderkey") % 13 != 0)
+    new = (
+        orders.filter(F.col("o_orderkey") % 17 != 0)
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .withColumn(
+            "price",
+            F.col("price")
+            + F.when(F.col("o_orderkey") % 11 == 0, F.lit(1)).otherwise(F.lit(0)),
+        )
+    )
+    return old, new
+
+
+@register(
+    "orders_merge_upsert",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, CAST(round(o_totalprice) AS BIGINT) AS price
+      FROM orders WHERE o_orderkey % 13 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+             CAST(round(o_totalprice) AS BIGINT)
+               + CASE WHEN o_orderkey % 11 = 0 THEN 1 ELSE 0 END AS price
+      FROM orders WHERE o_orderkey % 17 <> 0
+    )
+    -- MERGE: WHEN MATCHED UPDATE, WHEN NOT MATCHED INSERT, unmatched
+    -- target rows kept == full-outer coalesce preferring the source row
+    SELECT COALESCE(n.o_orderkey, o.o_orderkey) AS o_orderkey,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.o_orderstatus
+                ELSE o.o_orderstatus END AS o_orderstatus,
+           CASE WHEN n.o_orderkey IS NOT NULL THEN n.price
+                ELSE o.price END AS price
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    """,
+)
+def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO as a pure transform (ops/merge.merge_frames): the
+    snapshot-diff old/new pair merged with WHEN MATCHED UPDATE + WHEN
+    NOT MATCHED INSERT (the Delta/SQL MERGE default, and the reference's
+    delete-then-append upsert semantics, etl_purchases.py:57-64). ONE
+    full-outer join on the key with struct-packed sides; the oracle is
+    the equivalent coalesce-preferring-source FULL OUTER JOIN."""
+    from .ops import merge as merge_ops
+
+    old, new = _orders_old_new(spark, sf_dir)
+    return merge_ops.merge_frames(old, new, ["o_orderkey"])

@@ -68,6 +68,35 @@ def write_bucketed_table(
     )
 
 
+def recover_swap(path: str) -> None:
+    """Crash recovery for ``publish_swap``: a crash between its two
+    renames leaves ``path`` absent with a ``__old_*`` backup on disk —
+    rename the backup back (recovery-is-a-rename) and clear debris.
+    Call at the top of any read-modify-swap job."""
+    import glob
+
+    backups = sorted(glob.glob(glob.escape(path) + "__old_*"))
+    if not os.path.exists(path) and backups:
+        os.rename(backups[0], path)
+        backups = backups[1:]
+    for leftover in backups + glob.glob(glob.escape(path) + "__stage_*"):
+        shutil.rmtree(leftover, ignore_errors=True)
+
+
+def publish_swap(df: DataFrame, path: str) -> None:
+    """Stage-and-swap publish: write ``df`` to a staging sibling, then
+    two renames. A job cannot overwrite its own parquet input, so every
+    read-modify-write sink funnels through this."""
+    staging = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(staging)
+    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(path):
+        os.rename(path, backup)
+    os.rename(staging, path)
+    if os.path.exists(backup):
+        shutil.rmtree(backup, ignore_errors=True)
+
+
 def upsert_parquet(
     spark: SparkSession, incoming: DataFrame, path: str, keys: list[str]
 ) -> None:
@@ -78,19 +107,13 @@ def upsert_parquet(
     because a job cannot overwrite its own input. At scale, partition
     ``path`` by date and upsert per-partition instead of whole-table.
     """
-    staging = f"{path}__stage_{uuid.uuid4().hex[:8]}"
+    recover_swap(path)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         merged = upsert_transform(existing, incoming, keys)
     else:
         merged = incoming
-    merged.write.mode("overwrite").parquet(staging)
-    backup = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.exists(path):
-        os.rename(path, backup)
-    os.rename(staging, path)
-    if os.path.exists(backup):
-        shutil.rmtree(backup, ignore_errors=True)
+    publish_swap(merged, path)
 
 
 def compact_parquet(

@@ -1,0 +1,193 @@
+"""Scaling curve for the five riskiest operators (VERDICT r5 #4).
+
+Runs dedup_clusters, token_budget_sample, part_name_matches_capped,
+ann_ivf_topk (train+search), and semantic_dedup_keep at K x sf0.1 for
+K in {10, 50, 100} (~sf1 at K=10 on documents; 60M lineitem-equivalents
+at K=100) and records wall seconds, executor-CPU seconds, output rows,
+and iterative convergence rounds, so SCALE.md's curve is measured, not
+extrapolated.
+
+Scaled corpora are DISTINCT-content copies, not verbatim duplicates:
+ - documents: per-copy vowel permutation via translate() — shingles/
+   minhash signatures differ across copies, so pair discovery scales in
+   docs instead of exploding quadratically on exact copies (which is a
+   property of that DATA, already documented in SCALE.md, not of the
+   operator).
+ - part names: same vowel permutation — ER blocks stay constant-size
+   per copy and disjoint across copies.
+ - embeddings: per-copy constant offset — cosine near-dup pairs stay
+   within-copy at the 0.99 threshold.
+
+Usage: python tools/stress_curve.py [K ...]   (default: 10 50 100)
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kaspi_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.1"
+
+VOWEL_PERMS = ["".join(p) for p in itertools.permutations("aeiou")]
+
+
+def cpu_sec(spark) -> float:
+    base = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    stages = json.load(urllib.request.urlopen(url, timeout=10))
+    return sum(s.get("executorCpuTime", 0) for s in stages) / 1e9
+
+
+def scaled_union(base, k: int, shift_col: str, shift: int, mutate=None):
+    parts = []
+    for i in range(k):
+        p = base.withColumn(shift_col, F.col(shift_col) + F.lit(i * shift))
+        if mutate is not None:
+            p = mutate(p, i)
+        parts.append(p)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    return df
+
+
+def vowel_mut(col: str):
+    def mut(df, i):
+        perm = VOWEL_PERMS[i % len(VOWEL_PERMS)]
+        return df.withColumn(col, F.translate(F.col(col), "aeiou", perm))
+
+    return mut
+
+
+def main() -> None:
+    ks = [int(a) for a in sys.argv[1:]] or [10, 50, 100]
+    spark = get_spark(
+        "stress-curve",
+        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4061"},
+    )
+    from kaspi_etl_spark.llm import dedup, similarity, text  # noqa: E402
+    from kaspi_etl_spark.ops import entity  # noqa: E402
+
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    part0 = spark.read.parquet(f"{SF_DIR}/part.parquet").select("p_partkey", "p_name")
+    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    results = []
+
+    def run(k, name, fn):
+        c0, t0 = cpu_sec(spark), time.time()
+        out = fn()
+        wall, cpu = time.time() - t0, cpu_sec(spark) - c0
+        row = {"k": k, "op": name, "wall_s": round(wall, 2), "cpu_s": round(cpu, 2)}
+        row.update(out)
+        results.append(row)
+        print(json.dumps(row), flush=True)
+
+    for k in ks:
+        docs = scaled_union(
+            docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+        ).localCheckpoint()
+        n_docs = docs.count()
+        parts = scaled_union(
+            part0, k, "p_partkey", 10_000_000, vowel_mut("p_name")
+        ).localCheckpoint()
+        n_parts = parts.count()
+        # per-copy cyclic rotation of the components: an orthogonal map,
+        # so every copy's INTERNAL cosine structure (and thus pair count)
+        # is identical to the base corpus — growth in pairs is linear in
+        # K by construction, while cross-copy pairs are incidental
+        def rot(df, i):
+            s = (i * 7) % 63 + 1 if i else 0
+            if s == 0:
+                return df
+            return df.withColumn(
+                "v",
+                F.concat(
+                    F.slice(F.col("v"), s + 1, 64 - s), F.slice(F.col("v"), 1, s)
+                ),
+            )
+
+        emb = scaled_union(emb0, k, "vec_id", 10_000_000, rot).localCheckpoint()
+        n_emb = emb.count()
+        print(f"# K={k}: {n_docs} docs, {n_parts} parts, {n_emb} vectors", flush=True)
+
+        run(
+            k,
+            "dedup_clusters",
+            lambda: {
+                "rows": dedup.connected_components(
+                    dedup.minhash_near_dup_pairs(
+                        docs, num_hashes=8, bands=4, threshold=0.5
+                    )
+                ).count(),
+                "in_rows": n_docs,
+            },
+        )
+        run(
+            k,
+            "token_budget_sample",
+            lambda: {
+                "rows": text.token_budget_sample(docs, budget=50_000 * k).count(),
+                "in_rows": n_docs,
+            },
+        )
+        run(
+            k,
+            "part_name_matches_capped",
+            lambda: {
+                "rows": entity.blocked_name_matches(
+                    parts, id_col="p_partkey", name_col="p_name", max_block=32
+                ).count(),
+                "in_rows": n_parts,
+            },
+        )
+
+        def _ivf():
+            queries = (
+                emb.orderBy("vec_id")
+                .limit(8)
+                .select(F.col("vec_id").alias("query_id"), "v")
+                .localCheckpoint()
+            )
+            topk = similarity.ivf_topk(
+                emb,
+                queries,
+                k=5,
+                n_lists=16,
+                id_col="vec_id",
+                vec_col="v",
+            )
+            return {"rows": topk.count(), "in_rows": n_emb}
+
+        run(k, "ann_ivf_topk", _ivf)
+
+        def _semantic():
+            pairs = similarity.cosine_near_dup_pairs_bucketed(
+                emb, threshold=0.99, id_col="vec_id", vec_col="v", dim=64
+            ).localCheckpoint()
+            n_pairs = pairs.count()
+            cc = dedup.connected_components(pairs.select("id_a", "id_b"))
+            return {"rows": cc.count(), "pairs": n_pairs, "in_rows": n_emb}
+
+        run(k, "semantic_dedup_keep", _semantic)
+
+    print("\n# summary")
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
