@@ -103,6 +103,49 @@ def retention(events: DataFrame) -> DataFrame:
     )
 
 
+def top_paths(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    max_steps: int = 5,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top session paths: the most common ordered event-type sequences
+    (first ``max_steps`` events of each inactivity-gap session) — the
+    'how do users actually move through the product' query.
+
+    Shape: ONE shuffle on (session_window, user) collecting each
+    session's events as a sorted struct array ((ts, event_id, type) —
+    a pinned total order, so tied timestamps cannot flap the path
+    between engines), then a tiny groupBy on the path strings and a
+    global top-n that compiles to TakeOrderedAndProject. Session count
+    bounds the second stage, path-vocabulary the third — both are
+    data-sized, never event-sized, and the ordering (n desc, path asc)
+    is a total order so the limit is deterministic. NULL users are
+    excluded (same rationale as ``funnel``)."""
+    sessions = (
+        events.filter(F.col("user_id").isNotNull())
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("_evs")
+        )
+    )
+    path = F.concat_ws(
+        ">",
+        F.transform(
+            F.slice("_evs", 1, max_steps), lambda e: e["event_type"]
+        ),
+    )
+    return (
+        sessions.select(path.alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_n)
+    )
+
+
 def daily_pivot(events: DataFrame, event_types: list[str]) -> DataFrame:
     """Wide daily table: one row per day, one count column per event type
     (explicit value list — no distinct-values pre-job) plus a total.

@@ -3621,6 +3621,44 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_top_paths",
+    """
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    flagged AS (
+      SELECT *, CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                          < INTERVAL 30 MINUTES THEN 0 ELSE 1 END AS new_session
+      FROM e
+    ),
+    sess AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, sid,
+             array_to_string(list(event_type ORDER BY ts ASC, event_id ASC)[1:5], '>')
+               AS path
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+)
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized path analysis: the 20 most common ordered event-type
+    sequences (first 5 events per 30-min-gap session). Session semantics
+    shared with events_session_windows (session_window == the oracle's
+    LAG-cumsum sessionization); event order pinned by (ts, event_id) so
+    tied timestamps cannot flap the path; total output order (n desc,
+    path asc) makes the limit deterministic."""
+    return behavior_ops.top_paths(read_events(spark, sf_dir))
+
+
+@register(
     "events_retention",
     """
     WITH first AS (
@@ -7868,6 +7906,70 @@ def _orders_old_new(spark: SparkSession, sf_dir: str):
         )
     )
     return old, new
+
+
+@register(
+    "orders_in_promo_windows",
+    """
+    WITH iv AS (
+      SELECT l_suppkey,
+             date_diff('day', DATE '1970-01-01', CAST(min(l_shipdate) AS DATE))
+               AS start_day
+      FROM lineitem WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+      GROUP BY l_suppkey
+    ),
+    iv2 AS (SELECT l_suppkey, start_day, start_day + 30 AS end_day FROM iv),
+    pts AS (
+      SELECT o_orderkey,
+             date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d
+      FROM orders WHERE o_orderdate IS NOT NULL
+    )
+    SELECT i.l_suppkey AS s_suppkey, CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(min(p.o_orderkey) AS BIGINT) AS first_orderkey
+    FROM iv2 i JOIN pts p ON p.d BETWEEN i.start_day AND i.end_day
+    GROUP BY i.l_suppkey
+    """,
+)
+def q_orders_in_promo_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure interval join (no equi-key): orders falling inside each
+    supplier's 30-day launch window (window start = the supplier's
+    first ship date). Spark compiles a bare BETWEEN join predicate to
+    BroadcastNestedLoopJoin / cartesian — banned here — so this runs as
+    the binned rewrite (ops/interval.interval_join): intervals explode
+    to their overlapped 16-day buckets, points equi-join on their ONE
+    bucket, exact BETWEEN filter after. Time is reduced to day numbers
+    via datediff from a fixed epoch BEFORE the join — integer
+    arithmetic, no session-timezone coupling. The oracle is DuckDB's
+    native theta join."""
+    from .ops.interval import interval_join
+
+    epoch = F.to_date(F.lit("1970-01-01"))
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey").isNotNull() & F.col("l_shipdate").isNotNull()
+    )
+    iv = li.groupBy("l_suppkey").agg(
+        F.datediff(F.min(F.col("l_shipdate").cast("date")), epoch).alias(
+            "start_day"
+        )
+    ).select(
+        "l_suppkey", "start_day", (F.col("start_day") + 30).alias("end_day")
+    )
+    pts = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate").cast("date"), epoch).alias("d"),
+        )
+    )
+    joined = interval_join(
+        pts, iv, point_col="d", start_col="start_day", end_col="end_day",
+        bin_width=16,
+    )
+    return joined.groupBy(F.col("l_suppkey").alias("s_suppkey")).agg(
+        F.count("*").cast("long").alias("n_orders"),
+        F.min("o_orderkey").cast("long").alias("first_orderkey"),
+    )
 
 
 @register(

@@ -208,3 +208,34 @@ def test_dq_orphan_count(spark):
     parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
     row = quality.orphan_count(child, parent, "fk", "pk", "ri").collect()[0]
     assert row.metric == 1.0 and not row.passed
+
+
+def test_top_paths_orders_and_truncates(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1 session A: view > click > purchase (within 30-min gaps)
+        (1, 1, m(0), "view"), (2, 1, m(5), "click"), (3, 1, m(20), "purchase"),
+        # user 1 session B after >30min gap: view alone
+        (4, 1, m(60), "view"),
+        # user 2: same v>c>p shape
+        (5, 2, m(0), "view"), (6, 2, m(1), "click"), (7, 2, m(2), "purchase"),
+        # user 3: six events -> path truncated to first 5
+        *[(8 + i, 3, m(i), "view") for i in range(6)],
+        # tied timestamps: event_id pins the order (10 before 11 is
+        # impossible here: ids 14,15 share m(0))
+        (14, 4, m(0), "view"), (15, 4, m(0), "click"),
+        # NULL user: excluded entirely
+        (16, None, m(0), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["path"]: r["n_sessions"] for r in behavior.top_paths(ev).collect()}
+    assert got["view>click>purchase"] == 2
+    assert got["view"] == 1
+    assert got["view>view>view>view>view"] == 1  # truncated at 5 steps
+    assert got["view>click"] == 1  # tie broken by event_id
+    assert sum(got.values()) == 5  # NULL user contributed nothing

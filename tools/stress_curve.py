@@ -105,20 +105,24 @@ def main() -> None:
             part0, k, "p_partkey", 10_000_000, vowel_mut("p_name")
         ).localCheckpoint()
         n_parts = parts.count()
-        # per-copy cyclic rotation of the components: an orthogonal map,
-        # so every copy's INTERNAL cosine structure (and thus pair count)
-        # is identical to the base corpus — growth in pairs is linear in
-        # K by construction, while cross-copy pairs are incidental
+        # per-copy orthogonal transform (cyclic rotation x optional
+        # reversal = 126 distinct maps): every copy's INTERNAL cosine
+        # structure (and thus pair count) is identical to the base
+        # corpus, and no two copies share a transform below K=126 — so
+        # growth is linear in K by construction. (A colliding transform
+        # means exact-duplicate vectors across copies, whose pair count
+        # is quadratic BY DATA — the property SCALE.md already documents
+        # — and would measure the data, not the operator.)
         def rot(df, i):
-            s = (i * 7) % 63 + 1 if i else 0
-            if s == 0:
-                return df
-            return df.withColumn(
-                "v",
-                F.concat(
-                    F.slice(F.col("v"), s + 1, 64 - s), F.slice(F.col("v"), 1, s)
-                ),
-            )
+            if i >= 126:
+                raise ValueError("only 126 distinct transforms available")
+            s, flip = i % 63, i >= 63
+            v = F.col("v")
+            if flip:
+                v = F.reverse(v)
+            if s:
+                v = F.concat(F.slice(v, s + 1, 64 - s), F.slice(v, 1, s))
+            return df.withColumn("v", v)
 
         emb = scaled_union(emb0, k, "vec_id", 10_000_000, rot).localCheckpoint()
         n_emb = emb.count()
