@@ -89,14 +89,12 @@ _GATE_PRIORITY = [
     "top3_cheapest",
     "master_attrs_union",
     "bot_sliding_window",
-    "dedup_exact",
     "minhash_lsh_pairs",
     "ngram_jaccard_capped",
     "customer_bloom_probe",
     "ann_pq_topk",
     "docs_pii_profile",
     "media_features",
-    "tpch_q1_pricing_summary",
     "export_flat",
     "import_coerce",
     "catalog_validation",
@@ -105,7 +103,6 @@ _GATE_PRIORITY = [
     "dedup_clusters",
     "events_funnel",
     "events_asof_join",
-    "token_countmin",
     "duplicate_spans",
     "token_budget_sample",
     "dq_orders_report",
@@ -127,6 +124,15 @@ _GATE_PRIORITY = [
     "customer_revenue_deciles",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_suppliers",
+    # first driver check for the round-6 additions (each family keeps a
+    # multi-round driver-green sibling in the gate: purchases_upsert for
+    # the merge machinery, sizing_adult for theta joins, events_funnel
+    # for sessionized behavior; the three rotated out — dedup_exact,
+    # tpch_q1_pricing_summary, token_countmin — are r5 driver-green with
+    # in-gate family siblings)
+    "orders_merge_upsert",
+    "orders_in_promo_windows",
+    "events_top_paths",
 ]
 
 

@@ -75,6 +75,13 @@ HEADLINE = [
     "docs_url_blocklist",
     "customer_bloom_probe",
     "tpch_q1_pricing_summary",
+    # r6: embedding-level dedup end-to-end (now with corpus-sized LSH
+    # params — fixed r=12 measured QUADRATIC on the stress curve), the
+    # MERGE INTO surface, the binned interval join, and session paths
+    "semantic_dedup_keep",
+    "orders_merge_upsert",
+    "orders_in_promo_windows",
+    "events_top_paths",
 ]
 
 

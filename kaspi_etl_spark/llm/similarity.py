@@ -19,7 +19,11 @@ from pyspark.sql import functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
-    """JVM-side dot product of two float arrays."""
+    """JVM-side dot product of two float arrays (dim unknown at plan
+    time). NOTE: higher-order-function lambdas run on Spark's
+    INTERPRETED expression path (~1 us/element — no whole-stage
+    codegen); when the dimension is statically known, use ``dot_fixed``
+    — bit-identical values, ~100x cheaper."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -27,8 +31,49 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """``dot`` unrolled for a statically known dimension: a plain
+    GetArrayItem multiply-add chain that stays inside whole-stage
+    codegen instead of the interpreted lambda evaluator.
+
+    Bit-identical to ``dot`` by construction — the same left fold
+    ``((0.0 + a0*b0) + a1*b1) + ...`` in the same element order, so any
+    oracle that mirrors ``dot``'s fold order is untouched. Element
+    access is ``F.get`` (NULL on out-of-bounds even under ANSI mode —
+    a bare ``a[i]`` THROWS there), so arrays shorter than ``dim`` yield
+    a NULL sum just as zip_with's null padding does, and any
+    wrong-length raise stays the job of the caller's explicit guard.
+
+    Measured motivation: the r6 LSH stress curve was dominated by
+    interpreted lambda evaluation — 200k vectors x 224 planes x 64 dims
+    = 2.9G lambda steps ~ 600+ executor-CPU seconds of pure overhead.
+    """
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i) * F.get(b, i)
+    return acc
+
+
+def dot_planes(vec: Column, plane: list[float]) -> Column:
+    """Dot of a vector column with a PYTHON-LITERAL plane, unrolled into
+    codegen (same fold order as ``dot`` with an array-literal plane)."""
+    acc: Column = F.lit(0.0)
+    for j, s in enumerate(plane):
+        acc = acc + F.get(vec, j) * F.lit(float(s))
+    return acc
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def l2_norm_fixed(a: Column, dim: int) -> Column:
+    """``l2_norm`` unrolled for a known dimension (same fold order —
+    bit-identical; codegen instead of interpreted lambdas)."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + F.get(a, i) * F.get(a, i)
+    return F.sqrt(acc)
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -36,21 +81,35 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
-def with_normalized(df: DataFrame, vec_col: str, out_col: str) -> DataFrame:
+def with_normalized(
+    df: DataFrame, vec_col: str, out_col: str, dim: int | None = None
+) -> DataFrame:
     """Unit-normalize a vector column (zero vectors -> zero vectors).
 
     Pre-normalizing makes pairwise cosine a single dot product instead of
     dot + two norms per pair — a 3x flop cut in the O(N*Q) stage. The
     norm is materialized as a real column first so the transform lambda
     binds an attribute, not a re-evaluated expression.
+
+    With a known ``dim``, the norm and the divide are unrolled into
+    codegen expressions (identical values, same element order); vectors
+    of a different length then come out with NULL slots rather than a
+    short array — callers on the unrolled path guard length upstream.
     """
-    nrm = df.withColumn("_nrm", l2_norm(F.col(vec_col)))
+    vec = F.col(vec_col)
+    if dim is None:
+        nrm_expr = l2_norm(vec)
+    else:
+        nrm_expr = l2_norm_fixed(vec, dim)
+    nrm = df.withColumn("_nrm", nrm_expr)
+    if dim is None:
+        normed = F.transform(vec, lambda x: x / F.col("_nrm"))
+        zeros = F.transform(vec, lambda x: F.lit(0.0))
+    else:
+        normed = F.array(*[F.get(vec, i) / F.col("_nrm") for i in range(dim)])
+        zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
     return nrm.withColumn(
-        out_col,
-        F.when(
-            F.col("_nrm") > 0,
-            F.transform(F.col(vec_col), lambda x: x / F.col("_nrm")),
-        ).otherwise(F.transform(F.col(vec_col), lambda x: F.lit(0.0))),
+        out_col, F.when(F.col("_nrm") > 0, normed).otherwise(zeros)
     ).drop("_nrm")
 
 
@@ -61,20 +120,28 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k per query via broadcast nested-loop + window.
 
     ``queries`` is expected to be small (broadcastable); the corpus scan
     stays distributed and narrow. Both sides are unit-normalized up
     front, so the pairwise stage is one dot product. Ties broken by
-    corpus id asc.
+    corpus id asc. Pass ``dim`` when known: the pairwise dot — the
+    n_corpus x n_queries x dim hot loop — then unrolls into codegen
+    (bit-identical fold) instead of interpreted lambdas.
     """
     q = with_normalized(queries, vec_col, "_qvec").select(query_id_col, "_qvec")
     c = with_normalized(corpus, vec_col, "_cvec").select(id_col, "_cvec")
+    pair_dot = (
+        dot_fixed(F.col("_qvec"), F.col("_cvec"), dim)
+        if dim
+        else dot(F.col("_qvec"), F.col("_cvec"))
+    )
     scored = c.crossJoin(F.broadcast(q)).select(
         query_id_col,
         id_col,
-        dot(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        pair_dot.alias("cosine_sim"),
     ).filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -101,12 +168,54 @@ def deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
 
 
 def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """LSH bucket id: sign bits of dot products with fixed hyperplanes."""
+    """LSH bucket id: sign bits of dot products with fixed hyperplanes.
+    Unrolled (``dot_planes``) so the hashing stage — the largest flop
+    count in the LSH pipeline, n x planes x dim multiply-adds — runs in
+    whole-stage codegen, not the interpreted lambda evaluator."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
-        bucket = bucket + F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bucket = bucket + F.when(dot_planes(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def auto_lsh_params(
+    n: int,
+    threshold: float,
+    target_bucket: int = 4,
+    target_miss: float = 1e-4,
+    min_planes: int = 12,
+    min_bands: int = 12,
+) -> tuple[int, int]:
+    """Size (bands, planes_per_band) to the corpus so the candidate
+    stream stays LINEAR in n.
+
+    At fixed r planes per band, expected candidates are
+    sum C(bucket, 2) ~ n^2 / 2^r — QUADRATIC in n (measured: the r5
+    stress curve at fixed r=12 went 35s -> 322s for a 2x corpus). The
+    scale-correct r grows with the data: r = log2(n / target_bucket)
+    holds expected bucket size (hence per-vector candidate count)
+    constant, making total candidates ~ bands * n * target_bucket / 2.
+
+    More planes per band lowers per-band match probability (p^r with
+    p = 1 - angle/pi), so the band count is re-derived to keep the
+    per-true-pair miss probability (1 - p^r)^bands at ``target_miss``
+    for pairs sitting exactly AT the threshold (pairs above it miss
+    less; exact duplicates can never miss — identical sign bits).
+    Floors keep small-corpus behavior identical to the historical
+    12x12 defaults, so gate-scale results are bit-unchanged; r is
+    capped at 40 so bucket ids stay comfortably inside a long.
+    """
+    import math
+
+    p = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    ratio = max(n, 1) / max(target_bucket, 1)
+    r = min(40, max(min_planes, math.ceil(math.log2(ratio)) if ratio > 1 else 0))
+    p_band = p**r
+    if p_band >= 1.0:
+        bands = min_bands
+    else:
+        bands = max(min_bands, math.ceil(math.log(target_miss) / math.log(1.0 - p_band)))
+    return min(64, bands), r
 
 
 def ivf_topk(
@@ -120,6 +229,7 @@ def ivf_topk(
     train_iters: int = 2,
     scale_bits: int = 10,
     nprobe: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: a deterministic k-means coarse quantizer
     (``kmeans_train`` — fixed-point Lloyd, lowest-id seeds) assigns every
@@ -149,7 +259,7 @@ def ivf_topk(
         corpus, cents, id_col=id_col, vec_col=vec_col, scale_bits=scale_bits
     ).select(F.col(id_col), F.col("cluster").alias("_list"))
     cb = (
-        with_normalized(corpus, vec_col, "_cvec")
+        with_normalized(corpus, vec_col, "_cvec", dim=dim)
         .join(lists, id_col)
         .select(F.col(id_col), "_cvec", "_list")
     )
@@ -159,15 +269,20 @@ def ivf_topk(
         else F.explode(_nearest_lists(F.col("_qv"), cents, nprobe))
     )
     qb = (
-        with_normalized(queries, vec_col, "_qvec")
+        with_normalized(queries, vec_col, "_qvec", dim=dim)
         .withColumn("_qv", qv)
         .withColumn("_list", probe)
         .select(F.col(query_id_col), "_qvec", "_list")
     )
+    pair_dot = (
+        dot_fixed(F.col("_qvec"), F.col("_cvec"), dim)
+        if dim
+        else dot(F.col("_qvec"), F.col("_cvec"))
+    )
     scored = cb.join(F.broadcast(qb), "_list").select(
         query_id_col,
         id_col,
-        dot(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        pair_dot.alias("cosine_sim"),
     ).filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
@@ -220,14 +335,223 @@ def cosine_near_dup_pairs(
     )
 
 
+def _pairs_arrow(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    bands: int,
+    planes_per_band: int,
+    dim: int,
+    threshold: float,
+) -> DataFrame:
+    """Verified near-dup pairs, Arrow end to end: band buckets via one
+    numpy matmul per batch, then pairwise verification INSIDE each
+    bucket (vectors ride along into the bucket groupBy), thresholded
+    BEFORE the cross-band distinct.
+
+    Why this shape — each alternative was measured at 100k x 64-dim:
+    generating a candidate id-stream and equi-joining the vectors back
+    moves ~1 KB per candidate through two joins and re-serializes every
+    pair for scoring (520+ executor-CPU s whether the dot is a
+    JVM-unrolled chain — one huge un-JITable generated method — or an
+    Arrow UDF); here the only wide shuffle is the bucket groupBy
+    carrying n x bands (id, vec) rows once, verification is a batched
+    numpy fold, and the distinct dedups only the TRUE pairs that
+    surfaced in multiple bands.
+
+    Exactness: norms and pair dots are explicit PER-DIMENSION LEFT
+    FOLDS (``acc = acc + a_i * b_i`` column by column, vectorized across
+    pairs) — NOT np.dot, whose pairwise/SIMD summation reorders the
+    additions and drifts ulps from the oracle's list_reduce fold. Every
+    numpy op is IEEE-exact per element, so each pair's cosine is
+    bit-identical to the JVM fallback and the SQL mirror, which is what
+    lets distinct() collapse a pair found in several bands to one row.
+
+    NULL vectors hash to no buckets (posexplode_outer + isNotNull — the
+    vanilla-session-safe explode pattern); wrong-length vectors raise
+    with the same message as the JVM guard. A pathological bucket of
+    identical vectors is quadratic BY DATA (as documented in SCALE.md);
+    the auto-sized planes hold expected bucket size constant.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    n_bands, r, d = int(bands), int(planes_per_band), int(dim)
+    thr = float(threshold)
+    plane_rows = [planes[p][j] for p in range(len(planes)) for j in range(d)]
+
+    @pandas_udf("array<long>")
+    def _buckets(vs):  # pd.Series[list[float] | None] -> pd.Series
+        import numpy as np
+        import pandas as pd
+
+        P = np.asarray(plane_rows, dtype=np.float64).reshape(n_bands * r, d)
+        W = np.int64(1) << np.arange(r, dtype=np.int64)
+        out = [None] * len(vs)
+        live = [i for i, v in enumerate(vs) if v is not None]
+        if live:
+            for i in live:
+                if len(vs.iloc[i]) != d:
+                    raise ValueError(
+                        "cosine_near_dup_pairs_bucketed: embedding length "
+                        f"{len(vs.iloc[i])} != dim {d} — LSH bucketing "
+                        "would silently degenerate to all-pairs"
+                    )
+            M = np.stack(
+                [np.asarray(vs.iloc[i], dtype=np.float64) for i in live]
+            )
+            bits = (M @ P.T) >= 0  # NaN compares False, like the JVM form
+            bks = bits.reshape(len(live), n_bands, r) @ W  # (m, bands)
+            for row, i in enumerate(live):
+                out[i] = bks[row].tolist()
+        return pd.Series(out)
+
+    grouped = (
+        vectors.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("_v"),
+            _buckets(F.col(vec_col)).alias("_bks"),
+        )
+        .select("id", "_v", F.posexplode_outer("_bks").alias("band_idx", "bucket"))
+        .filter(F.col("bucket").isNotNull())
+        .groupBy("band_idx", "bucket")
+        .agg(F.collect_list(F.struct("id", "_v")).alias("grp"))
+        .filter(F.size("grp") >= 2)
+    )
+
+    def _verify(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            for grp in pdf["grp"]:
+                m = len(grp)
+                if m < 2:
+                    continue
+                ids = np.asarray([g["id"] for g in grp], dtype=np.int64)
+                V = np.array(
+                    [np.asarray(g["_v"], dtype=np.float64) for g in grp]
+                )
+                o = np.argsort(ids, kind="stable")
+                ids, V = ids[o], V[o]
+                nrm = np.zeros(m)
+                for i in range(d):  # left fold, same order as the oracle
+                    nrm = nrm + V[:, i] * V[:, i]
+                nrm = np.sqrt(nrm)
+                Vn = np.where(
+                    nrm[:, None] > 0,
+                    V / np.where(nrm > 0, nrm, 1.0)[:, None],
+                    0.0,
+                )
+                ia, ib = np.triu_indices(m, 1)
+                A, B = Vn[ia], Vn[ib]
+                acc = np.zeros(len(ia))
+                for i in range(d):
+                    acc = acc + A[:, i] * B[:, i]
+                keep = acc >= thr
+                if keep.any():
+                    out_a.extend(ids[ia[keep]].tolist())
+                    out_b.extend(ids[ib[keep]].tolist())
+                    out_c.extend(acc[keep].tolist())
+            yield pd.DataFrame(
+                {"id_a": out_a, "id_b": out_b, "cosine_sim": out_c}
+            )
+
+    pairs = grouped.select("grp").mapInPandas(
+        _verify, "id_a long, id_b long, cosine_sim double"
+    )
+    return pairs.distinct()
+
+
+def _banded_join(
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[float]],
+    planes_per_band: int,
+    dim: int,
+) -> DataFrame:
+    """Pure-JVM fallback banding: posexplode + broadcast plane-table
+    equi-join + two hash aggregations, all whole-stage codegen. Linear
+    in n but pays a hash probe per multiply-add — use the Arrow path
+    when numpy is available. The input is pre-repartitioned by id so
+    both aggregations are satisfied by one narrow exchange."""
+    spark = vectors.sparkSession
+    planes_rows = [
+        (j, p_idx, float(planes[p_idx][j]))
+        for p_idx in range(len(planes))
+        for j in range(dim)
+    ]
+    planes_tbl = spark.createDataFrame(
+        planes_rows, "pos int, _pidx int, _sgn double"
+    )
+    ex = (
+        vectors.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.size(F.col(vec_col)).alias("_sz"),
+            F.posexplode_outer(F.col(vec_col)).alias("pos", "_x"),
+        )
+        .select(
+            "id",
+            "pos",
+            # the length guard rides on the exploded value so a
+            # wrong-length vector raises instead of silently hashing
+            # into garbage buckets
+            F.when(F.col("_sz") == dim, F.col("_x")).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "cosine_near_dup_pairs_bucketed: embedding length "
+                        ),
+                        F.col("_sz").cast("string"),
+                        F.lit(
+                            f" != dim {dim} — LSH bucketing would silently "
+                            "degenerate to all-pairs"
+                        ),
+                    )
+                ).cast("double")
+            ).alias("_x"),
+        )
+    )
+    sums = (
+        ex.join(F.broadcast(planes_tbl), "pos")
+        .groupBy("id", "_pidx")
+        .agg(F.sum(F.col("_x") * F.col("_sgn")).alias("_s"))
+    )
+    return (
+        sums.select(
+            "id",
+            F.expr(f"_pidx div {int(planes_per_band)}").cast("int").alias(
+                "band_idx"
+            ),
+            # the shift base must be a LONG: r can reach 40, and an
+            # int-typed shiftleft silently wraps past bit 31 (the Python
+            # F.shiftleft only takes a literal shift, hence F.expr)
+            F.when(
+                F.col("_s") >= 0,
+                F.expr(
+                    f"shiftleft(CAST(1 AS BIGINT), _pidx % {int(planes_per_band)})"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("_bit"),
+        )
+        .groupBy("id", "band_idx")
+        .agg(F.sum("_bit").cast("long").alias("bucket"))
+    )
+
+
 def cosine_near_dup_pairs_bucketed(
     vectors: DataFrame,
     threshold: float = 0.99,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bands: int = 12,
-    planes_per_band: int = 12,
+    bands: int | None = None,
+    planes_per_band: int | None = None,
     dim: int | None = None,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup pairs: banded hyperplane-LSH
     candidate generation + exact cosine verification. Never all-pairs.
@@ -243,11 +567,21 @@ def cosine_near_dup_pairs_bucketed(
     embeddings (real corpora cluster; sign patterns collide): measured
     on 8k vectors, 4-plane bands produced 16.7M candidates
     (near-quadratic) while 12-plane bands produced ~0.3M. planes_per_band
-    is the knob that trades candidate volume against recall.
+    is the knob that trades candidate volume against recall — and at a
+    FIXED value the candidate stream is still ~ n^2 / 2^r, i.e.
+    quadratic in corpus size (the r5 stress curve measured 35s -> 322s
+    for a 2x corpus at fixed r=12). So by default (bands /
+    planes_per_band = None) both are SIZED TO THE CORPUS by
+    ``auto_lsh_params``: one count() job reads n, r grows as
+    log2(n / target_bucket) to hold expected bucket size constant
+    (candidates linear in n), and the band count is re-derived to hold
+    per-pair recall. Callers who know n (or need a bit-pinned
+    configuration) pass explicit values and skip the count.
 
     Recall: a pair agrees on one band with p^r (p = 1 - angle/pi). At
-    threshold 0.99 (angle <= 8.1 deg, p >= 0.955) the default 12 bands x
-    12 planes gives per-pair miss ~3e-5; exact duplicates (cosine 1.0)
+    threshold 0.99 (angle <= 8.1 deg, p >= 0.955) the floor 12 bands x
+    12 planes gives per-pair miss ~3e-5, and the auto sizing keeps the
+    at-threshold miss <= 1e-4 at any n; exact duplicates (cosine 1.0)
     can never be missed (identical sign bits), and verification is exact,
     so precision is deterministic — bucketed output is always a subset
     of the all-pairs form (property-tested). Tests pin equality with the
@@ -264,39 +598,55 @@ def cosine_near_dup_pairs_bucketed(
     if dim is None:
         probe = vectors.select(F.size(F.col(vec_col)).alias("d")).first()
         dim = int(probe["d"]) if probe is not None else 1
+    if bands is None or planes_per_band is None:
+        auto_b, auto_r = auto_lsh_params(vectors.count(), threshold)
+        bands = auto_b if bands is None else bands
+        planes_per_band = auto_r if planes_per_band is None else planes_per_band
     planes = deterministic_planes(bands * planes_per_band, dim)
-    vn = with_normalized(vectors, vec_col, "_vn").select(
-        F.col(id_col).alias("id"), "_vn"
-    )
-    # Guard wraps _vn itself (not a droppable side column Catalyst could
-    # prune): every downstream consumer evaluates it.
-    vn = vn.withColumn(
-        "_vn",
-        F.when(F.size(F.col("_vn")) == dim, F.col("_vn")).otherwise(
-            F.raise_error(
-                F.concat(
-                    F.lit("cosine_near_dup_pairs_bucketed: embedding length "),
-                    F.size(F.col("_vn")).cast("string"),
-                    F.lit(
-                        f" != dim {dim} — LSH bucketing would silently "
-                        "degenerate to all-pairs"
-                    ),
-                )
-            )
-        ),
-    )
-    band_keys = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            hyperplane_bucket(
-                F.col("_vn"), planes[b * planes_per_band : (b + 1) * planes_per_band]
-            ).alias("bucket"),
+    # Banding runs on the RAW vector: hyperplane SIGN bits are invariant
+    # under positive per-vector scaling, so normalizing first buys
+    # nothing. The hashing itself is a dense n x (planes x dim) matrix
+    # multiply — the largest flop count in the pipeline — and the only
+    # form that runs it at hardware speed is a vectorized Arrow batch
+    # (numpy/BLAS). Three rejected pure-JVM forms, all MEASURED at
+    # 100k x 210 planes x 64 dims:
+    #   - zip_with/aggregate lambdas: INTERPRETED expression path,
+    #     ~1 us/element -> ~600 executor-CPU s;
+    #   - per-plane unrolled Column expressions: explode at PLAN time
+    #     (CollapseProject / PushProjectionThroughUnion inline the
+    #     input's vector expression into every one of the bands x planes
+    #     x dim references -> 160+ s of driver analysis + Janino compile
+    #     when the input computes the vector);
+    #   - posexplode + broadcast plane-table join + hash aggs: codegen,
+    #     but pays a hash-map probe per multiply-add -> ~300 CPU s.
+    # The numpy matmul does the same 1.3G multiply-adds in < 1 s. It is
+    # this module's one justified Python stage (same bar as the HTML
+    # parser / media kernels: a dense numeric kernel Spark's JVM
+    # expressions cannot express efficiently); `arrow=False` (or absent
+    # pandas/pyarrow) falls back to the join form — bit-compatible
+    # candidates up to sign-of-~zero ulp, identical verified output.
+    if arrow is None:
+        try:  # pragma: no cover - environment probe
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+
+            arrow = True
+        except ImportError:
+            arrow = False
+    if arrow:
+        return _pairs_arrow(
+            vectors,
+            id_col,
+            vec_col,
+            planes,
+            bands,
+            planes_per_band,
+            dim,
+            threshold,
         )
-        for b in range(bands)
-    ]
-    banded = vn.select(
-        "id", F.explode(F.array(*band_keys)).alias("bk")
-    ).select("id", "bk.band_idx", "bk.bucket")
+    banded = _banded_join(
+        vectors, id_col, vec_col, planes, planes_per_band, dim
+    )
     buckets = (
         banded.groupBy("band_idx", "bucket")
         .agg(F.array_sort(F.collect_list("id")).alias("ds"))
@@ -316,12 +666,28 @@ def cosine_near_dup_pairs_bucketed(
         .select("p.id_a", "p.id_b")
         .distinct()
     )
-    a = vn.select(F.col("id").alias("id_a"), F.col("_vn").alias("_va"))
-    b = vn.select(F.col("id").alias("id_b"), F.col("_vn").alias("_vb"))
+    # shuffle_hash, NOT broadcast: the corpus side GROWS with n, and a
+    # broadcast relation is deserialized per task — measured 220+ CPU s
+    # at 100k x 64-dim (50 MB x 2 sides x every verify task), turning a
+    # linear stage superlinear. A shuffled hash join moves each side
+    # once and scales with the candidate stream.
+    vn = with_normalized(vectors, vec_col, "_vn", dim=dim).select(
+        F.col(id_col).alias("id"), "_vn"
+    )
+    a = vn.select(F.col("id").alias("id_a"), F.col("_vn").alias("_va")).hint(
+        "shuffle_hash"
+    )
+    b = vn.select(F.col("id").alias("id_b"), F.col("_vn").alias("_vb")).hint(
+        "shuffle_hash"
+    )
     return (
         candidates.join(a, "id_a")
         .join(b, "id_b")
-        .select("id_a", "id_b", dot(F.col("_va"), F.col("_vb")).alias("cosine_sim"))
+        .select(
+            "id_a",
+            "id_b",
+            dot_fixed(F.col("_va"), F.col("_vb"), dim).alias("cosine_sim"),
+        )
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -339,6 +705,7 @@ def lsh_topk(
     bucket. Recall improves with multiple plane sets (union of buckets);
     this single-table variant demonstrates the shuffle shape — an
     equi-join on bucket ids instead of a cross join."""
+    dim = len(planes[0]) if planes else None
     cb = with_normalized(corpus, vec_col, "_cvec").select(
         F.col(id_col),
         "_cvec",
@@ -349,10 +716,15 @@ def lsh_topk(
         "_qvec",
         hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
+    pair_dot = (
+        dot_fixed(F.col("_qvec"), F.col("_cvec"), dim)
+        if dim
+        else dot(F.col("_qvec"), F.col("_cvec"))
+    )
     scored = cb.join(F.broadcast(qb), "_bucket").select(
         query_id_col,
         id_col,
-        dot(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        pair_dot.alias("cosine_sim"),
     ).filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()

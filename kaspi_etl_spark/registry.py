@@ -1368,7 +1368,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    return sim_ops.brute_force_topk(corpus, queries, k=10)
+    return sim_ops.brute_force_topk(corpus, queries, k=10, dim=64)
 
 
 # --- Text analysis ---------------------------------------------------------
@@ -5371,7 +5371,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return sim_ops.ivf_topk(
-        corpus, queries, k=10, n_lists=8, train_iters=_KMEANS_ITERS
+        corpus, queries, k=10, n_lists=8, train_iters=_KMEANS_ITERS, dim=64
     )
 
 

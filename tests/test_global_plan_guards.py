@@ -44,13 +44,21 @@ BNLJ_ALLOWED = {
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
-# vectorized rolling-hash fingerprints).
+# vectorized rolling-hash fingerprints + the LSH banding matmul — a
+# dense numeric kernel: numpy/BLAS does the n x planes x dim
+# multiply-add at hardware speed where every JVM expression form
+# measured 100-600x slower; see similarity._banded_arrow).
 PYTHON_ALLOWED = {
     "html_sellers_parse",
     "media_features",
     "media_resize",
     "media_frame_sample",
     "winnowing_fingerprints",
+    # LSH banding + in-bucket verify matmul (similarity._pairs_arrow);
+    # semantic_dedup_keep shares the stage but its registered plan
+    # starts AFTER connected-components' localCheckpoint, so the Python
+    # tag never appears in it
+    "embedding_cosine_pairs",
 }
 
 PY_TAGS = (

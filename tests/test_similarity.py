@@ -294,3 +294,102 @@ def test_model_persistence_roundtrip(spark, sf_dir, tmp_path):
     bpath = str(tmp_path / "books")
     sim.save_pq_codebooks(spark, books, bpath)
     assert sim.load_pq_codebooks(spark, bpath) == books
+
+
+def test_auto_lsh_params_floors_and_growth():
+    import math
+
+    from kaspi_etl_spark.llm.similarity import auto_lsh_params
+
+    # gate-scale corpora keep the historical 12x12 (bit-unchanged gates)
+    assert auto_lsh_params(0, 0.99) == (12, 12)
+    assert auto_lsh_params(533, 0.99) == (12, 12)
+    assert auto_lsh_params(16_384, 0.99) == (12, 12)
+    # planes grow with log2(n/target_bucket): expected bucket size (and
+    # so per-vector candidate count) stays constant as n grows
+    for n in (200_000, 2_000_000, 20_000_000):
+        bands, r = auto_lsh_params(n, 0.99)
+        assert r == max(12, math.ceil(math.log2(n / 4)))
+        # at-threshold per-pair miss stays within the target
+        p = 1.0 - math.acos(0.99) / math.pi
+        assert (1.0 - p**r) ** bands <= 1e-4 + 1e-12
+        assert bands <= 64
+    # monotone: more data never means fewer planes
+    rs = [auto_lsh_params(n, 0.99)[1] for n in (1_000, 100_000, 10_000_000)]
+    assert rs == sorted(rs)
+    # r is capped so bucket ids stay inside a long
+    assert auto_lsh_params(10**18, 0.99)[1] <= 40
+
+
+def test_bucketed_pairs_auto_params_match_allpairs(spark):
+    """Auto-sized LSH (bands/planes omitted) still finds every all-pairs
+    near-dup on a clustered corpus — the subset property plus full
+    recall at small n, where auto resolves to the 12x12 floor."""
+    import random
+
+    from kaspi_etl_spark.llm import similarity as sim
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(6)]
+    rows = []
+    vid = 0
+    for b in base:
+        for _ in range(4):  # tight cluster around each base vector
+            rows.append((vid, [x + rng.uniform(-0.01, 0.01) for x in b]))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs(
+            df, threshold=0.99, id_col="vec_id", vec_col="v"
+        ).collect()
+    }
+    auto = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs_bucketed(
+            df, threshold=0.99, id_col="vec_id", vec_col="v"
+        ).collect()
+    }
+    assert auto == exact and len(exact) > 0
+
+
+def test_bucketed_pairs_arrow_and_jvm_paths_agree(spark):
+    """The numpy banding path and the pure-JVM join fallback must find
+    the same verified pairs (bucket sign bits can differ only on
+    exact-zero-dot ulp corners, which verification then resolves
+    identically), and both raise on wrong-length vectors."""
+    import random
+
+    import pytest
+    from pyspark.sql.utils import PythonException
+
+    from kaspi_etl_spark.llm import similarity as sim
+
+    rng = random.Random(21)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(5)]
+    rows = []
+    vid = 0
+    for bvec in base:
+        for _ in range(3):
+            rows.append((vid, [x + rng.uniform(-0.005, 0.005) for x in bvec]))
+            vid += 1
+    rows.append((vid, None))  # NULL vector: contributes nothing, no crash
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    kw = dict(threshold=0.99, id_col="vec_id", vec_col="v", dim=16)
+    got_a = {
+        (r.id_a, r.id_b, round(r.cosine_sim, 12))
+        for r in sim.cosine_near_dup_pairs_bucketed(df, arrow=True, **kw).collect()
+    }
+    got_j = {
+        (r.id_a, r.id_b, round(r.cosine_sim, 12))
+        for r in sim.cosine_near_dup_pairs_bucketed(df, arrow=False, **kw).collect()
+    }
+    assert got_a == got_j and len(got_a) > 0
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0] * 16)], "vec_id long, v array<double>"
+    )
+    with pytest.raises(PythonException, match="embedding length"):
+        sim.cosine_near_dup_pairs_bucketed(bad, arrow=True, **kw).collect()
+    with pytest.raises(Exception, match="embedding length"):
+        sim.cosine_near_dup_pairs_bucketed(bad, arrow=False, **kw).collect()

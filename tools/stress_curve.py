@@ -18,7 +18,7 @@ Scaled corpora are DISTINCT-content copies, not verbatim duplicates:
  - embeddings: per-copy constant offset — cosine near-dup pairs stay
    within-copy at the 0.99 threshold.
 
-Usage: python tools/stress_curve.py [K ...]   (default: 10 50 100)
+Usage: python tools/stress_curve.py [K ...] [--ops a,b]  (default: 10 50 100)
 """
 
 from __future__ import annotations
@@ -71,7 +71,12 @@ def vowel_mut(col: str):
 
 
 def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [10, 50, 100]
+    argv, only = sys.argv[1:], None
+    if "--ops" in argv:
+        i = argv.index("--ops")
+        only = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    ks = [int(a) for a in argv] or [10, 50, 100]
     spark = get_spark(
         "stress-curve",
         extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4061"},
@@ -88,6 +93,8 @@ def main() -> None:
     results = []
 
     def run(k, name, fn):
+        if only is not None and name not in only:
+            return
         c0, t0 = cpu_sec(spark), time.time()
         out = fn()
         wall, cpu = time.time() - t0, cpu_sec(spark) - c0
@@ -96,15 +103,21 @@ def main() -> None:
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    def want(*names):
+        return only is None or bool(only & set(names))
+
     for k in ks:
-        docs = scaled_union(
-            docs0, k, "doc_id", 10_000_000, vowel_mut("text")
-        ).localCheckpoint()
-        n_docs = docs.count()
-        parts = scaled_union(
-            part0, k, "p_partkey", 10_000_000, vowel_mut("p_name")
-        ).localCheckpoint()
-        n_parts = parts.count()
+        docs = n_docs = parts = n_parts = None
+        if want("dedup_clusters", "token_budget_sample"):
+            docs = scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_docs = docs.count()
+        if want("part_name_matches_capped"):
+            parts = scaled_union(
+                part0, k, "p_partkey", 10_000_000, vowel_mut("p_name")
+            ).localCheckpoint()
+            n_parts = parts.count()
         # per-copy orthogonal transform (cyclic rotation x optional
         # reversal = 126 distinct maps): every copy's INTERNAL cosine
         # structure (and thus pair count) is identical to the base
@@ -124,8 +137,10 @@ def main() -> None:
                 v = F.concat(F.slice(v, s + 1, 64 - s), F.slice(v, 1, s))
             return df.withColumn("v", v)
 
-        emb = scaled_union(emb0, k, "vec_id", 10_000_000, rot).localCheckpoint()
-        n_emb = emb.count()
+        emb = n_emb = None
+        if want("ann_ivf_topk", "semantic_dedup_keep"):
+            emb = scaled_union(emb0, k, "vec_id", 10_000_000, rot).localCheckpoint()
+            n_emb = emb.count()
         print(f"# K={k}: {n_docs} docs, {n_parts} parts, {n_emb} vectors", flush=True)
 
         run(
@@ -173,6 +188,7 @@ def main() -> None:
                 n_lists=16,
                 id_col="vec_id",
                 vec_col="v",
+                dim=64,
             )
             return {"rows": topk.count(), "in_rows": n_emb}
 
