@@ -13,14 +13,24 @@ Decode kernels by modality:
   - image (PNG): REAL — stdlib ``zlib`` inflate + numpy scanline
     unfiltering (all five PNG filter types), 8-bit gray/RGB/RGBA,
     non-interlaced (``_parse_png``); ``encode_png`` writes valid PNGs
-    back, so the resize path stays format-preserving. JPEG stays stubbed
-    (a DCT codec genuinely needs PIL).
+    back, so the resize path stays format-preserving.
+  - image (JPEG): REAL — baseline sequential decode AND encode in pure
+    stdlib struct + numpy (``llm/jpeg.py``): Huffman entropy layer,
+    batched-einsum IDCT/DCT, any integer h/v subsampling (4:4:4/4:2:2/
+    4:2:0), grayscale, restart markers. Progressive/arithmetic/12-bit
+    fall through to the stub (those genuinely want libjpeg).
   - video (concatenated BMP): REAL — the container is back-to-back
     uncompressed BMP frames, each self-delimiting via its header's
     file-size field, so ``sample_frames`` walks, splits, and emits
     complete decodable BMP frames (``_bmp_video_frames``) with no codec
-    dependency. Codec'd containers (mp4/webm) stay stubbed behind
-    ``DECODERS_AVAILABLE`` (swap in pyav in production).
+    dependency.
+  - video (MP4/ISO BMFF): container REAL — ``llm/mp4.py`` parses the
+    box tree and the full sample index (stts/stsc/stsz/stco), so
+    ``sample_frames`` does ranged sample extraction with the
+    container's own timing. Motion-JPEG tracks then pixel-decode
+    end-to-end through ``llm/jpeg.py``; H.264-family samples are
+    extracted but not pixel-decoded (libavcodec territory — the one
+    remaining genuine stub, behind ``DECODERS_AVAILABLE``).
 Everything Spark-side — schemas, partition sizing, mapInPandas batch
 shape, metadata pushdown — is real and tested for every modality.
 
@@ -361,6 +371,44 @@ def encode_png(px) -> bytes:
     )
 
 
+def _jpeg_px(content: bytes):
+    """Decode baseline JPEG via the stdlib+numpy codec in
+    ``kaspi_etl_spark.llm.jpeg`` — same (h, w, 3) BGR contract as
+    ``_parse_bmp``/``_parse_png``. Exception-hardened: a malformed
+    stream must fall through to the stub, never poison the batch."""
+    if len(content) < 3 or content[:3] != b"\xff\xd8\xff":
+        return None
+    try:
+        from kaspi_etl_spark.llm.jpeg import parse_jpeg
+
+        return parse_jpeg(content)
+    except Exception:
+        return None
+
+
+def _jpeg_features(content: bytes, dim: int = 8) -> list[float] | None:
+    """REAL DCT-codec image decode kernel: baseline JPEG -> luminance
+    band vector. Pure stdlib struct + numpy (``llm/jpeg.py``)."""
+    px = _jpeg_px(content)
+    if px is None:
+        return None
+    return _luminance_bands(px, dim)
+
+
+def _jpeg_resize(content: bytes, dst_w: int, dst_h: int) -> bytes | None:
+    """REAL JPEG resize kernel: decode, nearest-neighbour resample,
+    re-encode as baseline JPEG (format-preserving, like PNG/BMP)."""
+    px = _jpeg_px(content)
+    if px is None or dst_w <= 0 or dst_h <= 0:
+        return None
+    from kaspi_etl_spark.llm.jpeg import encode_jpeg
+
+    src_h, src_w = px.shape[:2]
+    ys = (_np.arange(dst_h) * src_h) // dst_h
+    xs = (_np.arange(dst_w) * src_w) // dst_w
+    return encode_jpeg(_np.ascontiguousarray(px[ys][:, xs]), quality=90)
+
+
 def _png_features(content: bytes, dim: int = 8) -> list[float] | None:
     """REAL compressed-image decode kernel: PNG -> luminance band vector
     via ``_parse_png`` — zero new dependencies (stdlib zlib + numpy)."""
@@ -418,12 +466,16 @@ def _bmp_resize(content: bytes, dst_w: int, dst_h: int) -> bytes | None:
 
 def _decode_features(content: bytes, dim: int = 8) -> list[float]:
     """Per-payload dispatch: real WAV decode for RIFF/WAVE, real PNG
-    decode (zlib + numpy), real BMP decode for uncompressed 24-bit BMP,
-    byte-histogram stub otherwise (JPEG/mp4 — codecs absent here)."""
+    decode (zlib + numpy), real baseline-JPEG decode (stdlib + numpy
+    DCT codec, ``llm/jpeg.py``), real BMP decode for uncompressed
+    24-bit BMP; byte-histogram stub otherwise (mp4/webm — video codecs
+    absent here; progressive JPEG falls through too)."""
     if WAV_DECODER_AVAILABLE:
         feats = _wav_features(content, dim)
         if feats is None:
             feats = _png_features(content, dim)
+        if feats is None:
+            feats = _jpeg_features(content, dim)
         if feats is None:
             feats = _bmp_features(content, dim)
         if feats is not None:
@@ -483,11 +535,14 @@ def _fake_resize(content: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int)
 
 
 def _resize_dispatch(content: bytes, src_w: int, src_h: int, dst_w: int, dst_h: int) -> bytes:
-    """Real nearest-neighbour resize for PNG (``_png_resize``) and
-    uncompressed BMP payloads (``_bmp_resize``), each format-preserving;
-    stub byte-subsample for everything else."""
+    """Real nearest-neighbour resize for PNG (``_png_resize``), baseline
+    JPEG (``_jpeg_resize``), and uncompressed BMP payloads
+    (``_bmp_resize``), each format-preserving; stub byte-subsample for
+    everything else."""
     if WAV_DECODER_AVAILABLE:  # numpy present
         out = _png_resize(content, dst_w, dst_h)
+        if out is None:
+            out = _jpeg_resize(content, dst_w, dst_h)
         if out is None:
             out = _bmp_resize(content, dst_w, dst_h)
         if out is not None:
@@ -596,14 +651,59 @@ def _bmp_video_frames(
     return out
 
 
+def _mp4_video_frames(
+    content: bytes, every_ms: int
+) -> list[tuple[int, int, bytes]] | None:
+    """REAL MP4 frame-sampling kernel: parse the ISO BMFF sample index
+    (``llm/mp4.py``) and emit the encoded sample whose decode time is
+    nearest-below each sampled timestamp. Timing comes from the
+    container's own ``stts``/``mdhd``, not the metadata column. For
+    Motion-JPEG tracks the emitted frames are complete baseline JPEGs
+    that ``_jpeg_features``/``_jpeg_resize`` decode to pixels; for
+    H.264-family tracks the sample extraction is still real (ranged
+    reads via the index) but pixel decode needs libavcodec. Returns
+    None for non-MP4 payloads and for fragmented files."""
+    try:
+        from kaspi_etl_spark.llm.mp4 import extract_sample, parse_mp4
+
+        info = parse_mp4(content)
+    except Exception:
+        return None
+    if info is None:
+        return None
+    track = next(
+        (t for t in info["tracks"] if t["handler"] == "vide" and t["samples"]),
+        None,
+    )
+    if track is None:
+        return None
+    import bisect
+
+    duration_ms = max(1, info["duration_ms"])
+    n_samples = min(max(1, duration_ms // every_ms), 16)
+    times = [s[0] for s in track["samples"]]
+    out = []
+    for i in range(n_samples):
+        t = i * every_ms
+        # largest sample time <= t (the frame on screen at t)
+        idx = max(0, bisect.bisect_right(times, t) - 1)
+        payload = extract_sample(content, track["samples"][idx])
+        if payload is None:
+            return None
+        out.append((i, t, payload))
+    return out
+
+
 def _frames_dispatch(
     content: bytes, duration_ms: int, every_ms: int
 ) -> list[tuple[int, int, bytes]]:
-    """Real concatenated-BMP sampling when the payload parses, stub byte
-    slices otherwise — same dispatch contract as the feature/resize
-    kernels."""
+    """Real concatenated-BMP sampling or real MP4 sample-index sampling
+    when the payload parses, stub byte slices otherwise — same dispatch
+    contract as the feature/resize kernels."""
     if WAV_DECODER_AVAILABLE:  # numpy present
         out = _bmp_video_frames(content, duration_ms, every_ms)
+        if out is None:
+            out = _mp4_video_frames(content, every_ms)
         if out is not None:
             return out
     return _fake_frames(content, duration_ms, every_ms)
@@ -636,6 +736,106 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in FRAMES_SCHEMA.fields])
 
     return media.filter(F.col("kind") == "video").mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType()),  # wav|png|bmp|jpeg|mp4|unknown
+        T.StructField("probe_width", T.IntegerType()),
+        T.StructField("probe_height", T.IntegerType()),
+        T.StructField("probe_duration_ms", T.IntegerType()),
+        T.StructField("n_streams", T.IntegerType()),
+    ]
+)
+
+
+def _probe_payload(content: bytes) -> tuple[str, int | None, int | None, int | None, int]:
+    """Header-only metadata probe (ffprobe-shaped): identify the
+    container and read its REAL dimensions/duration from the payload,
+    not from the metadata column. Never decodes pixel/sample data —
+    probing a 100 TB corpus must cost header bytes, not decode CPU."""
+    import struct as _struct
+
+    try:
+        if len(content) >= 12 and content[:4] == b"RIFF" and content[8:12] == b"WAVE":
+            with wave.open(io.BytesIO(content), "rb") as w:
+                rate = w.getframerate()
+                dur = w.getnframes() * 1000 // max(1, rate)
+                return ("wav", None, None, int(dur), 1)
+        if len(content) >= 33 and content[:8] == _PNG_SIG:
+            w_, h_ = _struct.unpack_from(">II", content, 16)
+            return ("png", int(w_), int(h_), None, 1)
+        if len(content) >= 26 and content[:2] == b"BM":
+            w_, h_ = _struct.unpack_from("<ii", content, 18)
+            return ("bmp", int(w_), abs(int(h_)), None, 1)
+        if len(content) >= 3 and content[:3] == b"\xff\xd8\xff":
+            # walk markers to SOF for dimensions (no entropy decode)
+            pos = 2
+            while pos + 4 <= len(content):
+                if content[pos] != 0xFF:
+                    break
+                m = content[pos + 1]
+                if m in (0x01,) or 0xD0 <= m <= 0xD9:
+                    pos += 2
+                    continue
+                seg_len = _struct.unpack_from(">H", content, pos + 2)[0]
+                if m in (0xC0, 0xC1, 0xC2):
+                    h_, w_ = _struct.unpack_from(">HH", content, pos + 5)
+                    return ("jpeg", int(w_), int(h_), None, 1)
+                if m == 0xDA:
+                    break
+                pos += 2 + seg_len
+            return ("jpeg", None, None, None, 1)
+        if len(content) >= 12 and content[4:8] == b"ftyp":
+            from kaspi_etl_spark.llm.mp4 import parse_mp4
+
+            info = parse_mp4(content)
+            if info is not None:
+                vid = next(
+                    (t for t in info["tracks"] if t["handler"] == "vide"), None
+                )
+                return (
+                    "mp4",
+                    int(vid["width"]) if vid else None,
+                    int(vid["height"]) if vid else None,
+                    int(info["duration_ms"]),
+                    len(info["tracks"]),
+                )
+            return ("mp4", None, None, None, 0)
+    except Exception:
+        pass
+    return ("unknown", None, None, None, 0)
+
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """ffprobe-shaped metadata extraction from the payload itself —
+    catches metadata-column drift (wrong dims, wrong duration) that a
+    trust-the-catalog pipeline would propagate. Arrow-batched like the
+    other kernels; header-only, so it's cheap even on payloads the
+    pixel kernels would refuse."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for mid, c in zip(pdf["media_id"], pdf["content"]):
+                c = c if isinstance(c, bytes) else bytes(c)
+                container, w_, h_, dur, ns = _probe_payload(c)
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "container": container,
+                        "probe_width": w_,
+                        "probe_height": h_,
+                        "probe_duration_ms": dur,
+                        "n_streams": ns,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in PROBE_SCHEMA.fields])
+
+    return media.mapInPandas(run, schema=PROBE_SCHEMA)
 
 
 def metadata_summary(media: DataFrame) -> DataFrame:
