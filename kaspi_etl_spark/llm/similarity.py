@@ -36,6 +36,15 @@ def dot_fixed(a: Column, b: Column, dim: int) -> Column:
     GetArrayItem multiply-add chain that stays inside whole-stage
     codegen instead of the interpreted lambda evaluator.
 
+    SCALE CROSSOVER (measured r6): the generated method for a 64-term
+    chain is too large for HotSpot to JIT, so it runs as interpreted
+    bytecode — faster than the lambda evaluator on BIG inputs (2x at
+    2M pairs) but SLOWER below ~1M pairs, where fixed compile/warmup
+    costs dominate (ann_cosine_topk at sf0.1: 0.9s lambda vs 2.0s
+    unrolled). Use the lambda form at gate/bench scale, this form in
+    stress/scale paths, and the Arrow kernel (``_pairs_arrow``) where
+    the operator already crosses into Python.
+
     Bit-identical to ``dot`` by construction — the same left fold
     ``((0.0 + a0*b0) + a1*b1) + ...`` in the same element order, so any
     oracle that mirrors ``dot``'s fold order is untouched. Element
@@ -167,14 +176,22 @@ def deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def hyperplane_bucket(vec: Column, planes: list[list[float]]) -> Column:
+def hyperplane_bucket(
+    vec: Column, planes: list[list[float]], unrolled: bool = False
+) -> Column:
     """LSH bucket id: sign bits of dot products with fixed hyperplanes.
-    Unrolled (``dot_planes``) so the hashing stage — the largest flop
-    count in the LSH pipeline, n x planes x dim multiply-adds — runs in
-    whole-stage codegen, not the interpreted lambda evaluator."""
+    ``unrolled=True`` uses ``dot_planes`` (codegen chain — wins above
+    the ~1M-row crossover documented on ``dot_fixed``); the default
+    interpreted array-literal fold is faster at gate/bench scale and
+    bit-identical (same left fold order)."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        bucket = bucket + F.when(dot_planes(vec, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        pd = (
+            dot_planes(vec, p)
+            if unrolled
+            else dot(vec, F.array(*[F.lit(float(s)) for s in p]))
+        )
+        bucket = bucket + F.when(pd >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
 
 
@@ -700,25 +717,29 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    unrolled: bool = False,
 ) -> DataFrame:
     """Approximate top-k: compare only vectors in the query's hyperplane
     bucket. Recall improves with multiple plane sets (union of buckets);
     this single-table variant demonstrates the shuffle shape — an
-    equi-join on bucket ids instead of a cross join."""
+    equi-join on bucket ids instead of a cross join. ``unrolled``
+    switches the hash + pair-dot kernels to the codegen chains — only
+    worth it above the ~1M-pair crossover (see ``dot_fixed``); values
+    are bit-identical either way."""
     dim = len(planes[0]) if planes else None
     cb = with_normalized(corpus, vec_col, "_cvec").select(
         F.col(id_col),
         "_cvec",
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+        hyperplane_bucket(F.col(vec_col), planes, unrolled=unrolled).alias("_bucket"),
     )
     qb = with_normalized(queries, vec_col, "_qvec").select(
         F.col(query_id_col),
         "_qvec",
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+        hyperplane_bucket(F.col(vec_col), planes, unrolled=unrolled).alias("_bucket"),
     )
     pair_dot = (
         dot_fixed(F.col("_qvec"), F.col("_cvec"), dim)
-        if dim
+        if unrolled and dim
         else dot(F.col("_qvec"), F.col("_cvec"))
     )
     scored = cb.join(F.broadcast(qb), "_bucket").select(

@@ -1368,7 +1368,10 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("embedding"),
     )
-    return sim_ops.brute_force_topk(corpus, queries, k=10, dim=64)
+    # NOTE: no dim= here — the unrolled dot kernel only wins above the
+    # ~1M-pair crossover (dot_fixed docstring); at gate/bench scale the
+    # lambda form measured 0.9s vs 2.0s unrolled (r6 bench).
+    return sim_ops.brute_force_topk(corpus, queries, k=10)
 
 
 # --- Text analysis ---------------------------------------------------------
@@ -5370,8 +5373,9 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
+    # no dim= — below the unrolled-kernel crossover at gate/bench scale
     return sim_ops.ivf_topk(
-        corpus, queries, k=10, n_lists=8, train_iters=_KMEANS_ITERS, dim=64
+        corpus, queries, k=10, n_lists=8, train_iters=_KMEANS_ITERS
     )
 
 

@@ -173,6 +173,67 @@ def main() -> None:
         print(f"zorder_write: {dt:.1f}s ({n_keys} rows, {n_keys / dt:.0f} rows/s)")
         shutil.rmtree(zdir.rsplit("/", 1)[0], ignore_errors=True)
 
+    if not only or "media" in only:
+        # Real-codec decode throughput through the Arrow batch path:
+        # distinct baseline JPEGs (k x 400) and MJPEG-MP4 videos
+        # (k x 40, 10 frames each) — the numbers that matter when the
+        # corpus is payload-heavy. Payload bytes ride one localCheckpoint
+        # so generation cost is excluded from the timed stage.
+        import numpy as np  # noqa: E402
+
+        from kaspi_etl_spark.llm import multimodal as mm  # noqa: E402
+        from kaspi_etl_spark.llm.jpeg import encode_jpeg  # noqa: E402
+        from kaspi_etl_spark.llm.mp4 import write_mp4  # noqa: E402
+
+        n_imgs = 400 * k
+        yy, xx = np.mgrid[0:48, 0:48]
+        rows = []
+        for i in range(n_imgs):
+            px = np.stack(
+                [(yy * 5 + i) % 256, (xx * 5 + 2 * i) % 256, (yy + xx + 3 * i) % 256],
+                axis=2,
+            ).astype(np.uint8)
+            rows.append(
+                (i, "image", "image/jpeg", bytearray(encode_jpeg(px, quality=85)),
+                 (48, 48, 0, "jpeg"))
+            )
+        media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA).repartition(32)
+        media = media.localCheckpoint()
+        total_mb = sum(len(r[3]) for r in rows) / 1e6
+        t0 = time.time()
+        n_feat = mm.extract_features(media).count()
+        dt = time.time() - t0
+        assert n_feat == n_imgs
+        print(
+            f"jpeg_decode: {dt:.1f}s ({n_imgs} imgs, {n_imgs / dt:.0f} imgs/s, "
+            f"{total_mb / dt:.1f} MB/s encoded)"
+        )
+
+        n_vids = 40 * k
+        vrows = []
+        for i in range(n_vids):
+            frames = [
+                encode_jpeg(
+                    np.full((32, 32, 3), (i * 17 + f * 11) % 256, np.uint8),
+                    quality=85,
+                )
+                for f in range(10)
+            ]
+            vrows.append(
+                (i, "video", "video/mp4",
+                 bytearray(write_mp4(frames, fps=2, codec=b"jpeg", width=32, height=32)),
+                 (32, 32, 5000, "mjpeg"))
+            )
+        vids = spark.createDataFrame(vrows, mm.MEDIA_SCHEMA).repartition(32)
+        vids = vids.localCheckpoint()
+        t0 = time.time()
+        n_frames = mm.sample_frames(vids, every_ms=1000).count()
+        dt = time.time() - t0
+        print(
+            f"mp4_sample: {dt:.1f}s ({n_vids} videos -> {n_frames} frames, "
+            f"{n_frames / dt:.0f} frames/s)"
+        )
+
     if not only or "pipeline" in only:
         t0 = time.time()
         cleaned = dedup.exact_dedup_keep(
