@@ -8011,3 +8011,165 @@ def q_orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     old, new = _orders_old_new(spark, sf_dir)
     return merge_ops.merge_frames(old, new, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Round-6 late wave: distributed BPE tokenizer training (llm/bpe.py).
+# The oracle unrolls every merge step as CTEs — possible because each
+# step is an integer-count argmax with a total-order tie-break plus a
+# literal string double-replace, bit-reproducible across engines (the
+# same unrolled-training discipline as the k-means/IVF-PQ oracles).
+# ---------------------------------------------------------------------------
+
+from .llm import bpe as bpe_ops  # noqa: E402
+
+_BPE_MERGES = 8
+
+
+def _sql_bpe_cte(n_merges: int) -> str:
+    """CTE chain mirroring llm/bpe.bpe_train step for step: ``wc`` (the
+    word-frequency dictionary), ``s0`` (char-spaced symbol sequences),
+    then per merge step the weighted adjacent-pair counts ``p{t}``, the
+    deterministic argmax ``m{t}``, and the double-replace application
+    ``s{t}``. LEFT JOIN ON TRUE (not CROSS JOIN) so an exhausted pair
+    supply leaves sequences unchanged instead of emptying the chain —
+    the Spark loop's early-stop mirror."""
+    parts = [
+        f"""wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_WORDS_EXPR}) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    s0 AS (
+      SELECT word, cnt, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+      FROM wc
+    )"""
+    ]
+    for t in range(1, n_merges + 1):
+        parts.append(
+            f""",
+    p{t} AS (
+      SELECT syms[i + 1] AS lft, syms[i + 2] AS rgt,
+             CAST(SUM(cnt) AS BIGINT) AS pair_cnt
+      FROM (SELECT cnt, syms, unnest(range(len(syms) - 1)) AS i
+            FROM (SELECT cnt, string_split(seq, ' ') AS syms FROM s{t - 1}))
+      GROUP BY 1, 2
+    ),
+    m{t} AS (
+      SELECT lft, rgt, pair_cnt FROM p{t}
+      ORDER BY pair_cnt DESC, lft, rgt LIMIT 1
+    ),
+    s{t} AS (
+      SELECT s.word, s.cnt,
+             COALESCE(
+               trim(replace(replace(' ' || s.seq || ' ',
+                      ' ' || m.lft || ' ' || m.rgt || ' ',
+                      ' ' || m.lft || m.rgt || ' '),
+                      ' ' || m.lft || ' ' || m.rgt || ' ',
+                      ' ' || m.lft || m.rgt || ' ')),
+               s.seq) AS seq
+      FROM s{t - 1} s LEFT JOIN m{t} m ON TRUE
+    )"""
+        )
+    return "".join(parts)
+
+
+_SQL_BPE_MERGES_UNION = "\n      UNION ALL ".join(
+    f"SELECT CAST({t} AS BIGINT) AS step, lft, rgt, pair_cnt FROM m{t}"
+    for t in range(1, _BPE_MERGES + 1)
+)
+
+
+@register(
+    "bpe_merges",
+    f"""
+    WITH {_sql_bpe_cte(_BPE_MERGES)}
+    SELECT * FROM (
+      {_SQL_BPE_MERGES_UNION}
+    )
+    """,
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING over the documents corpus: the ordered
+    merge table (step, lft, rgt, pair_cnt) after {_BPE_MERGES}
+    deterministic merge steps — the model itself, inherently
+    merge-count-sized (like the k-means centroid read). The oracle
+    replays the full training loop as unrolled CTEs. See llm/bpe.py
+    for the 100 TB shape (dictionary-sized iterations, 1-row argmax
+    reads)."""
+    d = _read(spark, sf_dir, "documents")
+    merges, _ = bpe_ops.bpe_train(d, n_merges=_BPE_MERGES)
+    schema = T.StructType(
+        [
+            T.StructField("step", T.LongType()),
+            T.StructField("lft", T.StringType()),
+            T.StructField("rgt", T.StringType()),
+            T.StructField("pair_cnt", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(
+        [(m["step"], m["lft"], m["rgt"], m["pair_cnt"]) for m in merges],
+        schema,
+    )
+
+
+@register(
+    "bpe_encode_tokens",
+    f"""
+    WITH {_sql_bpe_cte(_BPE_MERGES)},
+    toks AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest({_SQL_WORDS_EXPR}) AS word FROM documents)
+      WHERE word <> ''
+    ),
+    seg AS (
+      SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_toks
+      FROM s{_BPE_MERGES}
+    ),
+    per AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(COALESCE(g.n_toks, length(t.word))) AS BIGINT)
+               AS n_tokens
+      FROM toks t LEFT JOIN seg g USING (word)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_words, 0) AS n_words,
+           COALESCE(p.n_tokens, 0) AS n_tokens
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-tokenizer APPLICATION: per-document word and BPE-token
+    counts under the {_BPE_MERGES}-merge model trained on the same
+    corpus (docs with no words get zeros; OOV words fall back to
+    character count). Corpus explode -> dictionary equi-join -> per-doc
+    agg; the corpus never carries segmentation strings. See
+    llm/bpe.bpe_encode_stats."""
+    d = _read(spark, sf_dir, "documents")
+    _, seg = bpe_ops.bpe_train(d, n_merges=_BPE_MERGES)
+    return bpe_ops.bpe_encode_stats(d, seg)
+
+
+@register(
+    "bpe_vocab",
+    f"""
+    WITH {_sql_bpe_cte(_BPE_MERGES)},
+    tok AS (
+      SELECT cnt, unnest(string_split(seq, ' ')) AS token FROM s{_BPE_MERGES}
+    )
+    SELECT token,
+           CAST(COUNT(*) AS BIGINT) AS n_dict_words,
+           CAST(SUM(cnt) AS BIGINT) AS n_occurrences
+    FROM tok GROUP BY token
+    """,
+)
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induced by the trained segmentation: per final
+    subword token, the dictionary words using it and its total corpus
+    occurrences — the vocab-construction step between merge learning
+    and id assignment. See llm/bpe.bpe_vocab."""
+    d = _read(spark, sf_dir, "documents")
+    _, seg = bpe_ops.bpe_train(d, n_merges=_BPE_MERGES)
+    return bpe_ops.bpe_vocab(seg)
