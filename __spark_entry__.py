@@ -75,6 +75,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # Every rotated-out query remains green in the local full sweep
 # (ORACLE_FULL_r06.json) AND the adversarial-data sweep
 # (ORACLE_ADV_r06.json).
+#
+# Late-r6 swap: the new BPE tokenizer-training family takes two slots
+# (bpe_merges = the unrolled training loop, bpe_encode_tokens = the
+# corpus application; bpe_vocab rides the local sweep). Displaced:
+# minhash_lsh_pairs and top3_cheapest — both driver-green in r4 AND r5
+# with in-gate family siblings (dedup keeps ngram_jaccard_capped /
+# dedup_clusters / duplicate_spans; ordering/top-k keeps seller_dedupe
+# and sizing_adult, with the WindowGroupLimit shape plan-pinned in
+# tests/test_plans.py).
 _GATE_PRIORITY = [
     "daily_net_revenue",
     "inventory_reorder",
@@ -86,10 +95,8 @@ _GATE_PRIORITY = [
     "sizing_adult",
     "sales_etl_enrich",
     "purchases_upsert",
-    "top3_cheapest",
     "master_attrs_union",
     "bot_sliding_window",
-    "minhash_lsh_pairs",
     "ngram_jaccard_capped",
     "customer_bloom_probe",
     "ann_pq_topk",
@@ -133,6 +140,9 @@ _GATE_PRIORITY = [
     "orders_merge_upsert",
     "orders_in_promo_windows",
     "events_top_paths",
+    # first driver check for the BPE tokenizer family (late r6)
+    "bpe_merges",
+    "bpe_encode_tokens",
 ]
 
 

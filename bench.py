@@ -82,6 +82,9 @@ HEADLINE = [
     "orders_merge_upsert",
     "orders_in_promo_windows",
     "events_top_paths",
+    # late r6: BPE tokenizer training (dictionary-sized iterations; the
+    # wall is ~8 bounded argmax driver round-trips, like ann_ivf_topk)
+    "bpe_encode_tokens",
 ]
 
 
