@@ -538,3 +538,122 @@ def kmv_estimate(bottom: DataFrame, k: int = KMV_K) -> DataFrame:
         )
         .alias("dv_estimate"),
     )
+
+
+# --- HyperLogLog distinct sketch (exact-integer registers & estimator) ------
+#
+# The classic HLL (Flajolet et al. 2007) with every engine-divergent
+# piece made exact-integer so the DuckDB oracle reproduces the SKETCH
+# and the ESTIMATE bit-for-bit (the same discipline as KMV above —
+# unlike library HLLs whose register binaries are opaque):
+#
+#   * register index  = h % m            (low p bits of the 60-bit md5 hash)
+#   * rho             = Q - bitlen(h//m) (leading-zero rank of the high
+#                       51 bits, Q = 60 - p + 1; bitlen via length(bin()),
+#                       pure integer — no floating log)
+#   * harmonic sum    = sum 2^-M_j kept as the SCALED integer
+#                       S = sum 2^(Q - M_j) + V * 2^Q  (V = empty
+#                       registers); max m * 2^Q = 2^61 < BIGINT
+#   * raw estimate    = floor(alpha_m * m^2 * 2^Q / S) with the
+#                       numerator folded into ONE 21-digit decimal
+#                       constant computed here and interpolated into
+#                       both engines' expressions
+#   * linear counting (raw <= 2.5m and V > 0) = round(m * ln(m/V)),
+#                       precomputed for all m possible V values into a
+#                       shared literal array — no runtime ln anywhere,
+#                       so last-ulp libm differences cannot split engines
+#
+# Register state is (group, reg_idx, reg_max): mergeable by MAX — union
+# of corpora = cellwise max — and O(m) per group forever. At 100 TB the
+# build is one map-side projection + a groupBy whose output is bounded
+# by m rows per group (the same constant-size-shuffle shape as CMS).
+# Standard error ~1.04/sqrt(m) = 4.6% at p=9.
+
+import math as _math
+
+HLL_P = 9
+HLL_M = 1 << HLL_P  # 512 registers
+HLL_HASH_BITS = 60  # md5_long range
+HLL_Q = HLL_HASH_BITS - HLL_P + 1  # max rho = 52
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+# floor(alpha * 2^(2p + Q)) — the whole numerator alpha * m^2 * 2^Q
+HLL_ALPHA_NUM = _math.floor(_HLL_ALPHA * (1 << (2 * HLL_P + HLL_Q)))
+# linear-counting table: LC[v] = round(m * ln(m / v)), v = 1..m
+HLL_LC = [int(round(HLL_M * _math.log(HLL_M / v))) for v in range(1, HLL_M + 1)]
+HLL_LC_THRESHOLD = 5 * HLL_M // 2  # raw <= 2.5m -> try linear counting
+
+
+def hll_registers(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL register state (group, reg_idx, reg_max). NULL keys
+    are not members (count-distinct semantics), mirroring KMV."""
+    hashed = df.select(
+        F.col(group_col),
+        md5_long(F.col(key_col).cast("string"), "hll").alias("_h"),
+    ).filter(F.col("_h").isNotNull())
+    w = F.expr(f"_h DIV {HLL_M}")
+    rho = (
+        F.when(w == F.lit(0), F.lit(HLL_Q))
+        .otherwise(F.lit(HLL_Q) - F.length(F.bin(w)).cast("int"))
+        .cast("int")
+    )
+    return (
+        hashed.select(
+            group_col,
+            (F.col("_h") % HLL_M).cast("long").alias("reg_idx"),
+            rho.alias("rho"),
+        )
+        .groupBy(group_col, "reg_idx")
+        .agg(F.max("rho").alias("reg_max"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame, group_col: str) -> DataFrame:
+    """Union of two register states: cellwise MAX — identical to
+    sketching the concatenated inputs (property-tested)."""
+    return (
+        a.unionByName(b)
+        .groupBy(group_col, "reg_idx")
+        .agg(F.max("reg_max").alias("reg_max"))
+    )
+
+
+def hll_estimate(registers: DataFrame, group_col: str) -> DataFrame:
+    """Estimate from a register state: (group, v_zero, s_scaled,
+    dv_estimate) — see the header comment for the exact-integer math."""
+    two_q = 1 << HLL_Q
+    agg = registers.groupBy(group_col).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_Q} - reg_max AS INT))")
+        )
+        .cast("long")
+        .alias("_s_present"),
+        F.count("*").cast("long").alias("_n_present"),
+    )
+    based = agg.select(
+        group_col,
+        (F.lit(HLL_M) - F.col("_n_present")).cast("long").alias("v_zero"),
+        (F.col("_s_present") + (F.lit(HLL_M) - F.col("_n_present")) * F.lit(two_q))
+        .cast("long")
+        .alias("s_scaled"),
+    )
+    raw = F.expr(
+        f"CAST(floor(CAST('{HLL_ALPHA_NUM}' AS DECIMAL(38,0)) / s_scaled) AS BIGINT)"
+    )
+    # one array Literal (constant-folded), same as bloom_probe_literal
+    lc = F.try_element_at(
+        F.lit(HLL_LC).cast("array<bigint>"), F.col("v_zero").cast("int")
+    )
+    return based.select(
+        group_col,
+        "v_zero",
+        "s_scaled",
+        F.when((F.col("v_zero") > 0) & (raw <= F.lit(HLL_LC_THRESHOLD)), lc)
+        .otherwise(raw)
+        .cast("long")
+        .alias("dv_estimate"),
+    )
+
+
+def hll_sketch(df: DataFrame, group_col: str, key_col: str) -> DataFrame:
+    """Per-group HLL distinct estimate in one call (build + estimate)."""
+    return hll_estimate(hll_registers(df, group_col, key_col), group_col)

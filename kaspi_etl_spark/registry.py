@@ -7832,6 +7832,75 @@ def q_orders_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "orders_hll_distinct",
+    f"""
+    WITH hashed AS (
+      SELECT o_orderpriority,
+             {_sql_md5_long("CAST(o_custkey AS VARCHAR) || 'hll'")} AS h
+      FROM orders
+      WHERE o_custkey IS NOT NULL
+    ),
+    regs AS (
+      SELECT o_orderpriority, h % {sketch_ops.HLL_M} AS reg_idx,
+             MAX(CASE WHEN h // {sketch_ops.HLL_M} = 0 THEN {sketch_ops.HLL_Q}
+                      ELSE {sketch_ops.HLL_Q}
+                           - length(printf('%b', h // {sketch_ops.HLL_M}))
+                 END) AS reg_max
+      FROM hashed GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT o_orderpriority,
+             CAST(sum(1::BIGINT << ({sketch_ops.HLL_Q} - reg_max)) AS BIGINT)
+               AS s_present,
+             CAST(count(*) AS BIGINT) AS n_present
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT o_orderpriority,
+             CAST({sketch_ops.HLL_M} - n_present AS BIGINT) AS v_zero,
+             CAST(s_present + ({sketch_ops.HLL_M} - n_present)
+                  * {1 << sketch_ops.HLL_Q} AS BIGINT) AS s_scaled
+      FROM agg
+    ),
+    raw AS (
+      SELECT o_orderpriority, v_zero, s_scaled,
+             CAST(floor(CAST('{sketch_ops.HLL_ALPHA_NUM}' AS DECIMAL(38,0))
+                        / s_scaled) AS BIGINT) AS raw_est
+      FROM est
+    )
+    SELECT r.o_orderpriority, r.v_zero, r.s_scaled,
+           CAST(CASE WHEN r.v_zero > 0 AND r.raw_est <= {sketch_ops.HLL_LC_THRESHOLD}
+                THEN list_extract([{",".join(str(v) for v in sketch_ops.HLL_LC)}],
+                                  CAST(r.v_zero AS INT))
+                ELSE r.raw_est END AS BIGINT) AS dv_estimate,
+           x.exact_dv
+    FROM raw r JOIN (
+      SELECT o_orderpriority, CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_dv
+      FROM orders GROUP BY o_orderpriority) x
+      ON x.o_orderpriority = r.o_orderpriority
+    """,
+)
+def q_orders_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count per order priority, alongside the
+    exact distinct for error inspection — the constant-size sibling of
+    ``orders_kmv_distinct`` (KMV state is O(k) per group and needs a
+    bottom-k window; HLL state is a flat m-register grid built by one
+    map-side projection + bounded groupBy, mergeable by cellwise MAX —
+    the right sketch when groups × streams are both large). Every
+    engine-divergent piece is exact-integer: bitlen rho, scaled harmonic
+    sum, one 21-digit decimal numerator, a precomputed linear-counting
+    table — so the oracle matches the sketch AND the estimate
+    bit-for-bit, not within a tolerance band. Reference anchor:
+    analytics distinct-counting (SURVEY §2 A8-A13 global analytics)."""
+    orders = _read(spark, sf_dir, "orders")
+    sk = sketch_ops.hll_sketch(orders, "o_orderpriority", "o_custkey")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").cast("long").alias("exact_dv")
+    )
+    return sk.join(exact, "o_orderpriority")
+
+
+@register(
     "orders_snapshot_diff",
     """
     WITH old AS (

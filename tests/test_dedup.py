@@ -373,3 +373,59 @@ def test_spread_corpus_is_size_aware(spark, tmp_path):
     # non-file-backed frames always pass through
     mem = spark.createDataFrame([(1, "t")], "doc_id long, text string")
     assert dedup.spread_corpus(mem, min_bytes=1) is mem
+
+
+def test_hll_linear_counting_small_and_raw_large(spark):
+    from kaspi_etl_spark.llm import sketch
+
+    # "small" (200 distinct) rides linear counting, "big" (20000) the
+    # raw harmonic estimator; both inside the ~3 sigma HLL error band
+    # at p=9 (se = 4.6%)
+    rows = [("small", i) for i in range(200)] + [("big", i) for i in range(20000)]
+    df = spark.createDataFrame(rows, "g string, k long")
+    out = {r["g"]: r for r in sketch.hll_sketch(df, "g", "k").collect()}
+    assert abs(out["small"]["dv_estimate"] - 200) <= 0.15 * 200
+    assert abs(out["big"]["dv_estimate"] - 20000) <= 0.15 * 20000
+    assert out["small"]["v_zero"] > 0
+    # duplicates never change register state or estimate
+    dup = spark.createDataFrame(rows + rows, "g string, k long")
+    out2 = {r["g"]: r for r in sketch.hll_sketch(dup, "g", "k").collect()}
+    assert {g: tuple(r) for g, r in out.items()} == {
+        g: tuple(r) for g, r in out2.items()
+    }
+
+
+def test_hll_merge_equals_sketch_of_union(spark):
+    from kaspi_etl_spark.llm import sketch
+
+    a = spark.createDataFrame([("g", i) for i in range(0, 3000)], "g string, k long")
+    b = spark.createDataFrame([("g", i) for i in range(2000, 6000)], "g string, k long")
+    merged = sketch.hll_merge(
+        sketch.hll_registers(a, "g", "k"), sketch.hll_registers(b, "g", "k"), "g"
+    )
+    direct = sketch.hll_registers(a.unionByName(b), "g", "k")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, direct.collect()))
+    est_m = sketch.hll_estimate(merged, "g").collect()[0]["dv_estimate"]
+    est_d = sketch.hll_estimate(direct, "g").collect()[0]["dv_estimate"]
+    assert est_m == est_d
+
+
+def test_hll_ignores_null_keys_and_register_bounds(spark):
+    from kaspi_etl_spark.llm import sketch
+
+    with_nulls = spark.createDataFrame(
+        [("g", str(i)) for i in range(100)] + [("g", None)] * 7,
+        "g string, k string",
+    )
+    without = spark.createDataFrame(
+        [("g", str(i)) for i in range(100)], "g string, k string"
+    )
+    a = sketch.hll_registers(with_nulls, "g", "k")
+    b = sketch.hll_registers(without, "g", "k")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    rows = a.collect()
+    # register indices in [0, m); rho in [1, Q]
+    assert all(0 <= r["reg_idx"] < sketch.HLL_M for r in rows)
+    assert all(1 <= r["reg_max"] <= sketch.HLL_Q for r in rows)
+    est = sketch.hll_estimate(a, "g").collect()[0]
+    assert abs(est["dv_estimate"] - 100) <= 15
