@@ -1,0 +1,217 @@
+"""Distributed n-gram language model + per-document perplexity scoring.
+
+The CCNet/KenLM-style quality signal for pretraining corpora: train a
+bigram model with add-one smoothing over the corpus, score every
+document by its average per-token surprisal (bits/token — low = fluent
+boilerplate-ish text, high = junk/garbled), filter or stratify on the
+score. Reference anchor: corpus quality filtering alongside
+llm/text.py's Gopher/C4 heuristics (SURVEY §2 LLM-pipeline family).
+
+Why it oracle-checks bit-exactly — the usual blockers and their fixes:
+
+* log is IEEE-libm and engines differ in the last ulp. Here every
+  per-token log2 is FIXED-POINT: flog2(x) for integer x >= 1 is
+  (bitlen(x) - 1) * 2^20 + LUT[mantissa-top-10-bits], where the
+  1024-entry LUT of round(log2(1 + i/1024) * 2^20) is precomputed in
+  Python and interpolated into BOTH engines as the same literal array —
+  no runtime log anywhere (same discipline as the HLL linear-counting
+  table in llm/sketch.py). Max quantization error ~2^-10 log2-units per
+  token (~0.14%), far below any filtering threshold that matters.
+* float SUM over a group is order-dependent. Per-token surprisals are
+  scaled BIGINTs, so per-doc totals are exact integer sums; the single
+  IEEE division per document happens once, on exact operands.
+* probabilities stay RATIONAL: P(w2|w1) = (C12 + 1) / (C1 + V) with
+  add-one smoothing; surprisal = flog2(den) - flog2(num), >= 0 by
+  monotonicity of flog2.
+
+Scale shape (100 TB): tokenize map-side; one window shuffle by doc for
+the bigram lead(); per-(doc,bigram) tf groupBy; model counts via
+partition windows over the tf rows (the tfidf trick — no vocabulary
+self-join, and the tf exchange is REUSED by the vocab-size branch);
+the vocab size joins back as a 1-row broadcast. No collects, no
+driver loops. For train-once/score-many, ``lm_train`` persists the
+counts as plain DataFrames and ``lm_score_with_model`` left-joins them
+(unseen bigrams fall back to the smoothed 1/(C1 + V) mass).
+"""
+
+from __future__ import annotations
+
+import math as _math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import extract_words
+
+FLOG2_IDX_BITS = 10
+FLOG2_TABLE = 1 << FLOG2_IDX_BITS  # 1024 mantissa buckets
+FLOG2_FRAC_BITS = 20
+FLOG2_ONE = 1 << FLOG2_FRAC_BITS
+FLOG2_LUT = [
+    int(round(_math.log2(1.0 + i / FLOG2_TABLE) * FLOG2_ONE))
+    for i in range(FLOG2_TABLE)
+]
+
+
+def with_flog2(df: DataFrame, src: str, out: str) -> DataFrame:
+    """Append ``out`` = fixed-point log2 of BIGINT column ``src`` (>= 1),
+    scaled by 2^20 (see module header). Exact integer arithmetic plus
+    one shared-literal lookup; monotone non-decreasing in ``src``."""
+    e = f"_e_{out}"
+    lut = f"_lut_{out}"
+    b = FLOG2_IDX_BITS
+    idx = (
+        f"CAST((CASE WHEN {e} >= {b} THEN shiftright({src}, CAST({e} - {b} AS INT)) "
+        f"ELSE shiftleft({src}, CAST({b} - {e} AS INT)) END) - {FLOG2_TABLE} AS INT)"
+    )
+    return (
+        df.withColumn(e, (F.length(F.bin(F.col(src))) - 1).cast("int"))
+        # one array Literal (constant-folded), never F.array(*lits)
+        .withColumn(lut, F.lit(FLOG2_LUT).cast("array<bigint>"))
+        .withColumn(
+            out,
+            F.col(e).cast("long") * FLOG2_ONE
+            + F.try_element_at(F.col(lut), F.expr(idx) + F.lit(1)),
+        )
+        .drop(e, lut)
+    )
+
+
+def sql_flog2(expr: str) -> str:
+    """DuckDB mirror of ``with_flog2`` over a SQL expression."""
+    b = FLOG2_IDX_BITS
+    e = f"(length(printf('%b', {expr})) - 1)"
+    idx = (
+        f"(CASE WHEN {e} >= {b} THEN ({expr} >> ({e} - {b})) "
+        f"ELSE ({expr} << ({b} - {e})) END - {FLOG2_TABLE})"
+    )
+    lut = "[" + ",".join(str(v) for v in FLOG2_LUT) + "]"
+    return (
+        f"(CAST({e} AS BIGINT) * {FLOG2_ONE}"
+        f" + list_extract({lut}, CAST({idx} AS INT) + 1))"
+    )
+
+
+def doc_bigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, w1, w2) consecutive-word pairs per document. posexplode_outer
+    + isNotNull per the InferFiltersFromGenerate discipline (session.py);
+    the lead() window is the one shuffle, keyed by document."""
+    words = docs.select(
+        F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
+    )
+    toks = words.select(
+        id_col, F.posexplode_outer("_ws").alias("_pos", "w1")
+    ).filter(F.col("w1").isNotNull() & (F.col("w1") != ""))
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        toks.withColumn("w2", F.lead("w1").over(win))
+        .filter(F.col("w2").isNotNull())
+        .select(id_col, "w1", "w2")
+    )
+
+
+def _bigram_tf(bigrams: DataFrame, id_col: str) -> DataFrame:
+    return bigrams.groupBy(id_col, "w1", "w2").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
+def _vocab_size(tf: DataFrame) -> DataFrame:
+    """1-row vocabulary size over the bigram stream (distinct union of
+    left and right word types — self-contained: no second corpus scan;
+    the tf exchange is reused for this branch)."""
+    return (
+        tf.select(F.explode(F.array("w1", "w2")).alias("_w"))
+        .agg(F.count_distinct("_w").cast("long").alias("v_size"))
+    )
+
+
+def lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Self-scoring form: train the bigram model on ``docs`` and score
+    every document against it in one plan (the corpus-quality profiling
+    mode). Output: (id, n_bigrams, surprisal_scaled, bits_per_token) for
+    docs with at least one bigram; surprisal_scaled is the exact integer
+    sum of per-token fixed-point surprisals (bits * 2^20 * tf)."""
+    tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col)
+    w12 = Window.partitionBy("w1", "w2")
+    w1 = Window.partitionBy("w1")
+    counted = tf.select(
+        id_col,
+        "w1",
+        "w2",
+        "tf",
+        F.sum("tf").over(w12).cast("long").alias("c12"),
+        F.sum("tf").over(w1).cast("long").alias("c1"),
+    )
+    scored = counted.crossJoin(F.broadcast(_vocab_size(tf)))
+    return _finish_score(scored, id_col)
+
+
+def _finish_score(scored: DataFrame, id_col: str) -> DataFrame:
+    """From (id, tf, c12, c1, v_size) rows to the per-doc score."""
+    scored = scored.withColumn(
+        "_num", (F.col("c12") + 1).cast("long")
+    ).withColumn("_den", (F.col("c1") + F.col("v_size")).cast("long"))
+    scored = with_flog2(scored, "_num", "_lnum")
+    scored = with_flog2(scored, "_den", "_lden")
+    per = scored.withColumn(
+        "_s", F.col("tf") * (F.col("_lden") - F.col("_lnum"))
+    )
+    out = per.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("_s").cast("long").alias("surprisal_scaled"),
+    )
+    return out.select(
+        id_col,
+        "n_bigrams",
+        "surprisal_scaled",
+        (
+            F.col("surprisal_scaled")
+            / (F.col("n_bigrams") * F.lit(FLOG2_ONE))
+        ).alias("bits_per_token"),
+    )
+
+
+def lm_train(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Model artifacts for train-once/score-many: (bigram counts
+    (w1, w2, c12), left-context counts (w1, c1), 1-row vocab size).
+    Plain DataFrames — persist as parquet like the k-means/PQ artifacts."""
+    tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col)
+    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
+    return c12, c1, _vocab_size(tf)
+
+
+def lm_score_with_model(
+    docs: DataFrame,
+    c12: DataFrame,
+    c1: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score (possibly held-out) documents against a trained model.
+    Unseen bigrams get the smoothed 1/(C1 + V) mass; unseen left
+    contexts degrade to 1/V (c1 = 0). Join shape: two shuffle equi-joins
+    on word keys (broadcast them yourself if the model is small) plus
+    the 1-row vocab broadcast."""
+    tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col)
+    joined = (
+        tf.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            "tf",
+            F.coalesce(F.col("c12"), F.lit(0)).cast("long").alias("c12"),
+            F.coalesce(F.col("c1"), F.lit(0)).cast("long").alias("c1"),
+            "v_size",
+        )
+    )
+    return _finish_score(joined, id_col)

@@ -8242,3 +8242,57 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     _, seg = bpe_ops.bpe_train(d, n_merges=_BPE_MERGES)
     return bpe_ops.bpe_vocab(seg)
+
+
+from .llm import lm as lm_ops  # noqa: E402
+
+
+@register(
+    "docs_lm_perplexity",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    big0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+    tf AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS tf
+      FROM big0 GROUP BY 1, 2, 3
+    ),
+    counted AS (
+      SELECT doc_id, tf,
+             CAST(SUM(tf) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+             CAST(SUM(tf) OVER (PARTITION BY w1) AS BIGINT) AS c1
+      FROM tf
+    ),
+    v AS (
+      SELECT CAST(count(DISTINCT x) AS BIGINT) AS v_size
+      FROM (SELECT w1 AS x FROM tf UNION SELECT w2 FROM tf)
+    ),
+    nd AS (
+      SELECT doc_id, tf,
+             CAST(c12 + 1 AS BIGINT) AS num,
+             CAST(c1 + v_size AS BIGINT) AS den
+      FROM counted, v
+    ),
+    per AS (
+      SELECT doc_id, tf,
+             tf * ({lm_ops.sql_flog2('den')} - {lm_ops.sql_flog2('num')}) AS s
+      FROM nd
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(s) AS BIGINT) AS surprisal_scaled,
+           CAST(SUM(s) AS DOUBLE) / CAST(SUM(tf) * {lm_ops.FLOG2_ONE} AS DOUBLE)
+             AS bits_per_token
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity profile of the documents corpus (CCNet-style
+    quality signal): add-one-smoothed bigram model trained on the corpus
+    itself, every document scored by average per-token surprisal in
+    bits. All log arithmetic is the shared fixed-point flog2 (llm/lm.py
+    header), so the score — not just the counts — oracle-checks
+    bit-exactly. Scale shape: one doc-keyed window for bigrams, tf
+    groupBy, model counts via partition windows (no vocabulary
+    self-join), 1-row vocab broadcast."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.lm_score(d)

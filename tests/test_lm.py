@@ -1,0 +1,88 @@
+"""Bigram language model + fixed-point log2 (llm/lm.py)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaspi_etl_spark.llm import lm
+
+
+def test_flog2_accuracy_and_monotonicity(spark):
+    vals = [1, 2, 3, 7, 8, 1023, 1024, 1025, 12345, 2**30, 2**40 + 12345]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    out = lm.with_flog2(df, "x", "l")
+    got = {r["x"]: r["l"] for r in out.collect()}
+    prev = -1
+    for v in sorted(vals):
+        approx = got[v] / lm.FLOG2_ONE
+        assert abs(approx - math.log2(v)) <= 1.5 / lm.FLOG2_TABLE, v
+        assert got[v] >= prev  # monotone
+        prev = got[v]
+    assert got[1] == 0 and got[2] == lm.FLOG2_ONE and got[1024] == 10 * lm.FLOG2_ONE
+
+
+def test_lm_score_separates_fluent_from_junk(spark):
+    fluent = "the cat sat on the mat and the dog sat on the rug"
+    docs = [(i, fluent) for i in range(20)] + [
+        (100, "zq xv wj kp fn rb tg lm dc hs"),  # bigrams seen nowhere else
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in lm.lm_score(df).collect()}
+    assert out[0]["bits_per_token"] == out[1]["bits_per_token"]
+    assert out[100]["bits_per_token"] > out[0]["bits_per_token"] + 1.0
+    # exact integer invariants
+    for r in out.values():
+        assert r["surprisal_scaled"] >= 0
+        assert r["bits_per_token"] == pytest.approx(
+            r["surprisal_scaled"] / (r["n_bigrams"] * lm.FLOG2_ONE)
+        )
+
+
+def test_lm_model_form_matches_self_scoring(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta"),
+            (2, "beta gamma delta"),
+            (3, "alpha alpha alpha"),
+        ],
+        "doc_id long, text string",
+    )
+    direct = {tuple(r) for r in lm.lm_score(docs).collect()}
+    c12, c1, v = lm.lm_train(docs)
+    via_model = {
+        tuple(r) for r in lm.lm_score_with_model(docs, c12, c1, v).collect()
+    }
+    assert direct == via_model
+
+
+def test_lm_unseen_bigrams_get_smoothed_mass(spark):
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+        "doc_id long, text string",
+    )
+    c12, c1, v = lm.lm_train(train)
+    v_size = v.collect()[0]["v_size"]
+    held_out = spark.createDataFrame(
+        [(9, "omega sigma"), (10, "alpha beta")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           lm.lm_score_with_model(held_out, c12, c1, v).collect()}
+    # fully-unseen bigram from unseen context: P = 1/V exactly
+    lut_v = lm.with_flog2(
+        v.select(F.col("v_size").alias("x")), "x", "l"
+    ).collect()[0]["l"]
+    assert out[9]["surprisal_scaled"] == lut_v  # flog2(V) - flog2(1)
+    # seen bigram scores strictly lower than the unseen one
+    assert out[10]["bits_per_token"] < out[9]["bits_per_token"]
+    assert v_size == 4
+
+
+def test_lm_short_docs_excluded(spark):
+    docs = spark.createDataFrame(
+        [(1, "single"), (2, ""), (3, "   "), (4, "two words")],
+        "doc_id long, text string",
+    )
+    out = lm.lm_score(docs).collect()
+    assert {r["doc_id"] for r in out} == {4}
+    assert out[0]["n_bigrams"] == 1
