@@ -8296,3 +8296,72 @@ def q_docs_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join), 1-row vocab broadcast."""
     d = _read(spark, sf_dir, "documents")
     return lm_ops.lm_score(d)
+
+
+from .llm import classifier as clf_ops  # noqa: E402
+
+_LR_LABEL_SQL = "CASE WHEN n_chars > 300 THEN 1 ELSE 0 END"
+
+
+def _lr_label_col():
+    # long-document class: genuinely learnable from hashed word counts
+    # (the synthetic corpus shares one vocabulary across all lang values,
+    # so language labels carry no text signal — measured, not assumed)
+    return F.when(F.col("n_chars") > 300, F.lit(1)).otherwise(F.lit(0))
+
+
+@register(
+    "docs_logreg_weights",
+    f"""
+    WITH {clf_ops.sql_train_ctes(_SQL_WORDS_EXPR, _LR_LABEL_SQL)}
+    SELECT j, CAST(w AS BIGINT) AS weight_scaled
+    FROM w{clf_ops.LR_ITERS}
+    """,
+)
+def q_docs_logreg_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed logistic-regression training (fastText-style hashed
+    bag-of-words, long-vs-short document class on the corpus): the final scaled
+    weight vector after LR_ITERS full-batch GD iterations. The entire
+    trajectory is exact integer arithmetic with a shared sigmoid lookup
+    (llm/classifier.py header), unrolled into per-iteration oracle CTEs
+    like the k-means and BPE trainers — the oracle matches the LEARNED
+    MODEL bit-for-bit, not just summary stats."""
+    d = _read(spark, sf_dir, "documents")
+    weights = clf_ops.train(d, _lr_label_col())
+    return spark.createDataFrame(
+        [(j, int(w)) for j, w in enumerate(weights)],
+        "j bigint, weight_scaled bigint",
+    )
+
+
+@register(
+    "docs_logreg_predict",
+    f"""
+    WITH {clf_ops.sql_train_ctes(_SQL_WORDS_EXPR, _LR_LABEL_SQL)},
+    zf AS (
+      SELECT f.doc_id, CAST(SUM(f.x * w.w) AS BIGINT) AS z_scaled
+      FROM feats f JOIN w{clf_ops.LR_ITERS} w USING (j) GROUP BY f.doc_id
+    ),
+    pf AS (
+      SELECT z.doc_id, z.z_scaled,
+             CAST(l.l[CAST((least(greatest(z.z_scaled, {-clf_ops.LR_Z_CLAMP}),
+                                  {clf_ops.LR_Z_CLAMP - 1})
+                            + {clf_ops.LR_Z_CLAMP}) // {clf_ops.LR_IDX_SHIFT}
+                      AS INT) + 1] AS BIGINT) AS p_scaled,
+             CAST(z.z_scaled > 0 AS BIGINT) AS pred
+      FROM zf z, lutl l
+    )
+    SELECT p.doc_id, p.z_scaled, p.p_scaled, p.pred, lab.y,
+           CAST(p.pred = lab.y AS BIGINT) AS correct
+    FROM pf p JOIN lab USING (doc_id)
+    """,
+)
+def q_docs_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-then-score: every document's margin, lookup-sigmoid
+    probability, prediction, and correctness under the classifier of
+    docs_logreg_weights. Scoring is one groupBy over the hashed feature
+    rows with the weight vector baked in as a plan constant (no join) —
+    the shuffle-free firehose-scoring path at 100 TB."""
+    d = _read(spark, sf_dir, "documents")
+    weights = clf_ops.train(d, _lr_label_col())
+    return clf_ops.predict(d, weights, _lr_label_col())
