@@ -172,3 +172,61 @@ def bloom_stream_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+def merge_hll_batch(
+    spark: SparkSession,
+    batch_df,
+    state_path: str,
+    group_col: str,
+    key_col: str,
+) -> None:
+    """Fold one batch's keys into a persistent per-group HyperLogLog
+    register table (the portable exact-integer form, llm/sketch.py —
+    not the opaque binary of ops/incremental's hll_sketch_agg state).
+
+    Register-wise MAX is associative/commutative/idempotent, so
+    replayed batches (foreachBatch at-least-once before checkpoint
+    commit) cannot corrupt the state — re-observing a key re-asserts a
+    rho the register already holds. Same stage-and-swap + crash-window
+    recovery as the Bloom state."""
+    from ..llm import sketch
+
+    _recover_state(state_path)
+    batch_regs = sketch.hll_registers(batch_df, group_col, key_col)
+    if os.path.exists(state_path):
+        old = spark.read.parquet(state_path)
+        merged = sketch.hll_merge(old, batch_regs, group_col)
+    else:
+        merged = batch_regs
+    _swap_state(merged, state_path)
+
+
+def hll_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    group_col: str,
+    key_col: str,
+    trigger_seconds: int | None = None,
+):
+    """Streaming distinct-count maintenance: an NDJSON key stream folds
+    into per-group HLL registers any batch job can read mid-stream
+    (``sketch.hll_estimate`` for the live cardinality). State is O(m)
+    per group forever — the streaming-distinct trade at 100 TB: no
+    watermark, no per-key state growth, ~4.6% standard error."""
+    stream = spark.readStream.schema(schema).json(source_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_hll_batch(spark, batch_df, state_path, group_col, key_col)
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -290,3 +290,55 @@ def test_state_swap_crash_recovery(spark, tmp_path):
         for r in spark.read.parquet(agg_state).collect()
     }
     assert got_agg["d1"] == (2, 17) and got_agg["d2"] == (1, 5)
+
+
+def test_hll_stream_job_converges_to_batch_registers(spark):
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.llm import sketch
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="hll_src_")
+    state = tempfile.mkdtemp(prefix="hll_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="hll_ckpt_")
+    schema = "g string, k long"
+    try:
+        batches = [
+            [("a", i) for i in range(0, 400)] + [("b", i) for i in range(0, 50)],
+            # overlap: replays/overlaps must not double-count
+            [("a", i) for i in range(300, 700)] + [("b", i) for i in range(40, 80)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)
+
+        q = sinc.hll_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            state_path=state,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            group_col="g",
+            key_col="k",
+        ).start()
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(state)
+        union = spark.createDataFrame(
+            [("a", i) for i in range(0, 700)] + [("b", i) for i in range(0, 80)],
+            schema,
+        )
+        direct = sketch.hll_registers(union, "g", "k")
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        est = {r["g"]: r["dv_estimate"]
+               for r in sketch.hll_estimate(streamed, "g").collect()}
+        assert abs(est["a"] - 700) <= 0.15 * 700
+        assert abs(est["b"] - 80) <= 15
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
