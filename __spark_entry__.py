@@ -99,7 +99,6 @@ _GATE_PRIORITY = [
     "customer_bloom_probe",
     "ann_pq_topk",
     "media_features",
-    "export_flat",
     "import_coerce",
     "catalog_validation",
     "html_sellers_parse",
@@ -150,7 +149,11 @@ _GATE_PRIORITY = [
     "orders_hll_distinct",
     "docs_lm_perplexity",
     "docs_logreg_predict",
-    "docs_chunk_windows",
+    "docs_chunk_rag",
+    # int8 embedding quantization (first driver check); displaced
+    # export_flat — driver-green r1-r5, family keeps import_coerce in
+    # the gate and export_roundtrip in the sweep
+    "embeddings_int8_codes",
 ]
 
 

@@ -90,7 +90,7 @@ HEADLINE = [
     "orders_hll_distinct",
     "docs_lm_perplexity",
     "docs_logreg_predict",
-    "docs_chunk_windows",
+    "docs_chunk_rag",
 ]
 
 

@@ -848,60 +848,3 @@ def pack_sequences(
         (seg_hi - seg_lo).cast("long").alias("n_in_seq"),
     )
 
-
-def chunk_documents(
-    docs: DataFrame,
-    chunk_tokens: int = 64,
-    stride: int = 48,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-) -> DataFrame:
-    """Overlapping token-window chunking (the RAG / context-window
-    splitter): each document's word list becomes windows of
-    ``chunk_tokens`` tokens starting every ``stride`` tokens (overlap =
-    chunk_tokens - stride), last window ragged. Output: (id, chunk_id,
-    start_tok, n_tok, chunk_text).
-
-    Scale shape: map-side only — the explode is over the SMALL starts
-    sequence (ceil(n/stride) elements), never the word array, and
-    there are zero shuffles; chunk rows land in the scan partitions.
-    The word-extraction regex re-evaluates once per chunk row (the
-    post-Generate projection-collapse documented in NOTES) — a bounded
-    ~n/stride factor, measured acceptable; a doc averages 2-3 chunks.
-    """
-    if not 0 < stride <= chunk_tokens:
-        raise ValueError("need 0 < stride <= chunk_tokens")
-    ws = extract_words(F.col(text_col))
-    base = docs.select(F.col(id_col), ws.alias("_ws")).withColumn(
-        "_n", F.size("_ws")
-    )
-    starts = F.expr(f"sequence(0, CAST((_n - 1) DIV {int(stride)} AS INT))")
-    chunks = (
-        base.filter(F.col("_n") > 0)
-        .select(
-            id_col,
-            "_ws",
-            "_n",
-            F.posexplode_outer(starts).alias("chunk_id", "_k"),
-        )
-        .filter(F.col("_k").isNotNull())
-        .select(
-            id_col,
-            F.col("chunk_id").cast("long").alias("chunk_id"),
-            (F.col("_k") * stride).cast("long").alias("start_tok"),
-            F.least(
-                F.lit(chunk_tokens), F.col("_n") - F.col("_k") * stride
-            )
-            .cast("long")
-            .alias("n_tok"),
-            F.array_join(
-                F.slice(
-                    F.col("_ws"),
-                    F.col("_k") * stride + 1,
-                    F.lit(chunk_tokens),
-                ),
-                " ",
-            ).alias("chunk_text"),
-        )
-    )
-    return chunks

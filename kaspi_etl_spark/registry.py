@@ -8367,28 +8367,50 @@ def q_docs_logreg_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clf_ops.predict(d, weights, _lr_label_col())
 
 
+
+
+from .llm import quant as quant_ops  # noqa: E402
+
+
 @register(
-    "docs_chunk_windows",
-    f"""
-    WITH w AS (
-      SELECT doc_id, {_SQL_WORDS_EXPR} AS ws, len({_SQL_WORDS_EXPR}) AS n
-      FROM documents
+    "embeddings_int8_codes",
+    """
+    WITH e AS (SELECT vec_id, embedding AS emb FROM embeddings),
+    ex0 AS (SELECT vec_id, emb, unnest(range(1, len(emb) + 1)) AS p FROM e),
+    ex AS (
+      SELECT vec_id, CAST(p - 1 AS INT) AS pos, CAST(emb[p] AS DOUBLE) AS x
+      FROM ex0
     ),
-    st AS (
-      SELECT doc_id, ws, n, unnest(range(0, (n - 1) // 48 + 1)) AS k
-      FROM w WHERE n > 0
+    cb AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos),
+    coded AS (
+      SELECT vec_id, pos, x, mn, mx,
+             CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                  ELSE least(CAST(255 AS BIGINT),
+                             CAST(floor((x - mn) * CAST(255 AS DOUBLE)
+                                        / (mx - mn)) AS BIGINT)) END AS code
+      FROM ex JOIN cb USING (pos)
+    ),
+    dec AS (
+      SELECT vec_id, pos, x, code,
+             CASE WHEN mx = mn THEN mn
+                  ELSE mn + (CAST(code AS DOUBLE) + CAST(0.5 AS DOUBLE))
+                       * (mx - mn) / CAST(255 AS DOUBLE) END AS xhat
+      FROM coded
     )
-    SELECT doc_id,
-           CAST(k AS BIGINT) AS chunk_id,
-           CAST(k * 48 AS BIGINT) AS start_tok,
-           CAST(least(64, n - k * 48) AS BIGINT) AS n_tok,
-           array_to_string(ws[k * 48 + 1 : k * 48 + 64], ' ') AS chunk_text
-    FROM st
+    SELECT vec_id,
+           list(code ORDER BY pos) AS codes,
+           max(abs(x - xhat)) AS max_abs_err
+    FROM dec GROUP BY vec_id
     """,
 )
-def q_docs_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Overlapping 64-token windows at stride 48 over every document —
-    the RAG / context-window chunking pass (see llm/text.chunk_documents
-    for the map-side-only scale shape)."""
-    d = _read(spark, sf_dir, "documents")
-    return text_ops.chunk_documents(d, chunk_tokens=64, stride=48)
+def q_embeddings_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embeddings corpus (FAISS-SQ8
+    shape): per-dimension min/max codebook (bounded: one row per
+    dimension), per-vector uint8 codes, and the worst-dimension
+    midpoint-reconstruction error. 4x storage cut on the 100 TB
+    embedding store; the only full scans are the codebook pass and the
+    encode rewrite. Deterministic float chains (identical op order both
+    engines), so even the DOUBLE error column hash-matches — no
+    tolerance band. See llm/quant.py."""
+    e = _read(spark, sf_dir, "embeddings")
+    return quant_ops.quantize_embeddings(e)

@@ -241,30 +241,3 @@ def test_pack_sequences_invariants(spark):
         if seq_id < max(by_seq):
             assert pos == 512  # interior sequences are exactly full
 
-
-def test_chunk_documents_windows_and_edges(spark):
-    import pytest
-    from kaspi_etl_spark.llm import text as T
-
-    words = " ".join(f"w{i:03d}" for i in range(130))
-    docs = spark.createDataFrame(
-        [(1, words), (2, "a b c"), (3, ""), (4, None)],
-        "doc_id long, text string",
-    )
-    out = T.chunk_documents(docs, chunk_tokens=64, stride=48)
-    rows = sorted(
-        ((r["doc_id"], r["chunk_id"], r["start_tok"], r["n_tok"]) for r in out.collect())
-    )
-    # doc 1: 130 tokens -> starts 0, 48, 96 (ceil(130/48) = 3 chunks)
-    assert [(d, c, s, n) for d, c, s, n in rows if d == 1] == [
-        (1, 0, 0, 64), (1, 1, 48, 64), (1, 2, 96, 34)
-    ]
-    assert [(d, c, s, n) for d, c, s, n in rows if d == 2] == [(2, 0, 0, 3)]
-    assert not any(d in (3, 4) for d, *_ in rows)  # empty/null docs: no chunks
-    # overlap reconstruction: consecutive chunks share chunk-stride tokens
-    texts = {r["chunk_id"]: r["chunk_text"].split(" ")
-             for r in out.filter("doc_id = 1").collect()}
-    assert texts[0][48:] == texts[1][:16]
-    assert texts[1][48:] == texts[2][:16]
-    with pytest.raises(ValueError):
-        T.chunk_documents(docs, chunk_tokens=32, stride=40)
