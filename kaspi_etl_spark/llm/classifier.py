@@ -7,9 +7,9 @@ is a scaled integer, so the whole training trajectory — not just the
 final scores — unrolls into oracle CTEs and hash-matches bit-for-bit:
 
 * features: md5-hashed word COUNTS over D buckets + a bias feature
-  (index D, x = 1); counts, not presence — the synthetic corpus has a
-  tiny vocabulary, so presence vectors saturate (every doc contains
-  most words) while counts carry real signal
+  (index D, x = LR_BIAS_X); counts, not presence — the synthetic corpus
+  has a tiny vocabulary, so presence vectors saturate (every doc
+  contains most words) while counts carry real signal
 * weights: BIGINT scaled by 2^S
 * sigmoid: a 1024-entry lookup over z in [-8, 8), values scaled by
   2^P, precomputed here and shared with the SQL mirror (the flog2/HLL
@@ -260,3 +260,23 @@ def sql_train_ctes(
             f" FROM w{k - 1} w LEFT JOIN g{k} g USING (j) CROSS JOIN nn)"
         )
     return ",\n    ".join(parts)
+
+
+def save_weights(spark, weights: list[int], path: str) -> None:
+    """Persist a trained weight vector as a tiny parquet table
+    (j BIGINT, w BIGINT) — the model artifact (the k-means
+    save_centroids pattern). Integers round-trip exactly, so a reloaded
+    model reproduces predictions bit-for-bit."""
+    spark.createDataFrame(
+        [(int(j), int(w)) for j, w in enumerate(weights)],
+        "j BIGINT, w BIGINT",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_weights(spark, path: str) -> list[int]:
+    """Inverse of save_weights (bounded driver read of LR_D + 1 rows)."""
+    rows = spark.read.parquet(path).orderBy("j").collect()
+    weights = [0] * len(rows)
+    for r in rows:
+        weights[int(r["j"])] = int(r["w"])
+    return weights

@@ -215,3 +215,21 @@ def lm_score_with_model(
         )
     )
     return _finish_score(joined, id_col)
+
+
+def save_model(c12: DataFrame, c1: DataFrame, vocab: DataFrame, path: str) -> None:
+    """Persist the lm_train artifacts as three parquet tables under one
+    root — exact integer counts, so a reloaded model scores
+    bit-identically (the k-means artifact pattern)."""
+    c12.write.mode("overwrite").parquet(f"{path}/bigrams")
+    c1.write.mode("overwrite").parquet(f"{path}/contexts")
+    vocab.coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def load_model(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Inverse of save_model; hand the frames to lm_score_with_model."""
+    return (
+        spark.read.parquet(f"{path}/bigrams"),
+        spark.read.parquet(f"{path}/contexts"),
+        spark.read.parquet(f"{path}/vocab"),
+    )

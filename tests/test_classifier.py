@@ -63,3 +63,14 @@ def test_gradient_moves_weights_toward_separation(spark):
     word_ws = [x for x in w[: C.LR_D] if x != 0]
     assert word_ws and all(x > 0 for x in word_ws)
     assert w[C.LR_D] < 0
+
+
+def test_weights_roundtrip_bit_exact(spark, tmp_path):
+    docs = _length_corpus(spark, n=60)
+    w = C.train(docs, F.col("y_true") == 1, iters=2)
+    C.save_weights(spark, w, str(tmp_path / "m"))
+    w2 = C.load_weights(spark, str(tmp_path / "m"))
+    assert w2 == w
+    a = sorted(map(tuple, C.predict(docs, w).collect()))
+    b = sorted(map(tuple, C.predict(docs, w2).collect()))
+    assert a == b

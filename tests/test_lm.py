@@ -86,3 +86,16 @@ def test_lm_short_docs_excluded(spark):
     out = lm.lm_score(docs).collect()
     assert {r["doc_id"] for r in out} == {4}
     assert out[0]["n_bigrams"] == 1
+
+
+def test_lm_model_roundtrip_bit_exact(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha"), (2, "beta gamma delta beta")],
+        "doc_id long, text string",
+    )
+    c12, c1, v = lm.lm_train(docs)
+    lm.save_model(c12, c1, v, str(tmp_path / "lm"))
+    c12b, c1b, vb = lm.load_model(docs.sparkSession, str(tmp_path / "lm"))
+    a = sorted(map(tuple, lm.lm_score_with_model(docs, c12, c1, v).collect()))
+    b = sorted(map(tuple, lm.lm_score_with_model(docs, c12b, c1b, vb).collect()))
+    assert a == b
