@@ -25,11 +25,11 @@ Why it oracle-checks bit-exactly — the usual blockers and their fixes:
   monotonicity of flog2.
 
 Scale shape (100 TB): tokenize map-side; one window shuffle by doc for
-the bigram lead(); per-(doc,bigram) tf groupBy; model counts via
-partition windows over the tf rows (the tfidf trick — no vocabulary
-self-join, and the tf exchange is REUSED by the vocab-size branch);
-the vocab size joins back as a 1-row broadcast. No collects, no
-driver loops. For train-once/score-many, ``lm_train`` persists the
+the bigram lead(); per-(doc,bigram) tf groupBy, materialized once
+(localCheckpoint) so the vocab-size branch reads tf rows instead of
+re-tokenizing the corpus; model counts via partition windows over the
+tf rows (the tfidf trick — no vocabulary self-join); the vocab size
+joins back as a 1-row broadcast. No collects, no driver loops. For train-once/score-many, ``lm_train`` persists the
 counts as plain DataFrames and ``lm_score_with_model`` left-joins them
 (unseen bigrams fall back to the smoothed 1/(C1 + V) mass).
 """
@@ -135,8 +135,16 @@ def lm_score(
     every document against it in one plan (the corpus-quality profiling
     mode). Output: (id, n_bigrams, surprisal_scaled, bits_per_token) for
     docs with at least one bigram; surprisal_scaled is the exact integer
-    sum of per-token fixed-point surprisals (bits * 2^20 * tf)."""
-    tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col)
+    sum of per-token fixed-point surprisals (bits * 2^20 * tf).
+
+    tf is localCheckpointed: the vocab-size branch would otherwise
+    re-scan and RE-TOKENIZE the whole corpus (measured: two parquet
+    scans, no exchange reuse even under AQE) — at 100 TB the tokenize
+    pass is the expensive one, so materializing the much-smaller tf
+    rows once is the right trade (the dedup_clusters precedent)."""
+    tf = _bigram_tf(
+        doc_bigrams(docs, id_col, text_col), id_col
+    ).localCheckpoint()
     w12 = Window.partitionBy("w1", "w2")
     w1 = Window.partitionBy("w1")
     counted = tf.select(

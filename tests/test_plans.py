@@ -338,3 +338,34 @@ def test_ewma_has_no_ordered_window(spark, sf_dir):
 def test_kmv_bottom_k_uses_window_group_limit(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "orders_kmv_distinct")
     assert "WindowGroupLimit" in plan  # partial bottom-k before the exchange
+
+
+def test_lm_perplexity_tokenizes_once(spark, sf_dir):
+    # the vocab-size branch reads the checkpointed tf rows — a second
+    # parquet scan here means the corpus is being RE-TOKENIZED (the
+    # expensive pass at 100 TB); caught live with 2 scans pre-fix
+    plan = plan_of(spark, sf_dir, "docs_lm_perplexity")
+    assert plan.count("Scan parquet") == 0  # tf checkpoint absorbed it
+    assert "ExistingRDD" in plan
+
+
+def test_logreg_predict_scores_without_a_weights_join(spark, sf_dir):
+    # the trained weight vector rides as a plan-constant array literal;
+    # the only join is the label attach for the correctness column
+    plan = plan_of(spark, sf_dir, "docs_logreg_predict")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Join") <= 1
+
+
+def test_hll_registers_are_bounded_partial_aggregate(spark, sf_dir):
+    # register build must partially aggregate map-side: the exchange
+    # carries at most m rows per group, never the raw key stream
+    plan = plan_of(spark, sf_dir, "orders_hll_distinct")
+    assert "partial_max" in plan or "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_int8_codes_codebook_is_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "embeddings_int8_codes")
+    assert "BroadcastHashJoin" in plan  # dim-bounded codebook side
+    assert "SortMergeJoin" not in plan
