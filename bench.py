@@ -91,6 +91,8 @@ HEADLINE = [
     "docs_lm_perplexity",
     "docs_logreg_predict",
     "docs_chunk_rag",
+    # held-out Stupid-Backoff trigram scoring (5 word-keyed joins)
+    "docs_sb_backoff",
 ]
 
 

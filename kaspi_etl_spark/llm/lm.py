@@ -241,3 +241,158 @@ def load_model(spark, path: str) -> tuple[DataFrame, DataFrame, DataFrame]:
         spark.read.parquet(f"{path}/contexts"),
         spark.read.parquet(f"{path}/vocab"),
     )
+
+
+# --- Stupid Backoff trigram scorer ------------------------------------------
+#
+# Brants et al. 2007 ("Large Language Models in Machine Translation"):
+# at web scale, exact Kneser-Ney smoothing is replaced by the
+# non-normalized backoff score
+#
+#   S(c | a, b) = f(abc) / f(ab)            if f(abc) > 0
+#               = 0.4 * S(c | b)            otherwise
+#   S(c | b)    = f(bc) / f(b)              if f(bc) > 0
+#               = 0.4 * S(c)                otherwise
+#   S(c)        = f(c) / N                  (unseen c: f := 1)
+#
+# Every branch is a RATIONAL num/den plus zero, one, or two constant
+# 0.4 penalties — so with flog2 the per-token surprisal is an exact
+# integer: flog2(den) - flog2(num) + level * SB_PEN. Scoring held-out
+# documents is where backoff fires; self-scoring never leaves level 0.
+
+SB_PEN = int(round(-_math.log2(0.4) * FLOG2_ONE))  # one backoff step
+
+
+def doc_trigrams(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, a, b, c) consecutive word triples; one doc-keyed window."""
+    words = docs.select(
+        F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
+    )
+    toks = words.select(
+        id_col, F.posexplode_outer("_ws").alias("_pos", "a")
+    ).filter(F.col("a").isNotNull() & (F.col("a") != ""))
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    return (
+        toks.withColumn("b", F.lead("a", 1).over(win))
+        .withColumn("c", F.lead("a", 2).over(win))
+        .filter(F.col("c").isNotNull())
+        .select(id_col, "a", "b", "c")
+    )
+
+
+def sb_train(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Stupid-Backoff model artifacts: trigram counts (a, b, c, c3g),
+    bigram counts (a, b, c2g), unigram counts (w, c1g), and the 1-row
+    total token count. All plain groupBy counts — persist as parquet."""
+    words = docs.select(
+        F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
+    )
+    toks = words.select(
+        id_col, F.posexplode_outer("_ws").alias("_pos", "a")
+    ).filter(F.col("a").isNotNull() & (F.col("a") != ""))
+    win = Window.partitionBy(id_col).orderBy("_pos")
+    lead = (
+        toks.withColumn("b", F.lead("a", 1).over(win))
+        .withColumn("c", F.lead("a", 2).over(win))
+        .localCheckpoint()  # three count branches share one token pass
+    )
+    tri = (
+        lead.filter(F.col("c").isNotNull())
+        .groupBy("a", "b", "c")
+        .agg(F.count("*").cast("long").alias("c3g"))
+    )
+    bi = (
+        lead.filter(F.col("b").isNotNull())
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("c2g"))
+    )
+    uni = lead.groupBy(F.col("a").alias("w")).agg(
+        F.count("*").cast("long").alias("c1g")
+    )
+    total = uni.agg(F.sum("c1g").cast("long").alias("n_tokens"))
+    return tri, bi, uni, total
+
+
+def sb_score(
+    docs: DataFrame,
+    tri: DataFrame,
+    bi: DataFrame,
+    uni: DataFrame,
+    total: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents against a trained Stupid-Backoff model:
+    (id, n_trigrams, surprisal_scaled, bits_per_token, n_backoff1,
+    n_backoff2). Five word-keyed shuffle equi-joins (broadcast the
+    model yourself when it fits) + the 1-row total broadcast; the
+    backoff columns count how often each fallback level fired."""
+    tf = doc_trigrams(docs, id_col, text_col).groupBy(
+        id_col, "a", "b", "c"
+    ).agg(F.count("*").cast("long").alias("tf"))
+    j = (
+        tf.join(tri, ["a", "b", "c"], "left")
+        .join(bi.select("a", "b", F.col("c2g").alias("ctx2")), ["a", "b"], "left")
+        .join(
+            bi.select(
+                F.col("a").alias("b"), F.col("b").alias("c"),
+                F.col("c2g").alias("c2g_bc"),
+            ),
+            ["b", "c"],
+            "left",
+        )
+        .join(uni.select(F.col("w").alias("b"), F.col("c1g").alias("ctx1")), ["b"], "left")
+        .join(uni.select(F.col("w").alias("c"), F.col("c1g").alias("c1g_c")), ["c"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    lvl = (
+        F.when(F.col("c3g").isNotNull(), F.lit(0))
+        .when(F.col("c2g_bc").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    num = (
+        F.when(lvl == 0, F.col("c3g"))
+        .when(lvl == 1, F.col("c2g_bc"))
+        .otherwise(F.coalesce(F.col("c1g_c"), F.lit(1)))
+        .cast("long")
+    )
+    den = (
+        F.when(lvl == 0, F.col("ctx2"))
+        .when(lvl == 1, F.col("ctx1"))
+        .otherwise(F.col("n_tokens"))
+        .cast("long")
+    )
+    staged = j.select(
+        id_col, "tf", lvl.alias("_lvl"), num.alias("_num"), den.alias("_den")
+    )
+    staged = with_flog2(staged, "_num", "_lnum")
+    staged = with_flog2(staged, "_den", "_lden")
+    per = staged.withColumn(
+        "_s",
+        F.col("tf")
+        * (F.col("_lden") - F.col("_lnum") + F.col("_lvl") * F.lit(SB_PEN)),
+    )
+    out = per.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_trigrams"),
+        F.sum("_s").cast("long").alias("surprisal_scaled"),
+        F.sum(F.when(F.col("_lvl") == 1, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_backoff1"),
+        F.sum(F.when(F.col("_lvl") == 2, F.col("tf")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("n_backoff2"),
+    )
+    return out.select(
+        id_col,
+        "n_trigrams",
+        "surprisal_scaled",
+        (
+            F.col("surprisal_scaled") / (F.col("n_trigrams") * F.lit(FLOG2_ONE))
+        ).alias("bits_per_token"),
+        "n_backoff1",
+        "n_backoff2",
+    )

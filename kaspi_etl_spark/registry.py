@@ -8414,3 +8414,81 @@ def q_embeddings_int8_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance band. See llm/quant.py."""
     e = _read(spark, sf_dir, "embeddings")
     return quant_ops.quantize_embeddings(e)
+
+
+@register(
+    "docs_sb_backoff",
+    f"""
+    WITH tw AS (
+      SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents WHERE doc_id % 2 = 0
+    ),
+    tu0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM tw),
+    uni AS (
+      SELECT ws[i] AS w, CAST(count(*) AS BIGINT) AS c1g FROM tu0 GROUP BY 1
+    ),
+    bi AS (
+      SELECT ws[i] AS a, ws[i+1] AS b, CAST(count(*) AS BIGINT) AS c2g
+      FROM tu0 WHERE i + 1 <= len(ws) GROUP BY 1, 2
+    ),
+    tri AS (
+      SELECT ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c,
+             CAST(count(*) AS BIGINT) AS c3g
+      FROM tu0 WHERE i + 2 <= len(ws) GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT CAST(sum(c1g) AS BIGINT) AS n_tokens FROM uni),
+    sw AS (
+      SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents WHERE doc_id % 2 = 1
+    ),
+    su0 AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM sw),
+    stf AS (
+      SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM su0 WHERE i + 2 <= len(ws) GROUP BY 1, 2, 3, 4
+    ),
+    jj AS (
+      SELECT s.doc_id, s.tf,
+             CASE WHEN t.c3g IS NOT NULL THEN 0
+                  WHEN b2.c2g IS NOT NULL THEN 1 ELSE 2 END AS lvl,
+             CAST(CASE WHEN t.c3g IS NOT NULL THEN t.c3g
+                       WHEN b2.c2g IS NOT NULL THEN b2.c2g
+                       ELSE COALESCE(u2.c1g, 1) END AS BIGINT) AS num,
+             CAST(CASE WHEN t.c3g IS NOT NULL THEN b1.c2g
+                       WHEN b2.c2g IS NOT NULL THEN u1.c1g
+                       ELSE tot.n_tokens END AS BIGINT) AS den
+      FROM stf s
+      LEFT JOIN tri t ON t.a = s.a AND t.b = s.b AND t.c = s.c
+      LEFT JOIN bi b1 ON b1.a = s.a AND b1.b = s.b
+      LEFT JOIN bi b2 ON b2.a = s.b AND b2.b = s.c
+      LEFT JOIN uni u1 ON u1.w = s.b
+      LEFT JOIN uni u2 ON u2.w = s.c
+      CROSS JOIN tot
+    ),
+    per AS (
+      SELECT doc_id, tf, lvl,
+             tf * ({lm_ops.sql_flog2('den')} - {lm_ops.sql_flog2('num')}
+                   + lvl * {lm_ops.SB_PEN}) AS s
+      FROM jj
+    )
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_trigrams,
+           CAST(SUM(s) AS BIGINT) AS surprisal_scaled,
+           CAST(SUM(s) AS DOUBLE) / CAST(SUM(tf) * {lm_ops.FLOG2_ONE} AS DOUBLE)
+             AS bits_per_token,
+           CAST(SUM(CASE WHEN lvl = 1 THEN tf ELSE 0 END) AS BIGINT) AS n_backoff1,
+           CAST(SUM(CASE WHEN lvl = 2 THEN tf ELSE 0 END) AS BIGINT) AS n_backoff2
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_docs_sb_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff trigram scoring of HELD-OUT documents (train on
+    even doc ids, score odd ones — self-scoring never leaves backoff
+    level 0): Brants et al. 2007's web-scale replacement for smoothed
+    Kneser-Ney, here with every branch a rational plus constant 0.4
+    penalties so the whole score is exact fixed-point (llm/lm.py
+    header). The backoff-level counts in the output prove all three
+    fallback branches execute."""
+    d = _read(spark, sf_dir, "documents")
+    train_half = d.filter(F.col("doc_id") % 2 == 0)
+    score_half = d.filter(F.col("doc_id") % 2 == 1)
+    tri, bi, uni, total = lm_ops.sb_train(train_half)
+    return lm_ops.sb_score(score_half, tri, bi, uni, total)

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "tpch_q22_global_sales_opportunity",
     "tpch_q11_important_stock",
     "docs_lm_perplexity",  # 1-row vocab-size broadcast (llm/lm.py)
+    "docs_sb_backoff",  # 1-row total-token-count broadcast (llm/lm.py)
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

@@ -99,3 +99,39 @@ def test_lm_model_roundtrip_bit_exact(spark, tmp_path):
     a = sorted(map(tuple, lm.lm_score_with_model(docs, c12, c1, v).collect()))
     b = sorted(map(tuple, lm.lm_score_with_model(docs, c12b, c1b, vb).collect()))
     assert a == b
+
+
+def test_sb_backoff_levels_and_exactness(spark):
+    train = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    tri, bi, uni, total = lm.sb_train(train)
+    held = spark.createDataFrame(
+        [
+            (1, "the cat sat"),      # trigram seen -> level 0
+            (3, "rug the cat"),      # trigram unseen, (the,cat) seen -> level 1
+            (5, "cat mat rug"),      # (mat,rug) unseen, rug seen -> level 2
+            (7, "cat mat zzz"),      # unseen tail word -> level 2 with f := 1
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           lm.sb_score(held, tri, bi, uni, total).collect()}
+    assert (out[1]["n_backoff1"], out[1]["n_backoff2"]) == (0, 0)
+    assert out[3]["n_backoff1"] == 1 and out[3]["n_backoff2"] == 0
+    assert out[5]["n_backoff2"] == 1
+    assert out[7]["n_backoff2"] == 1
+    # level-0 'the cat sat': f(the cat sat)=1, f(the cat)=1 -> S=1,
+    # surprisal exactly 0
+    assert out[1]["surprisal_scaled"] == 0
+    # each backoff level adds the constant penalty; level-2 unseen-word
+    # surprisal = 2*PEN + flog2(N) - flog2(1)
+    n_tok = total.collect()[0]["n_tokens"]
+    lut_n = lm.with_flog2(
+        total.select(F.col("n_tokens").alias("x")), "x", "l"
+    ).collect()[0]["l"]
+    assert out[7]["surprisal_scaled"] == out[7]["n_trigrams"] * 0 + (
+        2 * lm.SB_PEN + lut_n
+    )
+    assert n_tok == 12
