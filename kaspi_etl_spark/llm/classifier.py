@@ -142,33 +142,49 @@ def train(
     n = lab.count()
     if n == 0:
         raise ValueError("empty corpus")
-    # Pre-partition on the join key into a fraction of the configured
-    # shuffle width before checkpointing: the 12 iterations re-scan
-    # these frames, and at bench scale the per-iteration wall is task
-    # scheduling, not data (measured 16.2 -> 12.2 s at sf0.1 with 8
-    # partitions). Scales with cluster config, never a hardcoded 8.
-    parts = max(8, int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")) // 4)
-    feats = feats.repartition(parts, id_col).localCheckpoint()
-    lab = lab.repartition(parts, id_col).localCheckpoint()
-    weights = [0] * (LR_D + 1)
-    den = (1 << (LR_P - LR_S)) * LR_DEN * n
-    for _ in range(iters):
-        z = _z_scores(feats, weights, id_col)
-        p = z.select(id_col, _p_expr().alias("p"))
-        g_rows = (
-            feats.join(p, id_col)
-            .join(lab, id_col)
-            .groupBy("j")
-            .agg(
-                F.sum(F.col("x") * (F.col("p") - F.col("y") * F.lit(1 << LR_P)))
-                .cast("long")
-                .alias("g")
+    # Co-partition ONCE and keep the partitioning METADATA alive:
+    # persist() (not localCheckpoint — an RDD scan erases
+    # outputPartitioning and every iteration re-shuffled the full
+    # feature set, with the planner flipping join strategies along the
+    # scaling curve: 202-727 CPU s at K=100 across runs). With the
+    # cached frame hash-partitioned on the doc id, the per-iteration
+    # z groupBy needs NO exchange (ClusteredDistribution satisfied),
+    # the z-redistribution join is co-partitioned (shuffle_hash: local
+    # build, no sort), and the ONLY per-iteration shuffle is the
+    # gradient groupBy — 65 partial rows per partition. That is the
+    # 100 TB shape: per-iteration network is O(D), not O(corpus).
+    # Explicit numPartitions so AQE does not coalesce the partitioning
+    # away before the persist.
+    parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    base = (
+        feats.join(lab, id_col)
+        .repartition(parts, id_col)
+        .persist()
+    )
+    base.count()  # materialize before the loop
+    try:
+        weights = [0] * (LR_D + 1)
+        den = (1 << (LR_P - LR_S)) * LR_DEN * n
+        for _ in range(iters):
+            z = _z_scores(base, weights, id_col)
+            p = z.select(id_col, _p_expr().alias("p"))
+            g_rows = (
+                base.join(p.hint("shuffle_hash"), id_col)
+                .groupBy("j")
+                .agg(
+                    F.sum(
+                        F.col("x") * (F.col("p") - F.col("y") * F.lit(1 << LR_P))
+                    )
+                    .cast("long")
+                    .alias("g")
+                )
+                .collect()
             )
-            .collect()
-        )
-        for r in g_rows:  # bounded: <= LR_D + 1 rows
-            # Python // is true floor — matches the oracle's // exactly
-            weights[int(r["j"])] -= (LR_NUM * int(r["g"])) // den
+            for r in g_rows:  # bounded: <= LR_D + 1 rows
+                # Python // is true floor — matches the oracle's //
+                weights[int(r["j"])] -= (LR_NUM * int(r["g"])) // den
+    finally:
+        base.unpersist()
     return weights
 
 

@@ -1,7 +1,8 @@
 """Scaling curve for the five riskiest operators (VERDICT r5 #4).
 
-Runs dedup_clusters, token_budget_sample, part_name_matches_capped,
-ann_ivf_topk (train+search), and semantic_dedup_keep at K x sf0.1 for
+Runs dedup_clusters, token_budget_sample, lm_score, logreg_train,
+part_name_matches_capped, ann_ivf_topk (train+search), and
+semantic_dedup_keep at K x sf0.1 for
 K in {10, 50, 100} (~sf1 at K=10 on documents; 60M lineitem-equivalents
 at K=100) and records wall seconds, executor-CPU seconds, output rows,
 and iterative convergence rounds, so SCALE.md's curve is measured, not
@@ -79,9 +80,17 @@ def main() -> None:
     ks = [int(a) for a in argv] or [10, 50, 100]
     spark = get_spark(
         "stress-curve",
-        extra_conf={"spark.ui.enabled": "true", "spark.ui.port": "4061"},
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": "4061",
+            # same eviction bug bench.py hit: at the default
+            # retainedStages=1000 the stage store evicts mid-run and the
+            # cumulative executorCpuTime sum UNDERCOUNTS later ops (a
+            # K=100 logreg run read 202 CPU s against a true ~550)
+            "spark.ui.retainedStages": "200000",
+        },
     )
-    from kaspi_etl_spark.llm import dedup, similarity, text  # noqa: E402
+    from kaspi_etl_spark.llm import classifier, dedup, lm, similarity, text  # noqa: E402
     from kaspi_etl_spark.ops import entity  # noqa: E402
 
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
@@ -108,7 +117,7 @@ def main() -> None:
 
     for k in ks:
         docs = n_docs = parts = n_parts = None
-        if want("dedup_clusters", "token_budget_sample"):
+        if want("dedup_clusters", "token_budget_sample", "lm_score", "logreg_train"):
             docs = scaled_union(
                 docs0, k, "doc_id", 10_000_000, vowel_mut("text")
             ).localCheckpoint()
@@ -163,6 +172,21 @@ def main() -> None:
                 "in_rows": n_docs,
             },
         )
+        run(
+            k,
+            "lm_score",
+            lambda: {
+                "rows": lm.lm_score(docs).count(),
+                "in_rows": n_docs,
+            },
+        )
+
+        def _logreg():
+            w = classifier.train(docs, F.length("text") > 300)
+            return {"rows": len(w), "in_rows": n_docs,
+                    "nonzero_w": sum(1 for x in w if x)}
+
+        run(k, "logreg_train", _logreg)
         run(
             k,
             "part_name_matches_capped",
