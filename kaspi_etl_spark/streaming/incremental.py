@@ -230,3 +230,105 @@ def hll_stream_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+# --- non-idempotent states: exactly-once via an in-state batch marker -------
+#
+# Bloom (BIT_OR) and HLL (MAX) merges are idempotent, so foreachBatch's
+# at-least-once replay cannot corrupt them. A Count-Min (or any
+# sum-like) state is NOT: a batch replayed after a crash between the
+# state swap and the checkpoint commit would DOUBLE-COUNT. The fix must
+# be atomic with the state publish, so the last-merged batch id rides
+# INSIDE the staged state directory (underscore-prefixed: parquet
+# readers ignore it) and becomes visible in the same rename that
+# publishes the rows. On replay, a batch id <= the marker is a no-op.
+
+_META_NAME = "_merged_meta.json"
+
+
+def _last_merged_batch(state_path: str) -> int:
+    import json as _json
+
+    meta = os.path.join(state_path, _META_NAME)
+    if not os.path.exists(meta):
+        return -1
+    with open(meta) as fh:
+        return int(_json.load(fh)["batch_id"])
+
+
+def _swap_state_with_marker(merged, state_path: str, batch_id: int) -> None:
+    """_swap_state, but the staged dir carries the batch marker BEFORE
+    the publishing rename — marker and rows are one atomic unit (a
+    marker written before the swap loses data on crash; written after,
+    it double-merges — both orderings are wrong, atomicity is the only
+    correct shape)."""
+    import json as _json
+
+    staging = f"{state_path}__stage_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(staging)
+    with open(os.path.join(staging, _META_NAME), "w") as fh:
+        _json.dump({"batch_id": int(batch_id)}, fh)
+    backup = f"{state_path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(state_path):
+        os.rename(state_path, backup)
+        os.rename(staging, state_path)
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        os.rename(staging, state_path)
+
+
+def merge_cms_batch(
+    spark: SparkSession,
+    batch_df,
+    state_path: str,
+    batch_id: int,
+    token_col: str = "token",
+) -> None:
+    """Fold one batch's tokens into a persistent Count-Min grid with
+    the exactly-once batch marker (cellwise SUM double-counts on
+    replay; see the section comment)."""
+    from ..llm import sketch
+
+    _recover_state(state_path)
+    if batch_id <= _last_merged_batch(state_path):
+        return  # replayed batch: already folded into the published state
+    batch_grid = sketch.cms_build(batch_df, token_col)
+    if os.path.exists(state_path):
+        old = spark.read.parquet(state_path)
+        merged = sketch.cms_merge(old, batch_grid)
+    else:
+        merged = batch_grid
+    _swap_state_with_marker(merged, state_path, batch_id)
+
+
+def cms_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    token_col: str = "token",
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming heavy-hitter sketch maintenance: an NDJSON token
+    stream folds into a constant-size Count-Min grid readable by any
+    batch job mid-stream (``sketch.cms_estimate``). Unlike the
+    Bloom/HLL jobs the merge is a SUM, so replay safety comes from the
+    in-state batch marker, not algebraic idempotency."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_cms_batch(spark, batch_df, state_path, batch_id, token_col)
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

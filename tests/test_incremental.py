@@ -342,3 +342,63 @@ def test_hll_stream_job_converges_to_batch_registers(spark):
         assert abs(est["b"] - 80) <= 15
     finally:
         _shutil.rmtree(src, ignore_errors=True)
+
+
+def test_cms_stream_job_replay_does_not_double_count(spark):
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.llm import sketch
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="cms_src_")
+    state = tempfile.mkdtemp(prefix="cms_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="cms_ckpt_")
+    schema = "token string"
+    try:
+        batches = [
+            [("a",)] * 30 + [("b",)] * 5,
+            [("a",)] * 10 + [("c",)] * 20,
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)
+
+        q = sinc.cms_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            state_path=state,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            token_col="token",
+            max_files_per_trigger=1,  # force one file batch per micro-batch
+        ).start()
+        q.awaitTermination(120)
+
+        streamed = spark.read.parquet(state)
+        union = spark.createDataFrame(
+            batches[0] + batches[1], schema
+        )
+        direct = sketch.cms_build(union, "token")
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        # simulate a replay of the LAST batch (crash after state swap,
+        # before checkpoint commit): a SUM state would double-count
+        # without the in-state marker; with it the merge is a no-op
+        last = spark.createDataFrame(batches[1], schema)
+        sinc.merge_cms_batch(spark, last, state, batch_id=1)
+        replayed = spark.read.parquet(state)
+        assert sorted(map(tuple, replayed.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+        # estimates over the streamed grid match exact counts (tiny set)
+        probes = spark.createDataFrame([("a",), ("b",), ("c",)], schema)
+        est = {r["token"]: r["est_count"]
+               for r in sketch.cms_estimate(streamed, probes).collect()}
+        assert est["a"] >= 40 and est["b"] >= 5 and est["c"] >= 20
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
