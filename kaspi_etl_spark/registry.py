@@ -8492,3 +8492,38 @@ def q_docs_sb_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     score_half = d.filter(F.col("doc_id") % 2 == 1)
     tri, bi, uni, total = lm_ops.sb_train(train_half)
     return lm_ops.sb_score(score_half, tri, bi, uni, total)
+
+
+from .ops import privacy as privacy_ops  # noqa: E402
+
+
+@register(
+    "customers_k_anonymous",
+    """
+    WITH counts AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS grp_n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c.c_custkey,
+           CASE WHEN n.grp_n >= 12 THEN c.c_mktsegment END AS c_mktsegment,
+           CASE WHEN n.grp_n >= 12 THEN c.c_nationkey END AS c_nationkey,
+           n.grp_n
+    FROM customer c
+    LEFT JOIN counts n
+      ON n.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+     AND n.c_nationkey IS NOT DISTINCT FROM c.c_nationkey
+    """,
+)
+def q_customers_k_anonymous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity release of the customer table over the
+    (mktsegment, nationkey) quasi-identifier pair: combinations rarer
+    than k=12 are suppressed to NULL, row count preserved. One bounded
+    groupBy broadcast back onto the rows — no row-side shuffle (see
+    ops/privacy.py). Companion to the regex-PII family: joinability
+    risk, not content risk."""
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_nationkey"
+    )
+    return privacy_ops.k_anonymize(
+        c, ["c_mktsegment", "c_nationkey"], k=12
+    ).select("c_custkey", "c_mktsegment", "c_nationkey", "grp_n")
