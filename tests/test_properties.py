@@ -487,3 +487,48 @@ def test_asof_join_matches_brute_force(spark, lefts, rights):
         cand = [(rt, k * 1000 + rt) for rk, rt in rights if rk == k and rt <= t]
         want = max(cand)[1] if cand else None
         assert out[i] == want, (k, t, out[i], want)
+
+
+@FAST
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=(1 << 60) - 1),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_flog2_accuracy_and_monotone_random(spark, xs):
+    """flog2 stays within one LUT quantum of true log2 and is monotone
+    over arbitrary BIGINT inputs (the kernel under every LM score)."""
+    from kaspi_etl_spark.llm import lm
+
+    df = spark.createDataFrame([(v,) for v in xs], "x long")
+    got = {r["x"]: r["l"] for r in lm.with_flog2(df, "x", "l").collect()}
+    for v in xs:
+        assert abs(got[v] / lm.FLOG2_ONE - math.log2(v)) <= 1.5 / lm.FLOG2_TABLE
+    ordered = sorted(set(xs))
+    assert all(
+        got[a] <= got[b] for a, b in zip(ordered, ordered[1:])
+    )
+
+
+@FAST
+@given(
+    st.lists(
+        st.integers(min_value=-(1 << 40), max_value=1 << 40),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sigmoid_lut_probe_bounds_random(spark, zs):
+    """The classifier's clamp->index->lookup stays in bounds and within
+    LUT quantization of the true sigmoid for arbitrary margins."""
+    from kaspi_etl_spark.llm import classifier as C
+
+    df = spark.createDataFrame([(v,) for v in zs], "z long")
+    got = {r["z"]: r["p"] for r in df.select("z", C._p_expr().alias("p")).collect()}
+    for z in zs:
+        p = got[z]
+        assert p is not None and 0 <= p <= (1 << C.LR_P)
+        true = 1.0 / (1.0 + math.exp(-max(-8.0, min(8.0, z / (1 << C.LR_S)))))
+        assert abs(p / (1 << C.LR_P) - true) <= 0.02
