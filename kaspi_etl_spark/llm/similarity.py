@@ -1372,3 +1372,96 @@ def load_pq_codebooks(spark, path: str) -> list[list[tuple[int, list[int]]]]:
             (int(r["code"]), [int(v) for v in r["qc"]])
         )
     return [books[s] for s in sorted(books)]
+
+
+# --- Johnson–Lindenstrauss random projection --------------------------------
+
+
+def jl_signs(
+    in_dim: int, out_dim: int, density: int = 6, salt: str = "jl"
+) -> list[tuple[int, int, int]]:
+    """Deterministic sparse Achlioptas projection matrix as nonzero
+    (i, j, sign) entries: entry (i, j) is +1 / -1 / 0 with probability
+    1/density, 1/density, 1 - 2/density, decided by an md5 of the cell
+    coordinates (Achlioptas 2003, "Database-friendly random projections").
+    Generated once in Python and embedded as the SAME literal in both
+    engines — no runtime hash to mirror. The conventional sqrt(density/
+    out_dim) scale factor is omitted: it is a constant per projection and
+    downstream cosine / relative-distance uses are scale-invariant."""
+    import hashlib
+
+    entries: list[tuple[int, int, int]] = []
+    for i in range(in_dim):
+        for j in range(out_dim):
+            h = int(hashlib.md5(f"{salt}:{i}:{j}".encode()).hexdigest()[:15], 16)
+            r = h % density
+            if r == 0:
+                entries.append((i, j, 1))
+            elif r == 1:
+                entries.append((i, j, -1))
+    return entries
+
+
+def jl_project(
+    df: DataFrame,
+    signs: list[tuple[int, int, int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 20,
+) -> DataFrame:
+    """Project a vector column to ``max(j)+1`` dimensions with a sparse
+    sign matrix, in EXACT integer arithmetic: components quantize to
+    fixed-point BIGINTs (round(x * 2^scale_bits)), so the per-output-dim
+    sums are order-independent — the aggregation can shuffle freely and
+    still oracle-check bit-for-bit (a double-sum version would depend on
+    partial-agg order).
+
+    Scale shape (100 TB): quantized components posexplode to (id, i, xq)
+    and equi-join the BROADCAST nonzero sign entries (|signs| rows — a
+    few hundred), then one codegen hash-agg by (id, j). No window, no
+    driver reads; the one shuffle carries partial integer sums. Output:
+    (id, out_dim, comp) rows, comp scaled by 2^scale_bits.
+    """
+    spark = df.sparkSession
+    sm = spark.createDataFrame(signs, "i INT, j INT, s INT")
+    scale = 1 << scale_bits
+    quant = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.round(x * scale).cast("long"),
+        ).alias("_xq"),
+    )
+    ex = quant.select(
+        id_col, F.posexplode_outer("_xq").alias("i", "xq")
+    ).filter(F.col("xq").isNotNull())
+    return (
+        ex.join(F.broadcast(sm), "i")
+        .groupBy(id_col, "j")
+        .agg(F.sum(F.col("s").cast("long") * F.col("xq")).cast("long").alias("comp"))
+        .select(F.col(id_col), F.col("j").cast("long").alias("out_dim"), "comp")
+    )
+
+
+def recall_at_k(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against the
+    exact one: |approx ∩ exact| / k over the (query, neighbor) id pairs.
+    Both inputs are (query_id, vec_id, ...) top-k frames. The join is an
+    equi-join on the pair key and the output is one row per query — the
+    standard offline ANN quality gate, run on a bounded query sample, so
+    the exact side's cost is O(sample x corpus), not corpus^2."""
+    hits = exact.select(query_id_col, id_col).join(
+        approx.select(query_id_col, id_col, F.lit(1).alias("_hit")),
+        [query_id_col, id_col],
+        "left",
+    )
+    return hits.groupBy(query_id_col).agg(
+        F.count("_hit").cast("long").alias("n_hits"),
+        (F.count("_hit").cast("double") / F.lit(float(k))).alias(f"recall_at_{k}"),
+    )

@@ -17,10 +17,45 @@ here for that reason.
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..llm.dedup import md5_long
+from ..llm.lm import with_flog2
+
+
+def _name_blocks(
+    df: DataFrame, id_col: str, name_col: str, max_block: int | None
+) -> DataFrame:
+    """(pass_id, key, id, name) two-pass token blocks, optionally
+    hash-rank-truncated to ``max_block`` members per block (see
+    blocked_name_matches for why truncation beats block dropping)."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.lower(F.col(name_col)).alias("name"),
+    ).withColumn("ws", F.split(F.col("name"), r"\s+"))
+    blocks = toks.select(
+        F.lit("f").alias("pass_id"), F.col("ws")[0].alias("key"), "id", "name"
+    ).unionByName(
+        toks.select(
+            F.lit("l").alias("pass_id"),
+            F.element_at("ws", -1).alias("key"),
+            "id",
+            "name",
+        )
+    )
+    if max_block is not None:
+        wb = Window.partitionBy("pass_id", "key").orderBy(
+            md5_long(F.col("id").cast("string"), "erb").asc(), F.col("id").asc()
+        )
+        blocks = (
+            blocks.withColumn("_rk", F.row_number().over(wb))
+            .filter(F.col("_rk") <= max_block)
+            .drop("_rk")
+        )
+    return blocks
 
 
 def blocked_name_matches(
@@ -51,29 +86,7 @@ def blocked_name_matches(
     ``top3_cheapest``), so a stopword block never funnels its full
     contents through one task's sort.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.lower(F.col(name_col)).alias("name"),
-    ).withColumn("ws", F.split(F.col("name"), r"\s+"))
-    blocks = toks.select(
-        F.lit("f").alias("pass_id"), F.col("ws")[0].alias("key"), "id", "name"
-    ).unionByName(
-        toks.select(
-            F.lit("l").alias("pass_id"),
-            F.element_at("ws", -1).alias("key"),
-            "id",
-            "name",
-        )
-    )
-    if max_block is not None:
-        wb = Window.partitionBy("pass_id", "key").orderBy(
-            md5_long(F.col("id").cast("string"), "erb").asc(), F.col("id").asc()
-        )
-        blocks = (
-            blocks.withColumn("_rk", F.row_number().over(wb))
-            .filter(F.col("_rk") <= max_block)
-            .drop("_rk")
-        )
+    blocks = _name_blocks(df, id_col, name_col, max_block)
 
     a = blocks.select(
         "pass_id", "key", F.col("id").alias("id_a"), F.col("name").alias("name_a")
@@ -110,3 +123,121 @@ def blocked_name_matches(
     return cand.withColumn(
         "dist", F.levenshtein("name_a", "name_b", max_dist).cast("long")
     ).filter(F.col("dist") >= 0)
+
+
+# --- Fellegi–Sunter probabilistic record linkage -----------------------------
+
+# Fixed m-probability (P(field agrees | pair is a true match)) as a
+# literal rational: 9/10. u-probabilities are ESTIMATED FROM THE DATA as
+# exact rationals (see _fs_u_stats), so match weights need no floats.
+FS_M_NUM, FS_M_DEN = 9, 10
+
+
+def _fs_u_stats(df: DataFrame, field: str) -> DataFrame:
+    """1-row (u_num_<field>, u_den_<field>): the u-probability — P(field
+    agrees | random non-match pair) — as an exact rational
+    sum_v c_v*(c_v-1) / (n*(n-1)) over non-null values. Both terms are
+    clamped to >= 1 so the fixed-point log2 weights stay defined on
+    degenerate columns (all-distinct or all-null). Two tiny hash aggs;
+    the result is a scalar broadcast."""
+    per = (
+        df.filter(F.col(field).isNotNull())
+        .groupBy(field)
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    n = F.coalesce(F.sum("c").cast("long"), zero)
+    return per.agg(
+        F.greatest(
+            one, F.coalesce(F.sum(F.col("c") * (F.col("c") - 1)).cast("long"), zero)
+        ).alias(f"u_num_{field}"),
+        F.greatest(one, (n * (n - one)).cast("long")).alias(f"u_den_{field}"),
+    )
+
+
+def fs_linkage_scores(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    fields: list[str],
+    max_block: int | None = 50,
+    m: tuple[int, int] = (FS_M_NUM, FS_M_DEN),
+) -> DataFrame:
+    """Fellegi–Sunter probabilistic record-linkage scoring (Fellegi &
+    Sunter 1969): candidate pairs from the same two-pass token blocking
+    as blocked_name_matches, scored by summing per-field log-likelihood
+    weights — log2(m/u) when the field agrees, log2((1-m)/(1-u)) when it
+    disagrees (NULLs count as disagreement, matching SQL equality).
+
+    Exactness: m is a literal rational, u comes from the data as exact
+    BIGINT ratios, and every log2 is the shared fixed-point flog2 kernel
+    (llm/lm.py — scaled 2^20, LUT shared with the oracle), so ``score_c``
+    is an exact integer both engines reproduce bit-for-bit.
+
+    Scale shape (100 TB): u-stats are per-field hash aggs reduced to ONE
+    scalar row, cross-joined back as a broadcast (the allowlisted
+    scalar-BNLJ pattern); candidates are the capped equi-join blocking
+    (bounded at n_blocks * C(cap, 2)); attribute lookup is two equi-joins
+    on the id. No windows beyond the block cap, no driver reads.
+    """
+    m_num, m_den = m
+    blocks = _name_blocks(df, id_col, name_col, max_block)
+    a = blocks.select("pass_id", "key", F.col("id").alias("id_a"))
+    b = blocks.select("pass_id", "key", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["pass_id", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    attrs = df.select(F.col(id_col).alias("id"), *fields)
+    pa = attrs.select(
+        F.col("id").alias("id_a"), *[F.col(f).alias(f"{f}_a") for f in fields]
+    )
+    pb = attrs.select(
+        F.col("id").alias("id_b"), *[F.col(f).alias(f"{f}_b") for f in fields]
+    )
+    pairs = cand.join(pa, "id_a").join(pb, "id_b")
+
+    stats = reduce(
+        lambda left, right: left.crossJoin(F.broadcast(right)),
+        [_fs_u_stats(df, f) for f in fields],
+    )
+    w = stats
+    one = F.lit(1).cast("long")
+    for f in fields:
+        u_num, u_den = F.col(f"u_num_{f}"), F.col(f"u_den_{f}")
+        w = (
+            w.withColumn(f"_a1_{f}", (F.lit(m_num) * u_den).cast("long"))
+            .withColumn(f"_a2_{f}", (F.lit(m_den) * u_num).cast("long"))
+            .withColumn(f"_a3_{f}", (F.lit(m_den - m_num) * u_den).cast("long"))
+            .withColumn(
+                f"_a4_{f}",
+                (F.lit(m_den) * F.greatest(one, u_den - u_num)).cast("long"),
+            )
+        )
+        for arg in ("_a1", "_a2", "_a3", "_a4"):
+            w = with_flog2(w, f"{arg}_{f}", f"_f{arg[2]}_{f}")
+        w = w.withColumn(
+            f"wa_{f}", F.col(f"_f1_{f}") - F.col(f"_f2_{f}")
+        ).withColumn(f"wd_{f}", F.col(f"_f3_{f}") - F.col(f"_f4_{f}"))
+    weights = w.select(
+        *[c for f in fields for c in (f"wa_{f}", f"wd_{f}")]
+    )
+
+    scored = pairs.crossJoin(F.broadcast(weights))
+    agree = {f: F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b")) & F.col(f"{f}_a").isNotNull() for f in fields}
+    score = None
+    for f in fields:
+        term = F.when(agree[f], F.col(f"wa_{f}")).otherwise(F.col(f"wd_{f}"))
+        score = term if score is None else score + term
+    return scored.select(
+        "id_a",
+        "id_b",
+        *[
+            F.when(agree[f], F.lit(1)).otherwise(F.lit(0)).cast("long").alias(f"agree_{f}")
+            for f in fields
+        ],
+        score.cast("long").alias("score_c"),
+    )

@@ -8527,3 +8527,212 @@ def q_customers_k_anonymous(spark: SparkSession, sf_dir: str) -> DataFrame:
     return privacy_ops.k_anonymize(
         c, ["c_mktsegment", "c_nationkey"], k=12
     ).select("c_custkey", "c_mktsegment", "c_nationkey", "grp_n")
+
+
+# --- Johnson–Lindenstrauss projection / ANN recall / FS linkage (late r6) ---
+
+JL_SIGNS = sim_ops.jl_signs(in_dim=64, out_dim=16)
+_SQL_JL_VALUES = ", ".join(f"({i}, {j}, {s})" for i, j, s in JL_SIGNS)
+
+
+@register(
+    "embeddings_jl_project",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1048576.0) AS BIGINT)) AS xq
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, t.i AS i, xq[CAST(t.i + 1 AS INT)] AS x
+      FROM q, range(0, 64) AS t(i)
+    ),
+    sm(i, j, s) AS (VALUES {_SQL_JL_VALUES})
+    SELECT vec_id, CAST(sm.j AS BIGINT) AS out_dim,
+           CAST(SUM(CAST(sm.s AS BIGINT) * ex.x) AS BIGINT) AS comp
+    FROM ex JOIN sm ON ex.i = sm.i
+    GROUP BY vec_id, sm.j
+    """,
+)
+def q_embeddings_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss sparse sign projection of the 64-dim
+    embeddings to 16 dims (Achlioptas-style {+1,-1,0} matrix, density
+    1/3), in exact fixed-point integers so the per-dim sums are
+    shuffle-order-independent. The projection matrix is generated once
+    in Python and embedded as the same literal in both engines. See
+    llm/similarity.py jl_project."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return sim_ops.jl_project(emb, JL_SIGNS)
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        {_sql_bucket_expr("(embedding::DOUBLE[])")} AS bucket,
+                        sqrt(list_reduce([x * x for x in embedding::DOUBLE[]],
+                                         (a, b) -> a + b)) AS nrm
+                 FROM embeddings),
+    corpus AS (
+      SELECT vec_id, bucket,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM raw
+    ),
+    q AS (SELECT vec_id AS query_id, vn AS qn, bucket FROM corpus
+          WHERE vec_id % 50 = 0),
+    b_scored AS (
+      SELECT q.query_id, c.vec_id,
+             {SQL_DOT.replace("{A}", "qn").replace("{B}", "vn")} AS cosine_sim
+      FROM corpus c CROSS JOIN q
+      WHERE q.query_id <> c.vec_id
+    ),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+        FROM b_scored)
+      WHERE rank <= 10
+    ),
+    l_scored AS (
+      SELECT q.query_id, c.vec_id,
+             {SQL_DOT.replace("{A}", "qn").replace("{B}", "vn")} AS cosine_sim
+      FROM corpus c JOIN q ON c.bucket = q.bucket
+      WHERE q.query_id <> c.vec_id
+    ),
+    lsh AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+        FROM l_scored)
+      WHERE rank <= 10
+    )
+    SELECT b.query_id,
+           CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(l.vec_id) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall_at_10
+    FROM brute b LEFT JOIN lsh l
+      ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+    GROUP BY b.query_id
+    """,
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the LSH-bucketed ANN against the exact brute-force
+    top-10, per query — the offline quality gate every approximate index
+    needs before it replaces an exact scan. Exact side is a bounded
+    query-sample x corpus broadcast cross product (the allowlisted
+    pattern from ann_cosine_topk); approximate side re-uses the
+    hyperplane-bucket equi-join. See llm/similarity.py recall_at_k."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = sim_ops.brute_force_topk(corpus, queries, k=10)
+    lsh = sim_ops.lsh_topk(corpus, queries, ANN_PLANES, k=10)
+    return sim_ops.recall_at_k(lsh, brute, k=10)
+
+
+def _sql_fs_stats(field: str) -> str:
+    n = "CAST(coalesce(sum(c), 0) AS BIGINT)"
+    return f"""(
+      SELECT greatest(1, CAST(coalesce(sum(c * (c - 1)), 0) AS BIGINT)) AS u_num,
+             greatest(1, {n} * ({n} - 1)) AS u_den
+      FROM (SELECT count(*) AS c FROM part
+            WHERE {field} IS NOT NULL GROUP BY {field})
+    )"""
+
+
+def _sql_fs_weights(alias: str, field: str) -> str:
+    wa = (
+        f"{lm_ops.sql_flog2(f'9 * {alias}.u_den')}"
+        f" - {lm_ops.sql_flog2(f'10 * {alias}.u_num')}"
+    )
+    wd = (
+        f"{lm_ops.sql_flog2(f'1 * {alias}.u_den')}"
+        f" - {lm_ops.sql_flog2(f'10 * greatest(1, {alias}.u_den - {alias}.u_num)')}"
+    )
+    return f"{wa} AS wa_{field}, {wd} AS wd_{field}"
+
+
+@register(
+    "part_linkage_fs",
+    rf"""
+    WITH toks AS (
+      SELECT p_partkey AS id, lower(p_name) AS name,
+             string_split_regex(lower(p_name), '\s+') AS ws
+      FROM part
+    ),
+    blocks AS (
+      SELECT 'f' AS pass_id, ws[1] AS key, id FROM toks
+      UNION ALL
+      SELECT 'l' AS pass_id, ws[-1] AS key, id FROM toks
+    ),
+    kept AS (
+      SELECT pass_id, key, id FROM (
+        SELECT pass_id, key, id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY pass_id, key
+                 ORDER BY {_sql_md5_long("CAST(id AS VARCHAR) || 'erb'")}, id
+               ) AS rk
+        FROM blocks)
+      WHERE rk <= 50
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM kept a JOIN kept b
+        ON a.pass_id = b.pass_id AND a.key = b.key AND a.id < b.id
+    ),
+    sb AS {_sql_fs_stats("p_brand")},
+    st AS {_sql_fs_stats("p_type")},
+    ss AS {_sql_fs_stats("p_size")},
+    wts AS (
+      SELECT {_sql_fs_weights("sb", "p_brand")},
+             {_sql_fs_weights("st", "p_type")},
+             {_sql_fs_weights("ss", "p_size")}
+      FROM sb, st, ss
+    ),
+    pairs AS (
+      SELECT cand.id_a, cand.id_b,
+             a.p_brand AS brand_a, b.p_brand AS brand_b,
+             a.p_type AS type_a, b.p_type AS type_b,
+             a.p_size AS size_a, b.p_size AS size_b
+      FROM cand
+      JOIN part a ON cand.id_a = a.p_partkey
+      JOIN part b ON cand.id_b = b.p_partkey
+    )
+    SELECT id_a, id_b,
+           CAST(CASE WHEN brand_a = brand_b THEN 1 ELSE 0 END AS BIGINT)
+             AS agree_p_brand,
+           CAST(CASE WHEN type_a = type_b THEN 1 ELSE 0 END AS BIGINT)
+             AS agree_p_type,
+           CAST(CASE WHEN size_a = size_b THEN 1 ELSE 0 END AS BIGINT)
+             AS agree_p_size,
+           CAST((CASE WHEN brand_a = brand_b THEN w.wa_p_brand
+                      ELSE w.wd_p_brand END)
+              + (CASE WHEN type_a = type_b THEN w.wa_p_type
+                      ELSE w.wd_p_type END)
+              + (CASE WHEN size_a = size_b THEN w.wa_p_size
+                      ELSE w.wd_p_size END) AS BIGINT) AS score_c
+    FROM pairs, wts w
+    """,
+)
+def q_part_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi–Sunter probabilistic record linkage over parts: blocked
+    candidates (cap 50) scored by exact fixed-point log-likelihood
+    weights with data-estimated u-probabilities on brand/type/size.
+    Extends the entity-resolution family from edit-distance matching to
+    the probabilistic-linkage scoring production MDM systems use. See
+    ops/entity.py fs_linkage_scores."""
+    p = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    return entity_ops.fs_linkage_scores(
+        p,
+        id_col="p_partkey",
+        name_col="p_name",
+        fields=["p_brand", "p_type", "p_size"],
+        max_block=50,
+    )

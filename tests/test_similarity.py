@@ -393,3 +393,78 @@ def test_bucketed_pairs_arrow_and_jvm_paths_agree(spark):
         sim.cosine_near_dup_pairs_bucketed(bad, arrow=True, **kw).collect()
     with pytest.raises(Exception, match="embedding length"):
         sim.cosine_near_dup_pairs_bucketed(bad, arrow=False, **kw).collect()
+
+
+# --- Johnson–Lindenstrauss projection + recall@k ----------------------------
+
+
+def test_jl_signs_deterministic_and_sparse():
+    s1 = similarity.jl_signs(64, 16)
+    s2 = similarity.jl_signs(64, 16)
+    assert s1 == s2
+    # density 1/3 of 1024 cells, binomial tolerance
+    assert 250 <= len(s1) <= 430
+    assert {e[2] for e in s1} <= {1, -1}
+
+
+def test_jl_project_matches_integer_mirror(spark):
+    signs = similarity.jl_signs(8, 4)
+    rows = [
+        (1, [0.3, -1.7, 0.2, 2.4, -0.6, 0.9, 1.1, -2.2]),
+        (2, [1.3, 0.7, -0.2, 0.4, 0.6, -0.9, -1.1, 0.2]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        (r["vec_id"], r["out_dim"]): r["comp"]
+        for r in similarity.jl_project(df, signs).collect()
+    }
+    scale = 1 << 20
+    for vid, vec in rows:
+        xq = [round(x * scale) for x in vec]  # no .5 ties in the fixtures
+        for j in range(4):
+            want = sum(s * xq[i] for i, jj, s in signs if jj == j)
+            assert got.get((vid, j), 0) == want or (
+                # dims with no nonzero sign entries emit no row
+                (vid, j) not in got and want == 0
+            )
+
+
+def test_jl_project_preserves_near_duplicate_ordering(spark, sf_dir):
+    # A vector, a tiny perturbation of it, and an unrelated vector: the
+    # projected L2 gap to the near-dup must be smaller than to the
+    # unrelated one (the property ANN-over-JL relies on).
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(2).collect()
+    base = [float(x) for x in emb[0]["embedding"]]
+    near = list(base)
+    near[0] += 0.01
+    far = [float(x) for x in emb[1]["embedding"]]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    signs = similarity.jl_signs(64, 16)
+    comps = {}
+    for r in similarity.jl_project(df, signs).collect():
+        comps.setdefault(r["vec_id"], {})[r["out_dim"]] = r["comp"]
+    dims = sorted(set(comps[0]) | set(comps[1]) | set(comps[2]))
+
+    def dist2(a, b):
+        return sum(
+            (comps[a].get(d, 0) - comps[b].get(d, 0)) ** 2 for d in dims
+        )
+
+    assert dist2(0, 1) < dist2(0, 2)
+
+
+def test_recall_at_k_handmade(spark):
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 20), (2, 21)], "query_id LONG, vec_id LONG"
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (2, 20), (2, 21)], "query_id LONG, vec_id LONG"
+    )
+    out = {
+        r["query_id"]: r
+        for r in similarity.recall_at_k(approx, exact, k=2).collect()
+    }
+    assert out[1]["n_hits"] == 1 and out[1]["recall_at_2"] == 0.5
+    assert out[2]["n_hits"] == 2 and out[2]["recall_at_2"] == 1.0
