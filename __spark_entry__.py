@@ -100,7 +100,11 @@ _GATE_PRIORITY = [
     "ann_pq_topk",
     "media_features",
     "import_coerce",
-    "catalog_validation",
+    # end-of-r6 swap: catalog_validation (driver-green r1-r5; family
+    # keeps import_coerce in the gate and stays in the local sweeps)
+    # cedes its slot to the brand-new Fellegi-Sunter linkage family's
+    # first driver check
+    "part_linkage_fs",
     "html_sellers_parse",
     "dedup_clusters",
     "events_funnel",

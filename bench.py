@@ -93,6 +93,10 @@ HEADLINE = [
     "docs_chunk_rag",
     # held-out Stupid-Backoff trigram scoring (5 word-keyed joins)
     "docs_sb_backoff",
+    # late r6 third wave: exact-integer JL projection and Fellegi-Sunter
+    # probabilistic linkage scoring over the blocked candidates
+    "embeddings_jl_project",
+    "part_linkage_fs",
 ]
 
 
