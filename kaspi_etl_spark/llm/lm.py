@@ -77,6 +77,19 @@ def with_flog2(df: DataFrame, src: str, out: str) -> DataFrame:
     )
 
 
+def flog2_int(x: int) -> int:
+    """Python mirror of ``with_flog2`` / ``sql_flog2`` for driver-side
+    scalar weight computation (int x >= 1). All three forms share
+    FLOG2_LUT, so a weight computed here equals the same weight computed
+    in either engine bit-for-bit (property-tested)."""
+    if x < 1:
+        raise ValueError(f"flog2_int requires x >= 1, got {x}")
+    e = x.bit_length() - 1
+    b = FLOG2_IDX_BITS
+    idx = (x >> (e - b)) if e >= b else (x << (b - e))
+    return e * FLOG2_ONE + FLOG2_LUT[idx - FLOG2_TABLE]
+
+
 def sql_flog2(expr: str) -> str:
     """DuckDB mirror of ``with_flog2`` over a SQL expression."""
     b = FLOG2_IDX_BITS

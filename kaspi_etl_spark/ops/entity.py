@@ -17,13 +17,11 @@ here for that reason.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..llm.dedup import md5_long
-from ..llm.lm import with_flog2
+from ..llm.lm import flog2_int
 
 
 def _name_blocks(
@@ -133,27 +131,47 @@ def blocked_name_matches(
 FS_M_NUM, FS_M_DEN = 9, 10
 
 
-def _fs_u_stats(df: DataFrame, field: str) -> DataFrame:
-    """1-row (u_num_<field>, u_den_<field>): the u-probability — P(field
-    agrees | random non-match pair) — as an exact rational
-    sum_v c_v*(c_v-1) / (n*(n-1)) over non-null values. Both terms are
-    clamped to >= 1 so the fixed-point log2 weights stay defined on
-    degenerate columns (all-distinct or all-null). Two tiny hash aggs;
-    the result is a scalar broadcast."""
-    per = (
-        df.filter(F.col(field).isNotNull())
-        .groupBy(field)
-        .agg(F.count("*").cast("long").alias("c"))
+def _fs_u_stats(df: DataFrame, fields: list[str]) -> dict[str, tuple[int, int]]:
+    """u-probabilities for every field in ONE distributed pass:
+    P(field agrees | random pair) as the exact rational
+    sum_v c_v*(c_v-1) / (n*(n-1)) over non-null values. Rows explode to
+    constant-size (field, value) pairs (string image of the value —
+    1:1 for the string/int fields this is meant for), two hash aggs,
+    then a bounded driver read of len(fields) rows (same class as the
+    k-means centroid reads). Both terms clamp to >= 1 so the log
+    weights stay defined on degenerate columns (all-distinct,
+    all-null, or constant)."""
+    fv = (
+        df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f).alias("f"),
+                            F.col(f).cast("string").alias("v"),
+                        )
+                        for f in fields
+                    ]
+                )
+            ).alias("e")
+        )
+        .select("e.f", "e.v")
+        .filter(F.col("v").isNotNull())
     )
-    one = F.lit(1).cast("long")
-    zero = F.lit(0).cast("long")
-    n = F.coalesce(F.sum("c").cast("long"), zero)
-    return per.agg(
-        F.greatest(
-            one, F.coalesce(F.sum(F.col("c") * (F.col("c") - 1)).cast("long"), zero)
-        ).alias(f"u_num_{field}"),
-        F.greatest(one, (n * (n - one)).cast("long")).alias(f"u_den_{field}"),
+    per = fv.groupBy("f", "v").agg(F.count("*").cast("long").alias("c"))
+    rows = (
+        per.groupBy("f")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1)).cast("long").alias("u_num"),
+            F.sum("c").cast("long").alias("n"),
+        )
+        .collect()
     )
+    out = {f: (1, 1) for f in fields}  # all-null field: degenerate clamp
+    for r in rows:
+        n = int(r["n"])
+        out[r["f"]] = (max(1, int(r["u_num"])), max(1, n * (n - 1)))
+    return out
 
 
 def fs_linkage_scores(
@@ -175,11 +193,14 @@ def fs_linkage_scores(
     (llm/lm.py — scaled 2^20, LUT shared with the oracle), so ``score_c``
     is an exact integer both engines reproduce bit-for-bit.
 
-    Scale shape (100 TB): u-stats are per-field hash aggs reduced to ONE
-    scalar row, cross-joined back as a broadcast (the allowlisted
-    scalar-BNLJ pattern); candidates are the capped equi-join blocking
-    (bounded at n_blocks * C(cap, 2)); attribute lookup is two equi-joins
-    on the id. No windows beyond the block cap, no driver reads.
+    Scale shape (100 TB): u-stats are ONE distributed pass reduced to
+    len(fields) scalar rows read on the driver (bounded, like the
+    centroid reads), so the per-pair scoring carries the six weights as
+    plain literals — no broadcast chain, no 1024-entry LUT literals in
+    the pair plan (first form measured 7.7s wall / 0.27s CPU at sf0.1:
+    all scheduling and Janino, zero data). Candidates are the capped
+    equi-join blocking (bounded at n_blocks * C(cap, 2)); attribute
+    lookup is two equi-joins on the id.
     """
     m_num, m_den = m
     blocks = _name_blocks(df, id_col, name_col, max_block)
@@ -200,39 +221,24 @@ def fs_linkage_scores(
     )
     pairs = cand.join(pa, "id_a").join(pb, "id_b")
 
-    stats = reduce(
-        lambda left, right: left.crossJoin(F.broadcast(right)),
-        [_fs_u_stats(df, f) for f in fields],
-    )
-    w = stats
-    one = F.lit(1).cast("long")
+    u = _fs_u_stats(df, fields)
+    wa, wd = {}, {}
     for f in fields:
-        u_num, u_den = F.col(f"u_num_{f}"), F.col(f"u_den_{f}")
-        w = (
-            w.withColumn(f"_a1_{f}", (F.lit(m_num) * u_den).cast("long"))
-            .withColumn(f"_a2_{f}", (F.lit(m_den) * u_num).cast("long"))
-            .withColumn(f"_a3_{f}", (F.lit(m_den - m_num) * u_den).cast("long"))
-            .withColumn(
-                f"_a4_{f}",
-                (F.lit(m_den) * F.greatest(one, u_den - u_num)).cast("long"),
-            )
+        u_num, u_den = u[f]
+        wa[f] = flog2_int(m_num * u_den) - flog2_int(m_den * u_num)
+        wd[f] = flog2_int((m_den - m_num) * u_den) - flog2_int(
+            m_den * max(1, u_den - u_num)
         )
-        for arg in ("_a1", "_a2", "_a3", "_a4"):
-            w = with_flog2(w, f"{arg}_{f}", f"_f{arg[2]}_{f}")
-        w = w.withColumn(
-            f"wa_{f}", F.col(f"_f1_{f}") - F.col(f"_f2_{f}")
-        ).withColumn(f"wd_{f}", F.col(f"_f3_{f}") - F.col(f"_f4_{f}"))
-    weights = w.select(
-        *[c for f in fields for c in (f"wa_{f}", f"wd_{f}")]
-    )
 
-    scored = pairs.crossJoin(F.broadcast(weights))
-    agree = {f: F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b")) & F.col(f"{f}_a").isNotNull() for f in fields}
+    agree = {
+        f: F.col(f"{f}_a").eqNullSafe(F.col(f"{f}_b")) & F.col(f"{f}_a").isNotNull()
+        for f in fields
+    }
     score = None
     for f in fields:
-        term = F.when(agree[f], F.col(f"wa_{f}")).otherwise(F.col(f"wd_{f}"))
+        term = F.when(agree[f], F.lit(wa[f])).otherwise(F.lit(wd[f]))
         score = term if score is None else score + term
-    return scored.select(
+    return pairs.select(
         "id_a",
         "id_b",
         *[

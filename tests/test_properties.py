@@ -506,6 +506,9 @@ def test_flog2_accuracy_and_monotone_random(spark, xs):
     got = {r["x"]: r["l"] for r in lm.with_flog2(df, "x", "l").collect()}
     for v in xs:
         assert abs(got[v] / lm.FLOG2_ONE - math.log2(v)) <= 1.5 / lm.FLOG2_TABLE
+        # the driver-side Python mirror must agree bit-for-bit (FS
+        # linkage weights are computed with it)
+        assert lm.flog2_int(v) == got[v]
     ordered = sorted(set(xs))
     assert all(
         got[a] <= got[b] for a, b in zip(ordered, ordered[1:])
