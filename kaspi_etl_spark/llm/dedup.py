@@ -787,3 +787,108 @@ def duplicate_spans(
             F.count(F.when(F.col("_dup"), 1)).alias("n_shared_hashes"),
         )
     )
+
+
+def ngram_jaccard_prefix_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+) -> DataFrame:
+    """EXACT Jaccard >= t pairs via prefix filtering (AllPairs/PPJoin —
+    Bayardo, Ma & Srikant 2007, "Scaling Up All Pairs Similarity
+    Search"): the lossless scale path, vs ``ngram_jaccard_pairs``'
+    doc-frequency cap which is a lower bound that can MISS pairs whose
+    shared shingles are all boilerplate.
+
+    The filter: order every doc's shingle hashes by global rarity
+    (doc-frequency asc, hash asc — a total order), keep only the first
+    p_i = n_i - ceil(t * n_i) + 1 as the doc's PREFIX. Any pair with
+    J >= t must share at least one prefix element in BOTH prefixes, so
+    the candidate join runs on prefixes only — the hot, quadratic
+    posting lists (stopword/template shingles, maximal df) sort LAST
+    and are excluded from candidate generation by construction, no cap
+    parameter to tune. Candidates then pay one exact verify:
+    |intersection| via array_intersect of the two (distinct,
+    already-sorted) hash sets.
+
+    Threshold is the exact rational t_num/t_den (ceil computed in
+    integer arithmetic, identical in both engines); the final compare
+    stays on the IEEE double ratio to match ``ngram_jaccard_pairs``'
+    output bit-for-bit (equivalence-tested).
+
+    Shuffle profile: df groupBy on h, one df equi-join back, a per-doc
+    window (doc-sized partitions), the prefix self-join, and two
+    id-keyed joins carrying the verify arrays for candidates only.
+
+    Measured crossover (same discipline as dot_fixed): at sf0.1 this
+    corpus has no hot posting lists, so the filter's overhead loses to
+    the plain co-bucket join (4.7s vs 3.0s, identical 2317 pairs) —
+    prefix filtering pays off when shingle df is skewed enough that
+    co-bucket pair generation goes quadratic (boilerplate/templated
+    corpora), exactly where the df-cap form starts LOSING pairs (see
+    test_prefix_jaccard_can_find_pairs_the_df_cap_misses).
+    """
+    sh = (
+        docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
+        .select(
+            F.col(id_col),
+            shingles_from_words(F.col("_w"), shingle_n).alias("shingles"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("shingles").alias("n_sh"),
+            F.explode_outer("shingles").alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .select(F.col(id_col), "n_sh", md5_long(F.col("_s")).alias("h"))
+    )
+    # (id, h) rows are distinct (shingles_from_words dedups), so a plain
+    # count is the document frequency.
+    dfh = sh.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(F.col("df").asc(), F.col("h").asc())
+    p_len = (
+        F.col("n_sh")
+        - F.expr(f"(({t_num} * n_sh) + {t_den - 1}) div {t_den}")
+        + F.lit(1)
+    )
+    prefix = (
+        sh.join(dfh, "h")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= p_len)
+        .select(id_col, "h")
+    )
+    a = prefix.select("h", F.col(id_col).alias("id_a"))
+    b = prefix.select("h", F.col(id_col).alias("id_b"))
+    cand = (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("h")).alias("hs"),
+        F.first("n_sh").alias("n"),
+    )
+    sa = sets.select(
+        F.col(id_col).alias("id_a"), F.col("hs").alias("hs_a"), F.col("n").alias("n_a")
+    )
+    sb = sets.select(
+        F.col(id_col).alias("id_b"), F.col("hs").alias("hs_b"), F.col("n").alias("n_b")
+    )
+    ver = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        ver.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(t_num / t_den))
+    )

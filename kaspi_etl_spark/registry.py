@@ -8736,3 +8736,55 @@ def q_part_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
         fields=["p_brand", "p_type", "p_size"],
         max_block=50,
     )
+
+
+@register(
+    "ngram_jaccard_prefix",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
+    sh AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles FROM w),
+    sh_exp AS (SELECT doc_id, len(shingles) AS n_sh,
+                      unnest([{_sql_md5_long('s')} for s in shingles]) AS h
+               FROM sh),
+    dfh AS (SELECT h, CAST(count(*) AS BIGINT) AS df FROM sh_exp GROUP BY h),
+    ranked AS (
+      SELECT e.doc_id, e.n_sh, e.h,
+             ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                                ORDER BY d.df ASC, e.h ASC) AS rk
+      FROM sh_exp e JOIN dfh d USING (h)
+    ),
+    pfx AS (
+      SELECT doc_id, h FROM ranked
+      WHERE rk <= n_sh - ((1 * n_sh + 1) // 2) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh_exp sa ON sa.doc_id = c.id_a
+      JOIN sh_exp sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+             AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+          >= CAST(0.5 AS DOUBLE)
+    """,
+)
+def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered EXACT Jaccard pairs (AllPairs/PPJoin): same
+    output as the uncapped ngram_jaccard_pairs — equivalence-tested —
+    but candidates come only from per-doc rarity-ordered prefixes, so
+    the hottest (quadratic) posting lists never generate pairs. The
+    lossless 100 TB alternative to the doc-frequency cap. See
+    llm/dedup.py ngram_jaccard_prefix_pairs."""
+    return dedup_ops.ngram_jaccard_prefix_pairs(
+        llm_docs(spark, sf_dir), t_num=1, t_den=2
+    )

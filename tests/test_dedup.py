@@ -429,3 +429,44 @@ def test_hll_ignores_null_keys_and_register_bounds(spark):
     assert all(1 <= r["reg_max"] <= sketch.HLL_Q for r in rows)
     est = sketch.hll_estimate(a, "g").collect()[0]
     assert abs(est["dv_estimate"] - 100) <= 15
+
+
+def test_prefix_jaccard_equals_exact_uncapped(spark, sf_dir):
+    """The AllPairs prefix filter is LOSSLESS: over the same corpus it
+    must reproduce the uncapped exact form's pairs and scores exactly
+    (same doubles, same rows)."""
+    from kaspi_etl_spark import registry
+    from kaspi_etl_spark.llm import dedup
+
+    docs = registry.llm_docs(spark, sf_dir)
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=None
+        ).collect()
+    }
+    pfx = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_prefix_pairs(docs).collect()
+    }
+    assert pfx == exact
+    assert len(exact) > 0  # the planted near-dups must show up
+
+
+def test_prefix_jaccard_can_find_pairs_the_df_cap_misses(spark):
+    """The cap form drops shingles with df > cap from candidate
+    generation AND n_common; the prefix form keeps exactness. Construct
+    a corpus where every shared shingle is 'boilerplate' under a tiny
+    cap: the capped form misses the pair, the prefix form finds it."""
+    from kaspi_etl_spark.llm import dedup
+
+    text = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(5)], "doc_id LONG, text STRING"
+    )
+    capped = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=2
+    ).count()
+    exact = dedup.ngram_jaccard_prefix_pairs(docs).count()
+    assert capped == 0  # every shingle's posting list exceeds the cap
+    assert exact == 10  # all C(5,2) identical-doc pairs, J = 1.0
