@@ -1465,3 +1465,57 @@ def recall_at_k(
         F.count("_hit").cast("long").alias("n_hits"),
         (F.count("_hit").cast("double") / F.lit(float(k))).alias(f"recall_at_{k}"),
     )
+
+
+def lsh_topk_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    plane_sets: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Multi-table LSH top-k: candidates from the UNION of several
+    hyperplane-bucket tables — the standard recall lever for sign-LSH
+    (a near neighbor split from the query by one table's plane lands in
+    the same bucket of another with independent probability). With
+    plane_sets[0] equal to the single-table planes, the candidate set
+    is a strict superset, so per-query recall is monotonically >= the
+    single-table index (asserted in tests via recall_at_k).
+
+    Scale shape: per table one bucket equi-join emitting only
+    (query_id, id) pairs; the union dedups BEFORE vectors join back, so
+    the 8-byte-pair stream — not the 64-double payload — pays the
+    multi-table factor, and each surviving candidate is scored once.
+    """
+    cn = with_normalized(corpus, vec_col, "_cvec")
+    qn = with_normalized(queries, vec_col, "_qvec")
+    cand = None
+    for planes in plane_sets:
+        cb = cn.select(
+            F.col(id_col),
+            hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+        )
+        qb = qn.select(
+            F.col(query_id_col),
+            hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+        )
+        c = cb.join(F.broadcast(qb), "_bucket").select(query_id_col, id_col)
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.filter(F.col(query_id_col) != F.col(id_col)).distinct()
+    scored = (
+        cand.join(F.broadcast(qn.select(query_id_col, "_qvec")), query_id_col)
+        .join(cn.select(F.col(id_col), "_cvec"), id_col)
+        .select(
+            query_id_col,
+            id_col,
+            dot(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

@@ -8788,3 +8788,97 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_jaccard_prefix_pairs(
         llm_docs(spark, sf_dir), t_num=1, t_den=2
     )
+
+
+# Three independent 4-plane tables from one LCG stream; set 0 equals
+# ANN_PLANES (same prefix), so multiprobe candidates strictly contain
+# the single-table ones.
+_ANN_ALL_PLANES = sim_ops.deterministic_planes(num_planes=12, dim=64)
+ANN_PLANE_SETS = [_ANN_ALL_PLANES[i * 4 : (i + 1) * 4] for i in range(3)]
+
+
+def _sql_bucket_set(vec: str, planes) -> str:
+    terms = []
+    for i, p in enumerate(planes):
+        dot = (
+            f"list_reduce(list_transform(range(1, len({vec}) + 1),"
+            f" i -> {vec}[i] * ({_sql_plane_literal(p)})[i]), (a, b) -> a + b)"
+        )
+        terms.append(
+            f"CASE WHEN {dot} >= CAST(0.0 AS DOUBLE) THEN {1 << i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "ann_recall_multiprobe",
+    f"""
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        {", ".join(f"{_sql_bucket_set('(embedding::DOUBLE[])', ps)} AS b{i}" for i, ps in enumerate(ANN_PLANE_SETS))},
+                        sqrt(list_reduce([x * x for x in embedding::DOUBLE[]],
+                                         (a, b) -> a + b)) AS nrm
+                 FROM embeddings),
+    corpus AS (
+      SELECT vec_id, b0, b1, b2,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM raw
+    ),
+    q AS (SELECT vec_id AS query_id, vn AS qn, b0, b1, b2 FROM corpus
+          WHERE vec_id % 50 = 0),
+    b_scored AS (
+      SELECT q.query_id, c.vec_id,
+             {SQL_DOT.replace("{A}", "qn").replace("{B}", "vn")} AS cosine_sim
+      FROM corpus c CROSS JOIN q
+      WHERE q.query_id <> c.vec_id
+    ),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+        FROM b_scored)
+      WHERE rank <= 10
+    ),
+    cand AS (
+      {" UNION ".join(f"SELECT q.query_id, c.vec_id FROM corpus c JOIN q ON c.b{i} = q.b{i} WHERE q.query_id <> c.vec_id" for i in range(3))}
+    ),
+    m_scored AS (
+      SELECT cand.query_id, cand.vec_id,
+             {SQL_DOT.replace("{A}", "q.qn").replace("{B}", "c.vn")} AS cosine_sim
+      FROM cand
+      JOIN corpus c ON cand.vec_id = c.vec_id
+      JOIN q ON cand.query_id = q.query_id
+    ),
+    multi AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+        FROM m_scored)
+      WHERE rank <= 10
+    )
+    SELECT b.query_id,
+           CAST(count(l.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(l.vec_id) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall_at_10
+    FROM brute b LEFT JOIN multi l
+      ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+    GROUP BY b.query_id
+    """,
+)
+def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the MULTI-TABLE LSH index (union of 3 independent
+    4-plane bucket tables) against the brute-force exact top-10 — the
+    recall lever the single-table eval (ann_recall_eval, 0.0-0.4 on
+    this corpus) motivates. Candidates strictly contain the
+    single-table ones (plane set 0 is the same), so per-query recall is
+    monotonically >=; tests assert it. See llm/similarity.py
+    lsh_topk_multiprobe."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = sim_ops.brute_force_topk(corpus, queries, k=10)
+    multi = sim_ops.lsh_topk_multiprobe(corpus, queries, ANN_PLANE_SETS, k=10)
+    return sim_ops.recall_at_k(multi, brute, k=10)

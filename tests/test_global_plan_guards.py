@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "docs_lm_perplexity",  # 1-row vocab-size broadcast (llm/lm.py)
     "docs_sb_backoff",  # 1-row total-token-count broadcast (llm/lm.py)
     "ann_recall_eval",  # exact side reuses ann_cosine_topk's bounded cross product
+    "ann_recall_multiprobe",  # same bounded brute-force exact side
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

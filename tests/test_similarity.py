@@ -468,3 +468,36 @@ def test_recall_at_k_handmade(spark):
     }
     assert out[1]["n_hits"] == 1 and out[1]["recall_at_2"] == 0.5
     assert out[2]["n_hits"] == 2 and out[2]["recall_at_2"] == 1.0
+
+
+def test_multiprobe_recall_dominates_single_table(spark, sf_dir):
+    """Plane set 0 of the multiprobe index IS the single-table planes,
+    so its candidates are a strict superset: per-query recall@10 must
+    be monotonically >= (and strictly better for at least one query on
+    this corpus)."""
+    from kaspi_etl_spark import registry
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert registry.ANN_PLANE_SETS[0] == registry.ANN_PLANES
+    brute = similarity.brute_force_topk(corpus, queries, k=10)
+    single = similarity.lsh_topk(corpus, queries, registry.ANN_PLANES, k=10)
+    multi = similarity.lsh_topk_multiprobe(
+        corpus, queries, registry.ANN_PLANE_SETS, k=10
+    )
+    rs = {
+        r["query_id"]: r["n_hits"]
+        for r in similarity.recall_at_k(single, brute, k=10).collect()
+    }
+    rm = {
+        r["query_id"]: r["n_hits"]
+        for r in similarity.recall_at_k(multi, brute, k=10).collect()
+    }
+    assert set(rs) == set(rm)
+    assert all(rm[q] >= rs[q] for q in rs)
+    assert sum(rm.values()) > sum(rs.values())
