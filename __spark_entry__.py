@@ -84,80 +84,90 @@ def entry(spark: SparkSession) -> DataFrame:
 # dedup_clusters / duplicate_spans; ordering/top-k keeps seller_dedupe
 # and sizing_adult, with the WindowGroupLimit shape plan-pinned in
 # tests/test_plans.py).
+# Round-7 rotation (VERDICT r6 top-next #3): 26 slots whose occupants are
+# all r6 driver-green with an in-gate family sibling ceded to queries that
+# have never had the driver's own check — the end-of-r6 families
+# (embeddings_jl_project, ann_recall_eval, ann_recall_multiprobe,
+# ngram_jaccard_prefix, docs_sb_backoff, docs_logreg_weights,
+# customers_k_anonymous, bpe_vocab) and the 18 never-gated TPC-H shapes
+# (Q2-Q4, Q6-Q8, Q10-Q20, Q22; Q1/Q5/Q9/Q21 are driver-green from earlier
+# rounds). Kept slots (24): the flagship, one driver-green representative
+# per operator family, and everything this round's code changes touched —
+# embeddings_int8_codes (the r6 red gate, reshaped to scalar columns),
+# docs_logreg_predict (now scores from the train-once memo),
+# orders_merge_upsert (NULL-key duplicate-check fix), and
+# orders_in_promo_windows (integer floor-division fix). Displaced:
+# variant_stats (stats keep global_analytics), orders_zorder_curve
+# (plan/property pytest coverage), master_attrs_union (union family green
+# r1-r6), duplicate_spans + docs_line_dedup (dedup keeps dedup_clusters +
+# the entering ngram_jaccard_prefix), token_budget_sample (packing keeps
+# pack_sequences), dq_orders_report + orders_snapshot_diff (CDC keeps
+# orders_merge_upsert), corpus_mix_allocation, part_name_matches_capped
+# (entity keeps part_linkage_fs), orders_kmv_distinct + orders_hll_distinct
+# (sketches keep customer_bloom_probe), events_attribution +
+# events_unpivot_daily + events_variant_probe + events_top_paths (events
+# keep funnel/asof), copurchase_item_sim, sku_demand_ewma,
+# returnflag_qty_price_corr, daily_revenue_outliers,
+# customer_revenue_deciles (analytics keep daily_net_revenue +
+# global_analytics), tpch_q9/q21 (18 TPC-H siblings entering),
+# bpe_encode_tokens (bpe keeps bpe_merges + entering bpe_vocab),
+# docs_lm_perplexity (LM module keeps the entering docs_sb_backoff),
+# docs_chunk_rag. Every rotated-out query remains green in the local
+# full + adversarial sweeps (ORACLE_FULL/ADV artifacts, every round).
 _GATE_PRIORITY = [
     "daily_net_revenue",
     "inventory_reorder",
     "seller_dedupe",
-    "variant_stats",
-    "orders_zorder_curve",
     "global_analytics",
     "reprice_proposals",
     "sizing_adult",
     "sales_etl_enrich",
     "purchases_upsert",
-    "master_attrs_union",
     "customer_bloom_probe",
     "ann_pq_topk",
     "media_features",
     "import_coerce",
-    # end-of-r6 swap: catalog_validation (driver-green r1-r5; family
-    # keeps import_coerce in the gate and stays in the local sweeps)
-    # cedes its slot to the brand-new Fellegi-Sunter linkage family's
-    # first driver check
     "part_linkage_fs",
     "html_sellers_parse",
     "dedup_clusters",
     "events_funnel",
     "events_asof_join",
-    "duplicate_spans",
-    "token_budget_sample",
-    "dq_orders_report",
-    "corpus_mix_allocation",
-    "part_name_matches_capped",
-    # first-time driver verification (r6 rotation)
-    "orders_kmv_distinct",
-    "orders_snapshot_diff",
-    "events_attribution",
-    "events_unpivot_daily",
-    "events_variant_probe",
-    "copurchase_item_sim",
-    "docs_line_dedup",
     "docs_quality_c4",
     "pack_sequences",
-    "sku_demand_ewma",
-    "returnflag_qty_price_corr",
-    "daily_revenue_outliers",
-    "customer_revenue_deciles",
-    "tpch_q9_product_profit",
-    "tpch_q21_waiting_suppliers",
-    # first driver check for the round-6 additions (each family keeps a
-    # multi-round driver-green sibling in the gate: purchases_upsert for
-    # the merge machinery, sizing_adult for theta joins, events_funnel
-    # for sessionized behavior; the three rotated out — dedup_exact,
-    # tpch_q1_pricing_summary, token_countmin — are r5 driver-green with
-    # in-gate family siblings)
     "orders_merge_upsert",
     "orders_in_promo_windows",
-    "events_top_paths",
-    # first driver check for the BPE tokenizer family (late r6)
     "bpe_merges",
-    "bpe_encode_tokens",
-    # first driver check for the second wave of late-r6 families: the
-    # HLL sketch, the bigram-LM perplexity scorer, the logistic-
-    # regression trainer, and the chunking pass. Displaced (all r5
-    # driver-green with in-gate family siblings): bot_sliding_window
-    # (window family keeps inventory_reorder), docs_pii_profile (text
-    # quality keeps docs_quality_c4), events_json_probe (events family
-    # keeps funnel/asof/attribution), ngram_jaccard_capped (dedup keeps
-    # dedup_clusters + duplicate_spans).
-    "orders_hll_distinct",
-    "docs_lm_perplexity",
     "docs_logreg_predict",
-    "docs_chunk_rag",
-    # int8 embedding quantization (first driver check); displaced
-    # export_flat — driver-green r1-r5, family keeps import_coerce in
-    # the gate and export_roundtrip in the sweep
     "embeddings_int8_codes",
+    # --- first-time driver checks (r7 rotation) ---
+    # end-of-r6 families, all clean+adversarial sweep-green
+    "embeddings_jl_project",
+    "ann_recall_eval",
+    "ann_recall_multiprobe",
+    "ngram_jaccard_prefix",
+    "docs_sb_backoff",
+    "docs_logreg_weights",
+    "customers_k_anonymous",
+    "bpe_vocab",
+    # the 18 never-gated TPC-H shapes (SURVEY section-5 oracle anchors)
+    "tpch_q2_min_cost_supplier",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_shipmode_priority",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_cnt",
+    "tpch_q17_small_quantity",
+    "tpch_q18_large_volume",
+    "tpch_q19_discounted_revenue",
+    "tpch_q20_part_promotion",
+    "tpch_q22_global_sales_opportunity",
 ]
 
 

@@ -417,7 +417,11 @@ def _pairs_arrow(
             M = np.stack(
                 [np.asarray(vs.iloc[i], dtype=np.float64) for i in live]
             )
-            bits = (M @ P.T) >= 0  # NaN compares False, like the JVM form
+            # NaN projections hash as bit 0 (numpy >= is False on NaN);
+            # the JVM fallback carries explicit isnan guards to match —
+            # Spark SQL orders NaN ABOVE every double, so a bare
+            # `_s >= 0` there would disagree with this path.
+            bits = (M @ P.T) >= 0
             bks = bits.reshape(len(live), n_bands, r) @ W  # (m, bands)
             for row, i in enumerate(live):
                 out[i] = bks[row].tolist()
@@ -504,7 +508,13 @@ def _banded_join(
         planes_rows, "pos int, _pidx int, _sgn double"
     )
     ex = (
-        vectors.repartition(F.col(id_col))
+        # NULL vectors hash to no buckets, identically to the Arrow
+        # path (which skips None rows) — without this filter a NULL
+        # embedding made _sz NULL, the length guard's when-condition
+        # fell through to otherwise, and raise_error fired with a
+        # misleading length-mismatch message.
+        vectors.filter(F.col(vec_col).isNotNull())
+        .repartition(F.col(id_col))
         .select(
             F.col(id_col).alias("id"),
             F.size(F.col(vec_col)).alias("_sz"),
@@ -545,9 +555,13 @@ def _banded_join(
             ),
             # the shift base must be a LONG: r can reach 40, and an
             # int-typed shiftleft silently wraps past bit 31 (the Python
-            # F.shiftleft only takes a literal shift, hence F.expr)
+            # F.shiftleft only takes a literal shift, hence F.expr).
+            # isnan guard: Spark SQL orders NaN ABOVE every double, so a
+            # bare `_s >= 0` would set the bit on a NaN projection while
+            # the Arrow path (numpy >=, False on NaN) clears it — the
+            # two paths must produce identical buckets.
             F.when(
-                F.col("_s") >= 0,
+                (~F.isnan(F.col("_s"))) & (F.col("_s") >= 0),
                 F.expr(
                     f"shiftleft(CAST(1 AS BIGINT), _pidx % {int(planes_per_band)})"
                 ),
@@ -705,7 +719,10 @@ def cosine_near_dup_pairs_bucketed(
             "id_b",
             dot_fixed(F.col("_va"), F.col("_vb"), dim).alias("cosine_sim"),
         )
-        .filter(F.col("cosine_sim") >= threshold)
+        # isnan guard mirrors the Arrow verify (numpy >= is False on
+        # NaN); Spark's NaN-is-greatest ordering would otherwise pass a
+        # NaN cosine through the threshold.
+        .filter((~F.isnan(F.col("cosine_sim"))) & (F.col("cosine_sim") >= threshold))
     )
 
 

@@ -35,8 +35,13 @@ from pyspark.sql import functions as F
 def _floordiv(col: str, w: int):
     """Exact floor division as integer Column math (Spark's `div`
     truncates toward zero, which mis-buckets negatives; pmod is always
-    non-negative, so (x - pmod(x, w)) / w is an exact multiple)."""
-    return F.expr(f"CAST((({col}) - pmod(({col}), {w})) / {w} AS BIGINT)")
+    non-negative, so x - pmod(x, w) is an exact multiple of w). The
+    final division stays INTEGER (`div`), never IEEE `/`: a double
+    quotient is inexact for |x| >= 2^53 (epoch nanoseconds) and would
+    silently mis-bucket points/intervals at that range."""
+    return F.expr(
+        f"CAST((({col}) - pmod(({col}), {w})) AS BIGINT) div {w}"
+    )
 
 
 def interval_join(

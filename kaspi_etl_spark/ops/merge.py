@@ -64,8 +64,21 @@ def merge_frames(
             f"schema mismatch: target {sorted(target.columns)} vs "
             f"source {sorted(source.columns)}"
         )
+    # NULL-key rows are excluded from the ambiguity check: they never
+    # match a target row (equi-join semantics, documented above), so two
+    # NULL-key source rows are two independent inserts, not an ambiguous
+    # update. groupBy would lump them into one NULL group and raise.
+    non_null_keys = None
+    for k in on:
+        c = F.col(k).isNotNull()
+        non_null_keys = c if non_null_keys is None else non_null_keys & c
     dup = (
-        source.groupBy(*on).count().filter(F.col("count") > 1).limit(1).count()
+        source.filter(non_null_keys)
+        .groupBy(*on)
+        .count()
+        .filter(F.col("count") > 1)
+        .limit(1)
+        .count()
     )
     if dup:
         raise ValueError(

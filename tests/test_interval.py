@@ -27,6 +27,24 @@ def test_interval_join_basics(spark):
     assert got == {(1, 10), (2, 10), (2, 20), (3, 20), (4, 30)}
 
 
+def test_interval_join_exact_beyond_double_precision(spark):
+    """Bucketing must use integer floor division: IEEE double division
+    is inexact for |x| >= 2^53 (epoch nanoseconds), and a mis-rounded
+    quotient silently drops or duplicates join candidates (r6
+    advisory). 2^53 + 1 is the first integer a double cannot hold."""
+    base = (1 << 53) + 1
+    pts = spark.createDataFrame(
+        [(1, base), (2, base + 10), (3, -base)], "pid long, x long"
+    )
+    ivs = spark.createDataFrame(
+        [(10, base - 5, base + 5), (20, -base - 3, -base + 3)],
+        "iid long, s long, e long",
+    )
+    got = {(r["pid"], r["iid"]) for r in
+           interval_join(pts, ivs, "x", "s", "e", bin_width=7).collect()}
+    assert got == {(1, 10), (3, 20)}
+
+
 def test_interval_join_rejects_overlapping_columns_and_bad_width(spark):
     df = spark.createDataFrame([(1, 2)], "a long, b long")
     with pytest.raises(ValueError, match="overlapping"):

@@ -78,6 +78,26 @@ def test_merge_duplicate_source_keys_raise(spark):
         merge.merge_frames(t, dup, ["k"])
 
 
+def test_merge_two_null_key_source_rows_both_insert(spark):
+    """Two NULL-key source rows are two independent inserts, NOT an
+    ambiguous duplicate: NULL keys never match a target row, so the
+    duplicate-source-key guard must ignore them (r6 advisory — groupBy
+    lumped all NULL keys into one group and raised)."""
+    t = spark.createDataFrame([(1, "a", 10)], "k long, s string, v long")
+    s = spark.createDataFrame(
+        [(None, "x", 1), (None, "y", 2)], "k long, s string, v long"
+    )
+    out = sorted((r["s"], r["v"]) for r in merge.merge_frames(t, s, ["k"]).collect())
+    assert out == [("a", 10), ("x", 1), ("y", 2)]
+    # a real duplicate among non-NULL keys still raises even when
+    # NULL-key rows are present
+    dup = spark.createDataFrame(
+        [(None, "x", 1), (2, "y", 2), (2, "z", 3)], "k long, s string, v long"
+    )
+    with pytest.raises(ValueError, match="duplicate source keys"):
+        merge.merge_frames(t, dup, ["k"])
+
+
 def test_merge_schema_mismatch_raises(spark):
     t, _ = frames(spark)
     with pytest.raises(ValueError, match="schema mismatch"):

@@ -395,6 +395,38 @@ def test_bucketed_pairs_arrow_and_jvm_paths_agree(spark):
         sim.cosine_near_dup_pairs_bucketed(bad, arrow=False, **kw).collect()
 
 
+def test_bucketed_pairs_nan_vector_paths_agree(spark):
+    """A NaN-poisoned embedding must not produce pairs on EITHER path,
+    and the two paths must stay identical (r6 advisory: Spark SQL
+    orders NaN above every double, so the bare `>= 0` band bit and the
+    `>= threshold` verify filter on the JVM path passed NaN where the
+    numpy path's False-on-NaN comparisons dropped it)."""
+    import math
+    import random
+
+    from kaspi_etl_spark.llm import similarity as sim
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(16)]
+    rows = [
+        (0, base),
+        (1, [x + 0.001 for x in base]),  # genuine near-dup pair
+        (2, [math.nan] * 16),            # fully poisoned
+        (3, base[:8] + [math.nan] + base[9:]),  # one NaN component
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    kw = dict(threshold=0.99, id_col="vec_id", vec_col="v", dim=16)
+    got_a = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs_bucketed(df, arrow=True, **kw).collect()
+    }
+    got_j = {
+        (r.id_a, r.id_b)
+        for r in sim.cosine_near_dup_pairs_bucketed(df, arrow=False, **kw).collect()
+    }
+    assert got_a == got_j == {(0, 1)}
+
+
 # --- Johnson–Lindenstrauss projection + recall@k ----------------------------
 
 

@@ -1,6 +1,8 @@
-"""Scaling curve for the five riskiest operators (VERDICT r5 #4).
+"""Scaling curve for the riskiest operators (VERDICT r5 #4, r6 #6).
 
 Runs dedup_clusters, token_budget_sample, lm_score, logreg_train,
+logreg_predict (score-from-model), bpe_encode (train+apply),
+ngram_jaccard_prefix (lossless AllPairs), fs_linkage (Fellegi–Sunter),
 part_name_matches_capped, ann_ivf_topk (train+search), and
 semantic_dedup_keep at K x sf0.1 for
 K in {10, 50, 100} (~sf1 at K=10 on documents; 60M lineitem-equivalents
@@ -117,7 +119,15 @@ def main() -> None:
 
     for k in ks:
         docs = n_docs = parts = n_parts = None
-        if want("dedup_clusters", "token_budget_sample", "lm_score", "logreg_train"):
+        if want(
+            "dedup_clusters",
+            "token_budget_sample",
+            "lm_score",
+            "logreg_train",
+            "logreg_predict",
+            "bpe_encode",
+            "ngram_jaccard_prefix",
+        ):
             docs = scaled_union(
                 docs0, k, "doc_id", 10_000_000, vowel_mut("text")
             ).localCheckpoint()
@@ -187,6 +197,41 @@ def main() -> None:
                     "nonzero_w": sum(1 for x in w if x)}
 
         run(k, "logreg_train", _logreg)
+
+        # r7 additions (VERDICT r6 #6): the newest families on the same
+        # per-K protocol. logreg_predict measures the score-from-model
+        # path (weights trained ONCE on the base corpus — training cost
+        # has its own row above); bpe_encode trains a fixed-size merge
+        # table on the scaled corpus then applies it (dictionary-sized
+        # iterations, corpus-sized encode); ngram_jaccard_prefix is the
+        # lossless AllPairs path whose candidate volume depends on df
+        # skew; fs_linkage scores blocked candidates with data-estimated
+        # u-probabilities (bounded driver reads).
+        if want("logreg_predict"):
+            w_base = classifier.train(docs0, F.length("text") > 300)
+
+            def _logreg_predict():
+                out = classifier.predict(docs, w_base)
+                return {"rows": out.count(), "in_rows": n_docs}
+
+            run(k, "logreg_predict", _logreg_predict)
+
+        def _bpe_encode():
+            from kaspi_etl_spark.llm import bpe
+
+            merges, seg = bpe.bpe_train(docs, n_merges=8)
+            out = bpe.bpe_encode_stats(docs, seg)
+            return {"rows": out.count(), "in_rows": n_docs,
+                    "n_merges": len(merges)}
+
+        run(k, "bpe_encode", _bpe_encode)
+
+        def _prefix_jaccard():
+            out = dedup.ngram_jaccard_prefix_pairs(docs)
+            return {"rows": out.count(), "in_rows": n_docs}
+
+        run(k, "ngram_jaccard_prefix", _prefix_jaccard)
+
         run(
             k,
             "part_name_matches_capped",
@@ -197,6 +242,29 @@ def main() -> None:
                 "in_rows": n_parts,
             },
         )
+
+        if want("fs_linkage"):
+            parts_fs = scaled_union(
+                spark.read.parquet(f"{SF_DIR}/part.parquet").select(
+                    "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+                ),
+                k,
+                "p_partkey",
+                10_000_000,
+                vowel_mut("p_name"),
+            ).localCheckpoint()
+            n_parts_fs = parts_fs.count()
+
+            def _fs():
+                out = entity.fs_linkage_scores(
+                    parts_fs,
+                    id_col="p_partkey",
+                    name_col="p_name",
+                    fields=["p_brand", "p_type", "p_size"],
+                )
+                return {"rows": out.count(), "in_rows": n_parts_fs}
+
+            run(k, "fs_linkage", _fs)
 
         def _ivf():
             queries = (
