@@ -357,6 +357,29 @@ def ngram_jaccard_pairs(
     per-doc shingle counts rejoin from a broadcast side, so the
     quadratic pair stream is the narrowest possible row.
     """
+    inter = _shingle_pair_intersections(
+        docs, text_col, id_col, shingle_n, max_doc_freq
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return inter.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def _shingle_pair_intersections(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared candidate machinery of ngram_jaccard_pairs /
+    ngram_containment_pairs: (id_a, id_b, n_common, n_a, n_b) for every
+    pair sharing >= 1 shingle surviving the doc-freq cap (docstrings on
+    the public wrappers). Plan identical to the pre-refactor
+    ngram_jaccard_pairs body."""
     # 31-bit id guard: packing is id_a * 2^32 + id_b in a signed long, so
     # ids >= 2^31 would overflow (ANSI throws; non-ANSI silently wraps).
     # Fail fast with a clear message, once per doc row — not per pair.
@@ -427,14 +450,57 @@ def ngram_jaccard_pairs(
     )
     ca = counts.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     cb = counts.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_common")
-    ).cast("double")
     return (
         inter.join(F.broadcast(ca), "id_a")
         .join(F.broadcast(cb), "id_b")
-        .select("id_a", "id_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_common", "n_a", "n_b")
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+    max_doc_freq: int | None = 100,
+) -> DataFrame:
+    """Asymmetric near-dup / quote detection: max-containment
+    C(a, b) = |A∩B| / min(|A|, |B|) over word-shingle sets, for pairs
+    sharing >= 1 (non-boilerplate) shingle. The case Jaccard
+    structurally misses: a short document embedded verbatim in a long
+    one has containment ~1 while Jaccard ~|A|/|B| can sit far below any
+    dedup threshold — this is the detector for excerpts, quotations,
+    and template-wrapped reposts in a pretraining corpus.
+
+    Shuffle profile is identical to ``ngram_jaccard_pairs`` (same
+    posting-list co-bucketing, same packed-pair stream, same
+    ``max_doc_freq`` boilerplate cap making scores a strict lower
+    bound). The threshold is the exact rational t_num/t_den compared by
+    integer cross-multiplication — t_den * n_common >= t_num *
+    min(n_a, n_b) — so the filter never touches a float; the reported
+    ``containment`` double is one IEEE division on exact integers
+    (identical both engines).
+
+    Output: (id_a, id_b, n_common, n_a, n_b, containment), id_a < id_b.
+    """
+    inter = _shingle_pair_intersections(
+        docs, text_col, id_col, shingle_n, max_doc_freq
+    )
+    keep = F.lit(t_den) * F.col("n_common") >= F.lit(t_num) * F.least(
+        F.col("n_a"), F.col("n_b")
+    )
+    return inter.filter(keep).select(
+        "id_a",
+        "id_b",
+        "n_common",
+        "n_a",
+        "n_b",
+        (
+            F.col("n_common").cast("double")
+            / F.least(F.col("n_a"), F.col("n_b")).cast("double")
+        ).alias("containment"),
     )
 
 

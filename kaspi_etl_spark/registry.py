@@ -8922,3 +8922,178 @@ def q_ann_recall_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = sim_ops.brute_force_topk(corpus, queries, k=10)
     multi = sim_ops.lsh_topk_multiprobe(corpus, queries, ANN_PLANE_SETS, k=10)
     return sim_ops.recall_at_k(multi, brute, k=10)
+
+
+# --- Lexical + hybrid retrieval (llm/retrieval.py) ---------------------------
+
+from .llm import retrieval as retrieval_ops  # noqa: E402
+
+_RRF_SCALE = retrieval_ops.rrf_scale(60, 10)
+
+
+@register(
+    "docs_bm25_topk",
+    f"""
+    WITH {retrieval_ops.sql_bm25_ctes(_SQL_WORDS_EXPR)},
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        ORDER BY score_scaled DESC, id ASC) AS rank
+      FROM bm25_scored
+    )
+    SELECT id AS doc_id, score_scaled, n_terms_hit, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {retrieval_ops.BM25_TOPK}
+    """,
+)
+def q_docs_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the corpus' three most frequent terms
+    (deterministic data-derived query): probabilistic lexical ranking
+    with exact fixed-point idf (shared flog2 kernel) and rational tf
+    normalization cleared to one integer floor division per term —
+    per-doc scores are exact BIGINT sums, bit-identical across engines.
+    The retrieval-form sibling of bm25_scores (fixed-literal-query,
+    float pivot-chain, all-doc output — see llm/retrieval.py header for
+    the contrast): arbitrary query size, exact integers, ranked top-k.
+    Top-k compiles to TakeOrderedAndProject (no global window sort)."""
+    d = _read(spark, sf_dir, "documents")
+    return retrieval_ops.bm25_topk(d)
+
+
+@register(
+    "ann_rrf_fusion",
+    f"""
+    WITH corpus AS ({{SQL_NORMALIZED_EMB}}),
+    q AS (SELECT vec_id AS query_id, vn AS qn FROM corpus WHERE vec_id % 50 = 0),
+    b_scored AS (
+      SELECT q.query_id, c.vec_id,
+             {{SQL_DOT_QN_VN}} AS cosine_sim
+      FROM corpus c CROSS JOIN q
+      WHERE q.query_id <> c.vec_id
+    ),
+    brute AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM b_scored
+    ),
+    l_raw AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     {{SQL_BUCKET}} AS bucket,
+                     sqrt(list_reduce([x * x for x in embedding::DOUBLE[]],
+                                      (a, b) -> a + b)) AS nrm
+              FROM embeddings),
+    bucketed AS (
+      SELECT vec_id, bucket,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM l_raw
+    ),
+    lq AS (SELECT vec_id AS query_id, vn AS qn, bucket FROM bucketed
+           WHERE vec_id % 50 = 0),
+    l_scored AS (
+      SELECT lq.query_id, c.vec_id,
+             {{SQL_DOT_QN_VN}} AS cosine_sim
+      FROM bucketed c JOIN lq ON c.bucket = lq.bucket
+      WHERE lq.query_id <> c.vec_id
+    ),
+    lsh AS (
+      SELECT query_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM l_scored
+    ),
+    unioned AS (
+      SELECT query_id, vec_id, {_RRF_SCALE} // (60 + rank) AS c
+      FROM brute WHERE rank <= 10
+      UNION ALL
+      SELECT query_id, vec_id, {_RRF_SCALE} // (60 + rank) AS c
+      FROM lsh WHERE rank <= 10
+    ),
+    fused AS (
+      SELECT query_id, vec_id, CAST(SUM(c) AS BIGINT) AS rrf_scaled,
+             CAST(COUNT(*) AS BIGINT) AS n_systems
+      FROM unioned GROUP BY query_id, vec_id
+    ),
+    f_ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_scaled DESC, vec_id ASC) AS rank
+      FROM fused
+    )
+    SELECT query_id, vec_id, rrf_scaled, n_systems, CAST(rank AS BIGINT) AS rank
+    FROM f_ranked WHERE rank <= 10
+    """.replace("{SQL_NORMALIZED_EMB}", SQL_NORMALIZED_EMB)
+    .replace("{SQL_DOT_QN_VN}", SQL_DOT.replace("{A}", "qn").replace("{B}", "vn"))
+    .replace("{SQL_BUCKET}", _sql_bucket_expr("(embedding::DOUBLE[])")),
+)
+def q_ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: reciprocal-rank fusion of the exact
+    brute-force cosine top-10 and the LSH-bucketed approximate top-10
+    (the lexical+vector fusion shape production search stacks run;
+    here both systems are vector rankers so the whole chain stays
+    value-oracled). RRF contributions are exact integers — 1/(60+rank)
+    scaled by lcm(61..70) — so fused scores sum and tie-break
+    identically in both engines. Fusion itself is one union + one
+    (query, id) groupBy + one per-query window over <= 20 rows per
+    query: no join back to the vectors. See llm/retrieval.py
+    rrf_fuse."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    brute = sim_ops.brute_force_topk(corpus, queries, k=10)
+    lsh = sim_ops.lsh_topk(corpus, queries, ANN_PLANES, k=10)
+    return retrieval_ops.rrf_fuse([brute, lsh])
+
+
+@register(
+    "docs_containment_pairs",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 3000000 AS doc_id, substr(text, 1, 120) AS text
+      FROM documents WHERE doc_id % 7 = 0
+    ),
+    w AS (SELECT doc_id, {{SQL_WORDS}} AS w FROM docs),
+    sh AS (SELECT doc_id, list_distinct({{SQL_SHINGLES_RAW}}) AS shingles FROM w),
+    sh_exp AS (SELECT doc_id, len(shingles) AS n_sh,
+                      unnest([{{MD5_LONG}} for s in shingles]) AS h
+               FROM sh),
+    capped AS (
+      SELECT * FROM sh_exp
+      WHERE h IN (SELECT h FROM sh_exp GROUP BY h HAVING COUNT(*) <= 100)
+    ),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.n_sh AS n_a, b.n_sh AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+    )
+    SELECT id_a, id_b, n_common, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_common AS DOUBLE) / CAST(LEAST(n_a, n_b) AS DOUBLE)
+             AS containment
+    FROM inter
+    WHERE 5 * n_common >= 4 * LEAST(n_a, n_b)
+    """.replace("{SQL_WORDS}", SQL_WORDS)
+    .replace("{SQL_SHINGLES_RAW}", SQL_SHINGLES_RAW)
+    .replace("{MD5_LONG}", _sql_md5_long("s")),
+)
+def q_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup detection (quote/excerpt
+    mining): the corpus is documents plus a 120-char excerpt of every
+    7th doc, and the detector finds (excerpt, source) pairs Jaccard
+    structurally misses — C = |A∩B| / min(|A|,|B|) >= 4/5 via integer
+    cross-multiplication, same capped posting-list machinery (and 100
+    TB shuffle shape) as ngram_jaccard_capped. See
+    llm/dedup.py ngram_containment_pairs."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    excerpts = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 3000000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    return dedup_ops.ngram_containment_pairs(
+        d.unionByName(excerpts), t_num=4, t_den=5, max_doc_freq=100
+    )

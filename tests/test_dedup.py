@@ -470,3 +470,42 @@ def test_prefix_jaccard_can_find_pairs_the_df_cap_misses(spark):
     exact = dedup.ngram_jaccard_prefix_pairs(docs).count()
     assert capped == 0  # every shingle's posting list exceeds the cap
     assert exact == 10  # all C(5,2) identical-doc pairs, J = 1.0
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short excerpt embedded verbatim in a long doc: max-containment
+    ~1.0 while Jaccard sits near |A|/|B| — the asymmetric detector's
+    reason to exist."""
+    from kaspi_etl_spark.llm import dedup
+
+    long_words = " ".join(f"w{i:03d}" for i in range(60))
+    excerpt = " ".join(f"w{i:03d}" for i in range(10))  # a verbatim prefix
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, excerpt), (3, "totally different content here")],
+        "doc_id LONG, text STRING",
+    )
+    cont = {
+        (r.id_a, r.id_b): (r.n_common, r.n_a, r.n_b, r.containment)
+        for r in dedup.ngram_containment_pairs(docs, t_num=4, t_den=5).collect()
+    }
+    # 10-word excerpt -> 8 distinct 3-gram shingles, all inside doc 1
+    assert cont == {(1, 2): (8, 58, 8, 1.0)}
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.5).count()
+    assert jac == 0  # J = 8/58 — far below any dedup threshold
+
+
+def test_containment_threshold_is_exact_rational(spark):
+    """Cross-multiplied threshold: n_common=4 of min=5 shingles is 0.8
+    and must PASS at t=4/5 (a float-rounded 0.8 comparison can flip
+    either way on the division)."""
+    from kaspi_etl_spark.llm import dedup
+
+    a = "a b c d e f g"   # 5 shingles: abc bcd cde def efg
+    b = "a b c d e f x"   # 5 shingles: abc bcd cde def efx -> 4 shared
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id LONG, text STRING"
+    )
+    rows = dedup.ngram_containment_pairs(docs, t_num=4, t_den=5).collect()
+    assert len(rows) == 1 and rows[0].n_common == 4 and rows[0].containment == 0.8
+    # one notch tighter and the same pair is excluded
+    assert dedup.ngram_containment_pairs(docs, t_num=5, t_den=6).count() == 0

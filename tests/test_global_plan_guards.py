@@ -45,6 +45,8 @@ BNLJ_ALLOWED = {
     "docs_sb_backoff",  # 1-row total-token-count broadcast (llm/lm.py)
     "ann_recall_eval",  # exact side reuses ann_cosine_topk's bounded cross product
     "ann_recall_multiprobe",  # same bounded brute-force exact side
+    "docs_bm25_topk",  # 1-row (N, total-tokens) constants broadcast
+    "ann_rrf_fusion",  # brute-force system side = the bounded cross product
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
