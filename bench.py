@@ -103,6 +103,11 @@ HEADLINE = [
     # probabilistic linkage scoring over the blocked candidates
     "embeddings_jl_project",
     "part_linkage_fs",
+    # r7: fixed-point BM25 retrieval, hybrid RRF fusion of two ANN
+    # systems, and the asymmetric containment (quote/excerpt) detector
+    "docs_bm25_topk",
+    "ann_rrf_fusion",
+    "docs_containment_pairs",
 ]
 
 

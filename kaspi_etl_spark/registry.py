@@ -9097,3 +9097,32 @@ def q_docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.ngram_containment_pairs(
         d.unionByName(excerpts), t_num=4, t_den=5, max_doc_freq=100
     )
+
+
+@register(
+    "orders_hilbert_curve",
+    f"""
+    WITH h AS ({layout_ops.sql_hilbert_lut_cte()})
+    SELECT o_orderkey,
+           CAST({layout_ops.hilbert_sql('o_custkey', 'o_orderkey', _Z_BITS)
+                 .replace('{' + 'TL}', 'h.tl').replace('{' + 'DL}', 'h.dl')}
+                AS BIGINT) AS hval
+    FROM orders CROSS JOIN h
+    """,
+)
+def q_orders_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert curve index for orders on (custkey, orderkey) — the
+    locality-tighter sibling of orders_zorder_curve (consecutive curve
+    positions are always grid-adjacent, so range filters map to fewer
+    files than under Z-order's quadrant seams; Delta's HILBERT
+    clustering rationale). Computed as a 4-state byte-DFA over the
+    z-interleave through two shared 1024-entry lookup-table literals —
+    4 chained steps, no unrolled-expression plan blowup, zero shuffles,
+    zero UDFs; DFA generated from the curve's transform group and
+    verified against the textbook xy2d loop plus a full-grid adjacency
+    sweep in tests/test_layout.py. See layout.hilbert_value."""
+    orders = _read(spark, sf_dir, "orders")
+    h = layout_ops.hilbert_value(
+        F.col("o_custkey"), F.col("o_orderkey"), _Z_BITS
+    )
+    return orders.select("o_orderkey", h.cast("long").alias("hval"))
