@@ -9126,3 +9126,34 @@ def q_orders_hilbert_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey"), F.col("o_orderkey"), _Z_BITS
     )
     return orders.select("o_orderkey", h.cast("long").alias("hval"))
+
+
+# --- DSIR importance weights (llm/dsir.py) -----------------------------------
+
+from .llm import dsir as dsir_ops  # noqa: E402
+
+_DSIR_TARGET_SQL = "CASE WHEN source IN ('src0', 'src1', 'src2') THEN 1 ELSE 0 END"
+
+
+@register(
+    "docs_dsir_weights",
+    f"""
+    WITH {dsir_ops.sql_dsir_ctes(_DSIR_TARGET_SQL)}
+    SELECT id AS doc_id, is_target, n_feats, dsir_scaled
+    FROM dsir_scored
+    """,
+)
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) for data selection:
+    every document scored by log p_target / p_raw under add-one-smoothed
+    hashed-bigram bucket models, target slice = the src0-src2 sources
+    (the 'trusted 15%' stand-in on the synthetic corpus). All
+    arithmetic is exact fixed-point (shared flog2 kernel, rational
+    probabilities), so the learned weights — not just ranks —
+    hash-match the oracle. One corpus read feeds both distributions
+    (<= 1024 rows each, broadcast back) and the scoring pass. See
+    llm/dsir.py."""
+    d = _read(spark, sf_dir, "documents")
+    return dsir_ops.dsir_weights(
+        d, F.col("source").isin("src0", "src1", "src2")
+    ).withColumnRenamed("id", "doc_id")
