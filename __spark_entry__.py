@@ -117,7 +117,6 @@ def entry(spark: SparkSession) -> DataFrame:
 _GATE_PRIORITY = [
     "daily_net_revenue",
     "inventory_reorder",
-    "seller_dedupe",
     "global_analytics",
     "reprice_proposals",
     "sizing_adult",
@@ -126,19 +125,26 @@ _GATE_PRIORITY = [
     "customer_bloom_probe",
     "ann_pq_topk",
     "media_features",
-    "import_coerce",
     "part_linkage_fs",
     "html_sellers_parse",
     "dedup_clusters",
     "events_funnel",
-    "events_asof_join",
-    "docs_quality_c4",
-    "pack_sequences",
     "orders_merge_upsert",
     "orders_in_promo_windows",
-    "bpe_merges",
     "docs_logreg_predict",
     "embeddings_int8_codes",
+    # --- first-time driver checks: the six new r7 operator families
+    # (displacing six multi-round driver-green family siblings —
+    # seller_dedupe, events_asof_join, pack_sequences, docs_quality_c4,
+    # import_coerce, bpe_merges — each green r6 or earlier and still in
+    # the local clean+adversarial sweeps; bpe keeps the entering
+    # bpe_vocab, events keep events_funnel, dedup keeps dedup_clusters)
+    "docs_bm25_topk",
+    "ann_rrf_fusion",
+    "docs_containment_pairs",
+    "orders_hilbert_curve",
+    "docs_dsir_weights",
+    "corpus_mix_temperature",
     # --- first-time driver checks (r7 rotation) ---
     # end-of-r6 families, all clean+adversarial sweep-green
     "embeddings_jl_project",

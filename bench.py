@@ -108,6 +108,10 @@ HEADLINE = [
     "docs_bm25_topk",
     "ann_rrf_fusion",
     "docs_containment_pairs",
+    # r7 second wave: DSIR data-selection weights (two distribution
+    # passes + scoring in one corpus read) and the Hilbert layout key
+    "docs_dsir_weights",
+    "orders_hilbert_curve",
 ]
 
 

@@ -9157,3 +9157,113 @@ def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_ops.dsir_weights(
         d, F.col("source").isin("src0", "src1", "src2")
     ).withColumnRenamed("id", "doc_id")
+
+
+@register(
+    "corpus_mix_temperature",
+    f"""
+    WITH c AS (
+      SELECT source, CAST(SUM(len({SQL_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents WHERE trim(text) <> '' GROUP BY source
+    ),
+    s0 AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR(SQRT(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS r0
+      FROM c
+    ),
+    w AS (
+      SELECT source, n_tokens,
+             CASE WHEN (r0 + 1) * (r0 + 1) <= n_tokens THEN r0 + 1
+                  WHEN r0 * r0 > n_tokens THEN r0 - 1
+                  ELSE r0 END AS w_temp
+      FROM s0
+    ),
+    tot AS (
+      SELECT source, n_tokens, w_temp,
+             SUM(w_temp) OVER () AS wt, SUM(n_tokens) OVER () AS nt
+      FROM w
+    ),
+    quota AS (
+      SELECT source, n_tokens, w_temp, nt,
+             CAST((100000 * w_temp) // wt AS BIGINT) AS base_alloc,
+             CAST((100000 * w_temp) % wt AS BIGINT) AS remainder,
+             CAST(100000 - SUM((100000 * w_temp) // wt) OVER ()
+                  AS BIGINT) AS leftover
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source ASC)
+               AS rk
+      FROM quota
+    )
+    SELECT source, n_tokens, CAST(w_temp AS BIGINT) AS w_temp,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sample_rate,
+           (CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 AS DOUBLE) * CAST(nt AS DOUBLE))
+             / (CAST(100000 AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             AS boost_vs_proportional
+    FROM ranked
+    """,
+)
+def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (the multilingual-pretraining
+    p^alpha trick, alpha = 1/2): apportion the 100k-token budget over
+    EXACT integer square roots of per-source token counts, so
+    under-represented sources are up-weighted (boost > 1) and dominant
+    ones damped — the standard correction when proportional mixing
+    starves small languages/domains. isqrt is floor(sqrt) plus a
+    one-step integer correction, exact for counts < 2^52 in both
+    engines; the apportionment is the same largest-remainder integer
+    arithmetic as corpus_mix_allocation, so allocs sum EXACTLY to the
+    budget. One corpus pass; everything after runs on the handful of
+    source rows (noted: the unpartitioned window is source-count
+    sized)."""
+    budget = 100_000
+    d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    c = (
+        d.select(
+            "source",
+            F.size(dedup_ops.split_words(F.col("text"))).cast("long").alias("nt"),
+        )
+        .groupBy("source")
+        .agg(F.sum("nt").cast("long").alias("n_tokens"))
+    )
+    r0 = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    w_temp = (
+        F.when((r0 + 1) * (r0 + 1) <= F.col("n_tokens"), r0 + 1)
+        .when(r0 * r0 > F.col("n_tokens"), r0 - 1)
+        .otherwise(r0)
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = c.select("source", "n_tokens", w_temp.alias("w_temp")).select(
+        "source",
+        "n_tokens",
+        "w_temp",
+        F.expr(f"({budget} * w_temp) div sum(w_temp) over ()").alias("base_alloc"),
+        F.expr(f"({budget} * w_temp) % sum(w_temp) over ()").alias("remainder"),
+        F.sum("n_tokens").over(w_all).alias("nt_total"),
+    ).withColumn("leftover", F.lit(budget) - F.sum("base_alloc").over(w_all))
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+        ),
+    )
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0).cast("long")
+    alloc = (F.col("base_alloc") + extra).cast("long")
+    return ranked.select(
+        "source",
+        "n_tokens",
+        F.col("w_temp").cast("long").alias("w_temp"),
+        alloc.alias("alloc"),
+        (alloc.cast("double") / F.col("n_tokens").cast("double")).alias(
+            "sample_rate"
+        ),
+        (
+            (alloc.cast("double") * F.col("nt_total").cast("double"))
+            / (F.lit(float(budget)) * F.col("n_tokens").cast("double"))
+        ).alias("boost_vs_proportional"),
+    )
