@@ -9267,3 +9267,141 @@ def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(float(budget)) * F.col("n_tokens").cast("double"))
         ).alias("boost_vs_proportional"),
     )
+
+
+@register(
+    "source_perplexity_profile",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    big0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+    tf AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS tf
+      FROM big0 GROUP BY 1, 2, 3
+    ),
+    counted AS (
+      SELECT doc_id, tf,
+             CAST(SUM(tf) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12,
+             CAST(SUM(tf) OVER (PARTITION BY w1) AS BIGINT) AS c1
+      FROM tf
+    ),
+    v AS (
+      SELECT CAST(count(DISTINCT x) AS BIGINT) AS v_size
+      FROM (SELECT w1 AS x FROM tf UNION SELECT w2 FROM tf)
+    ),
+    nd AS (
+      SELECT doc_id, tf,
+             CAST(c12 + 1 AS BIGINT) AS num,
+             CAST(c1 + v_size AS BIGINT) AS den
+      FROM counted, v
+    ),
+    per AS (
+      SELECT doc_id, tf,
+             tf * ({lm_ops.sql_flog2('den')} - {lm_ops.sql_flog2('num')}) AS s
+      FROM nd
+    ),
+    scored AS (
+      SELECT doc_id,
+             CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             CAST(SUM(s) AS BIGINT) AS surprisal_scaled,
+             CAST(SUM(s) AS DOUBLE)
+               / CAST(SUM(tf) * {lm_ops.FLOG2_ONE} AS DOUBLE) AS bpt
+      FROM per GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.source, s.n_bigrams, s.surprisal_scaled,
+             NTILE(3) OVER (PARTITION BY d.source
+                            ORDER BY s.bpt ASC, s.doc_id ASC) AS bucket
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT source, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+           CAST(SUM(surprisal_scaled) AS BIGINT) AS total_surprisal,
+           CAST(SUM(surprisal_scaled) AS DOUBLE)
+             / CAST(SUM(n_bigrams) * {lm_ops.FLOG2_ONE} AS DOUBLE)
+             AS mean_bits_per_token
+    FROM bucketed GROUP BY source, bucket
+    """,
+)
+def q_source_perplexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition, per source: every doc
+    scored by the bigram-LM perplexity (exact fixed-point, same kernel
+    as docs_lm_perplexity), NTILE(3)-bucketed WITHIN its source by
+    bits-per-token (ties on doc_id), then rolled up to per-(source,
+    bucket) volume and exact mean surprisal. This is the composition
+    CCNet actually ships — train once, split each source into
+    fluency terciles, keep 'head' (bucket 1) for pretraining. The
+    NTILE runs per-source (bounded partitions), the rollup is one
+    groupBy; the model passes are the docs_lm_perplexity shapes."""
+    d = _read(spark, sf_dir, "documents")
+    scored = lm_ops.lm_score(d)
+    joined = scored.join(d.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("bits_per_token").asc(), F.col("doc_id").asc()
+    )
+    bucketed = joined.select(
+        "source",
+        "n_bigrams",
+        "surprisal_scaled",
+        F.ntile(3).over(w).cast("long").alias("bucket"),
+    )
+    return bucketed.groupBy("source", "bucket").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+        F.sum("surprisal_scaled").cast("long").alias("total_surprisal"),
+        (
+            F.sum("surprisal_scaled").cast("double")
+            / (F.sum("n_bigrams") * F.lit(lm_ops.FLOG2_ONE)).cast("double")
+        ).alias("mean_bits_per_token"),
+    )
+
+
+@register(
+    "part_entity_clusters",
+    f"""
+    WITH fsq AS ({{FS_ORACLE}}),
+    lpairs AS (SELECT id_a, id_b FROM fsq WHERE score_c > 0),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM lpairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM lpairs
+      UNION
+      SELECT id_a AS src, id_a AS dst FROM lpairs
+      UNION
+      SELECT id_b AS src, id_b AS dst FROM lpairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src
+      )
+      SELECT * FROM r
+    )
+    SELECT src AS part_id, CAST(MIN(dst) AS BIGINT) AS entity_id
+    FROM reach GROUP BY src
+    """.replace("{FS_ORACLE}", ORACLES["part_linkage_fs"]),
+)
+def q_part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MDM end-to-end: Fellegi–Sunter linkage scores thresholded at
+    net-positive evidence (score_c > 0) become match edges, and
+    transitive closure assigns every linked part a canonical entity id
+    — the composition (blocking -> probabilistic scoring -> clustering)
+    a production master-data system runs. Spark: iterative min-label CC
+    with the star fallback; oracle: the FULL fs scoring chain as a
+    subquery + recursive-CTE closure. Reuses part_linkage_fs and
+    dedup.connected_components verbatim."""
+    p = _read(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type", "p_size"
+    )
+    scores = entity_ops.fs_linkage_scores(
+        p,
+        id_col="p_partkey",
+        name_col="p_name",
+        fields=["p_brand", "p_type", "p_size"],
+    )
+    pairs = scores.filter(F.col("score_c") > 0).select("id_a", "id_b")
+    cc = dedup_ops.connected_components(pairs)
+    return cc.select(
+        F.col("doc_id").alias("part_id"), F.col("cluster_id").alias("entity_id")
+    )

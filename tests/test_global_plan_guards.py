@@ -47,6 +47,8 @@ BNLJ_ALLOWED = {
     "ann_recall_multiprobe",  # same bounded brute-force exact side
     "docs_bm25_topk",  # 1-row (N, total-tokens) constants broadcast
     "ann_rrf_fusion",  # brute-force system side = the bounded cross product
+    "docs_dsir_weights",  # 1-row (T+D, R+D) flog2 constants broadcast
+    "source_perplexity_profile",  # inherits lm_score's 1-row vocab broadcast
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
