@@ -57,6 +57,23 @@ def main() -> None:
     for name in names:
         try:
             df = qs[name](spark, args.sf)
+            # The DRIVER canonicalizes with pandas sort_values per
+            # column, which raises "unhashable type: 'list'" on
+            # array/map/struct cells (the r6 embeddings_int8_codes red
+            # gate). This rehearsal's tuple-sort would survive them, so
+            # enforce the driver's real constraint explicitly: gated
+            # queries emit SCALAR columns only.
+            complex_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.dataType.typeName() in ("array", "map", "struct")
+            ]
+            if complex_cols:
+                raise TypeError(
+                    f"non-scalar gate columns {complex_cols}: the driver "
+                    "harness cannot canonicalize them — posexplode or emit "
+                    "a scalar image (see embeddings_int8_codes)"
+                )
             cols = df.columns
             order = sorted(range(len(cols)), key=lambda i: cols[i])
             s_rows = sorted(
