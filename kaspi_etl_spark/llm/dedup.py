@@ -958,3 +958,155 @@ def ngram_jaccard_prefix_pairs(
         ver.select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= F.lit(t_num / t_den))
     )
+
+
+def duplicate_span_extents(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_n: int = 8,
+) -> DataFrame:
+    """Maximal duplicated regions per doc: the gaps-and-islands merge of
+    ``duplicate_spans``'s shared positional ``span_n``-grams.
+
+    Where ``duplicate_spans`` counts duplicated span STARTS, this merges
+    adjacent/overlapping duplicated starts into maximal contiguous
+    regions and reports their extents — the output shape of
+    suffix-array substring dedup ("Deduplicating Training Data Makes
+    Language Models Better", Lee et al. 2022): for each doc, how many
+    distinct memorization-risk regions it has and how long the longest
+    one runs. A doc with one 200-word boilerplate block and a doc with
+    twenty scattered 8-word cliches have the same n_dup_spans but very
+    different extents — the spans-to-cut decision needs the merge.
+
+    Pipeline: positional span hash -> doc-frequency filter (>= 2 docs)
+    -> per-doc islands over start positions (island id = pos -
+    row_number, the classic gaps-and-islands reduction) -> per-island
+    run length -> per-doc rollup. The only addition over
+    duplicate_spans is the per-doc window, whose partitions are bounded
+    by doc length — no global sort, no pair generation, so the 100 TB
+    shape is unchanged.
+
+    Returns one row per doc that has >= 1 duplicated span:
+    (id, n_regions, max_region_words, dup_starts) — all exact ints;
+    max_region_words = longest maximal duplicated substring in words
+    (= longest island run + span_n - 1).
+    """
+    docs = spread_corpus(docs, id_col)
+    w = docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
+    cnt = F.size("_w")
+    idx = F.sequence(F.lit(0), cnt - span_n)
+    spans = (
+        w.filter(cnt >= span_n)
+        .select(
+            F.col(id_col),
+            # posexplode_outer: see session.py note on InferFiltersFromGenerate
+            F.posexplode_outer(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        *[F.try_element_at(F.col("_w"), i + k + 1) for k in range(span_n)],
+                    ),
+                )
+            ).alias("pos", "_span"),
+        )
+        .filter(F.col("_span").isNotNull())
+        .select(F.col(id_col), F.col("pos"), md5_long(F.col("_span")).alias("h"))
+    )
+    per_doc_h = spans.select(id_col, "h").distinct()
+    shared = (
+        per_doc_h.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("docs_with"))
+        .filter(F.col("docs_with") >= 2)
+        .select("h")
+    )
+    dup_pos = spans.join(shared, "h", "left_semi").select(id_col, "pos").distinct()
+    w_isl = Window.partitionBy(id_col).orderBy("pos")
+    runs = (
+        dup_pos.withColumn("_g", F.col("pos") - F.row_number().over(w_isl))
+        .groupBy(id_col, "_g")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return runs.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_regions"),
+        (F.max("run_len") + F.lit(span_n - 1)).cast("long").alias("max_region_words"),
+        F.sum("run_len").cast("long").alias("dup_starts"),
+    )
+
+
+def source_minhash_overlap(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Pairwise corpus-overlap estimate BETWEEN sources via source-level
+    MinHash: one signature per source (min over the union of all its
+    docs' shingle hashes per permutation), then for every source pair
+    the fraction of agreeing components estimates the shingle-set
+    Jaccard — the corpus-level dedup diagnostic run before deciding
+    which crawls/dumps to cross-deduplicate at all (a pair of sources
+    with near-zero overlap doesn't need the expensive cross-source
+    MinHash-LSH pass).
+
+    Scale: the signature build is ONE map-side-combinable groupBy over
+    the exploded shingle hashes (k mins per source — same affine family
+    as minhash_signature, one md5 per shingle); the pair comparison
+    runs on |sources| rows, which is always driver-scale. NULL
+    signatures (a source whose docs have no shingles) never agree —
+    a deterministic "disagree" on both engines.
+
+    Returns (source_a, source_b, agree_cnt, n_perms, jaccard_est_ppm)
+    for source_a < source_b; est is exact integer parts-per-million.
+    """
+    ex = (
+        # NULL-text docs contribute nothing (shingles_from_words would emit
+        # an "" shingle for them — concat_ws skips nulls — while a SQL
+        # mirror's comprehension over a NULL list emits no rows; filtering
+        # the rows up front gives both engines the same "absent" semantics)
+        docs.filter(F.col(text_col).isNotNull())
+        .select(F.col(source_col), split_words(F.col(text_col)).alias("_w"))
+        .select(F.col(source_col), shingles_from_words(F.col("_w"), shingle_n).alias("_sh"))
+        .select(F.col(source_col), F.explode_outer("_sh").alias("_s"))
+        .filter(F.col("_s").isNotNull())
+        .select(
+            F.col(source_col),
+            (md5_long(F.col("_s")) % F.lit(4294967296)).alias("_h"),
+        )
+    )
+    sigs = ex.groupBy(source_col).agg(
+        *[
+            F.min(
+                (F.lit(MINHASH_A[j]) * F.col("_h") + F.lit(MINHASH_B[j]))
+                % F.lit(MINHASH_PRIME)
+            ).alias(f"sig_{j}")
+            for j in range(num_hashes)
+        ]
+    )
+    a = sigs.select(
+        F.col(source_col).alias("source_a"),
+        *[F.col(f"sig_{j}").alias(f"a_{j}") for j in range(num_hashes)],
+    )
+    b = sigs.select(
+        F.col(source_col).alias("source_b"),
+        *[F.col(f"sig_{j}").alias(f"b_{j}") for j in range(num_hashes)],
+    )
+    agree = sum(
+        F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), F.lit(1)).otherwise(F.lit(0))
+        for j in range(num_hashes)
+    )
+    return (
+        a.join(b, F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            agree.cast("long").alias("agree_cnt"),
+            F.lit(num_hashes).cast("long").alias("n_perms"),
+        )
+        .withColumn(
+            "jaccard_est_ppm",
+            F.expr("(1000000 * agree_cnt) div n_perms").cast("long"),
+        )
+    )

@@ -409,3 +409,45 @@ def sb_score(
         "n_backoff1",
         "n_backoff2",
     )
+
+
+def token_entropy(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document token-distribution Shannon entropy, exact fixed-point.
+
+    The information-theoretic repetition signal: a doc that repeats one
+    phrase has near-zero entropy while natural prose sits near
+    log2(types) — the continuous counterpart of Gopher's
+    fraction-of-top-n-gram flags (llm/text.py), used the same way (drop
+    or down-weight low-entropy docs before pretraining).
+
+    H = sum_w (tf_w/N) * log2(N/tf_w) in bits/token. Per-term values are
+    tf_w * (flog2(N) - flog2(tf_w)) — exact scaled BIGINTs via the shared
+    flog2 LUT kernel, so per-doc sums are order-independent and the one
+    IEEE division per doc runs on exact operands (same discipline as
+    lm_score). Shape: tokenize map-side, one (doc, token) tf groupBy
+    with map-side combine, a per-doc window (partitions bounded by doc
+    vocabulary), one final per-doc agg — no joins, no driver reads.
+
+    Returns (id, n_tokens, n_types, ent_scaled, bits_per_token); docs
+    with zero extractable words produce no row (H undefined).
+    """
+    w = docs.select(
+        F.col(id_col), F.explode_outer(extract_words(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t").isNotNull())
+    tf = w.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("tf"))
+    win = Window.partitionBy(id_col)
+    counted = tf.withColumn("n_tok", F.sum("tf").over(win))
+    counted = with_flog2(counted, "n_tok", "_ln")
+    counted = with_flog2(counted, "tf", "_lt")
+    per = counted.withColumn("_s", F.col("tf") * (F.col("_ln") - F.col("_lt")))
+    return per.groupBy(id_col).agg(
+        F.max("n_tok").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("_s").cast("long").alias("ent_scaled"),
+        (
+            F.sum("_s").cast("double")
+            / (F.max("n_tok") * F.lit(FLOG2_ONE)).cast("double")
+        ).alias("bits_per_token"),
+    )

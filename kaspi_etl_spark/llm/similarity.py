@@ -1536,3 +1536,135 @@ def lsh_topk_multiprobe(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA (top principal component) via exact fixed-point power iteration
+# ---------------------------------------------------------------------------
+
+PCA_SCALE_BITS = 20
+PCA_SCALE = 1 << PCA_SCALE_BITS
+
+
+def pca_moments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dims: int = 16,
+) -> tuple[int, list[int], dict[tuple[int, int], int]]:
+    """Quantized first/second moments of the first ``dims`` vector
+    components — the bounded driver read PCA training needs.
+
+    Components quantize to floor(x * 2^20) BIGINTs (NULL components
+    count as 0, mirroring the projection's coalesce), then ONE pass
+    computes per-dim sums and the upper-triangle Gram sums via an
+    exploded self-join on the id whose (i, j) groupBy partial-aggregates
+    map-side — the exchange carries ~dims^2 rows per partition, and the
+    driver reads dims + dims*(dims+1)/2 + 1 values total regardless of
+    corpus size (the FS-weights pattern). BIGINT Gram sums bound the
+    corpus at ~3e7 rows for 64-dim unit-scale vectors; past that,
+    re-quantize coarser or switch the sums to DECIMAL.
+
+    Returns (n_vectors, sx[dims], {(i, j): sxy} for 0 <= i <= j < dims).
+    """
+    base = df.filter(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) >= dims)
+    ).select(
+        F.col(id_col).alias("_id"),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dims).alias("_v"),
+    )
+    exq = base.select(
+        "_id", F.posexplode_outer("_v").alias("i", "x")
+    ).select(
+        "_id",
+        "i",
+        F.coalesce(
+            F.floor(F.col("x") * F.lit(PCA_SCALE)).cast("long"), F.lit(0)
+        ).alias("xq"),
+    )
+    n = base.count()
+    sx_rows = exq.groupBy("i").agg(F.sum("xq").alias("s")).collect()
+    sx = [0] * dims
+    for r in sx_rows:
+        sx[r["i"]] = int(r["s"])
+    a = exq.select(F.col("_id"), F.col("i").alias("ia"), F.col("xq").alias("xa"))
+    b = exq.select(
+        F.col("_id").alias("_id2"), F.col("i").alias("ib"), F.col("xq").alias("xb")
+    )
+    gram_rows = (
+        a.join(b, (F.col("_id") == F.col("_id2")) & (F.col("ia") <= F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.sum(F.col("xa") * F.col("xb")).alias("sp"))
+        .collect()
+    )
+    sxy = {(int(r["ia"]), int(r["ib"])): int(r["sp"]) for r in gram_rows}
+    return n, sx, sxy
+
+
+def pca_power_component(
+    n: int,
+    sx: list[int],
+    sxy: dict[tuple[int, int], int],
+    dims: int = 16,
+    iters: int = 6,
+) -> list[int]:
+    """Fixed-point power iteration for the top principal component of
+    the centered scatter matrix C = n*Gram - sx*sx^T, entirely in exact
+    Python integers (the driver-side mirror the oracle unrolls as CTEs).
+
+    Each step: u = C v; if max|u| = 0 the iterate is kept unchanged
+    (zero matrix / exact-null-space tie — both engines keep the same
+    vector); else v = floor(u * 2^20 / max|u|), so v is renormalized to
+    max-component 2^20 and every operation is order-independent integer
+    math. Sign/direction is pinned by the all-ones start."""
+    C = [[0] * dims for _ in range(dims)]
+    for i in range(dims):
+        for j in range(i, dims):
+            c = n * sxy.get((i, j), 0) - sx[i] * sx[j]
+            C[i][j] = c
+            C[j][i] = c
+    v = [PCA_SCALE] * dims
+    for _ in range(iters):
+        u = [sum(C[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            continue  # keep v — mirrors the SQL CASE WHEN m = 0
+        v = [(x * PCA_SCALE) // m for x in u]
+    return v
+
+
+def pca_project(
+    df: DataFrame,
+    component: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Project vectors onto a fixed-point principal component (the
+    literal-weights scoring pass): proj = sum_i floor(x_i * 2^20) * v_i,
+    NULL components contributing 0. The component rides as plan
+    constants — one shuffle-free scan; the unrolled chain is dims small
+    terms over the RAW scan column (not a derived array), which stays
+    clear of the CollapseProject re-inlining trap noted in NOTES.
+
+    Returns (id, proj_scaled BIGINT, proj_value DOUBLE = proj / 2^40)."""
+    dims = len(component)
+    base = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dims))
+    vec_dbl = F.col(vec_col).cast("array<double>")
+    terms = [
+        F.coalesce(
+            F.floor(F.try_element_at(vec_dbl, F.lit(i + 1)) * F.lit(PCA_SCALE)).cast(
+                "long"
+            ),
+            F.lit(0),
+        )
+        * F.lit(int(component[i]))
+        for i in range(dims)
+    ]
+    proj = sum(terms[1:], terms[0])
+    return base.select(
+        F.col(id_col),
+        proj.cast("long").alias("proj_scaled"),
+        (proj.cast("double") / F.lit(float(1 << (2 * PCA_SCALE_BITS)))).alias(
+            "proj_value"
+        ),
+    )

@@ -16,7 +16,7 @@ replacements where oracle-exactness is not required.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..clean import clamp01, price_step
@@ -136,4 +136,83 @@ def global_analytics(sellers: DataFrame) -> DataFrame:
         attractiveness.alias("attractivenessIndex"),
         stability.alias("stabilityScore"),
         best_entry.alias("bestEntryPrice"),
+    )
+
+
+def cusum_profile(
+    daily: DataFrame,
+    date_col: str = "order_date",
+    value_col: str = "daily_gross",
+    h_sigmas: int = 5,
+) -> DataFrame:
+    """Two-sided CUSUM drift detection over a daily metric series —
+    the changepoint monitor next to daily_revenue_outliers' z-score
+    (which flags single spikes; CUSUM accumulates small sustained
+    shifts that never individually cross a z threshold).
+
+    Exact-integer reduction: with S_t = cumulative sum of (x_t - mu)
+    (mu = floor-mean) and the S_0 = 0 convention, the standard
+    recursions C+_t = max(0, C+_{t-1} + x_t - mu) and
+    C-_t = max(0, C-_{t-1} - (x_t - mu)) close to
+
+        C+_t = S_t - min(0, min_{j<=t} S_j)
+        C-_t = max(0, max_{j<=t} S_j) - S_t
+
+    so both sides are running-sum + running-extremum windows — no
+    recursion, all BIGINT. The alarm threshold is h_sigmas * sigma with
+    sigma = isqrt(floor(sum(x^2)/n) - mu^2) (exact integer sqrt via the
+    floor(sqrt)+correction trick, same as corpus_mix_temperature).
+
+    Scale: the input is a per-day rollup, so the unpartitioned ordered
+    window runs over rows bounded by calendar days regardless of raw
+    data volume — aggregate first, window the tiny series.
+
+    Returns (date, value, s_cum, cusum_pos, cusum_neg, is_alarm).
+    """
+    x = F.col(value_col).cast("long")
+    stats = daily.select(
+        F.col(date_col).alias("_d"),
+        x.alias("_x"),
+    ).select(
+        "_d",
+        "_x",
+        F.expr("sum(_x) over () div count(*) over ()").alias("_mu"),
+        F.expr("sum(_x * _x) over () div count(*) over ()").alias("_m2"),
+    )
+    var = F.greatest(F.col("_m2") - F.col("_mu") * F.col("_mu"), F.lit(0))
+    r0 = F.floor(F.sqrt(var.cast("double"))).cast("long")
+    sigma = (
+        F.when((r0 + 1) * (r0 + 1) <= var, r0 + 1)
+        .when(r0 * r0 > var, r0 - 1)
+        .otherwise(r0)
+    )
+    staged = stats.select(
+        "_d",
+        "_x",
+        "_mu",
+        (F.lit(h_sigmas) * sigma).alias("_h"),
+    )
+    w_pre = Window.orderBy("_d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = F.sum(F.col("_x") - F.col("_mu")).over(w_pre)
+    cum = staged.select(
+        "_d", "_x", "_h", s.alias("_s")
+    ).select(
+        "_d",
+        "_x",
+        "_h",
+        "_s",
+        F.least(F.lit(0).cast("long"), F.min("_s").over(w_pre)).alias("_smin"),
+        F.greatest(F.lit(0).cast("long"), F.max("_s").over(w_pre)).alias("_smax"),
+    )
+    pos = (F.col("_s") - F.col("_smin")).cast("long")
+    neg = (F.col("_smax") - F.col("_s")).cast("long")
+    return cum.select(
+        F.col("_d").alias(date_col),
+        F.col("_x").alias(value_col),
+        F.col("_s").cast("long").alias("s_cum"),
+        pos.alias("cusum_pos"),
+        neg.alias("cusum_neg"),
+        ((pos > F.col("_h")) | (neg > F.col("_h"))).alias("is_alarm"),
     )

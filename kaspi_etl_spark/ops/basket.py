@@ -1,0 +1,107 @@
+"""Market-basket association rules (Apriori-pruned pair rules).
+
+The recommendation/affinity counterpart of ops/graph.py's co-purchase
+similarity: directed rules A -> B with support, confidence, and lift,
+mined from order baskets. Reference anchor: the co-purchase analytics
+family (SURVEY §2 graph/behavioral ops); the algorithm is the public
+Apriori pair-rule form (Agrawal & Srikant 1994).
+
+Determinism: support/confidence/lift are exact integers — counts are
+BIGINTs and the two ratios are emitted as parts-per-million via integer
+floor division, so there is no float anywhere and any SQL engine
+reproduces the rows bit-for-bit.
+
+Scale shape (100 TB):
+  * baskets are DISTINCT (order, item) — one dedup shuffle;
+  * the Apriori prune runs BEFORE pair generation: an item whose basket
+    count is below min_support can never appear in a pair with support
+    >= min_support (co <= min(n_a, n_b)), so infrequent items leave the
+    pipeline in a map-side-combinable groupBy + semi-join, which is what
+    bounds the self-join fan-out on a 100 TB order history;
+  * pair counting self-joins the pruned baskets on the order key —
+    fan-out bounded by (pruned) basket size squared, the same shape as
+    copurchase_item_sim; a hub basket would get the same frequency-cap
+    treatment as dedup shingles;
+  * rules are derived from the undirected pair counts by a cheap
+    two-direction union AFTER the min-support filter, so the expensive
+    join never runs twice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PPM = 1_000_000
+
+
+def association_rules(
+    baskets: DataFrame,
+    basket_col: str = "o",
+    item_col: str = "item",
+    min_support: int = 3,
+    min_conf_ppm: int = 0,
+) -> DataFrame:
+    """Directed pair association rules over (basket, item) rows.
+
+    Returns one row per rule (antecedent -> consequent) with
+    support_cnt >= min_support and conf_ppm >= min_conf_ppm:
+    (antecedent, consequent, support_cnt, n_antecedent, n_consequent,
+    n_baskets, conf_ppm, lift_ppm) — all exact BIGINTs;
+    conf_ppm = floor(1e6 * support / n_antecedent),
+    lift_ppm = floor(1e6 * support * n_baskets /
+                     (n_antecedent * n_consequent)).
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = b.select(F.countDistinct("_o").alias("n_baskets"))
+    item_n = b.groupBy("_i").agg(F.count(F.lit(1)).alias("n_orders"))
+    frequent = item_n.filter(F.col("n_orders") >= min_support)
+    # Apriori prune: only items frequent enough to ever reach pair support
+    pruned = b.join(frequent.select("_i"), "_i", "left_semi")
+    a = pruned.select(F.col("_o"), F.col("_i").alias("item_a"))
+    c = pruned.select(F.col("_o").alias("_o2"), F.col("_i").alias("item_b"))
+    co = (
+        a.join(c, (F.col("_o") == F.col("_o2")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= min_support)
+    )
+    directed = co.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "co",
+    ).unionByName(
+        co.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "co",
+        )
+    )
+    na = item_n.select(
+        F.col("_i").alias("antecedent"), F.col("n_orders").alias("n_antecedent")
+    )
+    nc = item_n.select(
+        F.col("_i").alias("consequent"), F.col("n_orders").alias("n_consequent")
+    )
+    scored = (
+        directed.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("co").cast("long").alias("support_cnt"),
+            F.col("n_antecedent").cast("long").alias("n_antecedent"),
+            F.col("n_consequent").cast("long").alias("n_consequent"),
+            F.col("n_baskets").cast("long").alias("n_baskets"),
+            F.expr(f"({PPM} * co) div n_antecedent").cast("long").alias("conf_ppm"),
+            F.expr(
+                f"({PPM} * co * n_baskets) div (n_antecedent * n_consequent)"
+            )
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    return scored.filter(F.col("conf_ppm") >= min_conf_ppm)

@@ -9405,3 +9405,328 @@ def q_part_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(
         F.col("doc_id").alias("part_id"), F.col("cluster_id").alias("entity_id")
     )
+
+
+def _sql_source_minhash_sigs(num_hashes: int) -> str:
+    # Per-SOURCE affine MinHash mirror of dedup.source_minhash_overlap:
+    # same constants as _sql_minhash_sigs but aggregated MIN over the
+    # exploded shingle hashes of all the source's docs.
+    sig_exprs = ",\n             ".join(
+        f"MIN(({dedup_ops.MINHASH_A[j]} * h + {dedup_ops.MINHASH_B[j]})"
+        f" % {dedup_ops.MINHASH_PRIME}) AS sig_{j}"
+        for j in range(num_hashes)
+    )
+    return f"""
+    w AS (SELECT source, {SQL_WORDS} AS w FROM documents
+          WHERE text IS NOT NULL),
+    sh AS (SELECT source, list_distinct({SQL_SHINGLES_RAW}) AS shingles FROM w),
+    hx AS (SELECT source,
+                  unnest([{_sql_md5_long('s')} % 4294967296 for s in shingles]) AS h
+           FROM sh),
+    sigs AS (SELECT source, {sig_exprs} FROM hx GROUP BY source)"""
+
+
+@register(
+    "source_overlap_minhash",
+    f"""
+    WITH {_sql_source_minhash_sigs(16)}
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST({" + ".join(f"CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END" for j in range(16))}
+                AS BIGINT) AS agree_cnt,
+           CAST(16 AS BIGINT) AS n_perms,
+           CAST((1000000 * ({" + ".join(f"CASE WHEN a.sig_{j} = b.sig_{j} THEN 1 ELSE 0 END" for j in range(16))}))
+                // 16 AS BIGINT) AS jaccard_est_ppm
+    FROM sigs a JOIN sigs b ON a.source < b.source
+    """,
+)
+def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-overlap triage between sources: one MinHash signature per
+    SOURCE (min over the union of its docs' shingle hashes, same affine
+    family as minhash_signature), pairwise component agreement =
+    Jaccard estimate of the sources' shingle sets. The diagnostic a
+    pipeline runs before paying for cross-source near-dup joins — pairs
+    estimating ~0 skip the LSH pass entirely. One exploded-hash
+    groupBy (map-side combinable k-min agg); the pair stage is
+    |sources|^2 rows, always driver-scale."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup_ops.source_minhash_overlap(d)
+
+
+@register(
+    "docs_dup_span_extents",
+    f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS ws FROM documents),
+    eligible AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
+    sp AS (
+      SELECT doc_id, i AS pos,
+             {_sql_md5_long("array_to_string(ws[i+1:i+8], ' ')")} AS h
+      FROM (SELECT doc_id, ws, unnest(range(0, len(ws) - 8 + 1)) AS i
+            FROM eligible)
+    ),
+    pdh AS (SELECT DISTINCT doc_id, h FROM sp),
+    shared AS (SELECT h FROM pdh GROUP BY h HAVING COUNT(*) >= 2),
+    dp AS (SELECT DISTINCT doc_id, pos FROM sp
+           WHERE h IN (SELECT h FROM shared)),
+    isl AS (SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+                     AS g
+            FROM dp),
+    runs AS (SELECT doc_id, g, COUNT(*) AS run_len FROM isl GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_regions,
+           CAST(MAX(run_len) + 7 AS BIGINT) AS max_region_words,
+           CAST(SUM(run_len) AS BIGINT) AS dup_starts
+    FROM runs GROUP BY doc_id
+    """,
+)
+def q_docs_dup_span_extents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated regions (suffix-array-dedup output shape, Lee
+    et al. 2022): duplicate_spans' shared positional 8-grams merged into
+    contiguous islands per doc — how many distinct memorization-risk
+    regions and how long the longest runs. The merge is the classic
+    gaps-and-islands window (pos - row_number), partitions bounded by
+    doc length; everything upstream is the duplicate_spans hash
+    pipeline, so the 100 TB shape is unchanged."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup_ops.duplicate_span_extents(d)
+
+
+@register(
+    "docs_token_entropy",
+    f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS_EXPR}) AS t FROM documents
+    ),
+    tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+           FROM w GROUP BY 1, 2),
+    c AS (SELECT doc_id, tf,
+                 CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok
+          FROM tf),
+    per AS (SELECT doc_id, tf, n_tok,
+                   tf * ({lm_ops.sql_flog2('n_tok')} - {lm_ops.sql_flog2('tf')})
+                     AS s
+            FROM c)
+    SELECT doc_id,
+           CAST(MAX(n_tok) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(s) AS BIGINT) AS ent_scaled,
+           CAST(SUM(s) AS DOUBLE)
+             / CAST(MAX(n_tok) * {lm_ops.FLOG2_ONE} AS DOUBLE)
+             AS bits_per_token
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per doc — the continuous
+    repetition signal next to the Gopher flag family: near-zero for
+    copy-paste loops, ~log2(types) for natural prose. Exact fixed-point
+    via the shared flog2 LUT (per-term BIGINTs, one IEEE division per
+    doc on exact operands). One tf groupBy + a per-doc window; no joins."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.token_entropy(d)
+
+
+from .ops import basket as basket_ops  # noqa: E402
+
+
+@register(
+    "basket_assoc_rules",
+    """
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
+    ),
+    nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM basket),
+    n AS (SELECT item, CAST(count(*) AS BIGINT) AS n_orders
+          FROM basket GROUP BY item),
+    pb AS (SELECT o, item FROM basket
+           WHERE item IN (SELECT item FROM n WHERE n_orders >= 2)),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b,
+             CAST(count(*) AS BIGINT) AS co
+      FROM pb a JOIN pb b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    directed AS (
+      SELECT item_a AS antecedent, item_b AS consequent, co FROM co
+      UNION ALL
+      SELECT item_b AS antecedent, item_a AS consequent, co FROM co
+    )
+    SELECT d.antecedent, d.consequent,
+           CAST(d.co AS BIGINT) AS support_cnt,
+           na.n_orders AS n_antecedent,
+           nc.n_orders AS n_consequent,
+           nb.n_baskets,
+           CAST((1000000 * d.co) // na.n_orders AS BIGINT) AS conf_ppm,
+           CAST((1000000 * d.co * nb.n_baskets)
+                // (na.n_orders * nc.n_orders) AS BIGINT) AS lift_ppm
+    FROM directed d
+    JOIN n na ON na.item = d.antecedent
+    JOIN n nc ON nc.item = d.consequent, nb
+    """,
+)
+def q_basket_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori pair association rules over order baskets (directed
+    A -> B with exact-integer support / confidence-ppm / lift-ppm) —
+    the affinity-mining sibling of copurchase_item_sim. The Apriori
+    prune (items below min support leave before pair generation, valid
+    because co <= min(n_a, n_b)) is what bounds the self-join at
+    100 TB; both ratios are integer floor divisions so the rule set is
+    bit-deterministic. min_support=2 on this corpus keeps a ~7k-rule
+    output (co-counts are near-independent at sf0.01)."""
+    li = _read(spark, sf_dir, "lineitem")
+    baskets = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item"))
+    return basket_ops.association_rules(baskets, min_support=2)
+
+
+@register(
+    "daily_revenue_cusum",
+    f"""
+    WITH orders_kaspi AS ({SQL_ORDERS_KASPI}),
+    daily AS (
+      SELECT order_date, CAST(SUM(gross_price_kzt) AS BIGINT) AS daily_gross
+      FROM orders_kaspi GROUP BY 1
+    ),
+    st AS (
+      SELECT order_date, daily_gross,
+             SUM(daily_gross) OVER () // COUNT(*) OVER () AS mu,
+             SUM(daily_gross * daily_gross) OVER () // COUNT(*) OVER () AS m2
+      FROM daily
+    ),
+    sg AS (
+      SELECT *, GREATEST(m2 - mu * mu, 0) AS var,
+             CAST(FLOOR(SQRT(CAST(GREATEST(m2 - mu * mu, 0) AS DOUBLE)))
+                  AS BIGINT) AS r0
+      FROM st
+    ),
+    hh AS (
+      SELECT order_date, daily_gross, mu,
+             5 * (CASE WHEN (r0 + 1) * (r0 + 1) <= var THEN r0 + 1
+                       WHEN r0 * r0 > var THEN r0 - 1
+                       ELSE r0 END) AS h
+      FROM sg
+    ),
+    cum AS (
+      SELECT order_date, daily_gross, h,
+             SUM(daily_gross - mu) OVER (ORDER BY order_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM hh
+    ),
+    ext AS (
+      SELECT order_date, daily_gross, h, s,
+             LEAST(0, MIN(s) OVER (ORDER BY order_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS smin,
+             GREATEST(0, MAX(s) OVER (ORDER BY order_date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS smax
+      FROM cum
+    )
+    SELECT order_date,
+           CAST(daily_gross AS BIGINT) AS daily_gross,
+           CAST(s AS BIGINT) AS s_cum,
+           CAST(s - smin AS BIGINT) AS cusum_pos,
+           CAST(smax - s AS BIGINT) AS cusum_neg,
+           ((s - smin) > h) OR ((smax - s) > h) AS is_alarm
+    FROM ext
+    """,
+)
+def q_daily_revenue_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM drift monitor on daily gross revenue — the
+    sustained-shift changepoint detector next to daily_revenue_outliers'
+    single-spike z-score. The recursive CUSUM closes to running-sum +
+    running-extremum windows (see ops.analytics.cusum_profile), so the
+    whole statistic is exact BIGINT window math over the per-day rollup
+    (rows bounded by calendar days at any raw volume); the alarm
+    threshold is 5 * exact-integer-sqrt of the floor variance."""
+    daily = (
+        orders_kaspi(spark, sf_dir)
+        .groupBy("order_date")
+        .agg(F.sum("gross_price_kzt").cast("long").alias("daily_gross"))
+    )
+    return analytics_ops.cusum_profile(daily)
+
+
+def _sql_pca_oracle(dims: int = 16, iters: int = 6) -> str:
+    """DuckDB mirror of the full PCA trajectory: quantized moments ->
+    centered scatter matrix (HUGEINT — n * Gram exceeds BIGINT) ->
+    ``iters`` unrolled power-iteration CTEs with the same floor-div
+    renormalization (mod identity: DuckDB // truncates, Python //
+    floors; subtracting the positive mod first makes the division exact
+    so both agree) -> literal-free projection join."""
+    sc = sim_ops.PCA_SCALE
+    steps = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        steps.append(f"""
+    u{k} AS MATERIALIZED (SELECT c.i AS pos, SUM(c.c * v.v) AS u
+             FROM cov c JOIN {prev} v ON c.j = v.pos GROUP BY 1),
+    m{k} AS MATERIALIZED (SELECT MAX(ABS(u)) AS m FROM u{k}),
+    v{k} AS MATERIALIZED (SELECT u{k}.pos,
+                    CASE WHEN m{k}.m = 0 THEN {prev}.v
+                         ELSE (u{k}.u * {sc}
+                               - ((u{k}.u * {sc} % m{k}.m) + m{k}.m) % m{k}.m)
+                              // m{k}.m
+                    END AS v
+             FROM u{k} JOIN {prev} ON u{k}.pos = {prev}.pos, m{k})""")
+        prev = f"v{k}"
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) >= {dims}
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM base),
+    ex AS MATERIALIZED (
+      SELECT vec_id, i,
+             CAST(COALESCE(FLOOR(CAST(embedding[i] AS DOUBLE)
+                                 * CAST({sc} AS DOUBLE)), 0) AS BIGINT) AS xq
+      FROM (SELECT vec_id, embedding, unnest(range(1, {dims + 1})) AS i
+            FROM base)
+    ),
+    sx AS (SELECT i, CAST(SUM(xq) AS HUGEINT) AS s FROM ex GROUP BY i),
+    sxy AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(SUM(CAST(a.xq AS HUGEINT) * b.xq) AS HUGEINT) AS sp
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT gi.i, gj.j
+      FROM (SELECT unnest(range(1, {dims + 1})) AS i) gi,
+           (SELECT unnest(range(1, {dims + 1})) AS j) gj
+    ),
+    cov AS MATERIALIZED (
+      SELECT g.i, g.j,
+             COALESCE(nn.n * sxy.sp, 0) - COALESCE(sa.s * sb.s, 0) AS c
+      FROM grid g
+      LEFT JOIN sxy ON sxy.i = g.i AND sxy.j = g.j
+      LEFT JOIN sx sa ON sa.i = g.i
+      LEFT JOIN sx sb ON sb.i = g.j
+      CROSS JOIN nn
+    ),
+    v0 AS MATERIALIZED (SELECT unnest(range(1, {dims + 1})) AS pos,
+                  CAST({sc} AS HUGEINT) AS v),{",".join(steps)},
+    proj AS (
+      SELECT e.vec_id, CAST(SUM(CAST(e.xq AS HUGEINT) * v.v) AS BIGINT) AS p
+      FROM ex e JOIN {prev} v ON e.i = v.pos GROUP BY 1
+    )
+    SELECT b.vec_id,
+           CAST(COALESCE(p.p, 0) AS BIGINT) AS proj_scaled,
+           CAST(COALESCE(p.p, 0) AS DOUBLE)
+             / CAST({sc * sc} AS DOUBLE) AS proj_value
+    FROM base b LEFT JOIN proj p USING (vec_id)
+    """
+
+
+@register("embeddings_pca_project", _sql_pca_oracle(16, 6))
+def q_embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component projection of the embedding corpus (the
+    dimensionality-reduction / drift-axis primitive next to the JL and
+    int8 families): exact fixed-point power iteration on the centered
+    scatter matrix of the first 16 dims. The moments are ONE bounded
+    driver read (16 + 136 + 1 values, any corpus size); 6 power
+    iterations run driver-side in exact Python ints (oracle: the same
+    trajectory unrolled as HUGEINT CTEs); the projection is a
+    shuffle-free scan with the component as plan literals — the
+    train-bounded / score-distributed split every trained family here
+    uses (FS weights, k-means centroids, logreg weights)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    n, sx, sxy = sim_ops.pca_moments(emb, dims=16)
+    v = sim_ops.pca_power_component(n, sx, sxy, dims=16, iters=6)
+    return sim_ops.pca_project(emb, v)

@@ -49,6 +49,8 @@ BNLJ_ALLOWED = {
     "ann_rrf_fusion",  # brute-force system side = the bounded cross product
     "docs_dsir_weights",  # 1-row (T+D, R+D) flog2 constants broadcast
     "source_perplexity_profile",  # inherits lm_score's 1-row vocab broadcast
+    "source_overlap_minhash",  # |sources|^2 pair join over per-source aggregates
+    "basket_assoc_rules",  # 1-row n_baskets total broadcast back onto the rules
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

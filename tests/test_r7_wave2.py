@@ -1,0 +1,222 @@
+"""Unit tests for the round-7 second-wave operators: duplicate-span
+extents, source MinHash overlap, token entropy, association rules,
+CUSUM, and fixed-point PCA."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaspi_etl_spark.llm import dedup, lm, similarity
+from kaspi_etl_spark.ops import analytics, basket
+
+# ---------------------------------------------------------------------------
+# duplicate_span_extents
+# ---------------------------------------------------------------------------
+
+SHARED10 = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"  # 10 words -> 3 dup 8-gram starts
+SHARED8 = "x1 x2 x3 x4 x5 x6 x7 x8"  # exactly one 8-gram
+
+
+def test_dup_span_extents_islands(spark):
+    # doc 1/2 share a 10-word run; doc 1/3 share a separate 8-word run
+    rows = [
+        (1, SHARED10 + " filler1 filler2 filler3 filler4 filler5 " + SHARED8),
+        (2, SHARED10 + " tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8"),
+        (3, "head1 head2 head3 head4 head5 head6 head7 head8 " + SHARED8),
+        (4, "nothing shared in this document at all believe me ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_span_extents(df).collect()}
+    # doc 1: islands = the 3-start run of SHARED10 and the 1-start run of
+    # SHARED8 -> 2 maximal regions, longest = 3 + 8 - 1 = 10 words
+    assert out[1].n_regions == 2
+    assert out[1].max_region_words == 10
+    assert out[1].dup_starts == 4
+    # doc 2: just the SHARED10 run
+    assert out[2].n_regions == 1 and out[2].max_region_words == 10
+    # doc 3: just the SHARED8 single-start region -> 8 words
+    assert out[3].n_regions == 1 and out[3].max_region_words == 8
+    # doc 4 has no duplicated spans -> absent
+    assert 4 not in out
+
+
+def test_dup_span_extents_short_and_null_docs(spark):
+    rows = [(1, "too short"), (2, None), (3, SHARED8), (4, SHARED8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in dedup.duplicate_span_extents(df).collect()}
+    assert set(out) == {3, 4}
+    assert out[3].max_region_words == 8
+
+
+# ---------------------------------------------------------------------------
+# source_minhash_overlap
+# ---------------------------------------------------------------------------
+
+
+def test_source_overlap_identical_vs_disjoint(spark):
+    same = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    other = "one two three four five six seven eight nine ten eleven"
+    rows = [
+        (1, same, "sA"),
+        (2, same, "sB"),  # sB identical corpus to sA
+        (3, other, "sC"),  # sC disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r for r in dedup.source_minhash_overlap(df).collect()}
+    assert out[("sA", "sB")].agree_cnt == 16
+    assert out[("sA", "sB")].jaccard_est_ppm == 1_000_000
+    assert out[("sA", "sC")].agree_cnt < 16
+
+
+def test_source_overlap_all_null_source_absent(spark):
+    rows = [(1, "alpha beta gamma delta", "sA"), (2, None, "sNull")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    assert dedup.source_minhash_overlap(df).count() == 0  # no pair rows at all
+
+
+# ---------------------------------------------------------------------------
+# token_entropy
+# ---------------------------------------------------------------------------
+
+
+def test_token_entropy_exact_cases(spark):
+    rows = [
+        (1, "spam spam spam spam"),  # one type -> H = 0
+        (2, "yes no yes no"),  # two equiprobable types -> H = 1 bit exactly
+        (3, ""),  # no words -> absent
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in lm.token_entropy(df).collect()}
+    assert out[1].ent_scaled == 0 and out[1].bits_per_token == 0.0
+    assert out[2].n_tokens == 4 and out[2].n_types == 2
+    assert out[2].bits_per_token == 1.0  # flog2 is exact on powers of two
+    assert 3 not in out
+
+
+# ---------------------------------------------------------------------------
+# association_rules
+# ---------------------------------------------------------------------------
+
+
+def test_association_rules_exact_values(spark):
+    # item 10 in baskets {1,2,3}; item 20 in {1,2,3,4}; pair support 3;
+    # item 30 appears once -> Apriori-pruned before pair generation
+    rows = [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (4, 20), (4, 30)]
+    df = spark.createDataFrame(rows, "o long, item long")
+    out = {
+        (r.antecedent, r.consequent): r
+        for r in basket.association_rules(df, min_support=3).collect()
+    }
+    assert set(out) == {(10, 20), (20, 10)}
+    r = out[(10, 20)]
+    assert r.support_cnt == 3 and r.n_antecedent == 3 and r.n_consequent == 4
+    assert r.n_baskets == 4
+    assert r.conf_ppm == 1_000_000  # 3/3
+    assert r.lift_ppm == 1_000_000  # 3*4/(3*4)
+    assert out[(20, 10)].conf_ppm == 750_000  # 3/4
+
+
+def test_association_rules_prune_matches_unpruned(spark):
+    # the Apriori prune must never change the surviving rule set
+    rows = [(o, i) for o in range(1, 9) for i in (1, 2)] + [(1, 99), (2, 98)]
+    df = spark.createDataFrame(rows, "o long, item long")
+    pruned = basket.association_rules(df, min_support=2).collect()
+    # min_support=1 disables the prune; filter to support >= 2 afterwards
+    full = [
+        r
+        for r in basket.association_rules(df, min_support=1).collect()
+        if r.support_cnt >= 2
+    ]
+    key = lambda r: (r.antecedent, r.consequent)  # noqa: E731
+    assert sorted(map(key, pruned)) == sorted(map(key, full))
+
+
+# ---------------------------------------------------------------------------
+# cusum_profile
+# ---------------------------------------------------------------------------
+
+
+def test_cusum_constant_series_never_alarms(spark):
+    rows = [(f"2024-01-{d:02d}", 100) for d in range(1, 21)]
+    df = spark.createDataFrame(rows, "order_date string, daily_gross long")
+    out = analytics.cusum_profile(df).collect()
+    assert all(r.cusum_pos == 0 and r.cusum_neg == 0 for r in out)
+    assert not any(r.is_alarm for r in out)
+
+
+def test_cusum_step_change_alarms(spark):
+    # 20 days at 100, then 20 days at 200: both regimes drift vs the
+    # retrospective global mean (mu = 150), so the NEGATIVE side
+    # accumulates through the low regime and the POSITIVE side through
+    # the high one — two-sided CUSUM around a full-series mean flags
+    # both, by design; the alarm must fire on each side.
+    rows = [(f"2024-01-{d:02d}", 100) for d in range(1, 21)] + [
+        (f"2024-02-{d:02d}", 200) for d in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "order_date string, daily_gross long")
+    out = sorted(analytics.cusum_profile(df).collect(), key=lambda r: r.order_date)
+    assert any(r.is_alarm and r.cusum_neg > r.cusum_pos for r in out[:20])
+    assert any(r.is_alarm and r.cusum_pos > r.cusum_neg for r in out[25:])
+    # cusum_pos grows monotonically through the shifted regime
+    tail = [r.cusum_pos for r in out[20:]]
+    assert tail == sorted(tail)
+
+
+def test_cusum_closed_form_matches_recursion(spark):
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randint(0, 1000) for _ in range(50)]
+    rows = [(f"2024-{1 + d // 28:02d}-{1 + d % 28:02d}", v) for d, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "order_date string, daily_gross long")
+    out = sorted(analytics.cusum_profile(df).collect(), key=lambda r: r.order_date)
+    mu = sum(vals) // len(vals)
+    cp = cn = 0
+    for r, x in zip(out, vals):
+        cp = max(0, cp + x - mu)
+        cn = max(0, cn - (x - mu))
+        assert (r.cusum_pos, r.cusum_neg) == (cp, cn)
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration
+# ---------------------------------------------------------------------------
+
+
+def test_pca_power_component_diagonal():
+    # scatter matrix diag(4, 1): the top component is e0
+    n, sx = 1, [0, 0]
+    sxy = {(0, 0): 4, (1, 1): 1}
+    v = similarity.pca_power_component(n, sx, sxy, dims=2, iters=8)
+    assert v[0] == similarity.PCA_SCALE  # renormalized to max = 2^20
+    assert abs(v[1]) < similarity.PCA_SCALE // 100
+
+
+def test_pca_power_component_zero_matrix_keeps_start():
+    v = similarity.pca_power_component(0, [0, 0], {}, dims=2, iters=4)
+    assert v == [similarity.PCA_SCALE] * 2
+
+
+def test_pca_project_orders_along_dominant_axis(spark):
+    # vectors spread along dim 0 with small noise in dim 1: the projection
+    # must order them by their dim-0 coordinate (up to global sign)
+    rows = [(i, [float(i) / 10.0, 0.01 * (i % 3)] + [0.0] * 14) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n, sx, sxy = similarity.pca_moments(df, dims=16)
+    v = similarity.pca_power_component(n, sx, sxy, dims=16, iters=6)
+    out = {r.vec_id: r.proj_scaled for r in similarity.pca_project(df, v).collect()}
+    series = [out[i] for i in range(12)]
+    assert series == sorted(series) or series == sorted(series, reverse=True)
+
+
+def test_pca_project_null_and_short_vectors(spark):
+    rows = [
+        (1, [0.5] * 16),
+        (2, None),  # filtered
+        (3, [0.1] * 8),  # too short -> filtered
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    n, sx, sxy = similarity.pca_moments(df, dims=16)
+    assert n == 1
+    out = similarity.pca_project(df, [similarity.PCA_SCALE] * 16).collect()
+    assert [r.vec_id for r in out] == [1]
