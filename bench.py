@@ -112,6 +112,14 @@ HEADLINE = [
     # passes + scoring in one corpus read) and the Hilbert layout key
     "docs_dsir_weights",
     "orders_hilbert_curve",
+    # r7 third wave: Apriori pair rules (pruned basket self-join), the
+    # gaps-and-islands duplicate-region merge, fixed-point PCA
+    # (bounded-moments train + literal-component score), and the
+    # flog2-exact token-entropy repetition signal
+    "basket_assoc_rules",
+    "docs_dup_span_extents",
+    "embeddings_pca_project",
+    "docs_token_entropy",
 ]
 
 

@@ -1668,3 +1668,52 @@ def pca_project(
             "proj_value"
         ),
     )
+
+
+def hard_negatives_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the k
+    most cosine-similar corpus vectors carrying a DIFFERENT label — the
+    training-pair generator for contrastive/metric learning (easy
+    negatives teach nothing; the informative ones sit just across the
+    decision boundary, i.e. high similarity + wrong label).
+
+    Same shape as brute_force_topk (broadcast query set x distributed
+    corpus scan, per-query WindowGroupLimit top-k) with the label
+    disagreement filter applied BEFORE the dot product so same-label
+    pairs never pay the similarity math. NULL labels never match
+    ``!=`` on either engine, so unlabeled corpus rows are excluded
+    deterministically. At index scale, swap the brute-force inner join
+    for lsh_topk candidates and keep the label filter — the mining
+    logic is unchanged.
+    """
+    q = with_normalized(queries, vec_col, "_qvec").select(
+        query_id_col, F.col(label_col).alias("_qlabel"), "_qvec"
+    )
+    c = with_normalized(corpus, vec_col, "_cvec").select(id_col, label_col, "_cvec")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col(query_id_col) != F.col(id_col))
+            & (F.col(label_col) != F.col("_qlabel"))
+        )
+        .select(
+            query_id_col,
+            id_col,
+            F.col(label_col),
+            dot(F.col("_qvec"), F.col("_cvec")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )

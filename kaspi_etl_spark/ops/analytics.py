@@ -216,3 +216,138 @@ def cusum_profile(
         neg.alias("cusum_neg"),
         ((pos > F.col("_h")) | (neg > F.col("_h"))).alias("is_alarm"),
     )
+
+
+def mad_outliers(
+    daily: DataFrame,
+    date_col: str = "order_date",
+    value_col: str = "daily_gross",
+) -> DataFrame:
+    """Robust outlier flags via median / MAD (median absolute deviation)
+    — the heavy-tail-safe sibling of the mean/stddev z-score: one wild
+    day inflates a stddev enough to mask the next three anomalies, but
+    moves the median by at most one rank.
+
+    Exact-integer discipline around interpolated medians: medians of an
+    even count are half-integers, so everything is carried DOUBLED
+    (med2 = 2*median(x), dev2 = |2x - med2|, mad4 = 2*median(dev2) =
+    4*MAD — all exactly integer-valued) and the flag
+    |x - med| > 3 * 1.4826 * MAD becomes the pure-BIGINT comparison
+    20000 * dev2 > 44478 * mad4. Two holistic window passes over the
+    per-day rollup (rows bounded by calendar days at any raw volume).
+
+    Returns (date, value, dev2, med2, mad4, is_outlier).
+    """
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = daily.select(
+        F.col(date_col).alias("_d"), F.col(value_col).cast("long").alias("_x")
+    )
+    s1 = base.select(
+        "_d",
+        "_x",
+        (F.percentile("_x", F.lit(0.5)).over(w_all) * 2).cast("long").alias("_med2"),
+    ).select(
+        "_d",
+        "_x",
+        "_med2",
+        F.abs(2 * F.col("_x") - F.col("_med2")).cast("long").alias("_dev2"),
+    )
+    s2 = s1.select(
+        "_d",
+        "_x",
+        "_med2",
+        "_dev2",
+        (F.percentile("_dev2", F.lit(0.5)).over(w_all) * 2).cast("long").alias("_mad4"),
+    )
+    return s2.select(
+        F.col("_d").alias(date_col),
+        F.col("_x").alias(value_col),
+        F.col("_dev2").alias("dev2"),
+        F.col("_med2").alias("med2"),
+        F.col("_mad4").alias("mad4"),
+        (20000 * F.col("_dev2") > 44478 * F.col("_mad4")).alias("is_outlier"),
+    )
+
+
+def psi_drift(
+    binned: DataFrame,
+    bin_col: str = "bin",
+    period_col: str = "is_b",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Population Stability Index between two periods of a binned metric
+    — the standard ML-ops distribution-drift monitor (PSI < 0.1 stable,
+    > 0.25 action). Input: one row per observation with its bin id and a
+    boolean period flag.
+
+    Exact fixed-point: with add-one smoothing p_i = (a_i+1)/(A+n_bins),
+    q_i = (b_i+1)/(B+n_bins), each term (p_i - q_i)*log2(p_i/q_i)
+    becomes BIGINT arithmetic — the difference clears to the integer
+    numerator (a_i+1)(B+n_bins) - (b_i+1)(A+n_bins) and the log ratio
+    to flog2((a_i+1)(B+n_bins)) - flog2((b_i+1)(A+n_bins)) via the
+    shared LUT kernel, so per-bin terms and their total are exact and
+    shuffle-order-independent (PSI reported in BITS, a constant ln 2
+    factor off the conventional nats). Missing bins materialize from a
+    literal grid so zero-count bins still contribute their smoothed
+    mass. One groupBy over the observations; everything after runs on
+    n_bins rows.
+
+    Returns one row per bin: (bin, n_a, n_b, psi_term_scaled,
+    psi_total_scaled, psi_bits) — scaled by (A+n_bins)(B+n_bins)*2^20.
+    """
+    from ..llm import lm as lm_ops
+
+    counts = binned.groupBy(
+        F.col(bin_col).cast("long").alias("_bin")
+    ).agg(
+        F.sum(F.when(~F.col(period_col), 1).otherwise(0)).alias("_a"),
+        F.sum(F.when(F.col(period_col), 1).otherwise(0)).alias("_b"),
+    )
+    spark = binned.sparkSession
+    grid = spark.range(n_bins).select(F.col("id").cast("long").alias("_bin"))
+    full = grid.join(counts, "_bin", "left").select(
+        "_bin",
+        F.coalesce("_a", F.lit(0)).cast("long").alias("_a"),
+        F.coalesce("_b", F.lit(0)).cast("long").alias("_b"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    tot = full.select(
+        "_bin",
+        "_a",
+        "_b",
+        (F.sum("_a").over(w_all) + n_bins).alias("_at"),
+        (F.sum("_b").over(w_all) + n_bins).alias("_bt"),
+    ).select(
+        "_bin",
+        "_a",
+        "_b",
+        "_at",
+        "_bt",
+        ((F.col("_a") + 1) * F.col("_bt")).alias("_pn"),
+        ((F.col("_b") + 1) * F.col("_at")).alias("_qn"),
+    )
+    tot = lm_ops.with_flog2(tot, "_pn", "_lp")
+    tot = lm_ops.with_flog2(tot, "_qn", "_lq")
+    per = tot.select(
+        "_bin",
+        "_a",
+        "_b",
+        "_at",
+        "_bt",
+        ((F.col("_pn") - F.col("_qn")) * (F.col("_lp") - F.col("_lq"))).alias("_t"),
+    )
+    return per.select(
+        F.col("_bin").alias(bin_col),
+        F.col("_a").alias("n_a"),
+        F.col("_b").alias("n_b"),
+        F.col("_t").cast("long").alias("psi_term_scaled"),
+        F.sum("_t").over(w_all).cast("long").alias("psi_total_scaled"),
+        (
+            F.sum("_t").over(w_all).cast("double")
+            / (
+                F.col("_at").cast("double")
+                * F.col("_bt").cast("double")
+                * F.lit(float(lm_ops.FLOG2_ONE))
+            )
+        ).alias("psi_bits"),
+    )

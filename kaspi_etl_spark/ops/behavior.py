@@ -164,3 +164,60 @@ def daily_pivot(events: DataFrame, event_types: list[str]) -> DataFrame:
     return events.groupBy(F.to_date("ts").alias("day")).agg(
         *aggs, F.count("*").cast("long").alias("total")
     )
+
+
+def cuped_variant_summary(
+    per_user: DataFrame,
+    variant_col: str = "variant",
+    x_col: str = "x_cents",
+    y_col: str = "y_cents",
+) -> DataFrame:
+    """CUPED-adjusted experiment readout (Deng et al. 2013, "Improving
+    the sensitivity of online controlled experiments"): the A/B metric
+    variance-reduction every experimentation platform runs — adjust the
+    post-period metric y by its pre-period covariate x,
+    y' = y - theta (x - mean x) with theta = cov(x, y) / var(x), so
+    between-user variance that predates the experiment cancels out.
+
+    Determinism shape: moments (n, Sx, Sy, Sxy, Sxx) are ONE bounded
+    driver read of exact BIGINT sums over per-user integer metrics;
+    theta and the global x-mean are computed driver-side in exact big
+    ints with a single IEEE division each (an oracle mirrors them as
+    HUGEINT CTEs cast to DOUBLE). Because the adjustment is LINEAR, the
+    per-variant adjusted mean needs only the variant's exact integer
+    sums — mean_y_adj = mean_y - theta (mean_x - xbar) — so no float
+    ever sums across rows and the readout is shuffle-order-independent.
+
+    Returns per variant: (variant, n_users, sum_x_cents, sum_y_cents,
+    mean_y, mean_y_adj) with the means in currency units (cents / 100).
+    """
+    mom = per_user.select(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x_col).cast("long").alias("sx"),
+        F.sum(y_col).cast("long").alias("sy"),
+        F.sum(F.col(x_col) * F.col(y_col)).cast("long").alias("sxy"),
+        F.sum(F.col(x_col) * F.col(x_col)).cast("long").alias("sxx"),
+    ).collect()[0]
+    n, sx, sy = int(mom["n"]), int(mom["sx"] or 0), int(mom["sy"] or 0)
+    sxy, sxx = int(mom["sxy"] or 0), int(mom["sxx"] or 0)
+    num = n * sxy - sx * sy  # exact big ints (Python, unbounded)
+    den = n * sxx - sx * sx
+    theta = float(num) / float(den) if den != 0 else 0.0
+    xbar = float(sx) / float(n) if n else 0.0
+    agg = per_user.groupBy(F.col(variant_col).alias("variant")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum(x_col).cast("long").alias("sum_x_cents"),
+        F.sum(y_col).cast("long").alias("sum_y_cents"),
+    )
+    mean_x = F.col("sum_x_cents").cast("double") / F.col("n_users").cast("double")
+    mean_y = F.col("sum_y_cents").cast("double") / F.col("n_users").cast("double")
+    return agg.select(
+        "variant",
+        "n_users",
+        "sum_x_cents",
+        "sum_y_cents",
+        (mean_y / F.lit(100.0)).alias("mean_y"),
+        (
+            (mean_y - F.lit(theta) * (mean_x - F.lit(xbar))) / F.lit(100.0)
+        ).alias("mean_y_adj"),
+    )

@@ -9730,3 +9730,224 @@ def q_embeddings_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     n, sx, sxy = sim_ops.pca_moments(emb, dims=16)
     v = sim_ops.pca_power_component(n, sx, sxy, dims=16, iters=6)
     return sim_ops.pca_project(emb, v)
+
+
+@register(
+    "ann_hard_negatives",
+    f"""
+    WITH corpus AS (
+      SELECT vec_id, label,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_reduce([x * x for x in embedding::DOUBLE[]],
+                                    (a, b) -> a + b)) AS nrm
+            FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, vn AS qn
+          FROM corpus WHERE vec_id % 50 = 0),
+    scored AS (
+      SELECT q.query_id, c.vec_id, c.label,
+             {SQL_DOT.replace("{A}", "qn").replace("{B}", "vn")} AS cosine_sim
+      FROM corpus c CROSS JOIN q
+      WHERE q.query_id <> c.vec_id AND c.label <> q.qlabel
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, vec_id, CAST(label AS BIGINT) AS label, cosine_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 5
+    """,
+)
+def q_ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: per query vector, the 5 most
+    cosine-similar corpus vectors with a DIFFERENT label — the
+    metric-learning training-pair generator (informative negatives sit
+    just across the decision boundary). brute_force_topk's broadcast
+    shape with the label-disagreement filter applied before the dot
+    product; swap in lsh_topk candidates at index scale."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    out = sim_ops.hard_negatives_topk(corpus, queries, k=5)
+    return out.withColumn("label", F.col("label").cast("long"))
+
+
+@register(
+    "daily_revenue_mad_outliers",
+    f"""
+    WITH orders_kaspi AS ({SQL_ORDERS_KASPI}),
+    daily AS (
+      SELECT order_date, CAST(SUM(gross_price_kzt) AS BIGINT) AS daily_gross
+      FROM orders_kaspi GROUP BY 1
+    ),
+    med AS (SELECT CAST(2 * quantile_cont(daily_gross, 0.5) AS BIGINT) AS med2
+            FROM daily),
+    s1 AS (SELECT order_date, daily_gross, med2,
+                  CAST(ABS(2 * daily_gross - med2) AS BIGINT) AS dev2
+           FROM daily, med),
+    mad AS (SELECT CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4 FROM s1)
+    SELECT order_date, daily_gross, dev2, med2, mad4,
+           (20000 * dev2) > (44478 * mad4) AS is_outlier
+    FROM s1, mad
+    """,
+)
+def q_daily_revenue_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier flags on daily gross revenue — the
+    heavy-tail-safe sibling of daily_revenue_outliers' mean/stddev
+    z-score (one wild day shifts a median by at most one rank). All
+    comparisons are exact BIGINTs via the doubled-median trick
+    (ops.analytics.mad_outliers); the holistic medians run over the
+    per-day rollup, bounded by calendar days at any raw volume."""
+    daily = (
+        orders_kaspi(spark, sf_dir)
+        .groupBy("order_date")
+        .agg(F.sum("gross_price_kzt").cast("long").alias("daily_gross"))
+    )
+    return analytics_ops.mad_outliers(daily)
+
+
+@register(
+    "orders_psi_drift",
+    f"""
+    WITH binned AS (
+      SELECT LEAST(9, GREATEST(0, CAST(round(o_totalprice) AS BIGINT) // 60000))
+               AS bin,
+             o_orderdate >= DATE '1995-01-01' AS is_b
+      FROM orders
+    ),
+    counts AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN is_b THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM binned GROUP BY bin
+    ),
+    grid AS (SELECT unnest(range(0, 10)) AS bin),
+    full_g AS (
+      SELECT g.bin, COALESCE(c.a, 0) AS a, COALESCE(c.b, 0) AS b
+      FROM grid g LEFT JOIN counts c ON c.bin = g.bin
+    ),
+    tot AS (
+      SELECT bin, a, b,
+             CAST(SUM(a) OVER () + 10 AS BIGINT) AS at,
+             CAST(SUM(b) OVER () + 10 AS BIGINT) AS bt
+      FROM full_g
+    ),
+    nums AS (
+      SELECT bin, a, b, at, bt,
+             CAST((a + 1) * bt AS BIGINT) AS pn,
+             CAST((b + 1) * at AS BIGINT) AS qn
+      FROM tot
+    ),
+    per AS (
+      SELECT bin, a, b, at, bt,
+             (pn - qn) * ({lm_ops.sql_flog2('pn')} - {lm_ops.sql_flog2('qn')}) AS t
+      FROM nums
+    )
+    SELECT bin, a AS n_a, b AS n_b,
+           CAST(t AS BIGINT) AS psi_term_scaled,
+           CAST(SUM(t) OVER () AS BIGINT) AS psi_total_scaled,
+           CAST(SUM(t) OVER () AS DOUBLE)
+             / (CAST(at AS DOUBLE) * CAST(bt AS DOUBLE)
+                * CAST({lm_ops.FLOG2_ONE} AS DOUBLE)) AS psi_bits
+    FROM per
+    """,
+)
+def q_orders_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-price distribution between
+    the pre-/post-1995 periods — the ML-ops drift monitor (PSI > 0.25 =
+    retrain). Fixed-point exact via the shared flog2 kernel with add-one
+    smoothing clearing both ratios to BIGINT numerators (see
+    ops.analytics.psi_drift); reported in bits. One groupBy over the
+    scan; the PSI math runs on 10 grid rows."""
+    o = _read(spark, sf_dir, "orders")
+    binned = o.select(
+        F.expr(
+            "least(9, greatest(0, cast(round(o_totalprice) as bigint) div 60000))"
+        ).alias("bin"),
+        (F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date")).alias(
+            "is_b"
+        ),
+    )
+    return analytics_ops.psi_drift(binned)
+
+
+@register(
+    "events_cuped_adjusted",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS x,
+             CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                    THEN CAST(round(value * 100) AS BIGINT) END), 0) AS BIGINT)
+               AS y
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM per_user
+    ),
+    th AS (
+      SELECT CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS theta,
+             CASE WHEN n = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) END AS xbar
+      FROM mom
+    ),
+    v AS (
+      SELECT user_id % 2 AS variant,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(x) AS BIGINT) AS sum_x_cents,
+             CAST(SUM(y) AS BIGINT) AS sum_y_cents
+      FROM per_user GROUP BY 1
+    )
+    SELECT variant, n_users, sum_x_cents, sum_y_cents,
+           (CAST(sum_y_cents AS DOUBLE) / CAST(n_users AS DOUBLE))
+             / CAST(100 AS DOUBLE) AS mean_y,
+           ((CAST(sum_y_cents AS DOUBLE) / CAST(n_users AS DOUBLE))
+            - th.theta * (CAST(sum_x_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+                          - th.xbar))
+             / CAST(100 AS DOUBLE) AS mean_y_adj
+    FROM v, th
+    """,
+)
+def q_events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout over the events stream: users
+    split by user_id parity, pre-period spend (before Jan 16) as the
+    covariate, post-period spend as the metric. Moments are one bounded
+    driver read; theta/xbar are driver-side exact-int math mirrored by
+    HUGEINT CTEs; the adjustment being linear means per-variant results
+    need only exact integer sums — no float ever sums across rows
+    (ops.behavior.cuped_variant_summary)."""
+    ev = read_events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    cents = F.round(F.col("value") * 100).cast("long")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("ts") < cutoff, cents)), F.lit(0))
+            .cast("long")
+            .alias("x_cents"),
+            F.coalesce(F.sum(F.when(F.col("ts") >= cutoff, cents)), F.lit(0))
+            .cast("long")
+            .alias("y_cents"),
+        )
+        .select((F.col("user_id") % 2).alias("variant"), "x_cents", "y_cents")
+    )
+    return behavior_ops.cuped_variant_summary(per_user)

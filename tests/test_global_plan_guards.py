@@ -51,6 +51,7 @@ BNLJ_ALLOWED = {
     "source_perplexity_profile",  # inherits lm_score's 1-row vocab broadcast
     "source_overlap_minhash",  # |sources|^2 pair join over per-source aggregates
     "basket_assoc_rules",  # 1-row n_baskets total broadcast back onto the rules
+    "ann_hard_negatives",  # the bounded query-set cross product (ann_cosine_topk shape)
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

@@ -220,3 +220,110 @@ def test_pca_project_null_and_short_vectors(spark):
     assert n == 1
     out = similarity.pca_project(df, [similarity.PCA_SCALE] * 16).collect()
     assert [r.vec_id for r in out] == [1]
+
+
+# ---------------------------------------------------------------------------
+# hard negatives
+# ---------------------------------------------------------------------------
+
+
+def test_hard_negatives_exclude_same_label(spark):
+    rows = [
+        (0, [1.0, 0.0], 1),   # query (id % 50 == 0 convention not used here)
+        (1, [0.99, 0.1], 1),  # most similar but SAME label -> excluded
+        (2, [0.9, 0.3], 2),   # different label -> the top negative
+        (3, [0.0, 1.0], 2),   # different label, orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    q = df.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "label", "embedding"
+    )
+    from kaspi_etl_spark.llm import similarity as sim
+
+    out = sim.hard_negatives_topk(df, q, k=2).collect()
+    got = [(r.query_id, r.vec_id, r.rank) for r in out]
+    assert got == [(0, 2, 1), (0, 3, 2)]  # id 1 never appears
+
+
+# ---------------------------------------------------------------------------
+# MAD outliers
+# ---------------------------------------------------------------------------
+
+
+def test_mad_outliers_flags_spike_not_mean_shift(spark):
+    # 29 quiet days + one 100x spike: MAD ignores the spike's pull
+    rows = [(f"2024-01-{d:02d}", 100 + (d % 3)) for d in range(1, 30)]
+    rows.append(("2024-01-31", 10000))
+    df = spark.createDataFrame(rows, "order_date string, daily_gross long")
+    out = {r.order_date: r for r in analytics.mad_outliers(df).collect()}
+    assert out["2024-01-31"].is_outlier
+    assert sum(1 for r in out.values() if r.is_outlier) == 1
+
+
+def test_mad_outliers_doubled_median_exact(spark):
+    # even count: median is a half-integer; med2/mad4 must stay exact ints
+    rows = [("d1", 10), ("d2", 20), ("d3", 30), ("d4", 41)]
+    df = spark.createDataFrame(rows, "order_date string, daily_gross long")
+    out = analytics.mad_outliers(df).collect()
+    assert out[0].med2 == 50  # 2 * 25.0
+    assert sorted(r.dev2 for r in out) == [10, 10, 30, 32]  # |2x - 50|
+    # mad4 = 2 * median([10, 10, 30, 32]) = 2 * 20 = 40 — exact despite
+    # both medians interpolating to non-integers halfway values
+    assert out[0].mad4 == 40
+
+
+# ---------------------------------------------------------------------------
+# PSI drift
+# ---------------------------------------------------------------------------
+
+
+def test_psi_identical_distributions_is_zero(spark):
+    rows = [(b, False) for b in range(10) for _ in range(5)] + [
+        (b, True) for b in range(10) for _ in range(5)
+    ]
+    df = spark.createDataFrame(rows, "bin long, is_b boolean")
+    out = analytics.psi_drift(df).collect()
+    assert len(out) == 10
+    assert all(r.psi_term_scaled == 0 for r in out)
+    assert out[0].psi_bits == 0.0
+
+
+def test_psi_shifted_distribution_positive_and_grid_complete(spark):
+    # period A all in bin 0, period B all in bin 9; bins 1..8 unobserved
+    rows = [(0, False)] * 50 + [(9, True)] * 50
+    df = spark.createDataFrame(rows, "bin long, is_b boolean")
+    out = {r.bin: r for r in analytics.psi_drift(df).collect()}
+    assert set(out) == set(range(10))  # grid materializes empty bins
+    assert out[0].n_a == 50 and out[0].n_b == 0
+    assert out[0].psi_total_scaled > 0
+    assert out[0].psi_bits > 1.0  # a total swap is far past any alarm bar
+
+
+# ---------------------------------------------------------------------------
+# CUPED
+# ---------------------------------------------------------------------------
+
+
+def test_cuped_removes_preexisting_user_variance(spark):
+    # y = x exactly (pure pre-existing heterogeneity, no treatment
+    # effect): adjusted means of both variants collapse to the same value
+    rows = [(v, 100 * u + v * 0, 100 * u) for u in range(1, 21) for v in (0, 1)]
+    rows = [(v, x, x) for (v, x, _y) in rows]
+    df = spark.createDataFrame(rows, "variant long, x_cents long, y_cents long")
+    from kaspi_etl_spark.ops import behavior
+
+    out = {r.variant: r for r in behavior.cuped_variant_summary(df).collect()}
+    assert abs(out[0].mean_y_adj - out[1].mean_y_adj) < 1e-9
+    # raw means differ only if x differs; here both variants share x range
+    assert abs(out[0].mean_y - out[1].mean_y) < 1e-9
+
+
+def test_cuped_theta_zero_when_x_constant(spark):
+    # var(x) = 0 -> theta = 0 -> adjusted mean equals the raw mean
+    rows = [(0, 50, 100), (0, 50, 200), (1, 50, 300), (1, 50, 500)]
+    df = spark.createDataFrame(rows, "variant long, x_cents long, y_cents long")
+    from kaspi_etl_spark.ops import behavior
+
+    out = {r.variant: r for r in behavior.cuped_variant_summary(df).collect()}
+    assert out[0].mean_y_adj == out[0].mean_y == 1.5
+    assert out[1].mean_y_adj == out[1].mean_y == 4.0
