@@ -451,3 +451,148 @@ def token_entropy(
             / (F.max("n_tok") * F.lit(FLOG2_ONE)).cast("double")
         ).alias("bits_per_token"),
     )
+
+
+def zipf_rank_freq(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rank: int = 4096,
+) -> DataFrame:
+    """Rank-frequency table of the corpus vocabulary, capped at
+    ``max_rank``: one tf groupBy, then row_number over (freq desc, token
+    asc) with the rank filter compiling to WindowGroupLimit — the
+    classic Zipf curve input. Columns: (rank, token, freq,
+    l2r = flog2(rank), l2f = flog2(freq)) with the log2s in the shared
+    2^20 fixed point."""
+    tf = (
+        docs.select(F.explode_outer(extract_words(F.col(text_col))).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("_t").asc())
+    ranked = (
+        tf.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= max_rank)
+        .select(F.col("rank"), F.col("_t").alias("token"), F.col("freq").cast("long").alias("freq"))
+    )
+    ranked = with_flog2(ranked, "rank", "l2r")
+    return with_flog2(ranked, "freq", "l2f")
+
+
+def zipf_fit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_rank: int = 4096,
+    top_out: int = 50,
+) -> DataFrame:
+    """Zipf's-law fit of the corpus: OLS slope of log2(freq) on
+    log2(rank) over the top ``max_rank`` vocabulary (natural prose sits
+    near slope -1; templated/boilerplate corpora flatten, spam steepens
+    — a corpus-level quality fingerprint next to Heaps-style vocab
+    stats).
+
+    Exactness: the regression moments are BIGINT sums of 10-bit-scaled
+    flog2 values (x = flog2(rank) div 1024 — products stay inside
+    BIGINT for any realistic vocab); slope = (n Sxy - Sx Sy) /
+    (n Sxx - Sx^2) and the intercept are computed DRIVER-side in exact
+    Python ints with one IEEE division each (oracle mirror: HUGEINT
+    CTEs cast to DOUBLE), then ride as plan literals into the output —
+    the FS-weights pattern. Output: the top ``top_out`` ranks with
+    observed and fitted log2 frequency plus the global slope."""
+    ranked = zipf_rank_freq(docs, id_col, text_col, max_rank).select(
+        "rank",
+        "token",
+        "freq",
+        "l2r",
+        "l2f",
+        F.expr("l2r div 1024").alias("_x"),
+        F.expr("l2f div 1024").alias("_y"),
+    )
+    mom = ranked.select(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_x").cast("long").alias("sx"),
+        F.sum("_y").cast("long").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).cast("long").alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).cast("long").alias("sxx"),
+    ).collect()[0]
+    n, sx, sy = int(mom["n"]), int(mom["sx"] or 0), int(mom["sy"] or 0)
+    sxy, sxx = int(mom["sxy"] or 0), int(mom["sxx"] or 0)
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = float(num) / float(den) if den != 0 else 0.0
+    # intercept in BITS: (Sy*den - num*Sx) exact, then two IEEE steps
+    icept = (
+        float(sy * den - num * sx) / float(n * den) / 1024.0 if n and den else 0.0
+    )
+    return ranked.filter(F.col("rank") <= top_out).select(
+        "rank",
+        "token",
+        "freq",
+        F.col("l2r").alias("log2_rank_scaled"),
+        F.col("l2f").alias("log2_freq_scaled"),
+        F.lit(slope).alias("slope"),
+        (
+            F.lit(icept)
+            + F.lit(slope) * (F.col("l2r").cast("double") / F.lit(float(FLOG2_ONE)))
+        ).alias("fitted_log2_freq"),
+    )
+
+
+def greedy_generate(
+    docs: DataFrame,
+    steps: int = 8,
+    n_seeds: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy (argmax) text generation from the corpus bigram model —
+    the inference counterpart of the LM training family: from each of
+    the ``n_seeds`` most frequent tokens, follow the most likely next
+    word ``steps`` times. Deterministic decoding is the standard LM
+    smoke test (the engine that trains the model should be able to run
+    its argmax decode), and greedy chains expose degenerate corpora
+    (loops, boilerplate attractors) at a glance.
+
+    Everything is exact: the next-word map is rank-1 per w1 over
+    (count DESC, w2 ASC) — a WindowGroupLimit partial top-k, no full
+    sort; seeds are a bounded TakeOrderedAndProject; each decode step
+    is one equi-join of at most n_seeds rows against the next-map
+    (chains that hit a dead-end w1 simply stop). steps is a small
+    constant, so the plan is steps shallow joins — no recursion, no
+    driver loop over data.
+
+    Returns (seed, step, word) with step 0 = the seed itself.
+    """
+    big = doc_bigrams(docs, id_col, text_col)
+    cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2").asc())
+    nxt = (
+        cnt.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select("w1", "w2")
+    )
+    tf = (
+        docs.select(F.explode_outer(extract_words(F.col(text_col))).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    seeds = (
+        tf.orderBy(F.col("f").desc(), F.col("_t").asc())
+        .limit(n_seeds)
+        .select(F.col("_t").alias("seed"))
+    )
+    out = seeds.select(
+        "seed", F.lit(0).cast("long").alias("step"), F.col("seed").alias("word")
+    )
+    cur = out
+    for t in range(1, steps + 1):
+        cur = (
+            cur.join(nxt, cur["word"] == nxt["w1"])
+            .select("seed", F.lit(t).cast("long").alias("step"), F.col("w2").alias("word"))
+        )
+        out = out.unionByName(cur)
+    return out

@@ -847,3 +847,167 @@ def metadata_summary(media: DataFrame) -> DataFrame:
         F.avg(F.col("meta.width").cast("double")).alias("avg_width"),
         F.max("meta.duration_ms").alias("max_duration_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash (pHash) image dedup
+# ---------------------------------------------------------------------------
+
+PHASH_SIDE = 32  # DCT input side
+PHASH_BITS = 64  # 8x8 low-frequency block -> 64-bit signature
+_DCT32 = None
+
+
+def _dct32_matrix():
+    """Orthonormal DCT-II basis for side 32, built once: deterministic
+    IEEE doubles from numpy cos — both the hash and its tests share the
+    exact same matrix, so signatures are bit-stable across runs."""
+    global _DCT32
+    if _DCT32 is None:
+        n = PHASH_SIDE
+        k = _np.arange(n).reshape(-1, 1)
+        x = _np.arange(n).reshape(1, -1)
+        m = _np.cos(_np.pi * (2 * x + 1) * k / (2 * n))
+        m[0] *= _np.sqrt(1.0 / n)
+        m[1:] *= _np.sqrt(2.0 / n)
+        _DCT32 = m
+    return _DCT32
+
+
+def _px_any(content: bytes):
+    """Pixel decode dispatch over every REAL codec in the module (PNG,
+    baseline JPEG, BMP); None for payloads none of them claim."""
+    px = _parse_png(content)
+    if px is None:
+        px = _jpeg_px(content)
+    if px is None:
+        px = _parse_bmp(content)
+    return px
+
+
+def _fake_px32(content: bytes):
+    """STUB pixel kernel for non-image payloads: a deterministic 32x32
+    'image' tiled from the leading bytes — same role as
+    _fake_decode_features (the plumbing stays real and testable; only
+    the decode is faked where no codec applies)."""
+    buf = (content or b"\x00")[: PHASH_SIDE * PHASH_SIDE]
+    reps = -(-(PHASH_SIDE * PHASH_SIDE) // max(1, len(buf)))
+    arr = _np.frombuffer((buf * reps)[: PHASH_SIDE * PHASH_SIDE], dtype=_np.uint8)
+    return arr.reshape(PHASH_SIDE, PHASH_SIDE).astype(_np.float64)
+
+
+def phash64(content: bytes) -> int:
+    """64-bit perceptual hash of an encoded image payload: decode ->
+    grayscale -> nearest-resample to 32x32 -> 2D orthonormal DCT ->
+    top-left 8x8 low-frequency block -> threshold at the block median
+    (DC excluded) -> one bit per coefficient. Near-identical images
+    (re-encode, mild resize, small crops) land within a few bits;
+    unrelated images differ by ~32 (the classic pHash construction).
+    All math is deterministic float64 numpy; returns a SIGNED 64-bit
+    int (bit 63 may be set) ready for a BIGINT column."""
+    px = _px_any(content)
+    if px is None:
+        g = _fake_px32(content)
+    else:
+        g = px.astype(_np.float64).mean(axis=2)
+        src_h, src_w = g.shape
+        ys = (_np.arange(PHASH_SIDE) * src_h) // PHASH_SIDE
+        xs = (_np.arange(PHASH_SIDE) * src_w) // PHASH_SIDE
+        g = g[ys][:, xs]
+    c = _dct32_matrix()
+    d = c @ g @ c.T
+    block = d[:8, :8].copy().reshape(-1)
+    med = _np.median(block[1:])  # DC term excluded from the vote
+    bits = 0
+    for i, v in enumerate(block):
+        if i and v > med:
+            bits |= 1 << i
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def media_phash(media: DataFrame) -> DataFrame:
+    """Arrow-batched pHash over the binary content column (same
+    mapInPandas plumbing as extract_features): one Python stage, then
+    everything downstream — banding, pair joins, Hamming verify — is
+    JVM-side integer work."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            hashes = [
+                phash64(c if isinstance(c, bytes) else bytes(c))
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "phash": pd.Series(hashes, dtype="int64"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def phash_hamming_pairs(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by banded Hamming join over the 64-bit
+    pHash: 4 bands of 16 bits (pigeonhole — Hamming <= 3 guarantees one
+    identical band), equi-join on identical bands, exact
+    bit_count(XOR) verify. The same banding shape as text SimHash
+    (llm.dedup.simhash_pairs) — never an all-pairs comparison, so the
+    dedup scales like any LSH bucket join."""
+    chunk_bits = PHASH_BITS // bands
+    mask = (1 << chunk_bits) - 1
+    chunks = hashes.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftrightunsigned(F.col(hash_col), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, hash_col, "c.chunk_idx", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1717,3 +1717,67 @@ def hard_negatives_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
         F.col("rank") <= k
     )
+
+
+def negative_samples(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    for every anchor id, ``k`` pseudo-random partner ids drawn by hash
+    arithmetic over a dense rank of the id space — the random-negative
+    complement of hard_negatives_topk (training batches typically mix
+    both).
+
+    Mechanics: rank every id once (dense, 0-based), map each
+    (anchor, j) to candidate rank md5(anchor:j:salt) % n, and join rank
+    -> id back. Everything is the shared md5 kernel plus integer mod —
+    reproducible by any SQL engine and stable across runs/partitions,
+    which is what makes sampled training sets auditable. Anchors drawn
+    as their own negative are dropped (a deterministic, mirrorable
+    rule). The rank window is a global ordering of the ID TABLE (ids
+    only, not payloads) — at larger scale swap in the two-phase
+    prefix-rank used by the token-shard assigner; the join back is a
+    plain equi-join.
+
+    Returns (id, j, neg_id) with j in [0, k).
+    """
+    from .dedup import md5_long
+
+    ids = df.select(F.col(id_col)).distinct()
+    w = Window.orderBy(F.col(id_col).asc())
+    ranked = ids.select(
+        F.col(id_col), (F.row_number().over(w) - 1).cast("long").alias("_rank")
+    )
+    n_row = ranked.select(F.count(F.lit(1)).alias("_n"))
+    anchors = (
+        ranked.select(id_col)
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("j"),
+            F.col("_n"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("j").cast("long").alias("j"),
+            (
+                md5_long(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.col("j").cast("string"), F.lit(salt)
+                    )
+                )
+                % F.col("_n")
+            ).alias("_cand"),
+        )
+    )
+    neg = ranked.select(
+        F.col("_rank").alias("_cand"), F.col(id_col).alias("neg_id")
+    )
+    return (
+        anchors.join(neg, "_cand")
+        .filter(F.col(id_col) != F.col("neg_id"))
+        .select(id_col, "j", "neg_id")
+    )

@@ -848,3 +848,35 @@ def pack_sequences(
         (seg_hi - seg_lo).cast("long").alias("n_in_seq"),
     )
 
+
+
+def hashed_tf(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Hashing-trick term-frequency featurization (HashingTF; Weinberger
+    et al. 2009): each token hashes to one of ``n_buckets`` dimensions
+    and the doc's feature is the exact bucket-count vector — the
+    vocabulary-free way to turn text into fixed-dim vectors for the ANN
+    / classifier / clustering families (no dictionary to build, ship,
+    or keep consistent across a 100 TB corpus; collisions are the
+    accepted trade).
+
+    Emitted LONG form — (id, bucket, tf) scalar rows, only non-zero
+    buckets — which is both the driver-gate-friendly shape and what the
+    sparse-aware consumers join on. One tokenize + one groupBy with
+    map-side combine; the hash is the shared md5 kernel, mirrorable by
+    any SQL engine.
+    """
+    from .dedup import md5_long
+
+    ex = docs.select(
+        F.col(id_col), F.explode_outer(extract_words(F.col(text_col))).alias("_t")
+    ).filter(F.col("_t").isNotNull())
+    return (
+        ex.select(F.col(id_col), (md5_long(F.col("_t")) % n_buckets).alias("bucket"))
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )

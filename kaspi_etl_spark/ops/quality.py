@@ -100,3 +100,49 @@ def observed_write_metrics(
         for c in watch_cols
     ]
     return df.observe(obs, *metrics), obs
+
+
+def column_drift_profile(
+    df: DataFrame,
+    period_col: str,
+    columns: list[str],
+) -> DataFrame:
+    """Per-column schema-level drift profile between two periods — the
+    column-granular companion of the PSI distribution monitor: for every
+    profiled column, row/non-null/distinct counts in period A (period
+    flag false) vs period B (true), the counts a data-contract checker
+    diffs to catch silent upstream changes (a column going sparse, a
+    category set exploding).
+
+    One melt (stack generator, zero extra scans) + one groupBy; distinct
+    counts run on the stringified value, which is injective per engine,
+    so COUNT(DISTINCT) matches any SQL mirror even where float
+    formatting differs. Rows with a NULL period flag are excluded (no
+    period to attribute them to). Exact integers only.
+    """
+    n = len(columns)
+    pairs = ", ".join(f"'{c}', CAST({c} AS STRING)" for c in columns)
+    melted = (
+        df.filter(F.col(period_col).isNotNull())
+        .select(
+            F.col(period_col).alias("_b"),
+            F.expr(f"stack({n}, {pairs}) AS (col_name, val)"),
+        )
+    )
+    return (
+        melted.groupBy("col_name")
+        .agg(
+            F.sum(F.when(~F.col("_b"), 1).otherwise(0)).cast("long").alias("n_a"),
+            F.sum(F.when(F.col("_b"), 1).otherwise(0)).cast("long").alias("n_b"),
+            F.count(F.when(~F.col("_b"), F.col("val")))
+            .cast("long")
+            .alias("nonnull_a"),
+            F.count(F.when(F.col("_b"), F.col("val"))).cast("long").alias("nonnull_b"),
+            F.countDistinct(F.when(~F.col("_b"), F.col("val")))
+            .cast("long")
+            .alias("distinct_a"),
+            F.countDistinct(F.when(F.col("_b"), F.col("val")))
+            .cast("long")
+            .alias("distinct_b"),
+        )
+    )

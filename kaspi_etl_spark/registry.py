@@ -9951,3 +9951,227 @@ def q_events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("user_id") % 2).alias("variant"), "x_cents", "y_cents")
     )
     return behavior_ops.cuped_variant_summary(per_user)
+
+
+@register("media_phash_pairs")  # rows-only: hashes come from the Python decode
+def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate IMAGE detection: 64-bit perceptual hash (decode ->
+    gray 32x32 -> 2D DCT -> median-thresholded low-frequency block, the
+    classic pHash) over the media table's binary payloads, then banded
+    Hamming pairs (4x16-bit bands; pigeonhole-lossless for distance
+    <= 3). The decode runs in the allowlisted Arrow Python stage over
+    real PNG/JPEG/BMP codecs (llm/jpeg.py DCT kernels) with the
+    deterministic byte stub for non-image payloads; everything after
+    the hash is JVM integer banding — the image counterpart of
+    simhash_pairs. No SQL oracle (pixels are not SQL-reachable): the
+    kernel is pytest-pinned on real codec fixtures instead
+    (re-encode distance ~4, unrelated ~32). Runs over the llm_docs
+    corpus (the one with injected duplicates) so the gate exercises
+    real collisions — exact-dup payloads must land at Hamming 0."""
+    media = mm_ops.media_from_documents(llm_docs(spark, sf_dir))
+    hashes = mm_ops.media_phash(media)
+    return mm_ops.phash_hamming_pairs(hashes, max_hamming=3)
+
+
+@register(
+    "orders_drift_profile",
+    """
+    WITH base AS (
+      SELECT o_orderdate >= DATE '1995-01-01' AS b,
+             CAST(o_custkey AS VARCHAR) AS v_custkey,
+             o_orderstatus AS v_status,
+             CAST(o_totalprice AS VARCHAR) AS v_total,
+             o_orderpriority AS v_prio,
+             CAST(o_orderkey AS VARCHAR) AS v_okey
+      FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    m AS (
+      SELECT b, 'o_custkey' AS col_name, v_custkey AS val FROM base
+      UNION ALL SELECT b, 'o_orderstatus', v_status FROM base
+      UNION ALL SELECT b, 'o_totalprice', v_total FROM base
+      UNION ALL SELECT b, 'o_orderpriority', v_prio FROM base
+      UNION ALL SELECT b, 'o_orderkey', v_okey FROM base
+    )
+    SELECT col_name,
+           CAST(SUM(CASE WHEN NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(COUNT(CASE WHEN NOT b THEN val END) AS BIGINT) AS nonnull_a,
+           CAST(COUNT(CASE WHEN b THEN val END) AS BIGINT) AS nonnull_b,
+           CAST(COUNT(DISTINCT CASE WHEN NOT b THEN val END) AS BIGINT)
+             AS distinct_a,
+           CAST(COUNT(DISTINCT CASE WHEN b THEN val END) AS BIGINT)
+             AS distinct_b
+    FROM m GROUP BY col_name
+    """,
+)
+def q_orders_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-granular drift profile of the orders table between the
+    pre-/post-1995 periods: row / non-null / distinct counts per column
+    — the data-contract diff that catches a column going sparse or a
+    category set exploding (the schema-level companion of
+    orders_psi_drift's distribution monitor). One stack melt + one
+    groupBy; distinct counts on stringified values are engine-local
+    injective, so the exact counts mirror any SQL engine."""
+    o = _read(spark, sf_dir, "orders").withColumn(
+        "_b", F.col("o_orderdate").cast("date") >= F.lit("1995-01-01").cast("date")
+    )
+    return quality_ops.column_drift_profile(
+        o,
+        "_b",
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority", "o_orderkey"],
+    )
+
+
+@register(
+    "docs_zipf_fit",
+    f"""
+    WITH tf AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({_SQL_WORDS_EXPR}) AS t FROM documents)
+      GROUP BY t
+    ),
+    ranked AS (
+      SELECT t AS token, freq,
+             CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, t ASC) AS BIGINT)
+               AS rank
+      FROM tf
+    ),
+    capped AS (SELECT rank, token, freq FROM ranked WHERE rank <= 4096),
+    lg AS (
+      SELECT rank, token, freq,
+             {lm_ops.sql_flog2('rank')} AS l2r,
+             {lm_ops.sql_flog2('freq')} AS l2f
+      FROM capped
+    ),
+    sc AS (SELECT *, l2r // 1024 AS x, l2f // 1024 AS y FROM lg),
+    mom AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             CAST(SUM(x * x) AS HUGEINT) AS sxx
+      FROM sc
+    ),
+    th AS (
+      SELECT CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+             CASE WHEN n = 0 OR n * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+                  ELSE CAST(sy * (n * sxx - sx * sx)
+                            - (n * sxy - sx * sy) * sx AS DOUBLE)
+                       / CAST(n * (n * sxx - sx * sx) AS DOUBLE)
+                       / CAST(1024 AS DOUBLE) END AS icept
+      FROM mom
+    )
+    SELECT rank, token, freq,
+           l2r AS log2_rank_scaled, l2f AS log2_freq_scaled,
+           th.slope AS slope,
+           th.icept + th.slope * (CAST(l2r AS DOUBLE)
+                                  / CAST({lm_ops.FLOG2_ONE} AS DOUBLE))
+             AS fitted_log2_freq
+    FROM sc, th WHERE rank <= 50
+    """,
+)
+def q_docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary: OLS slope of log2 freq on
+    log2 rank over the top-4096 tokens (prose ~ -1; boilerplate flattens
+    — a corpus-quality fingerprint). Regression moments are BIGINT sums
+    of 10-bit flog2 values; slope/intercept are driver-side exact-int
+    math (HUGEINT CTE mirror) riding as literals into the top-50 output
+    — the FS-weights pattern (llm.lm.zipf_fit)."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.zipf_fit(d)
+
+
+@register(
+    "docs_hashed_tf",
+    f"""
+    SELECT doc_id,
+           CAST({_sql_md5_long('t')} % 64 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest({_SQL_WORDS_EXPR}) AS t FROM documents)
+    GROUP BY 1, 2
+    """,
+)
+def q_docs_hashed_tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (HashingTF): tokens hash into 64
+    buckets and each doc's exact bucket counts are its fixed-dim sparse
+    vector — the vocabulary-free text featurizer feeding the ANN /
+    classifier families (no dictionary to build or synchronize at
+    100 TB). Long-form (doc, bucket, tf) scalar rows; one tokenize +
+    one map-side-combinable groupBy (llm.text.hashed_tf)."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.hashed_tf(d)
+
+
+@register(
+    "embeddings_negative_samples",
+    f"""
+    WITH ids AS (SELECT DISTINCT vec_id FROM embeddings
+                 WHERE vec_id IS NOT NULL),
+    ranked AS (
+      SELECT vec_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id ASC) - 1 AS BIGINT) AS rnk
+      FROM ids
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    anchors AS (
+      SELECT r.vec_id, j.j,
+             {_sql_md5_long("CAST(r.vec_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR) || ':neg'")}
+               % nn.n AS cand
+      FROM ranked r, (SELECT unnest(range(0, 4)) AS j) j, nn
+    )
+    SELECT a.vec_id, CAST(a.j AS BIGINT) AS j, r.vec_id AS neg_id
+    FROM anchors a JOIN ranked r ON r.rnk = a.cand
+    WHERE a.vec_id <> r.vec_id
+    """,
+)
+def q_embeddings_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform negative sampling for contrastive training:
+    4 hash-drawn partners per anchor via dense-rank arithmetic over the
+    id table (md5(anchor:j) mod n -> rank -> id), self-draws dropped —
+    reproducible, auditable sampled pairs with no RNG state anywhere
+    (llm.similarity.negative_samples). Pairs with hard_negatives_topk
+    as the random half of a contrastive batch mix."""
+    emb = _read(spark, sf_dir, "embeddings").filter(F.col("vec_id").isNotNull())
+    return sim_ops.negative_samples(emb, k=4)
+
+
+def _sql_greedy_generate(steps: int = 8) -> str:
+    gs = []
+    for t in range(1, steps + 1):
+        gs.append(
+            f"""
+    g{t} AS (SELECT g{t - 1}.seed, CAST({t} AS BIGINT) AS step,
+                    nxt.w2 AS word
+             FROM g{t - 1} JOIN nxt ON nxt.w1 = g{t - 1}.word)"""
+        )
+    union = "\n    UNION ALL ".join(f"SELECT * FROM g{t}" for t in range(0, steps + 1))
+    return f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    big0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+    cnt AS (SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c
+            FROM big0 GROUP BY 1, 2),
+    nxt AS (SELECT w1, w2 FROM (
+              SELECT w1, w2,
+                     ROW_NUMBER() OVER (PARTITION BY w1
+                                        ORDER BY c DESC, w2 ASC) AS r
+              FROM cnt) WHERE r = 1),
+    tf AS (SELECT t, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1),
+    seeds AS (SELECT t AS seed FROM tf ORDER BY f DESC, t ASC LIMIT 5),
+    g0 AS (SELECT seed, CAST(0 AS BIGINT) AS step, seed AS word FROM seeds),{",".join(gs)}
+    {union}
+    """
+
+
+@register("lm_greedy_generate", _sql_greedy_generate(8))
+def q_lm_greedy_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy argmax decoding from the corpus bigram model — the
+    inference smoke test of the LM training family: from the 5 most
+    frequent seed tokens, follow the most-likely next word 8 steps.
+    The next-word map is rank-1 per w1 (WindowGroupLimit); each step is
+    one tiny equi-join, so the plan is 8 shallow joins with no driver
+    loop over data (llm.lm.greedy_generate); the oracle unrolls the
+    same 8 steps as CTEs."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.greedy_generate(d, steps=8, n_seeds=5)

@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "source_overlap_minhash",  # |sources|^2 pair join over per-source aggregates
     "basket_assoc_rules",  # 1-row n_baskets total broadcast back onto the rules
     "ann_hard_negatives",  # the bounded query-set cross product (ann_cosine_topk shape)
+    "embeddings_negative_samples",  # 1-row id-count broadcast into the draw arithmetic
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
@@ -70,6 +71,7 @@ PYTHON_ALLOWED = {
     # starts AFTER connected-components' localCheckpoint, so the Python
     # tag never appears in it
     "embedding_cosine_pairs",
+    "media_phash_pairs",  # pixel decode -> pHash (real codecs, Arrow-batched)
 }
 
 PY_TAGS = (
