@@ -1014,6 +1014,12 @@ def duplicate_span_extents(
         .filter(F.col("_span").isNotNull())
         .select(F.col(id_col), F.col("pos"), md5_long(F.col("_span")).alias("h"))
     )
+    # Two downstream consumers (doc-frequency chain + the position
+    # semi-join probe) with no common exchange to reuse — without a
+    # materialization the interpreted span-hash map runs once PER
+    # consumer (measured 2x the operator's CPU at 500k docs). Same
+    # lineage-truncation call connected_components uses.
+    spans = spans.localCheckpoint()
     per_doc_h = spans.select(id_col, "h").distinct()
     shared = (
         per_doc_h.groupBy("h")

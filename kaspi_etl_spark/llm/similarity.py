@@ -1573,6 +1573,13 @@ def pca_moments(
         F.col(id_col).alias("_id"),
         F.slice(F.col(vec_col).cast("array<double>"), 1, dims).alias("_v"),
     )
+    # Materialize before the explode: base feeds the count AND the
+    # element rows, and when the caller's vec_col is a DERIVED
+    # expression, CollapseProject re-inlines it into the post-Generate
+    # projection — re-evaluating the whole array per element (the r6
+    # LSH lesson; measured 5.9x per-row on the stress harness's
+    # rotated-vector corpus). The checkpoint is id + dims doubles.
+    base = base.localCheckpoint()
     exq = base.select(
         "_id", F.posexplode_outer("_v").alias("i", "x")
     ).select(
@@ -1648,8 +1655,14 @@ def pca_project(
 
     Returns (id, proj_scaled BIGINT, proj_value DOUBLE = proj / 2^40)."""
     dims = len(component)
-    base = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dims))
-    vec_dbl = F.col(vec_col).cast("array<double>")
+    base = df.filter(F.col(vec_col).isNotNull() & (F.size(vec_col) >= dims)).select(
+        F.col(id_col),
+        F.slice(F.col(vec_col).cast("array<double>"), 1, dims).alias("_vp"),
+    )
+    # materialized for the same derived-input re-inlining reason as
+    # pca_moments: the unrolled chain references the vector 16 times
+    base = base.localCheckpoint()
+    vec_dbl = F.col("_vp")
     terms = [
         F.coalesce(
             F.floor(F.try_element_at(vec_dbl, F.lit(i + 1)) * F.lit(PCA_SCALE)).cast(

@@ -51,6 +51,12 @@ def association_rules(
     conf_ppm = floor(1e6 * support / n_antecedent),
     lift_ppm = floor(1e6 * support * n_baskets /
                      (n_antecedent * n_consequent)).
+
+    Overflow bound: lift's numerator 1e6 * support * n_baskets stays
+    inside BIGINT while support * n_baskets < 9.2e12 — comfortably true
+    for pair supports on any real order history (support is bounded by
+    the co-purchase frequency, not by n_baskets); a corpus past that
+    needs the numerator in DECIMAL(38,0).
     """
     b = baskets.select(
         F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")

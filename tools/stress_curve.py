@@ -296,6 +296,56 @@ def main() -> None:
 
         run(k, "semantic_dedup_keep", _semantic)
 
+        # r7 second-wave additions: the Apriori pair join is the one new
+        # op whose fan-out COULD go quadratic (on item frequency) — copies
+        # shift l_orderkey only, so every item's basket count grows x K
+        # and the measured curve shows how the min-support prune holds;
+        # dup_span_extents adds a doc-bounded window to the span hash
+        # pipeline (expect the duplicate_spans slope); pca_project is one
+        # moment pass + literal scoring (expect linear).
+        if want("assoc_rules"):
+            li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+            )
+            li = scaled_union(li0, k, "o", 100_000_000).localCheckpoint()
+            n_li = li.count()
+
+            def _assoc():
+                from kaspi_etl_spark.ops import basket
+
+                out = basket.association_rules(li, min_support=2)
+                return {"rows": out.count(), "in_rows": n_li}
+
+            run(k, "assoc_rules", _assoc)
+
+        if want("dup_span_extents"):
+            docs_sp = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_sp = n_docs if n_docs is not None else docs_sp.count()
+
+            def _extents():
+                out = dedup.duplicate_span_extents(docs_sp)
+                return {"rows": out.count(), "in_rows": n_sp}
+
+            run(k, "dup_span_extents", _extents)
+
+        if want("pca_project"):
+            emb_p = emb if emb is not None else scaled_union(
+                emb0, k, "vec_id", 10_000_000, rot
+            ).localCheckpoint()
+            n_p = n_emb if n_emb is not None else emb_p.count()
+
+            def _pca():
+                n, sx, sxy = similarity.pca_moments(
+                    emb_p, id_col="vec_id", vec_col="v", dims=16
+                )
+                v = similarity.pca_power_component(n, sx, sxy, dims=16)
+                out = similarity.pca_project(emb_p, v, id_col="vec_id", vec_col="v")
+                return {"rows": out.count(), "in_rows": n_p}
+
+            run(k, "pca_project", _pca)
+
     print("\n# summary")
     for r in results:
         print(json.dumps(r))
