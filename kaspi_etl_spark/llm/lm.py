@@ -596,3 +596,138 @@ def greedy_generate(
         )
         out = out.unionByName(cur)
     return out
+
+
+def heaps_curve(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: distinct-type count after the
+    first N corpus tokens, for N on a power-of-two ladder — the other
+    half of the corpus fingerprint next to zipf_fit (natural text grows
+    vocab ~ N^0.5-0.8; templated corpora plateau, OCR noise keeps
+    climbing linearly).
+
+    Exact and windowless over the corpus: global token positions come
+    from per-doc offsets (ONE window over the per-doc token-count
+    rollup — doc-count rows, metadata-scale next to the corpus; swap in
+    the distributed prefix sum at extreme doc counts), each type
+    reduces to its FIRST global position (one groupBy min), and the
+    curve is a cumulative count over ceil-log2 buckets of those first
+    positions — at most ~40 ladder rows regardless of corpus size.
+
+    Returns (k, prefix_tokens = min(2^k, total), vocab_size) for every
+    k with 2^(k-1) < total.
+    """
+    words = docs.select(
+        F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
+    ).select(F.col(id_col), F.col("_ws"), F.size("_ws").alias("_n"))
+    per_doc = words.select(id_col, "_n").filter(F.col("_n") > 0)
+    w_doc = Window.orderBy(F.col(id_col).asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = per_doc.select(
+        F.col(id_col),
+        (F.sum("_n").over(w_doc) - F.col("_n")).cast("long").alias("_off"),
+    )
+    toks = (
+        words.join(offsets, id_col)
+        .select(F.col("_off"), F.posexplode_outer("_ws").alias("_pos", "_t"))
+        .filter(F.col("_t").isNotNull())
+        .select((F.col("_off") + F.col("_pos") + 1).alias("gpos"), F.col("_t"))
+    )
+    firsts = toks.groupBy("_t").agg(F.min("gpos").alias("fp"))
+    # ceil-log2 bucket: smallest k with 2^k >= fp  (fp = 1 -> k = 0)
+    bucket = F.when(F.col("fp") == 1, F.lit(0)).otherwise(
+        F.length(F.bin(F.col("fp") - 1)).cast("long")
+    )
+    bcounts = firsts.select(bucket.alias("k")).groupBy("k").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    total = toks.select(F.count(F.lit(1)).cast("long").alias("t"))
+    ladder = (
+        docs.sparkSession.range(0, 41)
+        .select(F.col("id").cast("long").alias("k"))
+        .crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("k") == 0)
+            | (F.expr("cast(pow(2, k - 1) as bigint)") < F.col("t"))
+        )
+    )
+    w_k = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    joined = ladder.join(bcounts, "k", "left").select(
+        "k",
+        "t",
+        F.coalesce("c", F.lit(0)).alias("c"),
+    )
+    return joined.select(
+        F.col("k"),
+        F.least(F.expr("cast(pow(2, k) as bigint)"), F.col("t")).alias(
+            "prefix_tokens"
+        ),
+        F.sum("c").over(w_k).cast("long").alias("vocab_size"),
+    )
+
+
+def categorical_mi(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Mutual information between two categorical columns in exact
+    fixed-point BITS — the dataset-audit statistic for "does this
+    metadata field leak that one" (e.g. language vs source: high MI
+    means per-source language filters are redundant; near-zero means
+    both filters are needed).
+
+    I(X;Y) = sum_xy p(xy) log2(n*c_xy / (c_x*c_y)): per-cell terms are
+    c_xy * (flog2(n*c_xy) - flog2(c_x*c_y)) — exact BIGINTs via the
+    shared LUT kernel (bound: n*c_xy < 2^63, i.e. n < ~3e9 rows; past
+    that, pre-aggregate per shard and scale the counts down together).
+    One groupBy over the data; margins are windows over the CELL table
+    (bounded by the category-product). NULL categories are excluded
+    (no information in an unobserved label).
+
+    Returns one row per observed (x, y) cell plus the shared totals:
+    (x, y, n_xy, n_x, n_y, mi_term_scaled, mi_total_scaled, mi_bits).
+    """
+    cells = (
+        df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
+        .groupBy(F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    staged = cells.select(
+        "_x",
+        "_y",
+        "c",
+        F.sum("c").over(Window.partitionBy("_x")).cast("long").alias("cx"),
+        F.sum("c").over(Window.partitionBy("_y")).cast("long").alias("cy"),
+        F.sum("c").over(w_all).cast("long").alias("n"),
+    ).select(
+        "_x",
+        "_y",
+        "c",
+        "cx",
+        "cy",
+        "n",
+        (F.col("n") * F.col("c")).alias("_num"),
+        (F.col("cx") * F.col("cy")).alias("_den"),
+    )
+    staged = with_flog2(staged, "_num", "_ln")
+    staged = with_flog2(staged, "_den", "_ld")
+    per = staged.withColumn("_t", F.col("c") * (F.col("_ln") - F.col("_ld")))
+    return per.select(
+        F.col("_x").alias(x_col),
+        F.col("_y").alias(y_col),
+        F.col("c").alias("n_xy"),
+        F.col("cx").alias("n_x"),
+        F.col("cy").alias("n_y"),
+        F.col("_t").cast("long").alias("mi_term_scaled"),
+        F.sum("_t").over(w_all).cast("long").alias("mi_total_scaled"),
+        (
+            F.sum("_t").over(w_all).cast("double")
+            / (F.col("n") * F.lit(FLOG2_ONE)).cast("double")
+        ).alias("mi_bits"),
+    )

@@ -10175,3 +10175,103 @@ def q_lm_greedy_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     same 8 steps as CTEs."""
     d = _read(spark, sf_dir, "documents")
     return lm_ops.greedy_generate(d, steps=8, n_seeds=5)
+
+
+@register(
+    "docs_heaps_curve",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    wn AS (SELECT doc_id, ws, len(ws) AS n FROM w),
+    per_doc AS (
+      SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n
+      FROM wn GROUP BY doc_id HAVING SUM(n) > 0
+    ),
+    offs AS (
+      SELECT doc_id,
+             CAST(SUM(n) OVER (ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+               AS BIGINT) AS off
+      FROM per_doc
+    ),
+    toks AS (
+      SELECT o.off + i AS gpos, ws[i] AS t
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i FROM wn) e
+      JOIN offs o USING (doc_id)
+    ),
+    firsts AS (SELECT t, CAST(MIN(gpos) AS BIGINT) AS fp FROM toks GROUP BY t),
+    bk AS (
+      SELECT CAST(CASE WHEN fp = 1 THEN 0
+                       ELSE length(printf('%b', fp - 1)) END AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM firsts GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM toks),
+    ladder AS (
+      SELECT CAST(g.k AS BIGINT) AS k, tot.t
+      FROM (SELECT unnest(range(0, 41)) AS k) g, tot
+      WHERE g.k = 0 OR CAST(power(2, g.k - 1) AS BIGINT) < tot.t
+    ),
+    j AS (
+      SELECT l.k, l.t, COALESCE(bk.c, 0) AS c
+      FROM ladder l LEFT JOIN bk ON bk.k = l.k
+    )
+    SELECT k,
+           LEAST(CAST(power(2, k) AS BIGINT), t) AS prefix_tokens,
+           CAST(SUM(c) OVER (ORDER BY k
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS vocab_size
+    FROM j
+    """,
+)
+def q_docs_heaps_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth: distinct types after the first N
+    corpus tokens on a power-of-two ladder — the sublinearity check that
+    separates natural text (N^0.5-0.8) from templated corpora
+    (plateaus) and OCR noise (keeps climbing). Every type reduces to
+    its first global position (one groupBy min over offset arithmetic);
+    the curve itself is a <= 41-row cumulative sum over ceil-log2
+    buckets (llm.lm.heaps_curve)."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.heaps_curve(d)
+
+
+@register(
+    "docs_lang_source_mi",
+    f"""
+    WITH cells AS (
+      SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS c
+      FROM documents
+      WHERE lang IS NOT NULL AND source IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT x, y, c,
+             CAST(SUM(c) OVER (PARTITION BY x) AS BIGINT) AS cx,
+             CAST(SUM(c) OVER (PARTITION BY y) AS BIGINT) AS cy,
+             CAST(SUM(c) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    st AS (
+      SELECT *, CAST(n * c AS BIGINT) AS num, CAST(cx * cy AS BIGINT) AS den
+      FROM m
+    ),
+    per AS (
+      SELECT *, c * ({lm_ops.sql_flog2('num')} - {lm_ops.sql_flog2('den')}) AS t
+      FROM st
+    )
+    SELECT x AS lang, y AS source, c AS n_xy, cx AS n_x, cy AS n_y,
+           CAST(t AS BIGINT) AS mi_term_scaled,
+           CAST(SUM(t) OVER () AS BIGINT) AS mi_total_scaled,
+           CAST(SUM(t) OVER () AS DOUBLE)
+             / CAST(n * {lm_ops.FLOG2_ONE} AS DOUBLE) AS mi_bits
+    FROM per
+    """,
+)
+def q_docs_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the corpus's lang and source labels in
+    exact fixed-point bits — the metadata-redundancy audit (high MI:
+    per-source language filters are redundant; ~0: both needed). Exact
+    per-cell BIGINT terms via the shared flog2 kernel; margins are
+    windows over the bounded cell table (llm.lm.categorical_mi)."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.categorical_mi(d, "lang", "source")

@@ -20,6 +20,7 @@ import shutil
 import uuid
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..ops import incremental as inc
@@ -325,6 +326,173 @@ def cms_stream_job(
         if batch_df.isEmpty():
             return
         merge_cms_batch(spark, batch_df, state_path, batch_id, token_col)
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+# ---------------------------------------------------------------------------
+# Streaming association-rule state (Apriori counts over an order stream)
+# ---------------------------------------------------------------------------
+#
+# State = three parquet tables under one root: per-item basket counts,
+# per-pair co-occurrence counts, and the basket total. All merges are
+# SUMs, so — like the Count-Min job and unlike Bloom/HLL — replay safety
+# comes from the atomic in-state batch marker, not algebraic idempotency.
+#
+# Correctness contract: each micro-batch must contain COMPLETE baskets
+# (an order's lines never split across batches) — the natural shape when
+# the upstream emits whole orders; a line-level firehose would need a
+# sessionizing stage first. Pair counting within a batch is the same
+# bounded self-join as ops.basket.association_rules.
+
+
+def _assoc_counts(batch_df, basket_col: str, item_col: str):
+    b = batch_df.select(
+        F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
+    ).distinct()
+    items = b.groupBy(F.col("_i").alias("item")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    a = b.select("_o", F.col("_i").alias("item_a"))
+    c = b.select(F.col("_o").alias("_o2"), F.col("_i").alias("item_b"))
+    pairs = (
+        a.join(c, (F.col("_o") == F.col("_o2")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("co"))
+    )
+    n = b.select(F.countDistinct("_o").cast("long").alias("n_baskets"))
+    return items, pairs, n
+
+
+def merge_assoc_batch(
+    spark: SparkSession,
+    batch_df,
+    state_path: str,
+    batch_id: int,
+    basket_col: str = "o",
+    item_col: str = "item",
+) -> None:
+    """Fold one order-complete batch into the persistent Apriori count
+    state (item counts + pair co-counts + basket total), exactly-once
+    via the atomic in-state batch marker."""
+    _recover_state(state_path)
+    if batch_id <= _last_merged_batch(state_path):
+        return
+    items, pairs, n = _assoc_counts(batch_df, basket_col, item_col)
+    if os.path.exists(state_path):
+        old_i = spark.read.parquet(os.path.join(state_path, "items"))
+        old_p = spark.read.parquet(os.path.join(state_path, "pairs"))
+        old_n = spark.read.parquet(os.path.join(state_path, "total"))
+        items = (
+            items.unionByName(old_i)
+            .groupBy("item")
+            .agg(F.sum("n_orders").cast("long").alias("n_orders"))
+        )
+        pairs = (
+            pairs.unionByName(old_p)
+            .groupBy("item_a", "item_b")
+            .agg(F.sum("co").cast("long").alias("co"))
+        )
+        n = n.unionByName(old_n).agg(
+            F.sum("n_baskets").cast("long").alias("n_baskets")
+        )
+    import json as _json
+
+    staging = f"{state_path}__stage_{uuid.uuid4().hex[:8]}"
+    items.write.mode("overwrite").parquet(os.path.join(staging, "items"))
+    pairs.write.mode("overwrite").parquet(os.path.join(staging, "pairs"))
+    n.write.mode("overwrite").parquet(os.path.join(staging, "total"))
+    with open(os.path.join(staging, _META_NAME), "w") as fh:
+        _json.dump({"batch_id": int(batch_id)}, fh)
+    backup = f"{state_path}__old_{uuid.uuid4().hex[:8]}"
+    if os.path.exists(state_path):
+        os.rename(state_path, backup)
+        os.rename(staging, state_path)
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        os.rename(staging, state_path)
+
+
+def assoc_rules_from_state(
+    spark: SparkSession,
+    state_path: str,
+    min_support: int = 2,
+    min_conf_ppm: int = 0,
+):
+    """Derive the directed rule set from the maintained counts — the
+    read side any batch job can run mid-stream. Same arithmetic as
+    ops.basket.association_rules, so state-derived rules equal the
+    one-shot batch rules on the union of all streamed baskets
+    (e2e-tested)."""
+    items = spark.read.parquet(os.path.join(state_path, "items"))
+    pairs = spark.read.parquet(os.path.join(state_path, "pairs"))
+    n = spark.read.parquet(os.path.join(state_path, "total"))
+    co = pairs.filter(F.col("co") >= min_support)
+    directed = co.select(
+        F.col("item_a").alias("antecedent"),
+        F.col("item_b").alias("consequent"),
+        "co",
+    ).unionByName(
+        co.select(
+            F.col("item_b").alias("antecedent"),
+            F.col("item_a").alias("consequent"),
+            "co",
+        )
+    )
+    na = items.select(
+        F.col("item").alias("antecedent"), F.col("n_orders").alias("n_antecedent")
+    )
+    nc = items.select(
+        F.col("item").alias("consequent"), F.col("n_orders").alias("n_consequent")
+    )
+    out = (
+        directed.join(na, "antecedent")
+        .join(nc, "consequent")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("co").cast("long").alias("support_cnt"),
+            F.col("n_antecedent").cast("long").alias("n_antecedent"),
+            F.col("n_consequent").cast("long").alias("n_consequent"),
+            F.col("n_baskets").cast("long").alias("n_baskets"),
+            F.expr("(1000000 * co) div n_antecedent").cast("long").alias("conf_ppm"),
+            F.expr("(1000000 * co * n_baskets) div (n_antecedent * n_consequent)")
+            .cast("long")
+            .alias("lift_ppm"),
+        )
+    )
+    return out.filter(F.col("conf_ppm") >= min_conf_ppm)
+
+
+def assoc_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    basket_col: str = "o",
+    item_col: str = "item",
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming market-basket maintenance: an NDJSON order-lines stream
+    (order-complete batches) folds into Apriori count state; rules are
+    derivable mid-stream by ``assoc_rules_from_state``."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_assoc_batch(spark, batch_df, state_path, batch_id, basket_col, item_col)
 
     writer = stream.writeStream.foreachBatch(_merge).option(
         "checkpointLocation", checkpoint_dir

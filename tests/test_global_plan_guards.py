@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "basket_assoc_rules",  # 1-row n_baskets total broadcast back onto the rules
     "ann_hard_negatives",  # the bounded query-set cross product (ann_cosine_topk shape)
     "embeddings_negative_samples",  # 1-row id-count broadcast into the draw arithmetic
+    "docs_heaps_curve",  # 1-row token-total broadcast onto the 41-row ladder
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

@@ -402,3 +402,62 @@ def test_cms_stream_job_replay_does_not_double_count(spark):
         assert est["a"] >= 40 and est["b"] >= 5 and est["c"] >= 20
     finally:
         _shutil.rmtree(src, ignore_errors=True)
+
+
+def test_assoc_stream_job_state_equals_batch_rules(spark):
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.ops import basket
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="assoc_src_")
+    state = tempfile.mkdtemp(prefix="assoc_state_") + "/state"
+    ckpt = tempfile.mkdtemp(prefix="assoc_ckpt_")
+    schema = "o long, item long"
+    # order-COMPLETE batches (the documented contract): orders 1-3 in
+    # tick 0, orders 4-6 in tick 1
+    batches = [
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 30)],
+        [(4, 10), (4, 20), (5, 20), (5, 30), (6, 10), (6, 20)],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).json(f"{src}/tick_{i}")
+        _time.sleep(1.2)
+
+    q = sinc.assoc_stream_job(
+        spark,
+        source_dir=f"{src}/tick_*",
+        state_path=state,
+        checkpoint_dir=ckpt,
+        schema=schema,
+        max_files_per_trigger=1,
+    ).start()
+    q.awaitTermination(120)
+
+    key = lambda r: (r.antecedent, r.consequent)  # noqa: E731
+    streamed = {
+        key(r): (r.support_cnt, r.n_antecedent, r.n_consequent, r.n_baskets,
+                 r.conf_ppm, r.lift_ppm)
+        for r in sinc.assoc_rules_from_state(spark, state, min_support=2).collect()
+    }
+    union = spark.createDataFrame(batches[0] + batches[1], schema)
+    direct = {
+        key(r): (r.support_cnt, r.n_antecedent, r.n_consequent, r.n_baskets,
+                 r.conf_ppm, r.lift_ppm)
+        for r in basket.association_rules(union, min_support=2).collect()
+    }
+    assert streamed == direct and len(streamed) > 0
+
+    # replay the LAST batch (crash between state swap and checkpoint
+    # commit): SUM counts would double without the in-state marker
+    last = spark.createDataFrame(batches[1], schema)
+    sinc.merge_assoc_batch(spark, last, state, batch_id=1)
+    replayed = {
+        key(r): (r.support_cnt, r.n_antecedent, r.n_consequent, r.n_baskets,
+                 r.conf_ppm, r.lift_ppm)
+        for r in sinc.assoc_rules_from_state(spark, state, min_support=2).collect()
+    }
+    assert replayed == direct

@@ -529,3 +529,43 @@ def test_greedy_generate_dead_end_stops_chain(spark):
     rows = {(r.seed, r.step): r.word for r in out.collect()}
     assert rows[("x", 1)] == "y"
     assert ("x", 2) not in rows and ("y", 1) not in rows
+
+
+# ---------------------------------------------------------------------------
+# Heaps curve + categorical MI
+# ---------------------------------------------------------------------------
+
+
+def test_heaps_curve_exact_counts(spark):
+    from kaspi_etl_spark.llm import lm
+
+    # corpus token stream (doc order): a b a c | a b d -> 7 tokens
+    # firsts: a@1, b@2, c@4, d@7
+    docs = [(1, "a b a c"), (2, "a b d")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.k: (r.prefix_tokens, r.vocab_size) for r in lm.heaps_curve(df).collect()}
+    assert out[0] == (1, 1)  # after 1 token: {a}
+    assert out[1] == (2, 2)  # after 2: {a, b}
+    assert out[2] == (4, 3)  # after 4: {a, b, c}
+    assert out[3] == (7, 4)  # after min(8, 7) = 7: all four
+    assert max(out) == 3  # ladder stops once 2^(k-1) >= total
+
+
+def test_categorical_mi_extremes(spark):
+    from kaspi_etl_spark.llm import lm
+
+    # perfectly dependent: y = x -> MI = H(X) = 1 bit for 2 equiprobable
+    rows = [("a", "a")] * 10 + [("b", "b")] * 10
+    df = spark.createDataFrame(rows, "x string, y string")
+    out = lm.categorical_mi(df, "x", "y").collect()
+    assert abs(out[0].mi_bits - 1.0) < 0.01
+    # independent: MI ~ 0
+    rows2 = [(x, y) for x in ("a", "b") for y in ("u", "v") for _ in range(10)]
+    df2 = spark.createDataFrame(rows2, "x string, y string")
+    out2 = lm.categorical_mi(df2, "x", "y").collect()
+    assert abs(out2[0].mi_bits) < 0.01
+    # NULL labels are excluded
+    rows3 = rows + [(None, "a"), ("a", None)]
+    df3 = spark.createDataFrame(rows3, "x string, y string")
+    out3 = lm.categorical_mi(df3, "x", "y").collect()
+    assert sum(r.n_xy for r in out3) == 20
