@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import math as _math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .dedup import md5_long
@@ -296,3 +296,94 @@ def load_weights(spark, path: str) -> list[int]:
     for r in rows:
         weights[int(r["j"])] = int(r["w"])
     return weights
+
+
+def eval_metrics(
+    scored: DataFrame,
+    score_col: str = "z_scaled",
+    label_col: str = "y",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """Exact binary-classification evaluation — the third leg of the
+    training family (train -> score -> evaluate): confusion counts,
+    accuracy / precision / recall / F1 in integer ppm, and AUC as the
+    exact tie-aware rank-sum (Mann-Whitney) statistic.
+
+    Every metric is integer arithmetic: F1 uses the identity
+    2tp/(2tp+fp+fn) (no intermediate ratios), and AUC keeps tied-rank
+    averages exact by carrying DOUBLED rank sums — for each distinct
+    score, its block contributes n_pos_at_z * (2*cum_before + n_z + 1),
+    so U2 = R2_pos - n_pos(n_pos+1) and auc_ppm = 1e6*U2 div
+    (2*n_pos*n_neg) with no float anywhere (bound: n_pos*n_neg < 4.6e12
+    — one eval-set shard; shard and average past that). The rank walk
+    is one window over DISTINCT scores (eval-set-sized at gate scale;
+    swap in the distributed prefix sum for a firehose eval).
+
+    Returns ONE row: (n, n_pos, n_neg, tp, fp, tn, fn, accuracy_ppm,
+    precision_ppm, recall_ppm, f1_ppm, auc_ppm).
+    """
+    base = scored.select(
+        F.col(score_col).alias("_z"),
+        F.col(label_col).cast("long").alias("_y"),
+        F.col(pred_col).cast("long").alias("_p"),
+    )
+    conf = base.select(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_y").cast("long").alias("n_pos"),
+        F.sum(1 - F.col("_y")).cast("long").alias("n_neg"),
+        F.sum(F.col("_y") * F.col("_p")).cast("long").alias("tp"),
+        F.sum((1 - F.col("_y")) * F.col("_p")).cast("long").alias("fp"),
+        F.sum((1 - F.col("_y")) * (1 - F.col("_p"))).cast("long").alias("tn"),
+        F.sum(F.col("_y") * (1 - F.col("_p"))).cast("long").alias("fn"),
+    )
+    zdist = base.groupBy("_z").agg(
+        F.count(F.lit(1)).cast("long").alias("n_z"),
+        F.sum("_y").cast("long").alias("npos_z"),
+    )
+    w = Window.orderBy(F.col("_z").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = zdist.select(
+        "n_z",
+        "npos_z",
+        (F.sum("n_z").over(w) - F.col("n_z")).alias("_cum_before"),
+    )
+    r2 = ranked.select(
+        F.sum(
+            F.col("npos_z") * (2 * F.col("_cum_before") + F.col("n_z") + 1)
+        )
+        .cast("long")
+        .alias("r2_pos")
+    )
+    joined = conf.crossJoin(F.broadcast(r2))
+    return joined.select(
+        "n",
+        "n_pos",
+        "n_neg",
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.expr("(1000000 * (tp + tn)) div n").cast("long").alias("accuracy_ppm"),
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0))
+        .otherwise(F.expr("(1000000 * tp) div (tp + fp)"))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("n_pos") == 0, F.lit(0))
+        .otherwise(F.expr("(1000000 * tp) div (tp + fn)"))
+        .cast("long")
+        .alias("recall_ppm"),
+        F.when(2 * F.col("tp") + F.col("fp") + F.col("fn") == 0, F.lit(0))
+        .otherwise(F.expr("(2000000 * tp) div (2 * tp + fp + fn)"))
+        .cast("long")
+        .alias("f1_ppm"),
+        F.when(F.col("n_pos") * F.col("n_neg") == 0, F.lit(0))
+        .otherwise(
+            F.expr(
+                "(1000000 * (r2_pos - n_pos * (n_pos + 1)))"
+                " div (2 * n_pos * n_neg)"
+            )
+        )
+        .cast("long")
+        .alias("auc_ppm"),
+    )

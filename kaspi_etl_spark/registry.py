@@ -10275,3 +10275,62 @@ def q_docs_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows over the bounded cell table (llm.lm.categorical_mi)."""
     d = _read(spark, sf_dir, "documents")
     return lm_ops.categorical_mi(d, "lang", "source")
+
+
+@register(
+    "docs_logreg_eval",
+    """
+    WITH p AS ({PRED}),
+    conf AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(SUM(1 - y) AS BIGINT) AS n_neg,
+             CAST(SUM(y * pred) AS BIGINT) AS tp,
+             CAST(SUM((1 - y) * pred) AS BIGINT) AS fp,
+             CAST(SUM((1 - y) * (1 - pred)) AS BIGINT) AS tn,
+             CAST(SUM(y * (1 - pred)) AS BIGINT) AS fn
+      FROM p
+    ),
+    zd AS (
+      SELECT z_scaled AS z, CAST(COUNT(*) AS BIGINT) AS n_z,
+             CAST(SUM(y) AS BIGINT) AS npos_z
+      FROM p GROUP BY 1
+    ),
+    rk AS (
+      SELECT n_z, npos_z,
+             CAST(SUM(n_z) OVER (ORDER BY z ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_z
+               AS BIGINT) AS cb
+      FROM zd
+    ),
+    r2 AS (SELECT CAST(SUM(npos_z * (2 * cb + n_z + 1)) AS BIGINT) AS r2_pos
+           FROM rk)
+    SELECT n, n_pos, n_neg, tp, fp, tn, fn,
+           CAST((1000000 * (tp + tn)) // n AS BIGINT) AS accuracy_ppm,
+           CAST(CASE WHEN tp + fp = 0 THEN 0
+                     ELSE (1000000 * tp) // (tp + fp) END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN n_pos = 0 THEN 0
+                     ELSE (1000000 * tp) // (tp + fn) END AS BIGINT)
+             AS recall_ppm,
+           CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+                     ELSE (2000000 * tp) // (2 * tp + fp + fn) END AS BIGINT)
+             AS f1_ppm,
+           CAST(CASE WHEN n_pos * n_neg = 0 THEN 0
+                     ELSE (1000000 * (r2_pos - n_pos * (n_pos + 1)))
+                          // (2 * n_pos * n_neg) END AS BIGINT) AS auc_ppm
+    FROM conf, r2
+    """.replace("{PRED}", ORACLES["docs_logreg_predict"]),
+)
+def q_docs_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The evaluation leg of the trained-classifier family (train ->
+    score -> EVALUATE): exact confusion counts, ppm accuracy/precision/
+    recall/F1 (F1 via the integer identity 2tp/(2tp+fp+fn)), and
+    tie-aware rank-sum AUC carried in doubled integer ranks — no float
+    anywhere, so the whole model-quality report oracle-checks
+    bit-exactly. Oracle nests the full docs_logreg_predict chain as a
+    subquery (the part_entity_clusters pattern)."""
+    d = _read(spark, sf_dir, "documents")
+    weights = _lr_weights(spark, sf_dir)
+    scored = clf_ops.predict(d, weights, _lr_label_col())
+    return clf_ops.eval_metrics(scored)

@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "ann_hard_negatives",  # the bounded query-set cross product (ann_cosine_topk shape)
     "embeddings_negative_samples",  # 1-row id-count broadcast into the draw arithmetic
     "docs_heaps_curve",  # 1-row token-total broadcast onto the 41-row ladder
+    "docs_logreg_eval",  # 1-row rank-sum broadcast onto the confusion row
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

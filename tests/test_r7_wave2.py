@@ -569,3 +569,41 @@ def test_categorical_mi_extremes(spark):
     df3 = spark.createDataFrame(rows3, "x string, y string")
     out3 = lm.categorical_mi(df3, "x", "y").collect()
     assert sum(r.n_xy for r in out3) == 20
+
+
+# ---------------------------------------------------------------------------
+# classifier evaluation metrics
+# ---------------------------------------------------------------------------
+
+
+def test_eval_metrics_hand_computed(spark):
+    from kaspi_etl_spark.llm import classifier
+
+    # scores: pos at 30 (tied with a neg), 20; neg at 30, 10
+    # sorted z: 10(n) 20(p) 30(p,n tied)
+    # ranks: 10->1, 20->2, {30,30}->avg 3.5
+    # R_pos = 2 + 3.5 = 5.5 -> U = 5.5 - 3 = 2.5 -> AUC = 2.5/4 = 0.625
+    rows = [(30, 1, 1), (20, 1, 0), (30, 0, 1), (10, 0, 0)]
+    df = spark.createDataFrame(rows, "z_scaled long, y long, pred long")
+    out = classifier.eval_metrics(df).collect()[0]
+    assert (out.n, out.n_pos, out.n_neg) == (4, 2, 2)
+    assert (out.tp, out.fp, out.tn, out.fn) == (1, 1, 1, 1)
+    assert out.accuracy_ppm == 500_000
+    assert out.precision_ppm == 500_000 and out.recall_ppm == 500_000
+    assert out.f1_ppm == 500_000
+    assert out.auc_ppm == 625_000
+
+
+def test_eval_metrics_perfect_and_degenerate(spark):
+    from kaspi_etl_spark.llm import classifier
+
+    rows = [(10, 1, 1), (9, 1, 1), (2, 0, 0), (1, 0, 0)]
+    df = spark.createDataFrame(rows, "z_scaled long, y long, pred long")
+    out = classifier.eval_metrics(df).collect()[0]
+    assert out.auc_ppm == 1_000_000 and out.f1_ppm == 1_000_000
+    # all one class -> AUC guard returns 0 instead of dividing by zero
+    rows2 = [(5, 1, 1), (4, 1, 0)]
+    out2 = classifier.eval_metrics(
+        spark.createDataFrame(rows2, "z_scaled long, y long, pred long")
+    ).collect()[0]
+    assert out2.auc_ppm == 0 and out2.n_neg == 0
