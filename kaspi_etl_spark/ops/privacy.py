@@ -70,3 +70,50 @@ def suppression_report(
         "grp_n",
         (F.col("grp_n") < k).cast("long").alias("suppressed"),
     )
+
+
+def l_diversify(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity on top of k-anonymity's suppression mechanics: a
+    quasi-identifier combination is released only if its group contains
+    at least ``l`` DISTINCT values of the sensitive attribute —
+    k-anonymity alone still leaks when a 50-person group all shares one
+    diagnosis (the homogeneity attack l-diversity exists to stop).
+
+    Same shape as k_anonymize: one bounded groupBy (count + distinct
+    sensitive count) broadcast back onto the rows via the null-safe
+    quasi join; rows in insufficiently diverse groups get their quasi
+    columns suppressed to NULL, row count preserved. Appends grp_n and
+    sens_l. NULL sensitive values count as one distinct value (they
+    group; a group of all-NULL sensitives has sens_l = 1)."""
+    if l < 1:
+        raise ValueError("l must be >= 1")
+    counts = df.groupBy(*quasi_cols).agg(
+        F.count("*").cast("long").alias("grp_n"),
+        (
+            F.countDistinct(sensitive_col)
+            + F.max(F.col(sensitive_col).isNull().cast("int"))
+        )
+        .cast("long")
+        .alias("sens_l"),
+    )
+    right = counts
+    for c in quasi_cols:
+        right = right.withColumnRenamed(c, f"_q_{c}")
+    cond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_q_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    joined = df.join(F.broadcast(right), cond, "left").drop(
+        *[f"_q_{c}" for c in quasi_cols]
+    )
+    out = joined
+    for c in quasi_cols:
+        out = out.withColumn(
+            c, F.when(F.col("sens_l") >= l, F.col(c)).otherwise(F.lit(None))
+        )
+    return out

@@ -10334,3 +10334,149 @@ def q_docs_logreg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = _lr_weights(spark, sf_dir)
     scored = clf_ops.predict(d, weights, _lr_label_col())
     return clf_ops.eval_metrics(scored)
+
+
+@register(
+    "kmeans_inertia_report",
+    """
+    WITH a AS ({ASSIGN})
+    SELECT cluster,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(dist) AS BIGINT) AS sse_scaled,
+           CAST(SUM(SUM(dist)) OVER () AS BIGINT) AS inertia_scaled,
+           CAST((1000000 * SUM(dist)) // SUM(SUM(dist)) OVER () AS BIGINT)
+             AS sse_share_ppm
+    FROM a GROUP BY cluster
+    """.replace("{ASSIGN}", ORACLES["kmeans_assign"]),
+)
+def q_kmeans_inertia_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report — the evaluation leg of the k-means
+    family (every trained family here ships one: ann_recall_eval for
+    the index, docs_logreg_eval for the classifier, this for the
+    clusterer): per-cluster size, exact integer SSE over the quantized
+    vectors, total inertia, and each cluster's share of it. One groupBy
+    over the assignment; the inertia rollup is a window over k rows."""
+    e = _read(spark, sf_dir, "embeddings")
+    assigned = sim_ops.kmeans_assign(e, k=8)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    per = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum("dist").cast("long").alias("sse_scaled"),
+    )
+    return per.select(
+        "cluster",
+        "n_vecs",
+        "sse_scaled",
+        F.sum("sse_scaled").over(w_all).cast("long").alias("inertia_scaled"),
+        F.expr(
+            "(1000000 * sse_scaled) div (sum(sse_scaled) over ())"
+        )
+        .cast("long")
+        .alias("sse_share_ppm"),
+    )
+
+
+@register(
+    "minhash_dedup_eval",
+    """
+    WITH pred AS ({MH}),
+    truth AS ({EX}),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pred FROM pred),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_common
+           FROM pred p JOIN truth t ON p.id_a = t.id_a AND p.id_b = t.id_b)
+    SELECT np.n_pred, nt.n_truth, nc.n_common,
+           CAST(CASE WHEN np.n_pred = 0 THEN 0
+                     ELSE (1000000 * nc.n_common) // np.n_pred END AS BIGINT)
+             AS precision_ppm,
+           CAST(CASE WHEN nt.n_truth = 0 THEN 0
+                     ELSE (1000000 * nc.n_common) // nt.n_truth END AS BIGINT)
+             AS recall_ppm
+    FROM np, nt, nc
+    """.replace("{MH}", ORACLES["minhash_lsh_pairs"]).replace(
+        "{EX}", ORACLES["ngram_jaccard_pairs"]
+    ),
+)
+def q_minhash_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline quality gate for the MinHash-LSH dedup path: precision /
+    recall (exact ppm) of the banded-signature pairs against exact
+    uncapped Jaccard ground truth at the same 0.5 threshold — the dedup
+    counterpart of ann_recall_eval (an approximate operator without a
+    measured quality gate is a guess). Composes the two existing
+    pipelines verbatim; the comparison is one equi-join on pair keys."""
+    docs = llm_docs(spark, sf_dir)
+    pred = dedup_ops.minhash_near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    ).select("id_a", "id_b")
+    truth = dedup_ops.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=None
+    ).select("id_a", "id_b")
+    np_ = pred.agg(F.count(F.lit(1)).cast("long").alias("n_pred"))
+    nt_ = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc_ = (
+        pred.join(truth, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    out = np_.crossJoin(F.broadcast(nt_)).crossJoin(F.broadcast(nc_))
+    return out.select(
+        "n_pred",
+        "n_truth",
+        "n_common",
+        F.when(F.col("n_pred") == 0, F.lit(0))
+        .otherwise(F.expr("(1000000 * n_common) div n_pred"))
+        .cast("long")
+        .alias("precision_ppm"),
+        F.when(F.col("n_truth") == 0, F.lit(0))
+        .otherwise(F.expr("(1000000 * n_common) div n_truth"))
+        .cast("long")
+        .alias("recall_ppm"),
+    )
+
+
+@register(
+    "customers_l_diverse",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / CAST(2000 AS DOUBLE))
+                  AS BIGINT) AS bal_band
+      FROM customer
+    ),
+    counts AS (
+      SELECT c_mktsegment, c_nationkey,
+             CAST(count(*) AS BIGINT) AS grp_n,
+             CAST(COUNT(DISTINCT bal_band)
+                  + MAX(CASE WHEN bal_band IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS sens_l
+      FROM base GROUP BY 1, 2
+    )
+    SELECT b.c_custkey,
+           CASE WHEN n.sens_l >= 3 THEN b.c_mktsegment END AS c_mktsegment,
+           CASE WHEN n.sens_l >= 3 THEN b.c_nationkey END AS c_nationkey,
+           n.grp_n, n.sens_l
+    FROM base b
+    LEFT JOIN counts n
+      ON n.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+     AND n.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+    """,
+)
+def q_customers_l_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity release (l=3) over the same quasi pair as the k-anon
+    gate, with account-balance band as the sensitive attribute:
+    combinations whose groups hold fewer than 3 distinct bands are
+    suppressed — the homogeneity-attack guard k-anonymity alone misses
+    (a large group all in one band still leaks). Same bounded
+    groupBy-broadcast mechanics, NULL-safe on both the quasi join and
+    the sensitive count (ops/privacy.l_diversify)."""
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0))
+        .cast("long")
+        .alias("bal_band"),
+    )
+    out = privacy_ops.l_diversify(
+        c, ["c_mktsegment", "c_nationkey"], "bal_band", l=3
+    )
+    return out.select("c_custkey", "c_mktsegment", "c_nationkey", "grp_n", "sens_l")

@@ -55,6 +55,8 @@ BNLJ_ALLOWED = {
     "embeddings_negative_samples",  # 1-row id-count broadcast into the draw arithmetic
     "docs_heaps_curve",  # 1-row token-total broadcast onto the 41-row ladder
     "docs_logreg_eval",  # 1-row rank-sum broadcast onto the confusion row
+    "kmeans_inertia_report",  # inherits kmeans_assign's bounded seed cross product
+    "minhash_dedup_eval",  # 1-row pred/truth/common count broadcasts
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

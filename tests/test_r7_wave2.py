@@ -607,3 +607,32 @@ def test_eval_metrics_perfect_and_degenerate(spark):
         spark.createDataFrame(rows2, "z_scaled long, y long, pred long")
     ).collect()[0]
     assert out2.auc_ppm == 0 and out2.n_neg == 0
+
+
+# ---------------------------------------------------------------------------
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversify_suppresses_homogeneous_groups(spark):
+    from kaspi_etl_spark.ops import privacy
+
+    # group A: 3 rows, all sensitive=1 -> sens_l=1 -> suppressed
+    # group B: 3 rows, sensitive {1,2,3} -> released
+    rows = [("A", 1, 1), ("A", 2, 1), ("A", 3, 1),
+            ("B", 4, 1), ("B", 5, 2), ("B", 6, 3)]
+    df = spark.createDataFrame(rows, "q string, id long, s long")
+    out = {r.id: r for r in privacy.l_diversify(df, ["q"], "s", l=3).collect()}
+    assert out[1].q is None and out[1].sens_l == 1
+    assert out[4].q == "B" and out[4].sens_l == 3
+    assert len(out) == 6  # row count preserved
+
+
+def test_l_diversify_null_sensitive_counts_once(spark):
+    from kaspi_etl_spark.ops import privacy
+
+    rows = [("A", 1, None), ("A", 2, None), ("A", 3, 7)]
+    df = spark.createDataFrame(rows, "q string, id long, s integer")
+    out = privacy.l_diversify(df, ["q"], "s", l=2).collect()
+    assert all(r.sens_l == 2 for r in out)  # {NULL, 7} -> 2 distinct
+    assert all(r.q == "A" for r in out)
