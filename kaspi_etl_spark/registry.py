@@ -8095,18 +8095,20 @@ from .llm import bpe as bpe_ops  # noqa: E402
 _BPE_MERGES = 8
 
 
-def _sql_bpe_cte(n_merges: int) -> str:
+def _sql_bpe_cte(n_merges: int, doc_filter: str = "") -> str:
     """CTE chain mirroring llm/bpe.bpe_train step for step: ``wc`` (the
     word-frequency dictionary), ``s0`` (char-spaced symbol sequences),
     then per merge step the weighted adjacent-pair counts ``p{t}``, the
     deterministic argmax ``m{t}``, and the double-replace application
     ``s{t}``. LEFT JOIN ON TRUE (not CROSS JOIN) so an exhausted pair
     supply leaves sequences unchanged instead of emptying the chain —
-    the Spark loop's early-stop mirror."""
+    the Spark loop's early-stop mirror. ``doc_filter`` restricts the
+    TRAINING corpus (held-out evals train on a split)."""
     parts = [
         f"""wc AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest({_SQL_WORDS_EXPR}) AS word FROM documents)
+      FROM (SELECT unnest({_SQL_WORDS_EXPR}) AS word
+            FROM documents{doc_filter})
       WHERE word <> '' GROUP BY word
     ),
     s0 AS (
@@ -10480,3 +10482,70 @@ def q_customers_l_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, ["c_mktsegment", "c_nationkey"], "bal_band", l=3
     )
     return out.select("c_custkey", "c_mktsegment", "c_nationkey", "grp_n", "sens_l")
+
+
+@register(
+    "bpe_compression_eval",
+    f"""
+    WITH {_sql_bpe_cte(_BPE_MERGES, " WHERE doc_id % 2 = 0")},
+    toks AS (
+      SELECT doc_id % 2 = 0 AS is_train, word
+      FROM (SELECT doc_id, unnest({_SQL_WORDS_EXPR}) AS word FROM documents)
+      WHERE word <> ''
+    ),
+    seg AS (
+      SELECT word, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_toks
+      FROM s{_BPE_MERGES}
+    )
+    SELECT CASE WHEN t.is_train THEN 'train' ELSE 'heldout' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(length(t.word)) AS BIGINT) AS n_chars,
+           CAST(SUM(COALESCE(g.n_toks, length(t.word))) AS BIGINT) AS n_tokens,
+           CAST((100 * SUM(COALESCE(g.n_toks, length(t.word))))
+                // COUNT(*) AS BIGINT) AS tokens_per_100w,
+           CAST((1000 * SUM(length(t.word)))
+                // SUM(COALESCE(g.n_toks, length(t.word))) AS BIGINT)
+             AS chars_per_token_ppk
+    FROM toks t LEFT JOIN seg g USING (word)
+    GROUP BY 1
+    """,
+)
+def q_bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer generalization gate — the evaluation leg of the BPE
+    family: train the merge table on the EVEN-doc split only, encode
+    both splits, and compare compression (tokens per 100 words, chars
+    per token). A tokenizer that memorizes its training split shows a
+    held-out fertility gap; OOV words fall back to character
+    segmentation on both engines. Exact integer ratios; one dictionary
+    equi-join per split."""
+    d = _read(spark, sf_dir, "documents")
+    train_docs = d.filter(F.col("doc_id") % 2 == 0)
+    _, seg = bpe_ops.bpe_train(train_docs, n_merges=_BPE_MERGES)
+    from kaspi_etl_spark.llm.text import extract_words as _ew
+
+    toks = d.select(
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.explode_outer(_ew(F.col("text"))).alias("word"),
+    ).filter(F.col("word").isNotNull() & (F.col("word") != ""))
+    seg_n = seg.select("word", F.size(F.split("seq", " ")).cast("long").alias("n_toks"))
+    tok_cnt = F.coalesce(F.col("n_toks"), F.length("word").cast("long"))
+    return (
+        toks.join(seg_n, "word", "left")
+        .groupBy(
+            F.when(F.col("is_train"), F.lit("train"))
+            .otherwise(F.lit("heldout"))
+            .alias("split")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.length("word")).cast("long").alias("n_chars"),
+            F.sum(tok_cnt).cast("long").alias("n_tokens"),
+            F.expr(
+                "cast((100 * sum(coalesce(n_toks, length(word)))) div count(*) as bigint)"
+            ).alias("tokens_per_100w"),
+            F.expr(
+                "cast((1000 * sum(length(word)))"
+                " div sum(coalesce(n_toks, length(word))) as bigint)"
+            ).alias("chars_per_token_ppk"),
+        )
+    )
