@@ -278,3 +278,63 @@ def rrf_fuse(
             "rank",
         )
     )
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrases: list[tuple[str, ...]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact positional phrase search — the IR surface BM25's bag of
+    words cannot express ("data slow" must match those words ADJACENT,
+    in order). One corpus pass builds (doc, pos, word) postings
+    filtered to the union vocabulary of all queried phrases (the
+    filter is what keeps the posting set tiny at 100 TB — only
+    phrase-word occurrences survive the scan); each phrase then matches
+    by adjacency equi-joins on (doc, pos + k), fan-out bounded by the
+    rarest term's posting list, and all phrases share the single scan.
+
+    Returns (phrase, id, n_matches, first_pos) for docs with >= 1
+    occurrence; first_pos is the 1-based word position of the earliest
+    match.
+    """
+    vocab = sorted({w for p in phrases for w in p})
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode_outer(extract_words(F.col(text_col))).alias("_p", "_w"),
+        )
+        .filter(F.col("_w").isin(vocab))
+        .select(F.col(id_col), (F.col("_p") + 1).alias("_pos"), F.col("_w"))
+    )
+    outs = []
+    for phrase in phrases:
+        cur = postings.filter(F.col("_w") == phrase[0]).select(
+            F.col(id_col), F.col("_pos").alias("_p0")
+        )
+        for k, w in enumerate(phrase[1:], start=1):
+            nxt = postings.filter(F.col("_w") == w).select(
+                F.col(id_col).alias("_id2"), F.col("_pos").alias(f"_p{k}")
+            )
+            cur = cur.join(
+                nxt,
+                (F.col(id_col) == F.col("_id2"))
+                & (F.col(f"_p{k}") == F.col("_p0") + k),
+            ).drop("_id2", f"_p{k}")
+        outs.append(
+            cur.groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("long").alias("n_matches"),
+                F.min("_p0").cast("long").alias("first_pos"),
+            )
+            .select(
+                F.lit(" ".join(phrase)).alias("phrase"),
+                F.col(id_col),
+                "n_matches",
+                "first_pos",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

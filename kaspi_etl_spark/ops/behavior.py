@@ -221,3 +221,60 @@ def cuped_variant_summary(
             (mean_y - F.lit(theta) * (mean_x - F.lit(xbar))) / F.lit(100.0)
         ).alias("mean_y_adj"),
     )
+
+
+def markov_transition_cells(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-(src, dst) transition counts of consecutive events within a
+    user's timeline, ordered by (ts, event_id) — the id tiebreak makes
+    the order total, so tied timestamps (real data has them) cannot
+    flip pairs between engines. Rows with NULL ts/id/type are excluded
+    (engines disagree on NULL ordering; an unknown time has no place in
+    a timeline). One window shuffle keyed by user."""
+    from pyspark.sql import Window
+
+    base = events.filter(
+        F.col(ts_col).isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col(type_col).isNotNull()
+    )
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    tr = base.withColumn("_nxt", F.lead(type_col).over(w)).filter(
+        F.col("_nxt").isNotNull()
+    )
+    return tr.groupBy(
+        F.col(type_col).alias("src"), F.col("_nxt").alias("dst")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_trans"))
+
+
+def markov_steady_state(
+    cells: list[tuple[str, str, int]],
+    iters: int = 12,
+    scale_bits: int = 20,
+) -> dict[str, int]:
+    """Fixed-point power iteration for the stationary distribution of
+    the transition matrix, in exact Python integers over the bounded
+    collected cells (the PCA/FS driver-math pattern; an oracle unrolls
+    the same steps as MATERIALIZED CTEs). Per-term floor division
+    (v_a * c_ab) // rowtotal_a keeps every step integer; mass decays
+    slightly under the floors and states with no outgoing edges absorb
+    nothing — both mirrored exactly, not corrected."""
+    scale = 1 << scale_bits
+    states = sorted({s for s, _, _ in cells} | {d for _, d, _ in cells})
+    rt = {s: 0 for s in states}
+    for s, _, c in cells:
+        rt[s] += c
+    v = {s: scale for s in states}
+    for _ in range(iters):
+        nv = {s: 0 for s in states}
+        for s, d, c in cells:
+            nv[d] += (v[s] * c) // rt[s]
+        v = nv
+    return v

@@ -10549,3 +10549,134 @@ def q_bpe_compression_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_token_ppk"),
         )
     )
+
+
+_PHRASES = [("order", "fast"), ("data", "slow"), ("table", "hash"),
+            ("part", "filter", "scan")]
+
+
+def _sql_phrase_search(phrases) -> str:
+    vocab = ", ".join(f"'{w}'" for w in sorted({w for p in phrases for w in p}))
+    blocks = []
+    for p in phrases:
+        joins = []
+        for k, w in enumerate(p[1:], start=1):
+            joins.append(
+                f"JOIN postings q{k} ON q{k}.doc_id = q0.doc_id"
+                f" AND q{k}.w = '{w}' AND q{k}.pos = q0.pos + {k}"
+            )
+        blocks.append(f"""
+      SELECT '{" ".join(p)}' AS phrase, q0.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_matches,
+             CAST(MIN(q0.pos) AS BIGINT) AS first_pos
+      FROM postings q0 {" ".join(joins)}
+      WHERE q0.w = '{p[0]}'
+      GROUP BY q0.doc_id""")
+    return f"""
+    WITH postings AS (
+      SELECT doc_id, i AS pos, ws[i] AS w
+      FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+            FROM (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents))
+      WHERE ws[i] IN ({vocab})
+    )
+    {" UNION ALL ".join(blocks)}
+    """
+
+
+@register("docs_phrase_search", _sql_phrase_search(_PHRASES))
+def q_docs_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact positional phrase search over the corpus — the adjacency
+    semantics bag-of-words BM25 cannot express. Four phrases (incl. one
+    trigram) share ONE scan: postings are filtered to the union phrase
+    vocabulary at the scan, then each phrase is adjacency equi-joins
+    bounded by its rarest term's posting list
+    (llm.retrieval.phrase_search)."""
+    d = _read(spark, sf_dir, "documents")
+    return retrieval_ops.phrase_search(d, _PHRASES)
+
+
+def _sql_markov_oracle(iters: int = 12) -> str:
+    sc = 1 << 20
+    steps = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        steps.append(f""",
+    v{k} AS MATERIALIZED (
+      SELECT c.dst AS state, CAST(SUM((v.v * c.n_trans) // r.rt) AS BIGINT) AS v
+      FROM cells c
+      JOIN {prev} v ON v.state = c.src
+      JOIN rt r ON r.src = c.src
+      GROUP BY c.dst
+    )""")
+        prev = f"v{k}"
+    return f"""
+    WITH base AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+        AND event_type IS NOT NULL
+    ),
+    tr AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts ASC, event_id ASC) AS dst
+      FROM base
+    ),
+    cells AS MATERIALIZED (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS n_trans
+      FROM tr WHERE dst IS NOT NULL GROUP BY 1, 2
+    ),
+    rt AS MATERIALIZED (
+      SELECT src, CAST(SUM(n_trans) AS BIGINT) AS rt FROM cells GROUP BY src
+    ),
+    states AS (
+      SELECT src AS state FROM cells UNION SELECT dst FROM cells
+    ),
+    v0 AS (SELECT state, CAST({sc} AS BIGINT) AS v FROM states){"".join(steps)},
+    vf AS (
+      SELECT s.state, COALESCE(x.v, 0) AS v
+      FROM states s LEFT JOIN {prev} x ON x.state = s.state
+    )
+    SELECT c.src, c.dst, c.n_trans,
+           CAST((1000000 * c.n_trans) // r.rt AS BIGINT) AS p_ppm,
+           CAST(f.v AS BIGINT) AS steady_src_scaled
+    FROM cells c JOIN rt r ON r.src = c.src JOIN vf f ON f.state = c.src
+    """
+
+
+@register("events_markov_steady", _sql_markov_oracle(12))
+def q_events_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type Markov chain: exact transition counts/probabilities
+    per (src, dst) plus the stationary distribution from 12 fixed-point
+    power iterations — where user sessions settle (the long-run
+    attention split across event types). Transition counting is one
+    user-keyed window with a total (ts, event_id) order; the chain
+    itself is driver-side exact-int math over the bounded cell table
+    (oracle: MATERIALIZED unrolled CTEs — the PCA lesson), riding back
+    as literals (ops.behavior.markov_transition_cells /
+    markov_steady_state)."""
+    ev = read_events(spark, sf_dir)
+    cells_df = behavior_ops.markov_transition_cells(ev)
+    cells = [
+        (r["src"], r["dst"], int(r["n_trans"])) for r in cells_df.collect()
+    ]
+    steady = behavior_ops.markov_steady_state(cells, iters=12)
+    spark_steady = spark.createDataFrame(
+        [(s, v) for s, v in sorted(steady.items())], "src string, steady long"
+    )
+    rt = {s: 0 for s, _, _ in cells}
+    for s, _, c in cells:
+        rt[s] += c
+    rt_df = spark.createDataFrame(
+        [(s, t) for s, t in sorted(rt.items())], "src string, rt long"
+    )
+    return (
+        cells_df.join(F.broadcast(rt_df), "src")
+        .join(F.broadcast(spark_steady), "src")
+        .select(
+            "src",
+            "dst",
+            "n_trans",
+            F.expr("(1000000 * n_trans) div rt").cast("long").alias("p_ppm"),
+            F.col("steady").cast("long").alias("steady_src_scaled"),
+        )
+    )

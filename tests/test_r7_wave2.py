@@ -636,3 +636,54 @@ def test_l_diversify_null_sensitive_counts_once(spark):
     out = privacy.l_diversify(df, ["q"], "s", l=2).collect()
     assert all(r.sens_l == 2 for r in out)  # {NULL, 7} -> 2 distinct
     assert all(r.q == "A" for r in out)
+
+
+# ---------------------------------------------------------------------------
+# phrase search + Markov chain
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_search_adjacency_and_order(spark):
+    from kaspi_etl_spark.llm import retrieval
+
+    rows = [
+        (1, "the quick fox jumped the quick fox"),  # 2 matches of "quick fox"
+        (2, "quick brown fox"),  # words present but NOT adjacent
+        (3, "fox quick"),  # wrong order
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = retrieval.phrase_search(df, [("quick", "fox"), ("the", "quick", "fox")])
+    got = {(r.phrase, r.doc_id): (r.n_matches, r.first_pos) for r in out.collect()}
+    assert got[("quick fox", 1)] == (2, 2)
+    assert ("quick fox", 2) not in got and ("quick fox", 3) not in got
+    assert got[("the quick fox", 1)] == (2, 1)
+
+
+def test_markov_steady_state_two_state_chain():
+    from kaspi_etl_spark.ops import behavior
+
+    # a -> b always, b -> a always: steady state is uniform
+    cells = [("a", "b", 10), ("b", "a", 10)]
+    v = behavior.markov_steady_state(cells, iters=12)
+    assert v["a"] == v["b"] == 1 << 20
+    # absorbing-ish: a->a 9, a->b 1; b->b 9, b->a 1 -> still symmetric
+    cells2 = [("a", "a", 9), ("a", "b", 1), ("b", "b", 9), ("b", "a", 1)]
+    v2 = behavior.markov_steady_state(cells2, iters=12)
+    assert abs(v2["a"] - v2["b"]) <= 2  # floors may differ by ulps
+
+
+def test_markov_transition_cells_tie_and_null_handling(spark):
+    from kaspi_etl_spark.ops import behavior
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 1, "view"),
+        (1, "2024-01-01 00:00:00", 2, "click"),  # tied ts: id breaks the tie
+        (1, "2024-01-01 00:00:01", 3, "buy"),
+        (2, None, 4, "view"),  # NULL ts excluded
+        (2, "2024-01-01 00:00:02", 5, None),  # NULL type excluded
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {(r.src, r.dst): r.n_trans for r in behavior.markov_transition_cells(df).collect()}
+    assert out == {("view", "click"): 1, ("click", "buy"): 1}
