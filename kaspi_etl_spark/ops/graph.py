@@ -160,3 +160,52 @@ def triangle_count(
     n_nodes = deg.agg(F.count("*").cast("long").alias("n_nodes"))
     n_edges = e.agg(F.count("*").cast("long").alias("n_edges"))
     return n_nodes.crossJoin(n_edges).crossJoin(tri)
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 4,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation for community detection — the
+    modularity-style grouping connected components cannot see (CC fuses
+    everything reachable; LP keeps densely linked neighborhoods apart
+    when a single weak edge bridges them).
+
+    Every node starts labeled by its own id; each round it adopts the
+    most frequent label among its neighbors (ties -> smallest label,
+    isolated rounds keep the current label). Synchronous, fixed-round,
+    integer-only: the whole trajectory is deterministic and a SQL
+    oracle unrolls the same rounds as MATERIALIZED CTEs. Per round:
+    one join (labels onto the doubled edge list) + one (node, label)
+    count groupBy + one rank-1 WindowGroupLimit — linear in edges, the
+    standard large-graph shape.
+
+    Returns (node, label) after ``rounds`` rounds.
+    """
+    from pyspark.sql import Window
+
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).distinct()
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        nb = (
+            und.join(labels, und["b"] == labels["node"])
+            .select(F.col("a"), F.col("label"))
+            .groupBy("a", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("a").orderBy(F.col("c").desc(), F.col("label").asc())
+        labels = (
+            nb.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(F.col("a").alias("node"), "label")
+        )
+        labels = labels.localCheckpoint()  # truncate the growing lineage
+    return labels

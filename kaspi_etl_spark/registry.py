@@ -10680,3 +10680,107 @@ def q_events_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("steady").cast("long").alias("steady_src_scaled"),
         )
     )
+
+
+@register(
+    "customer_rfm_segments",
+    """
+    WITH per AS (
+      SELECT o_custkey AS customer,
+             MAX(CAST(o_orderdate AS DATE)) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
+               AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT customer, last_order, frequency, monetary,
+             CAST(NTILE(5) OVER (ORDER BY last_order ASC, customer ASC)
+                  AS BIGINT) AS r_score,
+             CAST(NTILE(5) OVER (ORDER BY frequency ASC, customer ASC)
+                  AS BIGINT) AS f_score,
+             CAST(NTILE(5) OVER (ORDER BY monetary ASC, customer ASC)
+                  AS BIGINT) AS m_score
+      FROM per
+    )
+    SELECT *, CAST(100 * r_score + 10 * f_score + m_score AS BIGINT)
+                AS rfm_code
+    FROM scored
+    """,
+)
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation of the customer base — the CRM cut the reference
+    domain (marketplace seller analytics) reports on: per-customer
+    recency/frequency/monetary quintiles with customer-key tiebreaks
+    (total order, engine-exact) and the composite 3-digit code. The
+    NTILEs run over the customer DIMENSION, never the order facts
+    (ops.revenue.rfm_segments)."""
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        F.round(F.col("o_totalprice")).cast("long").alias("gross_price_kzt"),
+    )
+    return revenue_ops.rfm_segments(o)
+
+
+def _sql_lp_oracle(rounds: int = 4) -> str:
+    steps = []
+    prev = "l0"
+    for k in range(1, rounds + 1):
+        steps.append(f""",
+    nb{k} AS MATERIALIZED (
+      SELECT u.a, l.label, CAST(COUNT(*) AS BIGINT) AS c
+      FROM und u JOIN {prev} l ON l.node = u.b GROUP BY 1, 2
+    ),
+    l{k} AS MATERIALIZED (
+      SELECT a AS node, label FROM (
+        SELECT a, label,
+               ROW_NUMBER() OVER (PARTITION BY a
+                                  ORDER BY c DESC, label ASC) AS r
+        FROM nb{k}) WHERE r = 1
+    )""")
+        prev = f"l{k}"
+    return f"""
+    WITH basket AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
+    ),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM basket a JOIN basket b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS MATERIALIZED (
+      SELECT item_a AS a, item_b AS b FROM co
+      UNION SELECT item_b, item_a FROM co
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM und)
+    {"".join(steps)}
+    SELECT node, CAST(label AS BIGINT) AS label FROM {prev}
+    """
+
+
+@register("copurchase_communities_lp", _sql_lp_oracle(4))
+def q_copurchase_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation communities over the co-purchase graph (edges =
+    item pairs co-bought in >= 2 baskets): 4 synchronous rounds of
+    adopt-the-majority-neighbor-label with smallest-label tiebreaks —
+    the density-aware grouping connected components cannot produce (CC
+    fuses everything one weak edge bridges). Per round one edge join +
+    one count groupBy + a rank-1 WindowGroupLimit, linear in edges;
+    the oracle unrolls the identical rounds as MATERIALIZED CTEs
+    (ops.graph.label_propagation)."""
+    li = _read(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+    ).distinct()
+    a = basket.select("o", F.col("item").alias("item_a"))
+    b = basket.select(F.col("o").alias("o2"), F.col("item").alias("item_b"))
+    co = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("item_a", "item_b")
+    )
+    out = graph_ops.label_propagation(co, rounds=4, src_col="item_a", dst_col="item_b")
+    return out.select(F.col("node").cast("long"), F.col("label").cast("long"))

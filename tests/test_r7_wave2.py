@@ -687,3 +687,43 @@ def test_markov_transition_cells_tie_and_null_handling(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = {(r.src, r.dst): r.n_trans for r in behavior.markov_transition_cells(df).collect()}
     assert out == {("view", "click"): 1, ("click", "buy"): 1}
+
+
+# ---------------------------------------------------------------------------
+# RFM + label propagation
+# ---------------------------------------------------------------------------
+
+
+def test_rfm_scores_and_code(spark):
+    from kaspi_etl_spark.ops import revenue
+
+    # 5 customers, strictly increasing on every axis -> scores 1..5
+    rows = []
+    for c in range(1, 6):
+        for o in range(c):  # frequency = c
+            rows.append((c, f"2024-01-{10 + c:02d}", 100 * c))
+    df = spark.createDataFrame(
+        rows, "customer_id long, order_date string, gross_price_kzt long"
+    )
+    out = {r.customer: r for r in revenue.rfm_segments(df).collect()}
+    for c in range(1, 6):
+        r = out[c]
+        assert (r.r_score, r.f_score, r.m_score) == (c, c, c)
+        assert r.rfm_code == 111 * c
+    assert out[5].monetary == 5 * 500
+
+
+def test_label_propagation_separates_bridged_cliques(spark):
+    from kaspi_etl_spark.ops import graph
+
+    # two triangles joined by one bridge edge: CC would fuse them, LP
+    # keeps two communities (each triangle's majority stays internal)
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(10, 11), (11, 12), (10, 12)]
+    bridge = [(3, 10)]
+    df = spark.createDataFrame(tri1 + tri2 + bridge, "src long, dst long")
+    out = {r.node: r.label for r in graph.label_propagation(df, rounds=4).collect()}
+    assert len(out) == 6
+    c1 = {out[n] for n in (1, 2, 3)}
+    c2 = {out[n] for n in (10, 11, 12)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
