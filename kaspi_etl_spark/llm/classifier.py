@@ -36,9 +36,10 @@ from __future__ import annotations
 
 import math as _math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..ranks import binned_prefix_sum
 from .dedup import md5_long
 from .text import extract_words
 
@@ -316,8 +317,10 @@ def eval_metrics(
     so U2 = R2_pos - n_pos(n_pos+1) and auc_ppm = 1e6*U2 div
     (2*n_pos*n_neg) with no float anywhere (bound: n_pos*n_neg < 4.6e12
     — one eval-set shard; shard and average past that). The rank walk
-    is one window over DISTINCT scores (eval-set-sized at gate scale;
-    swap in the distributed prefix sum for a firehose eval).
+    runs over DISTINCT scores via the distributed two-phase prefix sum
+    (ranks.binned_prefix_sum — distinct fixed-point margins approach
+    eval-set cardinality on real data, so an unpartitioned window here
+    would funnel the whole score distribution through one task).
 
     Returns ONE row: (n, n_pos, n_neg, tp, fp, tn, fn, accuracy_ppm,
     precision_ppm, recall_ppm, f1_ppm, auc_ppm).
@@ -340,13 +343,10 @@ def eval_metrics(
         F.count(F.lit(1)).cast("long").alias("n_z"),
         F.sum("_y").cast("long").alias("npos_z"),
     )
-    w = Window.orderBy(F.col("_z").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    ranked = zdist.select(
+    ranked = binned_prefix_sum(zdist, "_z", "n_z", out_col="_cum").select(
         "n_z",
         "npos_z",
-        (F.sum("n_z").over(w) - F.col("n_z")).alias("_cum_before"),
+        (F.col("_cum") - F.col("n_z")).alias("_cum_before"),
     )
     r2 = ranked.select(
         F.sum(

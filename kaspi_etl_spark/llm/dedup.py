@@ -992,7 +992,13 @@ def duplicate_span_extents(
     max_region_words = longest maximal duplicated substring in words
     (= longest island run + span_n - 1).
     """
-    docs = spread_corpus(docs, id_col)
+    # Lower spread threshold than the default 2 MB: this operator's
+    # per-position cost (8-word concat + md5 + the localCheckpoint
+    # materialization below) is ~10x duplicate_spans' — r7 measured
+    # 17.6 s wall on 15.5 s single-task CPU for a 1.5 MB corpus, 19% of
+    # the whole headline bench on one core while 31 idled. At 64 KB+
+    # the fan-out amortizes even cold.
+    docs = spread_corpus(docs, id_col, min_bytes=64 << 10)
     w = docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
     cnt = F.size("_w")
     idx = F.sequence(F.lit(0), cnt - span_n)

@@ -609,27 +609,29 @@ def heaps_curve(
     vocab ~ N^0.5-0.8; templated corpora plateau, OCR noise keeps
     climbing linearly).
 
-    Exact and windowless over the corpus: global token positions come
-    from per-doc offsets (ONE window over the per-doc token-count
-    rollup — doc-count rows, metadata-scale next to the corpus; swap in
-    the distributed prefix sum at extreme doc counts), each type
-    reduces to its FIRST global position (one groupBy min), and the
-    curve is a cumulative count over ceil-log2 buckets of those first
-    positions — at most ~40 ladder rows regardless of corpus size.
+    Exact and scale-parallel over the corpus: the doc order is the
+    deterministic hash order (md5(doc_id) — for a growth curve, a
+    pseudo-random corpus order is the statistically right one: an
+    ingest order would confound vocabulary growth with source drift),
+    so per-doc offsets come from the distributed two-phase prefix sum
+    (ranks.hash_order_prefix — never a global-order window, which would
+    funnel every doc id through one task). Each type reduces to its
+    FIRST global position (one groupBy min), and the curve is a
+    cumulative count over ceil-log2 buckets of those first positions —
+    at most ~40 ladder rows regardless of corpus size.
 
     Returns (k, prefix_tokens = min(2^k, total), vocab_size) for every
     k with 2^(k-1) < total.
     """
+    from ..ranks import hash_order_prefix
+
     words = docs.select(
         F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
     ).select(F.col(id_col), F.col("_ws"), F.size("_ws").alias("_n"))
     per_doc = words.select(id_col, "_n").filter(F.col("_n") > 0)
-    w_doc = Window.orderBy(F.col(id_col).asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = per_doc.select(
+    offsets = hash_order_prefix(per_doc, "_n", id_col, salt="heaps").select(
         F.col(id_col),
-        (F.sum("_n").over(w_doc) - F.col("_n")).cast("long").alias("_off"),
+        (F.col("cum") - F.col("_n")).cast("long").alias("_off"),
     )
     toks = (
         words.join(offsets, id_col)

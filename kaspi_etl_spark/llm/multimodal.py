@@ -946,8 +946,14 @@ def media_phash(media: DataFrame) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
+            # NULL content maps to b"" (the _fake_px32 stub tolerates empty
+            # bytes) — bytes(None) would kill the whole Arrow batch
             hashes = [
-                phash64(c if isinstance(c, bytes) else bytes(c))
+                phash64(
+                    c
+                    if isinstance(c, (bytes, bytearray))
+                    else b"" if c is None else bytes(c)
+                )
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(

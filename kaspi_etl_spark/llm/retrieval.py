@@ -299,6 +299,8 @@ def phrase_search(
     occurrence; first_pos is the 1-based word position of the earliest
     match.
     """
+    if not phrases or any(not p for p in phrases):
+        raise ValueError("phrases must be a non-empty list of non-empty tuples")
     vocab = sorted({w for p in phrases for w in p})
     postings = (
         docs.select(

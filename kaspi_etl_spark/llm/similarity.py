@@ -1750,20 +1750,23 @@ def negative_samples(
     reproducible by any SQL engine and stable across runs/partitions,
     which is what makes sampled training sets auditable. Anchors drawn
     as their own negative are dropped (a deterministic, mirrorable
-    rule). The rank window is a global ordering of the ID TABLE (ids
-    only, not payloads) — at larger scale swap in the two-phase
-    prefix-rank used by the token-shard assigner; the join back is a
-    plain equi-join.
+    rule). The rank is ANY deterministic bijection rank <-> id, so it
+    uses the hash order (md5(id), id) and the distributed two-phase
+    prefix-rank (ranks.hash_order_prefix) — never a global-order
+    window, which would funnel the whole id table through one task;
+    the join back is a plain equi-join.
 
     Returns (id, j, neg_id) with j in [0, k).
     """
+    from ..ranks import hash_order_prefix
     from .dedup import md5_long
 
+    if k < 1:
+        raise ValueError(f"negative_samples needs k >= 1, got {k}")
     ids = df.select(F.col(id_col)).distinct()
-    w = Window.orderBy(F.col(id_col).asc())
-    ranked = ids.select(
-        F.col(id_col), (F.row_number().over(w) - 1).cast("long").alias("_rank")
-    )
+    ranked = hash_order_prefix(
+        ids.withColumn("_w", F.lit(1).cast("long")), "_w", id_col, salt=salt + "-rank"
+    ).select(F.col(id_col), (F.col("cum") - 1).cast("long").alias("_rank"))
     n_row = ranked.select(F.count(F.lit(1)).alias("_n"))
     anchors = (
         ranked.select(id_col)

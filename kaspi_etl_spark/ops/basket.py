@@ -34,6 +34,23 @@ from pyspark.sql import functions as F
 
 PPM = 1_000_000
 
+# Shared rule-scoring expressions (also used by the streaming Apriori in
+# streaming/incremental.py — one implementation, not two copies).
+# conf = floor(1e6 * co / n_antecedent): co <= n_antecedent so the
+# numerator is bounded by 1e6 * n_baskets — BIGINT-safe outright.
+# lift = floor(1e6 * co * n_baskets / (n_antecedent * n_consequent)):
+# the numerator runs through DECIMAL(38,0) (exact integral `div` — Spark's
+# IntegralDivide accepts decimals) because co * n_baskets wraps BIGINT
+# once a pair co-occurs in most baskets at n_baskets >~ 3e6; the result
+# itself is bounded by 1e6 * n_baskets (co <= n_antecedent), BIGINT-safe.
+CONF_PPM_EXPR = f"({PPM} * co) div n_antecedent"
+LIFT_PPM_EXPR = (
+    f"(CAST({PPM} AS DECIMAL(38,0)) * CAST(co AS DECIMAL(38,0))"
+    " * CAST(n_baskets AS DECIMAL(38,0)))"
+    " div (CAST(n_antecedent AS DECIMAL(38,0))"
+    " * CAST(n_consequent AS DECIMAL(38,0)))"
+)
+
 
 def association_rules(
     baskets: DataFrame,
@@ -52,11 +69,10 @@ def association_rules(
     lift_ppm = floor(1e6 * support * n_baskets /
                      (n_antecedent * n_consequent)).
 
-    Overflow bound: lift's numerator 1e6 * support * n_baskets stays
-    inside BIGINT while support * n_baskets < 9.2e12 — comfortably true
-    for pair supports on any real order history (support is bounded by
-    the co-purchase frequency, not by n_baskets); a corpus past that
-    needs the numerator in DECIMAL(38,0).
+    Overflow: lift's numerator runs through DECIMAL(38,0)
+    (LIFT_PPM_EXPR) so a pair co-occurring in most baskets stays exact
+    past n_baskets ~ 3e6 where the all-BIGINT form would wrap; good to
+    co * n_baskets < 10^32.
     """
     b = baskets.select(
         F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
@@ -102,12 +118,8 @@ def association_rules(
             F.col("n_antecedent").cast("long").alias("n_antecedent"),
             F.col("n_consequent").cast("long").alias("n_consequent"),
             F.col("n_baskets").cast("long").alias("n_baskets"),
-            F.expr(f"({PPM} * co) div n_antecedent").cast("long").alias("conf_ppm"),
-            F.expr(
-                f"({PPM} * co * n_baskets) div (n_antecedent * n_consequent)"
-            )
-            .cast("long")
-            .alias("lift_ppm"),
+            F.expr(CONF_PPM_EXPR).cast("long").alias("conf_ppm"),
+            F.expr(LIFT_PPM_EXPR).cast("long").alias("lift_ppm"),
         )
     )
     return scored.filter(F.col("conf_ppm") >= min_conf_ppm)

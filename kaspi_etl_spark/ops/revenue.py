@@ -77,34 +77,46 @@ def rfm_segments(
     """RFM segmentation — the classic CRM cut (recency / frequency /
     monetary quintiles) every commerce analytics stack ships: per
     customer, last order date, order count, and exact revenue sum, each
-    NTILE'd into ``buckets`` with the customer key breaking ties so the
-    scores are total-order deterministic; rfm_code = 100r + 10f + m.
+    quintiled into ``buckets``; rfm_code = 100r + 10f + m. Ties break
+    by the customer's md5 hash (then the key itself) — as deterministic
+    as a raw-key tiebreak, and it makes tie groups shardable.
 
-    Shape: one groupBy to the customer grain, then three NTILE windows
-    over the CUSTOMER table — dimension-scale, not fact-scale (the
-    windows never see raw orders; at extreme customer counts swap in
-    the distributed prefix-rank). Higher score = better on every axis
-    (most recent, most orders, most spend).
+    Shape: one groupBy to the customer grain, then three DISTRIBUTED
+    prefix-ranks (ranks.total_order_row_number — value-bin x hash-sub-
+    bucket two-phase rank, never an unpartitioned NTILE window: at
+    10^8-10^9 customers a global-order window is one task sorting the
+    whole dimension) and the exact integer NTILE formula from
+    (row_number, n). Higher score = better on every axis (most recent,
+    most orders, most spend).
     """
-    from pyspark.sql import Window
+    from ..ranks import ntile_from_row_number, total_order_row_number
 
     per = orders.groupBy(F.col(customer_col).alias("customer")).agg(
         F.max(date_col).alias("last_order"),
         F.count(F.lit(1)).cast("long").alias("frequency"),
         F.sum(amount_col).cast("long").alias("monetary"),
     )
-    w_r = Window.orderBy(F.col("last_order").asc(), F.col("customer").asc())
-    w_f = Window.orderBy(F.col("frequency").asc(), F.col("customer").asc())
-    w_m = Window.orderBy(F.col("monetary").asc(), F.col("customer").asc())
-    scored = per.select(
-        "customer",
-        "last_order",
-        "frequency",
-        "monetary",
-        F.ntile(buckets).over(w_r).cast("long").alias("r_score"),
-        F.ntile(buckets).over(w_f).cast("long").alias("f_score"),
-        F.ntile(buckets).over(w_m).cast("long").alias("m_score"),
+    n_row = per.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    base = per.withColumn(
+        "_days", F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date"))
     )
+    # each axis ranks independently over a 2-column projection of the
+    # customer grain and joins back by key — chaining the ranks would
+    # nest each rank's (self-joining) plan inside the next, compounding
+    # subtree duplication ~3x per axis
+    scored = base.drop("_days")
+    for key, out in (("_days", "r_score"), ("frequency", "f_score"), ("monetary", "m_score")):
+        ranked = total_order_row_number(
+            base.select("customer", key), key, "customer", out_col="_rn", salt="rfm"
+        )
+        axis = (
+            ranked.join(F.broadcast(n_row))
+            .select(
+                "customer",
+                ntile_from_row_number(F.col("_rn"), F.col("_n"), buckets).alias(out),
+            )
+        )
+        scored = scored.join(axis, "customer")
     return scored.withColumn(
         "rfm_code",
         (100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score")).cast(

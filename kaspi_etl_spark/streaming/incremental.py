@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..ops import incremental as inc
+from ..ops.basket import CONF_PPM_EXPR, LIFT_PPM_EXPR
 
 
 def _recover_state(state_path: str) -> None:
@@ -461,10 +462,8 @@ def assoc_rules_from_state(
             F.col("n_antecedent").cast("long").alias("n_antecedent"),
             F.col("n_consequent").cast("long").alias("n_consequent"),
             F.col("n_baskets").cast("long").alias("n_baskets"),
-            F.expr("(1000000 * co) div n_antecedent").cast("long").alias("conf_ppm"),
-            F.expr("(1000000 * co * n_baskets) div (n_antecedent * n_consequent)")
-            .cast("long")
-            .alias("lift_ppm"),
+            F.expr(CONF_PPM_EXPR).cast("long").alias("conf_ppm"),
+            F.expr(LIFT_PPM_EXPR).cast("long").alias("lift_ppm"),
         )
     )
     return out.filter(F.col("conf_ppm") >= min_conf_ppm)

@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "embeddings_negative_samples",  # 1-row id-count broadcast into the draw arithmetic
     "docs_heaps_curve",  # 1-row token-total broadcast onto the 41-row ladder
     "docs_logreg_eval",  # 1-row rank-sum broadcast onto the confusion row
+    "customer_rfm_segments",  # 1-row (min,max)/count broadcasts per rank axis
     "kmeans_inertia_report",  # inherits kmeans_assign's bounded seed cross product
     "minhash_dedup_eval",  # 1-row pred/truth/common count broadcasts
 }
@@ -87,11 +88,16 @@ PY_TAGS = (
 
 
 @pytest.fixture(scope="module")
-def all_plans(spark, sf_dir):
-    plans = {}
-    for name, fn in QUERIES.items():
-        plans[name] = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-    return plans
+def all_dfs(spark, sf_dir):
+    return {name: fn(spark, sf_dir) for name, fn in QUERIES.items()}
+
+
+@pytest.fixture(scope="module")
+def all_plans(all_dfs):
+    return {
+        name: df._jdf.queryExecution().executedPlan().toString()
+        for name, df in all_dfs.items()
+    }
 
 
 def test_every_query_plans(all_plans):
@@ -119,6 +125,75 @@ def test_python_stages_only_where_justified(all_plans):
         if any(t in p for t in PY_TAGS) and n not in PYTHON_ALLOWED
     ]
     assert not offenders, offenders
+
+
+# Unpartitioned Window nodes (Spark's "No Partition Defined for Window
+# operation ... moving all data to a single partition") are allowed ONLY
+# over inputs that are literal-bounded — grids, ladders, per-day/source
+# rollups, WindowGroupLimit-pruned top-k, or the <= n_bins cross-bucket
+# offset table of the two-phase distributed prefix-rank (ranks.py). A
+# data-sized frame feeding one of these is the single-task global sort
+# that sank VERDICT r7's five weak queries; this guard makes the class a
+# test failure. Each entry = query -> expected COUNT of unpartitioned
+# windows with the reviewed justification.
+UNPARTITIONED_WINDOWS_ALLOWED = {
+    # --- <= n_bins cross-bucket offset windows of the distributed
+    # prefix-rank (ranks.hash_order_prefix / binned_prefix_sum /
+    # total_order_row_number) ---
+    "customer_rfm_segments": 3,  # one per NTILE axis, each <= 1024 rows
+    "docs_heaps_curve": 2,  # prefix offsets (<= 2^16) + 41-row ladder cum
+    "docs_logreg_eval": 1,  # AUC rank walk's <= 1024-bin offset table
+    "embeddings_negative_samples": 1,  # id-rank's <= 2^16 bucket offsets
+    "token_budget_sample": 1,  # <= 2^16 bucket offsets
+    "token_pack_sequences": 1,  # <= 2^16 bucket offsets
+    "token_shards": 1,  # <= 2^16 bucket offsets
+    # --- literal-bounded frames ---
+    "corpus_mix_allocation": 3,  # |sources| rows (apportionment ladder)
+    "corpus_mix_temperature": 3,  # |sources| rows
+    "daily_revenue_cusum": 3,  # per-day rollup: calendar-bounded
+    "daily_revenue_mad_outliers": 2,  # per-day rollup
+    "orders_psi_drift": 2,  # per-day/bucket drift cells
+    "docs_lang_source_mi": 2,  # lang x source contingency cells
+    "kmeans_assign": 1,  # k centroid rows
+    "kmeans_inertia_report": 2,  # k centroid rows (train + report)
+    "price_quantile_sketch": 1,  # fixed sketch bucket grid
+    "order_key_skew_profile": 1,  # top-k heavy hitters (limit-pruned)
+    # --- global top-k over a score: optimizer inserts WindowGroupLimit,
+    # so the final unpartitioned window sees <= k rows per input
+    # partition, never the full data ---
+    "docs_bm25_topk": 1,
+    "docs_zipf_fit": 1,  # rank over the top-|vocab-cap| frequency table
+    "vocab_top_tokens": 1,
+    # --- reference-parity op over a UI-bounded frame ---
+    "variant_sort_rank": 1,  # O2: one scraped page's variant grid
+}
+
+
+def _unpartitioned_window_count(df) -> int:
+    plan = df._jdf.queryExecution().optimizedPlan()
+    hits = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Window" and node.partitionSpec().isEmpty():
+            hits += 1
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+    return hits
+
+
+def test_unpartitioned_windows_only_where_bounded(all_dfs):
+    got = {
+        name: n
+        for name, df in all_dfs.items()
+        if (n := _unpartitioned_window_count(df)) > 0
+    }
+    unexpected = {
+        n: c for n, c in got.items() if UNPARTITIONED_WINDOWS_ALLOWED.get(n) != c
+    }
+    stale = {n for n in UNPARTITIONED_WINDOWS_ALLOWED if n not in got}
+    assert not unexpected, f"unreviewed unpartitioned windows: {unexpected}"
+    assert not stale, f"stale allowlist entries: {stale}"
 
 
 def test_allowlists_not_stale(all_plans):

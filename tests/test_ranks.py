@@ -1,0 +1,117 @@
+"""The distributed prefix-rank primitives must be value-identical to the
+single-partition global windows they replace — property-checked against
+the window form on adversarial shapes (heavy ties, clustered values,
+negatives, singletons)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kaspi_etl_spark.llm.dedup import md5_long
+from kaspi_etl_spark.ranks import (
+    binned_prefix_sum,
+    hash_order_prefix,
+    ntile_from_row_number,
+    total_order_row_number,
+)
+
+
+def test_hash_order_prefix_matches_global_window(spark):
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("id"), F.col("id")).alias("k"),
+        (F.col("id") % 7 + 1).alias("w"),
+    )
+    got = hash_order_prefix(df, "w", "k", salt="t", bucket_bits=4)
+    w = Window.orderBy(md5_long(F.col("k").cast("string"), salt="t"), "k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("w").over(w).cast("long"))
+    assert sorted(got.select("k", "cum").collect()) == sorted(
+        want.select("k", "cum").collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "vals",
+    [
+        list(range(100)),  # distinct spread
+        [10_000_000_000 + i * 37 for i in range(64)],  # large magnitudes
+        [-50 + i * 3 for i in range(40)],  # negatives
+        [5],  # singleton (lo == hi)
+        [0, 1],  # tiny
+        [2**40 + i for i in range(10)],  # clustered far from zero
+    ],
+)
+def test_binned_prefix_sum_matches_global_window(spark, vals):
+    rows = [(v, (abs(v) % 5) + 1) for v in vals]
+    df = spark.createDataFrame(rows, "k long, w long")
+    got = binned_prefix_sum(df, "k", "w", n_bins=8)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("w").over(w).cast("long"))
+    assert sorted(got.select("k", "cum").collect()) == sorted(
+        want.select("k", "cum").collect()
+    )
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [1] * 200,  # one giant tie group
+        [i % 3 for i in range(150)],  # few heavy ties
+        list(range(120)),  # all distinct
+        [0] * 50 + [10**12] * 50,  # extreme spread + ties
+    ],
+)
+def test_total_order_row_number_matches_global_window(spark, values):
+    rows = [(f"id{i:04d}", v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = total_order_row_number(df, "v", "k", out_col="rn", salt="s", hash_bits=3)
+    w = Window.orderBy(
+        F.col("v").asc(),
+        md5_long(F.col("k").cast("string"), salt="s").asc(),
+        F.col("k").asc(),
+    )
+    want = df.withColumn("rn", F.row_number().over(w).cast("long"))
+    assert sorted(got.select("k", "rn").collect()) == sorted(
+        want.select("k", "rn").collect()
+    )
+
+
+@pytest.mark.parametrize("n,b", [(10, 4), (3, 5), (100, 5), (7, 7), (1, 3)])
+def test_ntile_formula_matches_sql_ntile(spark, n, b):
+    df = spark.range(0, n).select((F.col("id") * 13 % n).alias("v"))
+    w = Window.orderBy("v")
+    want = df.select("v", F.ntile(b).over(w).cast("long").alias("t"))
+    total = df.count()
+    got = df.select(
+        "v",
+        ntile_from_row_number(
+            F.row_number().over(w).cast("long"), F.lit(total).cast("long"), b
+        ).alias("t"),
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_total_order_row_number_plan_has_no_unpartitioned_data_window(spark):
+    df = spark.range(0, 100).select(
+        F.concat(F.lit("c"), F.col("id")).alias("k"), (F.col("id") % 2).alias("v")
+    )
+    got = total_order_row_number(df, "v", "k")
+    # every Window in the optimized plan over non-bucket-table input must
+    # carry a partition spec; the only unpartitioned window allowed is the
+    # one over the bounded bucket-sums table
+    plan = got._jdf.queryExecution().optimizedPlan()
+    unpartitioned = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "Window":
+            if node.partitionSpec().isEmpty():
+                unpartitioned.append(node)
+        for i in range(node.children().size()):
+            walk(node.children().apply(i))
+
+    walk(plan)
+    # exactly the one bounded cross-bucket offset window
+    assert len(unpartitioned) == 1
