@@ -114,6 +114,32 @@ def entry(spark: SparkSession) -> DataFrame:
 # docs_lm_perplexity (LM module keeps the entering docs_sb_backoff),
 # docs_chunk_rag. Every rotated-out query remains green in the local
 # full + adversarial sweeps (ORACLE_FULL/ADV artifacts, every round).
+# Round-8 rotation (VERDICT r7 top-next #2): 29 slots cede to queries
+# that have never had the driver's own check. Displaced (all r7
+# driver-green, each with a family representative staying in the
+# prefix or entering with a first-time check): the full 18-query TPC-H
+# block (all 22 TPC-H shapes are now driver-green; analytic-SQL
+# families keep daily_net_revenue / global_analytics / inventory_reorder
+# et al.), docs_bm25_topk + ann_rrf_fusion (retrieval: docs_phrase_search
+# enters; ANN keeps ann_pq_topk + entering ann_hard_negatives),
+# docs_containment_pairs + ngram_jaccard_prefix (dedup keeps
+# dedup_clusters + entering ngram_jaccard_residual, a strict superset
+# of the prefix machinery, + docs_dup_span_extents + minhash_dedup_eval),
+# embeddings_jl_project + ann_recall_eval + ann_recall_multiprobe
+# (embeddings keep embeddings_int8_codes + entering
+# embeddings_pca_project / embeddings_negative_samples),
+# docs_sb_backoff + docs_logreg_weights (LM/classifier keep
+# docs_logreg_predict + entering docs_logreg_eval / lm_greedy_generate /
+# docs_token_entropy / docs_zipf_fit / docs_heaps_curve),
+# customers_k_anonymous (privacy: customers_l_diverse enters, the same
+# NULL-safe grouped-suppression machinery), bpe_vocab (BPE:
+# bpe_compression_eval enters). Entering set = the r7 second wave the
+# verdict named, every r8-touched query (the five de-globalized window
+# queries, the retired-pack family's surviving token_pack_sequences,
+# the re-spread docs_dup_span_extents, the new ngram_jaccard_residual),
+# and the r1-era lang_rollup. Every displaced query remains green in
+# the local clean+adversarial full sweeps (ORACLE_FULL/ADV artifacts,
+# every round).
 _GATE_PRIORITY = [
     "daily_net_revenue",
     "inventory_reorder",
@@ -133,47 +159,42 @@ _GATE_PRIORITY = [
     "orders_in_promo_windows",
     "docs_logreg_predict",
     "embeddings_int8_codes",
-    # --- first-time driver checks: the six new r7 operator families
-    # (displacing six multi-round driver-green family siblings —
-    # seller_dedupe, events_asof_join, pack_sequences, docs_quality_c4,
-    # import_coerce, bpe_merges — each green r6 or earlier and still in
-    # the local clean+adversarial sweeps; bpe keeps the entering
-    # bpe_vocab, events keep events_funnel, dedup keeps dedup_clusters)
-    "docs_bm25_topk",
-    "ann_rrf_fusion",
-    "docs_containment_pairs",
-    "orders_hilbert_curve",
     "docs_dsir_weights",
     "corpus_mix_temperature",
-    # --- first-time driver checks (r7 rotation) ---
-    # end-of-r6 families, all clean+adversarial sweep-green
-    "embeddings_jl_project",
-    "ann_recall_eval",
-    "ann_recall_multiprobe",
-    "ngram_jaccard_prefix",
-    "docs_sb_backoff",
-    "docs_logreg_weights",
-    "customers_k_anonymous",
-    "bpe_vocab",
-    # the 18 never-gated TPC-H shapes (SURVEY section-5 oracle anchors)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_shipmode_priority",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_cnt",
-    "tpch_q17_small_quantity",
-    "tpch_q18_large_volume",
-    "tpch_q19_discounted_revenue",
-    "tpch_q20_part_promotion",
-    "tpch_q22_global_sales_opportunity",
+    "orders_hilbert_curve",
+    # --- r8-touched: the five de-globalized window queries, the pack
+    # family's surviving distributed form, the re-spread span-extents,
+    # and the new capped-then-residual exact-Jaccard composition ---
+    "customer_rfm_segments",
+    "docs_heaps_curve",
+    "embeddings_negative_samples",
+    "docs_logreg_eval",
+    "token_pack_sequences",
+    "docs_dup_span_extents",
+    "ngram_jaccard_residual",
+    # --- first-time driver checks (r8 rotation): the r7 second wave ---
+    "basket_assoc_rules",
+    "embeddings_pca_project",
+    "docs_token_entropy",
+    "events_markov_steady",
+    "copurchase_communities_lp",
+    "docs_phrase_search",
+    "kmeans_inertia_report",
+    "minhash_dedup_eval",
+    "bpe_compression_eval",
+    "customers_l_diverse",
+    "docs_zipf_fit",
+    "docs_hashed_tf",
+    "lm_greedy_generate",
+    "events_cuped_adjusted",
+    "daily_revenue_cusum",
+    "daily_revenue_mad_outliers",
+    "orders_psi_drift",
+    "orders_drift_profile",
+    "source_overlap_minhash",
+    "ann_hard_negatives",
+    "docs_lang_source_mi",
+    "lang_rollup",
 ]
 
 

@@ -120,6 +120,17 @@ HEADLINE = [
     "docs_dup_span_extents",
     "embeddings_pca_project",
     "docs_token_entropy",
+    # r8: the de-globalized window queries (distributed prefix-rank —
+    # RFM quintiles and the Heaps growth curve), positional phrase
+    # search, and the Markov steady-state. Deliberately NOT here:
+    # ngram_jaccard_residual (verification-grade exact form — the
+    # capped ngram_jaccard_capped above is the production path) and
+    # copurchase_communities_lp (iterative-convergence loop, measured
+    # on the stress curve instead).
+    "customer_rfm_segments",
+    "docs_heaps_curve",
+    "docs_phrase_search",
+    "events_markov_steady",
 ]
 
 

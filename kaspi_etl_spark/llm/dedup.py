@@ -960,6 +960,135 @@ def ngram_jaccard_prefix_pairs(
     )
 
 
+def ngram_jaccard_capped_residual_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    t_num: int = 1,
+    t_den: int = 2,
+    max_doc_freq: int = 100,
+) -> DataFrame:
+    """EXACT Jaccard >= t pairs at the capped form's cost: run the
+    df-capped co-bucket join first (the bounded 100 TB default), then
+    the lossless prefix filter ONLY on the residual — docs so
+    template-dominated that an all-boilerplate intersection could alone
+    clear the threshold. This is the composition SCALE.md's r7
+    crossover measurement called for: the capped form alone is a lower
+    bound that can MISS a pair whose every shared shingle is hot; the
+    prefix form alone is lossless but its candidate cost grows with the
+    corpus' duplicate-content mass (measured 5.2x CPU for the last K
+    doubling at K=100).
+
+    Why the residual is small and sufficient: J(a,b) >= t implies
+    |A∩B| >= t*|A| (and symmetrically for B). A pair the capped join
+    missed shares ONLY above-cap shingles, so |A∩B| <= n_hot(A) — hence
+    BOTH endpoints must have n_hot >= t*n (integer form: t_den*n_hot >=
+    t_num*n). On natural corpora that is a tiny, boilerplate-saturated
+    slice; on a pathological all-template corpus it degrades to the
+    plain prefix form, never worse.
+
+    Both stages only GENERATE candidates; one shared verify pass
+    recomputes the exact intersection from the docs' sorted hash sets
+    (candidate-bounded joins), so every emitted ``jaccard`` is the
+    exact value — unlike ``ngram_jaccard_pairs`` whose reported score
+    is the capped lower bound.
+
+    Output: (id_a, id_b, jaccard), id_a < id_b, exact jaccard >= t.
+    """
+    # stage 1: capped candidates — every hit is a true hit (lower bound)
+    capped = _shingle_pair_intersections(
+        docs, text_col, id_col, shingle_n, max_doc_freq
+    )
+    capped_hits = capped.filter(
+        F.lit(t_den) * F.col("n_common")
+        >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    ).select("id_a", "id_b")
+
+    # shared shingle-hash table: (id, n_sh, h) over DISTINCT shingles.
+    # Four consumers (df table, residual profile, both verify sides)
+    # with no common exchange — without a materialization the
+    # shingle-explode + md5 map re-runs once PER consumer (measured
+    # ~4x the operator's CPU at 500k docs; same lineage-truncation
+    # rationale as duplicate_span_extents' checkpoint).
+    sh = (
+        docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
+        .select(
+            F.col(id_col),
+            shingles_from_words(F.col("_w"), shingle_n).alias("shingles"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("shingles").alias("n_sh"),
+            F.explode_outer("shingles").alias("_s"),
+        )
+        .filter(F.col("_s").isNotNull())
+        .select(F.col(id_col), "n_sh", md5_long(F.col("_s")).alias("h"))
+    ).localCheckpoint()
+    dfh = sh.groupBy("h").agg(F.count("*").cast("long").alias("df"))
+
+    # stage 2: residual docs — t_den * n_hot >= t_num * n_sh
+    residual_ids = (
+        sh.join(dfh, "h")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_sh").alias("_n"),
+            F.sum(F.when(F.col("df") > max_doc_freq, 1).otherwise(0)).alias("_nh"),
+        )
+        .filter(F.lit(t_den) * F.col("_nh") >= F.lit(t_num) * F.col("_n"))
+        .select(id_col)
+    )
+    residual_hits = ngram_jaccard_prefix_pairs(
+        docs.join(residual_ids, id_col, "left_semi"),
+        text_col,
+        id_col,
+        shingle_n,
+        t_num,
+        t_den,
+    ).select("id_a", "id_b")
+
+    # one exact verify over the deduped candidate union; the sorted-set
+    # build is semi-join pruned to candidate endpoints FIRST, so the
+    # collect_list aggregations run over result-sized doc sets, never
+    # the corpus (the verify's cost tracks the answer, not the input)
+    cand = capped_hits.unionByName(residual_hits).distinct().localCheckpoint()
+    sa = (
+        sh.join(
+            cand.select(F.col("id_a").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs_a"),
+            F.first("n_sh").alias("n_a"),
+        )
+        .select(F.col(id_col).alias("id_a"), "hs_a", "n_a")
+    )
+    sb = (
+        sh.join(
+            cand.select(F.col("id_b").alias(id_col)).distinct(), id_col, "left_semi"
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs_b"),
+            F.first("n_sh").alias("n_b"),
+        )
+        .select(F.col(id_col).alias("id_b"), "hs_b", "n_b")
+    )
+    ver = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("hs_a", "hs_b")).cast("long")
+        )
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return ver.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= F.lit(t_num / t_den)
+    )
+
+
 def duplicate_span_extents(
     docs: DataFrame,
     text_col: str = "text",

@@ -100,24 +100,43 @@ def rfm_segments(
     base = per.withColumn(
         "_days", F.datediff(F.col("last_order"), F.lit("1970-01-01").cast("date"))
     )
-    # each axis ranks independently over a 2-column projection of the
-    # customer grain and joins back by key — chaining the ranks would
-    # nest each rank's (self-joining) plan inside the next, compounding
-    # subtree duplication ~3x per axis
-    scored = base.drop("_days")
-    for key, out in (("_days", "r_score"), ("frequency", "f_score"), ("monetary", "m_score")):
-        ranked = total_order_row_number(
-            base.select("customer", key), key, "customer", out_col="_rn", salt="rfm"
+    # ONE rank pass over the three stacked axes instead of three passes:
+    # axis-major composite key _ax * 2^52 + value keeps each axis a
+    # contiguous rank range (axis sizes are all n, so rank-within-axis =
+    # global_rn - _ax * n), a third of the shuffle barriers and — at
+    # toy scale — a third of the per-stage scheduling overhead.
+    # Contract: |value| < 2^51 (days-since-epoch, order counts, money).
+    stacked = base.select(
+        "customer",
+        F.expr(
+            "stack(3, 0L, CAST(_days AS BIGINT), 1L, frequency, 2L, monetary)"
+            " AS (_ax, _v)"
+        ),
+    ).select(
+        "customer",
+        "_ax",
+        (F.col("_ax") * F.lit(1 << 52).cast("long") + F.col("_v")).alias("_k"),
+    )
+    ranked = total_order_row_number(
+        stacked, "_k", "customer", out_col="_rn", salt="rfm"
+    )
+    tiles = (
+        ranked.join(F.broadcast(n_row))
+        .select(
+            "customer",
+            "_ax",
+            ntile_from_row_number(
+                F.col("_rn") - F.col("_ax") * F.col("_n"), F.col("_n"), buckets
+            ).alias("_t"),
         )
-        axis = (
-            ranked.join(F.broadcast(n_row))
-            .select(
-                "customer",
-                ntile_from_row_number(F.col("_rn"), F.col("_n"), buckets).alias(out),
-            )
+        .groupBy("customer")
+        .agg(
+            F.max(F.when(F.col("_ax") == 0, F.col("_t"))).cast("long").alias("r_score"),
+            F.max(F.when(F.col("_ax") == 1, F.col("_t"))).cast("long").alias("f_score"),
+            F.max(F.when(F.col("_ax") == 2, F.col("_t"))).cast("long").alias("m_score"),
         )
-        scored = scored.join(axis, "customer")
-    return scored.withColumn(
+    )
+    return per.join(tiles, "customer").withColumn(
         "rfm_code",
         (100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score")).cast(
             "long"

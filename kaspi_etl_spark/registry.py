@@ -8792,6 +8792,51 @@ def q_ngram_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ngram_jaccard_residual",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    w AS (SELECT doc_id, {SQL_WORDS} AS w FROM docs),
+    sh AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles FROM w),
+    sh_exp AS (SELECT doc_id, len(shingles) AS n_sh,
+                      unnest([{_sql_md5_long('s')} for s in shingles]) AS h
+               FROM sh),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh_exp a JOIN sh_exp b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.id_a, c.id_b, sa.n_sh AS n_a, sb.n_sh AS n_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh_exp sa ON sa.doc_id = c.id_a
+      JOIN sh_exp sb ON sb.doc_id = c.id_b AND sb.h = sa.h
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b,
+           CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+             AS jaccard
+    FROM inter
+    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)
+          >= CAST(0.5 AS DOUBLE)
+    """,
+)
+def q_ngram_jaccard_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard pairs by capped-then-residual composition (the
+    SCALE.md r7 follow-through): the bounded df-capped co-bucket join
+    finds everything except pairs whose shared shingles are ALL
+    boilerplate; the lossless prefix filter then runs only on the
+    residual slice of template-dominated docs (t_den*n_hot >=
+    t_num*n_sh — both endpoints of any missed pair must satisfy it);
+    one candidate-bounded verify emits exact scores. Same result set as
+    the plain exact all-pairs join the oracle computes, at the capped
+    form's scale profile. See llm/dedup.py
+    ngram_jaccard_capped_residual_pairs."""
+    return dedup_ops.ngram_jaccard_capped_residual_pairs(
+        llm_docs(spark, sf_dir), t_num=1, t_den=2, max_doc_freq=100
+    )
+
+
 # Three independent 4-plane tables from one LCG stream; set 0 equals
 # ANN_PLANES (same prefix), so multiprobe candidates strictly contain
 # the single-table ones.

@@ -509,3 +509,42 @@ def test_containment_threshold_is_exact_rational(spark):
     assert len(rows) == 1 and rows[0].n_common == 4 and rows[0].containment == 0.8
     # one notch tighter and the same pair is excluded
     assert dedup.ngram_containment_pairs(docs, t_num=5, t_den=6).count() == 0
+
+def test_capped_residual_composition_is_exact(spark):
+    """The capped-then-residual composition must equal the uncapped exact
+    form on a corpus engineered so the capped stage MISSES pairs: docs
+    whose every shared shingle is boilerplate under the cap (the
+    residual-slice rule t_den*n_hot >= t_num*n must route them through
+    the prefix stage), mixed with ordinary near-dup pairs the capped
+    stage catches."""
+    from kaspi_etl_spark.llm import dedup
+
+    boiler = "alpha beta gamma delta epsilon"
+    rows = [(i, boiler) for i in range(6)]  # every shingle df=6 > cap=3
+    # ordinary near-dup pair: shares rare shingles, found by capped
+    rows += [
+        (100, "one two three four five six seven"),
+        (101, "one two three four five six eight"),
+        (102, "совершенно другое содержание без повторов"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_capped_residual_pairs(
+            docs, t_num=1, t_den=2, max_doc_freq=3
+        ).collect()
+    }
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.5, max_doc_freq=None
+        ).collect()
+    }
+    assert got == want
+    assert (100, 101) in got  # the capped-stage catch
+    assert (0, 1) in got and got[(0, 1)] == 1.0  # the residual-stage catch
+    # sanity: the capped form alone would have missed the boilerplate pairs
+    capped_only = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_doc_freq=3
+    ).count()
+    assert capped_only < len(got)

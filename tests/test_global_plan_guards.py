@@ -140,7 +140,7 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     # --- <= n_bins cross-bucket offset windows of the distributed
     # prefix-rank (ranks.hash_order_prefix / binned_prefix_sum /
     # total_order_row_number) ---
-    "customer_rfm_segments": 3,  # one per NTILE axis, each <= 1024 rows
+    "customer_rfm_segments": 1,  # stacked-axes rank's <= 1024-bin offsets
     "docs_heaps_curve": 2,  # prefix offsets (<= 2^16) + 41-row ladder cum
     "docs_logreg_eval": 1,  # AUC rank walk's <= 1024-bin offset table
     "embeddings_negative_samples": 1,  # id-rank's <= 2^16 bucket offsets

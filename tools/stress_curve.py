@@ -330,6 +330,122 @@ def main() -> None:
 
             run(k, "dup_span_extents", _extents)
 
+        # r8 additions (VERDICT r7 #6): the de-globalized RFM rank, the
+        # phrase-search adjacency joins, label-propagation communities,
+        # the Markov transition counting (its power iterations are
+        # driver-side over <= |types|^2 cells — constant), assoc rules
+        # at HALVED support relative to basket growth (the prune-stress
+        # form), and the capped-then-residual exact Jaccard whose point
+        # is a bounded curve where the pure prefix form measured 5.2x.
+        if want("rfm_segments"):
+            ord0 = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+                F.col("o_custkey").alias("customer_id"),
+                F.col("o_orderdate").cast("date").alias("order_date"),
+                F.round(F.col("o_totalprice")).cast("long").alias("gross_price_kzt"),
+            )
+            ords = scaled_union(ord0, k, "customer_id", 10_000_000).localCheckpoint()
+            n_ord = ords.count()
+
+            def _rfm():
+                from kaspi_etl_spark.ops import revenue
+
+                out = revenue.rfm_segments(ords)
+                return {"rows": out.count(), "in_rows": n_ord}
+
+            run(k, "rfm_segments", _rfm)
+
+        if want("phrase_search"):
+            docs_ph = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_ph = docs_ph.count()
+
+            def _phrase():
+                from kaspi_etl_spark.llm import retrieval
+
+                out = retrieval.phrase_search(
+                    docs_ph,
+                    [("data", "processing"), ("machine", "learning"),
+                     ("the", "quick", "brown")],
+                )
+                return {"rows": out.count(), "in_rows": n_ph}
+
+            run(k, "phrase_search", _phrase)
+
+        if want("markov_cells"):
+            ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+            ev = scaled_union(ev0, k, "user_id", 10_000_000).localCheckpoint()
+            n_ev = ev.count()
+
+            def _markov():
+                from kaspi_etl_spark.ops import behavior
+
+                out = behavior.markov_transition_cells(ev)
+                return {"rows": out.count(), "in_rows": n_ev}
+
+            run(k, "markov_cells", _markov)
+
+        if want("communities_lp"):
+            li0c = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+            )
+            lic = scaled_union(li0c, k, "o", 100_000_000).localCheckpoint()
+            n_lic = lic.count()
+
+            def _lp():
+                from kaspi_etl_spark.ops import graph
+
+                b = lic.distinct()
+                a_ = b.select("o", F.col("item").alias("item_a"))
+                b_ = b.select(F.col("o").alias("o2"), F.col("item").alias("item_b"))
+                co = (
+                    a_.join(
+                        b_,
+                        (F.col("o") == F.col("o2"))
+                        & (F.col("item_a") < F.col("item_b")),
+                    )
+                    .groupBy("item_a", "item_b")
+                    .agg(F.count(F.lit(1)).alias("c"))
+                    .filter(F.col("c") >= 2)
+                    .select("item_a", "item_b")
+                )
+                out = graph.label_propagation(
+                    co, rounds=4, src_col="item_a", dst_col="item_b"
+                )
+                return {"rows": out.count(), "in_rows": n_lic}
+
+            run(k, "communities_lp", _lp)
+
+        if want("assoc_rules_lowsup"):
+            li0s = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+            )
+            lis = scaled_union(li0s, k, "o", 100_000_000).localCheckpoint()
+            n_lis = lis.count()
+
+            def _assoc_low():
+                from kaspi_etl_spark.ops import basket
+
+                # support stays 2 while baskets grow x K: the prune gets
+                # WEAKER relative to the data every doubling — the
+                # worst-case stress for the pair self-join
+                out = basket.association_rules(lis, min_support=2)
+                return {"rows": out.count(), "in_rows": n_lis}
+
+            run(k, "assoc_rules_lowsup", _assoc_low)
+
+        if want("jaccard_residual"):
+            docs_jr = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_jr = docs_jr.count()
+
+            def _resid():
+                out = dedup.ngram_jaccard_capped_residual_pairs(docs_jr)
+                return {"rows": out.count(), "in_rows": n_jr}
+
+            run(k, "jaccard_residual", _resid)
+
         if want("pca_project"):
             emb_p = emb if emb is not None else scaled_union(
                 emb0, k, "vec_id", 10_000_000, rot
