@@ -193,8 +193,12 @@ _GATE_PRIORITY = [
     "orders_drift_profile",
     "source_overlap_minhash",
     "ann_hard_negatives",
-    "docs_lang_source_mi",
-    "lang_rollup",
+    # --- the three operators BUILT this round (new code gets the
+    # driver's own check first; docs_lang_source_mi / docs_hashed_tf /
+    # lang_rollup stay sweep-verified) ---
+    "docs_weighted_sample",
+    "docs_eval_contamination",
+    "minhash_index_probe",
 ]
 
 

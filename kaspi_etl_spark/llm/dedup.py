@@ -368,18 +368,14 @@ def ngram_jaccard_pairs(
     )
 
 
-def _shingle_pair_intersections(
-    docs: DataFrame,
-    text_col: str,
-    id_col: str,
-    shingle_n: int,
-    max_doc_freq: int | None,
+def _doc_shingle_hashes(
+    docs: DataFrame, text_col: str, id_col: str, shingle_n: int
 ) -> DataFrame:
-    """Shared candidate machinery of ngram_jaccard_pairs /
-    ngram_containment_pairs: (id_a, id_b, n_common, n_a, n_b) for every
-    pair sharing >= 1 shingle surviving the doc-freq cap (docstrings on
-    the public wrappers). Plan identical to the pre-refactor
-    ngram_jaccard_pairs body."""
+    """(id, n_sh, h) over each doc's DISTINCT word shingles, with the
+    31-bit id guard the pair-packing join depends on. The shared scan of
+    the whole exact-similarity family — build it once and pass it to
+    every consumer; the shingle string materialization + md5 is the
+    family's dominant CPU (measured ~110 us/shingle)."""
     # 31-bit id guard: packing is id_a * 2^32 + id_b in a signed long, so
     # ids >= 2^31 would overflow (ANSI throws; non-ANSI silently wraps).
     # Fail fast with a clear message, once per doc row — not per pair.
@@ -392,7 +388,7 @@ def _shingle_pair_intersections(
         ).isNull(),
         F.col(id_col),
     ).alias(id_col)
-    sh = (
+    return (
         docs.select(checked_id, split_words(F.col(text_col)).alias("_w"))
         .select(
             F.col(id_col), shingles_from_words(F.col("_w"), shingle_n).alias("shingles")
@@ -412,6 +408,25 @@ def _shingle_pair_intersections(
         .filter(F.col("_s").isNotNull())
         .select(F.col(id_col), "n_sh", md5_long(F.col("_s")).alias("h"))
     )
+
+
+def _shingle_pair_intersections(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int,
+    max_doc_freq: int | None,
+    sh: DataFrame | None = None,
+) -> DataFrame:
+    """Shared candidate machinery of ngram_jaccard_pairs /
+    ngram_containment_pairs: (id_a, id_b, n_common, n_a, n_b) for every
+    pair sharing >= 1 shingle surviving the doc-freq cap (docstrings on
+    the public wrappers). Plan identical to the pre-refactor
+    ngram_jaccard_pairs body. ``sh`` lets a caller that already built
+    (and typically checkpointed) the _doc_shingle_hashes table share it
+    instead of paying the dominant shingle-hash scan twice."""
+    if sh is None:
+        sh = _doc_shingle_hashes(docs, text_col, id_col, shingle_n)
     counts = sh.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"))
     # Posting list per shingle hash, sorted so generated pairs are
     # already (id_a < id_b).
@@ -996,35 +1011,23 @@ def ngram_jaccard_capped_residual_pairs(
 
     Output: (id_a, id_b, jaccard), id_a < id_b, exact jaccard >= t.
     """
+    # ONE shingle-hash scan for the whole composition: (id, n_sh, h),
+    # checkpointed. Five consumers (capped pair machinery, df table,
+    # residual profile, both verify sides) with no common exchange —
+    # without the materialization the shingle string build + md5 (the
+    # family's dominant CPU: ~287 of the capped form's 365 CPU-s at the
+    # 500k-doc stress point) re-runs once PER consumer.
+    sh = _doc_shingle_hashes(docs, text_col, id_col, shingle_n).localCheckpoint()
+
     # stage 1: capped candidates — every hit is a true hit (lower bound)
     capped = _shingle_pair_intersections(
-        docs, text_col, id_col, shingle_n, max_doc_freq
+        docs, text_col, id_col, shingle_n, max_doc_freq, sh=sh
     )
     capped_hits = capped.filter(
         F.lit(t_den) * F.col("n_common")
         >= F.lit(t_num) * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     ).select("id_a", "id_b")
 
-    # shared shingle-hash table: (id, n_sh, h) over DISTINCT shingles.
-    # Four consumers (df table, residual profile, both verify sides)
-    # with no common exchange — without a materialization the
-    # shingle-explode + md5 map re-runs once PER consumer (measured
-    # ~4x the operator's CPU at 500k docs; same lineage-truncation
-    # rationale as duplicate_span_extents' checkpoint).
-    sh = (
-        docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
-        .select(
-            F.col(id_col),
-            shingles_from_words(F.col("_w"), shingle_n).alias("shingles"),
-        )
-        .select(
-            F.col(id_col),
-            F.size("shingles").alias("n_sh"),
-            F.explode_outer("shingles").alias("_s"),
-        )
-        .filter(F.col("_s").isNotNull())
-        .select(F.col(id_col), "n_sh", md5_long(F.col("_s")).alias("h"))
-    ).localCheckpoint()
     dfh = sh.groupBy("h").agg(F.count("*").cast("long").alias("df"))
 
     # stage 2: residual docs — t_den * n_hot >= t_num * n_sh
@@ -1250,4 +1253,172 @@ def source_minhash_overlap(
             "jaccard_est_ppm",
             F.expr("(1000000 * agree_cnt) div n_perms").cast("long"),
         )
+    )
+
+
+def minhash_index_probe(
+    index_docs: DataFrame,
+    batch_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    t_num: int = 1,
+    t_den: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Incremental dedup: probe a NEW BATCH of documents against an
+    already-indexed corpus — the production shape of continuous-ingest
+    dedup (a crawl refresh, a new dump) where re-deduplicating the
+    whole 100 TB corpus per arrival is a non-starter. Candidates come
+    from an LSH band equi-join of batch signatures against index
+    signatures (never batch x batch or index x index — the batch is
+    checked against the CORPUS, intra-batch dedup is ``dedup_exact`` /
+    ``minhash_near_dup_pairs``'s job), then one exact Jaccard verify
+    over the two docs' distinct-shingle hash sets, semi-join pruned to
+    candidate endpoints so the verify's cost tracks the match count,
+    not the corpus.
+
+    At scale the index side's signatures/bands are PRECOMPUTED and
+    stored (they are pure per-doc functions — this module's
+    minhash_signature — so maintaining them is an append); computing
+    them inline here keeps the operator self-contained and
+    oracle-checkable without a stateful fixture.
+
+    Returns (batch_id, index_id, n_common, n_batch, n_index, jaccard)
+    for exact J >= t_num/t_den.
+    """
+    rows_per_band = num_hashes // bands
+
+    def banded(docs: DataFrame, out_id: str) -> DataFrame:
+        sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+        cols = []
+        for b in range(bands):
+            parts = [
+                F.col(f"sig_{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ]
+            cols.append(
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    md5_long(F.concat_ws("|", *parts)).alias("band_key"),
+                )
+            )
+        return sigs.select(
+            F.col(id_col).alias(out_id), F.explode(F.array(*cols)).alias("band")
+        ).select(out_id, "band.band_idx", "band.band_key")
+
+    cand = (
+        banded(batch_docs, "batch_id")
+        .join(banded(index_docs, "index_id"), ["band_idx", "band_key"])
+        .select("batch_id", "index_id")
+        .distinct()
+    )
+    sh_b = _doc_shingle_hashes(batch_docs, text_col, id_col, shingle_n)
+    sh_i = _doc_shingle_hashes(index_docs, text_col, id_col, shingle_n)
+    sb = (
+        sh_b.join(
+            cand.select(F.col("batch_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs_b"),
+            F.first("n_sh").alias("n_batch"),
+        )
+        .select(F.col(id_col).alias("batch_id"), "hs_b", "n_batch")
+    )
+    si = (
+        sh_i.join(
+            cand.select(F.col("index_id").alias(id_col)).distinct(),
+            id_col,
+            "left_semi",
+        )
+        .groupBy(id_col)
+        .agg(
+            F.sort_array(F.collect_list("h")).alias("hs_i"),
+            F.first("n_sh").alias("n_index"),
+        )
+        .select(F.col(id_col).alias("index_id"), "hs_i", "n_index")
+    )
+    ver = (
+        cand.join(sb, "batch_id")
+        .join(si, "index_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("hs_b", "hs_i")).cast("long")
+        )
+    )
+    keep = F.lit(t_den) * F.col("n_common") >= F.lit(t_num) * (
+        F.col("n_batch") + F.col("n_index") - F.col("n_common")
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_batch") + F.col("n_index") - F.col("n_common")
+    ).cast("double")
+    return ver.filter(keep).select(
+        "batch_id",
+        "index_id",
+        "n_common",
+        F.col("n_batch").cast("long").alias("n_batch"),
+        F.col("n_index").cast("long").alias("n_index"),
+        jac.alias("jaccard"),
+    )
+
+
+def eval_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    gram_n: int = 13,
+) -> DataFrame:
+    """Benchmark-contamination detection: flag training documents that
+    contain any ``gram_n``-word n-gram of a held-out evaluation set —
+    the GPT-3-style decontamination rule (Brown et al. 2020 used
+    13-grams) every serious pretraining pipeline runs before training,
+    so benchmark numbers measure generalization rather than recall.
+
+    Plan: the eval set reduces to its DISTINCT gram-hash set (eval sets
+    are benchmark-sized — thousands of docs — so this side is small and
+    broadcastable); the corpus side explodes each doc's distinct grams
+    once and equi-joins. Per doc: total distinct grams, contaminated
+    grams, and the ppm ratio. Docs shorter than ``gram_n`` words
+    contribute their full text as ONE truncated gram (the
+    shingles_from_words short-doc rule, mirrored by the SQL slice
+    semantics) — a short doc copied verbatim from the benchmark still
+    flags; empty docs carry no grams and are absent.
+
+    Returns (id, n_grams, n_contaminated, contaminated_ppm) for every
+    corpus doc with >= 1 gram, contaminated or not — the downstream
+    filter threshold is policy, not mechanism.
+    """
+    def grams(d: DataFrame) -> DataFrame:
+        return (
+            d.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
+            .select(
+                F.col(id_col),
+                shingles_from_words(F.col("_w"), gram_n).alias("_g"),
+            )
+            .select(F.col(id_col), F.explode_outer("_g").alias("_s"))
+            .filter(F.col("_s").isNotNull() & (F.col("_s") != ""))
+            .select(F.col(id_col), md5_long(F.col("_s")).alias("h"))
+        )
+
+    eval_grams = grams(eval_docs).select("h").distinct()
+    corpus = grams(docs)
+    hit = F.when(F.col("_hit"), 1).otherwise(0)
+    joined = corpus.join(
+        eval_grams.withColumn("_hit", F.lit(True)), "h", "left"
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum(hit).cast("long").alias("n_contaminated"),
+    )
+    return agg.select(
+        id_col,
+        "n_grams",
+        "n_contaminated",
+        F.expr("(1000000 * n_contaminated) div n_grams")
+        .cast("long")
+        .alias("contaminated_ppm"),
     )

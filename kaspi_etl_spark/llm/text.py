@@ -880,3 +880,56 @@ def hashed_tf(
         .groupBy(id_col, "bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
     )
+
+
+def weighted_priority_sample(
+    docs: DataFrame,
+    k: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    salt: str = "wrs",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, weight =
+    whitespace token count: the Efraimidis-Spirakis A-ES scheme
+    (priority key u^(1/w), here as the equivalent -log2(u)/w with
+    smallest-k kept) — "sample k documents proportional to length,
+    reproducibly" is the training-data counterpart of the uniform
+    token_budget_sample, and A-ES is the one-pass distributed-safe way
+    to do it (a naive sequential reservoir is order-dependent).
+
+    Determinism/mirrorability: u is the 60-bit md5 of the id (no RNG
+    state), -log2(u/2^60) is the shared fixed-point flog2 kernel
+    (exact BIGINT), and the key is ONE IEEE division of two exact
+    integers — bit-identical in any engine. The fixed-point log makes
+    the sampling distribution a quantized approximation of true A-ES
+    (documented trade; 2^-20 log-granularity), but the SELECTION is
+    exactly reproducible everywhere, which is what an auditable
+    training set needs.
+
+    Plan: per-doc map + global top-k by (key, id) — Catalyst compiles
+    the sort+limit to TakeOrderedAndProject (per-partition partial
+    top-k, no global sort). Zero-token docs carry zero weight and are
+    never sampled (excluded up front, mirrored inner semantics).
+
+    Returns (id, n_tokens, sample_key) for the k selected docs.
+    """
+    from .dedup import md5_long
+    from .lm import FLOG2_ONE, with_flog2
+
+    d = docs.select(
+        F.col(id_col),
+        whitespace_token_count(F.col(text_col)).alias("n_tokens"),
+        F.greatest(
+            md5_long(F.col(id_col).cast("string"), salt=salt), F.lit(1)
+        ).alias("_u"),
+    ).filter(F.col("n_tokens") > 0)
+    d = with_flog2(d, "_u", "_l2u")
+    key = (
+        (F.lit(60 * FLOG2_ONE) - F.col("_l2u")).cast("double")
+        / F.col("n_tokens").cast("double")
+    ).alias("sample_key")
+    return (
+        d.select(F.col(id_col), "n_tokens", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

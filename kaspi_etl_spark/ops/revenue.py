@@ -136,9 +136,20 @@ def rfm_segments(
             F.max(F.when(F.col("_ax") == 2, F.col("_t"))).cast("long").alias("m_score"),
         )
     )
-    return per.join(tiles, "customer").withColumn(
-        "rfm_code",
-        (100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score")).cast(
-            "long"
-        ),
+    # NULL-SAFE join back to the customer grain: a NULL customer key (a
+    # real group — GROUP BY keeps it on both engines) must keep its
+    # scores; a plain equi-join would silently drop it (adversarial-
+    # sweep finding, NULL-custkey orders)
+    t = tiles.select(
+        F.col("customer").alias("_tc"), "r_score", "f_score", "m_score"
+    )
+    return (
+        per.join(t, F.col("customer").eqNullSafe(F.col("_tc")))
+        .drop("_tc")
+        .withColumn(
+            "rfm_code",
+            (100 * F.col("r_score") + 10 * F.col("f_score") + F.col("m_score")).cast(
+                "long"
+            ),
+        )
     )

@@ -187,9 +187,27 @@ def total_order_row_number(
     Oracle mirror: ``row_number() over (order by value, md5_long(id),
     id)`` — same md5 kernel DuckDB computes with
     ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+
+    NULL ids hash as the empty string (mirror:
+    ``md5(coalesce(id::VARCHAR, '') || salt)``): a NULL id must still
+    receive a rank — md5(NULL) is NULL, which would NULL the composite
+    bucket key and silently DROP the row at the offsets equi-join
+    (adversarial-sweep finding: the NULL-customer group of an orders
+    table with NULL keys lost its RFM row).
     """
-    h = md5_long(F.col(id_col).cast("string"), salt=salt)
-    d = df.withColumn("_h", h).withColumn(
+    h = md5_long(F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt=salt)
+    # NULL values would NULL the composite key and silently drop rows at
+    # the offsets equi-join — fail loudly instead (the caller must decide
+    # what a NULL sort value means; this primitive cannot)
+    checked = F.when(
+        F.assert_true(
+            F.col(value_col).isNotNull(),
+            f"total_order_row_number: {value_col} must be non-NULL "
+            "(coalesce a sentinel first)",
+        ).isNull(),
+        F.col(value_col),
+    )
+    d = df.withColumn(value_col, checked).withColumn("_h", h).withColumn(
         "_hb", F.shiftright(F.col("_h"), 60 - hash_bits)
     )
     composite = (F.col(value_col).cast("long") * (1 << hash_bits) + F.col("_hb")).alias(

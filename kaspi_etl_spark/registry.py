@@ -10701,7 +10701,8 @@ def q_events_markov_steady(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS frequency,
              CAST(SUM(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)
                AS monetary,
-             {_sql_md5_long("CAST(o_custkey AS VARCHAR) || 'rfm'")} AS tb
+             {_sql_md5_long("coalesce(CAST(o_custkey AS VARCHAR), '') || 'rfm'")}
+               AS tb
       FROM orders GROUP BY 1
     ),
     scored AS (
@@ -10800,3 +10801,153 @@ def q_copurchase_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = graph_ops.label_propagation(co, rounds=4, src_col="item_a", dst_col="item_b")
     return out.select(F.col("node").cast("long"), F.col("label").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# r8 additions: weighted sampling, benchmark decontamination, incremental
+# index-probe dedup.
+# ---------------------------------------------------------------------------
+
+_WRS_K = 200
+
+
+@register(
+    "docs_weighted_sample",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens,
+             greatest({_sql_md5_long("CAST(doc_id AS VARCHAR) || 'wrs'")}, 1) AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, n_tokens,
+             CAST({60 * lm_ops.FLOG2_ONE} - {lm_ops.sql_flog2('u')} AS DOUBLE)
+               / CAST(n_tokens AS DOUBLE) AS sample_key
+      FROM d WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, sample_key
+    FROM keyed ORDER BY sample_key ASC, doc_id ASC LIMIT {_WRS_K}
+    """,
+)
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES priority keys, weight = token count): "sample k docs
+    proportional to length, reproducibly". Key = fixed-point
+    -log2(md5(id)/2^60) / weight — exact integers plus ONE IEEE
+    division, so the selection is bit-identical in any engine; the
+    sort+limit compiles to TakeOrderedAndProject, never a global sort
+    (llm.text.weighted_priority_sample)."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.weighted_priority_sample(d, k=_WRS_K)
+
+
+_CONTAM_N = 13  # the GPT-3 decontamination gram length (Brown et al. 2020)
+_SQL_CONTAM_GRAMS = (
+    f"[array_to_string(w[i+1:i+{_CONTAM_N}], ' ') "
+    f"for i in range(0, greatest(len(w) - {_CONTAM_N}, 0) + 1)]"
+)
+
+
+@register(
+    "docs_eval_contamination",
+    f"""
+    WITH w AS (SELECT doc_id, {SQL_WORDS} AS w,
+                      {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'bench'")} % 20
+                        AS bucket
+               FROM documents),
+    g AS (SELECT doc_id, bucket,
+                 list_distinct({_SQL_CONTAM_GRAMS}) AS gs
+          FROM w),
+    ge AS (SELECT doc_id, bucket, unnest(gs) AS s FROM g),
+    h AS (SELECT doc_id, bucket, {_sql_md5_long('s')} AS h
+          FROM ge WHERE s <> ''),
+    eval_h AS (SELECT DISTINCT h FROM h WHERE bucket = 0),
+    corpus AS (SELECT doc_id, h FROM h WHERE bucket <> 0),
+    agg AS (
+      SELECT c.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(CASE WHEN e.h IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_contaminated
+      FROM corpus c LEFT JOIN eval_h e USING (h)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_grams, n_contaminated,
+           CAST((1000000 * n_contaminated) // n_grams AS BIGINT)
+             AS contaminated_ppm
+    FROM agg
+    """,
+)
+def q_docs_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: flag training docs sharing any
+    13-word n-gram with a held-out eval slice (the GPT-3 decontamination
+    rule) — the pre-training gate that keeps benchmark numbers honest.
+    The eval slice is the deterministic md5 5% of the corpus; its
+    distinct gram-hash set is benchmark-sized and broadcastable, the
+    corpus side is one explode + equi-join + rollup
+    (llm.dedup.eval_contamination)."""
+    d = _read(spark, sf_dir, "documents")
+    bucket = dedup_ops.md5_long(F.col("doc_id").cast("string"), salt="bench") % 20
+    ev = d.filter(bucket == 0)
+    corpus = d.filter(bucket != 0)
+    return dedup_ops.eval_contamination(corpus, ev, gram_n=_CONTAM_N)
+
+
+@register(
+    "minhash_index_probe",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, text,
+             {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'split'")} % 10 AS bucket
+      FROM documents
+    ),
+    {_sql_minhash_sigs(NUM_HASHES)},
+    banded AS (
+      {_sql_banded(NUM_HASHES, LSH_BANDS)}
+    ),
+    sides AS (SELECT doc_id, bucket FROM docs),
+    cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, i.doc_id AS index_id
+      FROM banded b JOIN sides sb ON sb.doc_id = b.doc_id AND sb.bucket >= 8
+      JOIN banded i ON i.band_idx = b.band_idx AND i.band_key = b.band_key
+      JOIN sides si ON si.doc_id = i.doc_id AND si.bucket < 8
+    ),
+    sh_exp AS (
+      SELECT doc_id, len(shingles) AS n_sh,
+             unnest([{_sql_md5_long('s')} for s in shingles]) AS h
+      FROM sh
+    ),
+    inter AS (
+      SELECT c.batch_id, c.index_id, sb.n_sh AS n_batch, si.n_sh AS n_index,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM cand c
+      JOIN sh_exp sb ON sb.doc_id = c.batch_id
+      JOIN sh_exp si ON si.doc_id = c.index_id AND si.h = sb.h
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT batch_id, index_id, n_common,
+           CAST(n_batch AS BIGINT) AS n_batch,
+           CAST(n_index AS BIGINT) AS n_index,
+           CAST(n_common AS DOUBLE) / CAST(n_batch + n_index - n_common AS DOUBLE)
+             AS jaccard
+    FROM inter
+    WHERE 2 * n_common >= n_batch + n_index - n_common
+    """,
+)
+def q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: probe the NEW-BATCH slice (deterministic md5
+    20%) against the INDEXED corpus (the other 80%) — LSH band
+    equi-join batch x index only, then candidate-pruned exact Jaccard
+    verify. The continuous-ingest shape: new dumps check against the
+    corpus without re-deduplicating 100 TB per arrival
+    (llm.dedup.minhash_index_probe)."""
+    d = _read(spark, sf_dir, "documents")
+    bucket = dedup_ops.md5_long(F.col("doc_id").cast("string"), salt="split") % 10
+    index_side = d.filter(bucket < 8)
+    batch_side = d.filter(bucket >= 8)
+    return dedup_ops.minhash_index_probe(
+        index_side, batch_side, num_hashes=NUM_HASHES, bands=LSH_BANDS,
+        t_num=1, t_den=2,
+    )

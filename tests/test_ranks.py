@@ -115,3 +115,19 @@ def test_total_order_row_number_plan_has_no_unpartitioned_data_window(spark):
     walk(plan)
     # exactly the one bounded cross-bucket offset window
     assert len(unpartitioned) == 1
+
+
+def test_total_order_row_number_null_id_keeps_row(spark):
+    df = spark.createDataFrame([(None, 5), ("a", 5), ("b", 3)], "k string, v long")
+    got = total_order_row_number(df, "v", "k")
+    rows = got.collect()
+    assert len(rows) == 3  # the NULL id must not drop at the bucket join
+    assert sorted(r.rn for r in rows) == [1, 2, 3]
+
+
+def test_total_order_row_number_null_value_fails_loudly(spark):
+    import pyspark.errors
+
+    df = spark.createDataFrame([("a", None), ("b", 3)], "k string, v long")
+    with pytest.raises(Exception, match="must be non-NULL"):
+        total_order_row_number(df, "v", "k").collect()
