@@ -196,7 +196,7 @@ _GATE_PRIORITY = [
     # --- the three operators BUILT this round (new code gets the
     # driver's own check first; docs_lang_source_mi / docs_hashed_tf /
     # lang_rollup stay sweep-verified) ---
-    "docs_weighted_sample",
+    "docs_weighted_sample_aes",
     "docs_eval_contamination",
     "minhash_index_probe",
 ]

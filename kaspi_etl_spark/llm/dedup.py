@@ -1422,3 +1422,40 @@ def eval_contamination(
         .cast("long")
         .alias("contaminated_ppm"),
     )
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split3",
+) -> DataFrame:
+    """Leakage-safe train/val/test assignment: split by NEAR-DUP CLUSTER,
+    never by document — a near-duplicate pair straddling train and test
+    leaks the answer into evaluation (the classic contamination bug a
+    per-doc random split guarantees at scale). Cluster labels come from
+    connected components over the given near-dup ``pairs``; singletons
+    are their own cluster; the split is the md5 hash of the CLUSTER id,
+    so every member of a cluster lands in the same split,
+    deterministically, with no RNG state.
+
+    Returns (id, cluster_id, split) with split in
+    {'train','val','test'} at ~train_pct/val_pct/rest percent of
+    CLUSTERS (doc-level proportions follow for non-pathological cluster
+    size distributions; re-weight by cluster token mass upstream if the
+    corpus is dominated by one giant template family).
+    """
+    cc = connected_components(pairs)
+    labeled = docs.select(F.col(id_col)).join(cc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("cluster_id"),
+    )
+    bucket = md5_long(F.col("cluster_id").cast("string"), salt=salt) % 100
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.select(id_col, "cluster_id", split.alias("split"))

@@ -251,6 +251,11 @@ ORACLES: dict[str, str] = {}
 
 def register(name: str, sql: str | None = None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        # a duplicate name silently SHADOWS the earlier query (dict
+        # overwrite) — the r8 A-ES sampler briefly replaced the r7
+        # Sequential-Poisson sampler this way; fail at import instead
+        if name in QUERIES:
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if sql is not None:
             ORACLES[name] = sql
@@ -10812,7 +10817,7 @@ _WRS_K = 200
 
 
 @register(
-    "docs_weighted_sample",
+    "docs_weighted_sample_aes",
     f"""
     WITH d AS (
       SELECT doc_id,
@@ -10832,13 +10837,16 @@ _WRS_K = 200
     FROM keyed ORDER BY sample_key ASC, doc_id ASC LIMIT {_WRS_K}
     """,
 )
-def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic weighted sampling without replacement (Efraimidis-
-    Spirakis A-ES priority keys, weight = token count): "sample k docs
-    proportional to length, reproducibly". Key = fixed-point
-    -log2(md5(id)/2^60) / weight — exact integers plus ONE IEEE
-    division, so the selection is bit-identical in any engine; the
-    sort+limit compiles to TakeOrderedAndProject, never a global sort
+def q_docs_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis-Spirakis A-ES scheme (priority -log2(u)/w, weight =
+    token count), the EXACT-wor sibling of ``docs_weighted_sample``'s
+    Sequential Poisson form (priority u/w — approximate pi-ps): A-ES
+    keys are exchangeable with true exponential clocks, so inclusion
+    probabilities are exactly proportional without SPS's small-k bias.
+    Key = fixed-point -log2(md5(id)/2^60) via the shared flog2 kernel
+    (exact BIGINT) over ONE IEEE division — selection bit-identical in
+    any engine; sort+limit compiles to TakeOrderedAndProject
     (llm.text.weighted_priority_sample)."""
     d = _read(spark, sf_dir, "documents")
     return text_ops.weighted_priority_sample(d, k=_WRS_K)
@@ -10951,3 +10959,73 @@ def q_minhash_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         index_side, batch_side, num_hashes=NUM_HASHES, bands=LSH_BANDS,
         t_num=1, t_den=2,
     )
+
+
+@register(
+    "docs_leakage_safe_split",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    {_sql_minhash_sigs(NUM_HASHES)},
+    banded AS (
+      {_sql_banded(NUM_HASHES, LSH_BANDS)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+           AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN sigs sa ON c.id_a = sa.doc_id
+      JOIN sigs sb ON c.id_b = sb.doc_id
+      WHERE CAST({" + ".join(f"CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES))}
+                 AS DOUBLE) / CAST({NUM_HASHES}.0 AS DOUBLE) >= CAST(0.5 AS DOUBLE)
+    ),
+    und AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pairs
+      UNION
+      SELECT id_a AS src, id_a AS dst FROM pairs
+      UNION
+      SELECT id_b AS src, id_b AS dst FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT src, dst FROM und
+        UNION
+        SELECT r.src, u.dst FROM r JOIN und u ON r.dst = u.src
+      )
+      SELECT * FROM r
+    ),
+    cc AS (
+      SELECT src AS doc_id, CAST(MIN(dst) AS BIGINT) AS cluster_id
+      FROM reach GROUP BY src
+    ),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+      FROM docs d LEFT JOIN cc USING (doc_id)
+    )
+    SELECT doc_id, cluster_id,
+           CASE WHEN {_sql_md5_long("CAST(cluster_id AS VARCHAR) || 'split3'")} % 100 < 80
+                THEN 'train'
+                WHEN {_sql_md5_long("CAST(cluster_id AS VARCHAR) || 'split3'")} % 100 < 90
+                THEN 'val'
+                ELSE 'test' END AS split
+    FROM labeled
+    """,
+)
+def q_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: assignment by NEAR-DUP CLUSTER
+    (MinHash pairs -> connected components; singletons = own id), hash
+    of the cluster id -> 80/10/10 — so a near-duplicate pair can never
+    straddle train and eval (the contamination bug a per-doc random
+    split guarantees at corpus scale). Deterministic, no RNG state
+    (llm.dedup.leakage_safe_split)."""
+    d = llm_docs(spark, sf_dir)
+    pairs = dedup_ops.minhash_near_dup_pairs(
+        d, num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    )
+    return dedup_ops.leakage_safe_split(d, pairs)

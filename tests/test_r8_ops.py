@@ -69,3 +69,22 @@ def test_minhash_index_probe_finds_batch_vs_index_only(spark):
     got = dedup.minhash_index_probe(index_docs, batch).collect()
     pairs = {(r.batch_id, r.index_id): r.jaccard for r in got}
     assert pairs == {(10, 1): 1.0}
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    base = " ".join(f"x{i}" for i in range(40))
+    rows = [(i, base) for i in range(4)]  # one near-dup cluster of 4
+    rows += [(10 + i, f"unique doc {i} " + " ".join(f"u{i}_{j}" for j in range(30)))
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = dedup.minhash_near_dup_pairs(docs, num_hashes=8, bands=4, threshold=0.5)
+    got = dedup.leakage_safe_split(docs, pairs).collect()
+    assert len(got) == 10
+    by_cluster = {}
+    for r in got:
+        by_cluster.setdefault(r.cluster_id, set()).add(r.split)
+    # every cluster maps to exactly ONE split
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # the 4 near-dups share one cluster
+    clusters = {r.doc_id: r.cluster_id for r in got}
+    assert len({clusters[i] for i in range(4)}) == 1
