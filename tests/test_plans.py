@@ -369,3 +369,26 @@ def test_int8_codes_codebook_is_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "embeddings_int8_codes")
     assert "BroadcastHashJoin" in plan  # dim-bounded codebook side
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_samples_compile_to_take_ordered(spark, sf_dir):
+    # both sampling schemes: global smallest-k by priority must be
+    # TakeOrderedAndProject (per-partition partial top-k, driver merge),
+    # never a sort or a rank window
+    for name in ("docs_weighted_sample", "docs_weighted_sample_aes"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "Window" not in plan, name
+
+
+def test_index_probe_has_no_cartesian_and_prunes_verify(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "minhash_index_probe")
+    assert "CartesianProduct" not in plan
+    # the verify sets build behind candidate semi-joins
+    assert plan.count("LeftSemi") >= 2
+
+
+def test_eval_contamination_is_one_join_one_rollup(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "docs_eval_contamination")
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan  # pure explode + join + hash aggregate
