@@ -424,9 +424,27 @@ def _shingle_pair_intersections(
     the public wrappers). Plan identical to the pre-refactor
     ngram_jaccard_pairs body. ``sh`` lets a caller that already built
     (and typically checkpointed) the _doc_shingle_hashes table share it
-    instead of paying the dominant shingle-hash scan twice."""
+    instead of paying the dominant shingle-hash scan twice.
+
+    When building ``sh`` itself, it is localCheckpoint'd for corpora
+    past the spread threshold: the table feeds multiple exchange-less
+    consumers (per-doc counts, per-hash posting lists) and the shingle
+    string build + md5 dominates the family's CPU, so without lineage
+    truncation the scan re-runs per consumer — measured 2.7x the whole
+    operator's CPU at the 250k-doc stress point (ngram_jaccard_capped
+    K=50: 2384 vs ~870 CPU-s through the shared table). Small corpora
+    skip the materialization (same size probe and rationale as
+    spread_corpus)."""
     if sh is None:
         sh = _doc_shingle_hashes(docs, text_col, id_col, shingle_n)
+        try:
+            size = int(
+                docs._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+        except Exception:
+            size = 0  # unknown input size: stay lazy
+        if size >= SPREAD_MIN_BYTES:
+            sh = sh.localCheckpoint()
     counts = sh.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"))
     # Posting list per shingle hash, sorted so generated pairs are
     # already (id_a < id_b).

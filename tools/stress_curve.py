@@ -434,6 +434,20 @@ def main() -> None:
 
             run(k, "assoc_rules_lowsup", _assoc_low)
 
+        if want("jaccard_capped"):
+            docs_jc = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_jc = docs_jc.count()
+
+            def _capped():
+                # the control for jaccard_residual: the composition's
+                # marginal cost = residual minus this row
+                out = dedup.ngram_jaccard_pairs(docs_jc, threshold=0.5)
+                return {"rows": out.count(), "in_rows": n_jc}
+
+            run(k, "jaccard_capped", _capped)
+
         if want("jaccard_residual"):
             docs_jr = docs if docs is not None else scaled_union(
                 docs0, k, "doc_id", 10_000_000, vowel_mut("text")
