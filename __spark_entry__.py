@@ -193,9 +193,11 @@ _GATE_PRIORITY = [
     "orders_drift_profile",
     "source_overlap_minhash",
     "ann_hard_negatives",
-    # --- the three operators BUILT this round (new code gets the
+    # --- three of the operators BUILT this round (new code gets the
     # driver's own check first; docs_lang_source_mi / docs_hashed_tf /
-    # lang_rollup stay sweep-verified) ---
+    # lang_rollup stay sweep-verified, as do the remaining r8-built
+    # docs_leakage_safe_split / docs_stratified_quota / docs_kn_bigram —
+    # all green in the clean AND adversarial sweeps) ---
     "docs_weighted_sample_aes",
     "docs_eval_contamination",
     "minhash_index_probe",

@@ -733,3 +733,75 @@ def categorical_mi(
             / (F.col("n") * F.lit(FLOG2_ONE)).cast("double")
         ).alias("mi_bits"),
     )
+
+
+def kn_bigram_model(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d_num: int = 3,
+    d_den: int = 4,
+    scale_bits: int = 30,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen &
+    Goodman 1999) in EXACT rational arithmetic — the principled
+    smoothing next to Stupid Backoff's heuristic: probability mass
+    discounted from seen bigrams is redistributed by CONTINUATION
+    counts (how many distinct left-contexts a word follows), which is
+    what makes KN the reference n-gram smoother ("francisco" is
+    frequent but only ever follows "san" — its unigram backoff weight
+    should be tiny, and continuation counting is what gets that right).
+
+    With discount D = d_num/d_den, all denominators cleared:
+
+      P_KN(w2|w1) = [ max(d_den*c12 - d_num, 0) * N1+(..)
+                      + d_num * N1+(w1,.) * N1+(.,w2) ]
+                    / [ d_den * c1 * N1+(..) ]
+
+    emitted as ``p_kn_scaled`` = floor(num * 2^scale_bits / den) — one
+    integer floor division on exact integers, mirrorable by any SQL
+    engine. The numerator runs through DECIMAL(38,0) (Spark's
+    IntegralDivide accepts decimals): c12 * N1+(..) * 2^30 wraps BIGINT
+    on a corpus with ~1e10 bigram types; decimal keeps it exact to
+    ~10^38.
+
+    Plan: one bigram count (map-side combined), two derived rollups
+    (left totals + forward fan-out on w1; continuation counts on w2),
+    one scalar broadcast (total bigram types), two word-keyed
+    equi-joins back. No windows, no collects.
+
+    Returns (w1, w2, c12, p_kn_scaled), one row per SEEN bigram type;
+    the unseen-bigram probability for a known w2 is the second term
+    alone — derivable from the same rollups, not materialized (it is
+    |V|^2-shaped by definition).
+    """
+    big = doc_bigrams(docs, id_col, text_col)
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p_bwd"))
+    total = c12.agg(F.count(F.lit(1)).cast("long").alias("n1p_all"))
+    j = (
+        c12.join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    num = (
+        f"(CAST(greatest({d_den} * c12 - {d_num}, 0) AS DECIMAL(38,0))"
+        f" * CAST(n1p_all AS DECIMAL(38,0))"
+        f" + CAST({d_num} AS DECIMAL(38,0)) * CAST(n1p_fwd AS DECIMAL(38,0))"
+        f" * CAST(n1p_bwd AS DECIMAL(38,0)))"
+        f" * CAST({1 << scale_bits} AS DECIMAL(38,0))"
+    )
+    den = (
+        f"(CAST({d_den} AS DECIMAL(38,0)) * CAST(c1 AS DECIMAL(38,0))"
+        f" * CAST(n1p_all AS DECIMAL(38,0)))"
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "c12",
+        F.expr(f"({num}) div ({den})").cast("long").alias("p_kn_scaled"),
+    )

@@ -11029,3 +11029,78 @@ def q_docs_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
     )
     return dedup_ops.leakage_safe_split(d, pairs)
+
+
+@register(
+    "docs_stratified_quota",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, lang, source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'quota'")} ASC,
+                        doc_id ASC) AS rk
+      FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 5
+    """,
+)
+def q_docs_stratified_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quota sampling per (lang, source) stratum: exactly k deterministic
+    hash-priority docs per cell — the eval-set/dataset-card builder
+    ("give me 5 reproducible examples per language x source", every
+    cell equally represented regardless of corpus skew). The rank-<=k
+    filter compiles to WindowGroupLimit (per-partition partial top-k
+    BEFORE the exchange), so a billion-doc stratum never sorts; NULL
+    lang/source form their own strata (GROUP-like window semantics,
+    identical both engines)."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        dedup_ops.md5_long(F.col("doc_id").cast("string"), salt="quota").asc(),
+        F.col("doc_id").asc(),
+    )
+    return (
+        d.select("doc_id", "lang", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 5)
+    )
+
+
+@register(
+    "docs_kn_bigram",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    tu AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+    c12 AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM tu GROUP BY 1, 2
+    ),
+    lft AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS n1p_fwd
+      FROM c12 GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS n1p_bwd FROM c12 GROUP BY w2
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n1p_all FROM c12)
+    SELECT c12.w1, c12.w2, c12.c12,
+           CAST(((greatest(4 * c12.c12 - 3, 0)::HUGEINT * tot.n1p_all
+                  + 3::HUGEINT * lft.n1p_fwd * cont.n1p_bwd)
+                 * {1 << 30}::HUGEINT)
+                // (4::HUGEINT * lft.c1 * tot.n1p_all) AS BIGINT)
+             AS p_kn_scaled
+    FROM c12
+    JOIN lft USING (w1)
+    JOIN cont USING (w2), tot
+    """,
+)
+def q_docs_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram model over the corpus (D = 3/4),
+    every probability an exact rational cleared to one integer floor
+    division at 2^30 fixed point — continuation-count smoothing, the
+    principled sibling of the Stupid-Backoff heuristic
+    (llm.lm.kn_bigram_model)."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.kn_bigram_model(d)

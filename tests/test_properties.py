@@ -535,3 +535,61 @@ def test_sigmoid_lut_probe_bounds_random(spark, zs):
         assert p is not None and 0 <= p <= (1 << C.LR_P)
         true = 1.0 / (1.0 + math.exp(-max(-8.0, min(8.0, z / (1 << C.LR_S)))))
         assert abs(p / (1 << C.LR_P) - true) <= 0.02
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=-(2**40), max_value=2**40),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_total_order_row_number_property(spark, rows):
+    """Random (value, weight-ish) rows incl. heavy ties and negatives:
+    the distributed rank must equal the global-window rank."""
+    from pyspark.sql import Window
+
+    from kaspi_etl_spark.llm.dedup import md5_long
+    from kaspi_etl_spark.ranks import total_order_row_number
+
+    data = [(f"id{i}", v) for i, (v, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "k string, v long")
+    got = sorted(
+        (r.k, r.rn)
+        for r in total_order_row_number(df, "v", "k", salt="p", hash_bits=3).collect()
+    )
+    w = Window.orderBy(
+        F.col("v").asc(), md5_long(F.col("k").cast("string"), salt="p").asc(), F.col("k").asc()
+    )
+    want = sorted(
+        (r.k, r.rn)
+        for r in df.withColumn("rn", F.row_number().over(w).cast("long")).collect()
+    )
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=2**45), min_size=1, max_size=50, unique=True
+    )
+)
+@settings(max_examples=5, deadline=None)
+def test_binned_prefix_sum_property(spark, keys):
+    """Random distinct keys: binned prefix sum == global-window running
+    sum regardless of clustering."""
+    from pyspark.sql import Window
+
+    from kaspi_etl_spark.ranks import binned_prefix_sum
+
+    data = [(k, (k % 7) + 1) for k in keys]
+    df = spark.createDataFrame(data, "k long, w long")
+    got = sorted((r.k, r.cum) for r in binned_prefix_sum(df, "k", "w", n_bins=16).collect())
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = sorted(
+        (r.k, r.cum) for r in df.withColumn("cum", F.sum("w").over(w).cast("long")).collect()
+    )
+    assert got == want

@@ -88,3 +88,38 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     # the 4 near-dups share one cluster
     clusters = {r.doc_id: r.cluster_id for r in got}
     assert len({clusters[i] for i in range(4)}) == 1
+
+
+def test_kn_bigram_probabilities_are_normalized_and_discounted(spark):
+    from kaspi_etl_spark.llm import lm
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b c a b")], "doc_id LONG, text STRING"
+    )
+    rows = lm.kn_bigram_model(docs).collect()
+    by = {(r.w1, r.w2): r.p_kn_scaled for r in rows}
+    scale = 1 << 30
+    # every seen-bigram probability in (0, 1]
+    assert all(0 < p <= scale for p in by.values())
+    # per-left-context mass over SEEN bigrams stays <= 1 (the discount
+    # reserves mass for unseen continuations)
+    import collections
+
+    mass = collections.defaultdict(int)
+    for (w1, _), p in by.items():
+        mass[w1] += p
+    assert all(m <= scale for m in mass.values())
+    # continuation counting: after "a", "b" (3 of 4 continuations) must
+    # outweigh "c"
+    assert by[("a", "b")] > by[("a", "c")]
+
+
+def test_stratified_quota_exact_k_per_cell(spark, sf_dir):
+    from kaspi_etl_spark.registry import QUERIES
+
+    rows = QUERIES["docs_stratified_quota"](spark, sf_dir).collect()
+    import collections
+
+    per_cell = collections.Counter((r.lang, r.source) for r in rows)
+    assert all(c <= 5 for c in per_cell.values())
+    assert max(r.rk for r in rows) <= 5
