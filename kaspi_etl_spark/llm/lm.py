@@ -805,3 +805,98 @@ def kn_bigram_model(
         "c12",
         F.expr(f"({num}) div ({den})").cast("long").alias("p_kn_scaled"),
     )
+
+
+def kn_score_heldout(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d_num: int = 3,
+    d_den: int = 4,
+) -> DataFrame:
+    """Held-out document scoring under the interpolated Kneser-Ney
+    bigram model (kn_bigram_model's formula, trained on ``train_docs``,
+    scored on ``score_docs``) — the fluency/quality signal in bits per
+    token, with KN's principled unseen handling instead of add-one or
+    Stupid Backoff's heuristic:
+
+      w1 seen:            P = [max(d_den*c12-d_num,0)*A + d_num*fwd(w1)*bwd(w2)]
+                              / (d_den*c1(w1)*A)
+      w1 unseen:          P = bwd(w2) / A           (pure continuation)
+      w2 never continues: numerator floors at 1     (the fixed-point
+                          quantization floor — an OOV convention both
+                          engines share, like sb_backoff's)
+
+    where A = number of distinct train bigram types. Surprisal per
+    bigram = flog2(den) - flog2(num) on exact BIGINTs (num bound:
+    d_den*c12*A < 2^62 — one corpus shard; shard-and-average past it),
+    summed exactly per doc; ONE IEEE division for bits/token at the
+    end. Plan: train rollups are word-keyed aggs; scoring is three
+    word-keyed left joins + one scalar broadcast; no windows beyond
+    doc_bigrams' per-doc lead.
+
+    Returns (id, n_bigrams, surprisal_scaled, bits_per_token).
+    """
+    c12 = (
+        doc_bigrams(train_docs, id_col, text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    )
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("fwd"),
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("bwd"))
+    total = c12.agg(F.count(F.lit(1)).cast("long").alias("a_types"))
+    sb = doc_bigrams(score_docs, id_col, text_col)
+    j = (
+        sb.join(c12, ["w1", "w2"], "left")
+        .join(left, "w1", "left")
+        .join(cont, "w2", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            id_col,
+            F.coalesce("c12", F.lit(0)).alias("_c12"),
+            F.coalesce("c1", F.lit(0)).alias("_c1"),
+            F.coalesce("fwd", F.lit(0)).alias("_fwd"),
+            F.coalesce("bwd", F.lit(0)).alias("_bwd"),
+            F.col("a_types").alias("_a"),
+        )
+    )
+    seen_w1 = F.col("_c1") > 0
+    num_seen = (
+        F.greatest(F.lit(d_den) * F.col("_c12") - F.lit(d_num), F.lit(0))
+        * F.col("_a")
+        + F.lit(d_num) * F.col("_fwd") * F.col("_bwd")
+    )
+    j = j.withColumn(
+        "_num",
+        F.greatest(
+            F.when(seen_w1, num_seen).otherwise(F.col("_bwd")), F.lit(1)
+        ).cast("long"),
+    ).withColumn(
+        "_den",
+        F.when(seen_w1, F.lit(d_den) * F.col("_c1") * F.col("_a"))
+        .otherwise(F.col("_a"))
+        .cast("long"),
+    )
+    j = with_flog2(j, "_num", "_lnum")
+    j = with_flog2(j, "_den", "_lden")
+    out = (
+        j.withColumn("_s", F.col("_lden") - F.col("_lnum"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("_s").cast("long").alias("surprisal_scaled"),
+        )
+    )
+    return out.select(
+        id_col,
+        "n_bigrams",
+        "surprisal_scaled",
+        (
+            F.col("surprisal_scaled").cast("double")
+            / (F.col("n_bigrams") * FLOG2_ONE).cast("double")
+        ).alias("bits_per_token"),
+    )

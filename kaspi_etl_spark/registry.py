@@ -11104,3 +11104,73 @@ def q_docs_kn_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm.lm.kn_bigram_model)."""
     d = _read(spark, sf_dir, "documents")
     return lm_ops.kn_bigram_model(d)
+
+
+@register(
+    "docs_kn_heldout",
+    f"""
+    WITH tw AS (
+      SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents WHERE doc_id % 2 = 0
+    ),
+    tu AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tw),
+    c12 AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM tu GROUP BY 1, 2
+    ),
+    lft AS (
+      SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+             CAST(count(*) AS BIGINT) AS fwd
+      FROM c12 GROUP BY w1
+    ),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS bwd FROM c12 GROUP BY w2),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS a_types FROM c12),
+    sw AS (
+      SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents WHERE doc_id % 2 = 1
+    ),
+    su AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM sw),
+    sb AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM su),
+    joined AS (
+      SELECT sb.doc_id,
+             COALESCE(c12.c12, 0) AS c12v,
+             COALESCE(lft.c1, 0) AS c1v,
+             COALESCE(lft.fwd, 0) AS fwdv,
+             COALESCE(cont.bwd, 0) AS bwdv,
+             tot.a_types AS a
+      FROM sb
+      LEFT JOIN c12 ON c12.w1 = sb.w1 AND c12.w2 = sb.w2
+      LEFT JOIN lft ON lft.w1 = sb.w1
+      LEFT JOIN cont ON cont.w2 = sb.w2, tot
+    ),
+    nd AS (
+      SELECT doc_id,
+             greatest(CASE WHEN c1v > 0
+                           THEN greatest(4 * c12v - 3, 0) * a + 3 * fwdv * bwdv
+                           ELSE bwdv END, 1) AS num,
+             CASE WHEN c1v > 0 THEN 4 * c1v * a ELSE a END AS den
+      FROM joined
+    ),
+    scored AS (
+      SELECT doc_id,
+             ({lm_ops.sql_flog2('den')} - {lm_ops.sql_flog2('num')}) AS s
+      FROM nd
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(s) AS BIGINT) AS surprisal_scaled,
+           CAST(sum(s) AS DOUBLE)
+             / CAST(count(*) * {lm_ops.FLOG2_ONE} AS DOUBLE) AS bits_per_token
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_docs_kn_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Kneser-Ney scoring: train the KN bigram model on the
+    even-id half of the corpus, score the odd-id half in exact
+    fixed-point bits/token — the train/score split form of
+    docs_kn_bigram, with KN's continuation-based unseen handling
+    (llm.lm.kn_score_heldout). The quality signal that, unlike
+    add-one perplexity, does not over-penalize rare-but-natural
+    continuations."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.kn_score_heldout(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )

@@ -123,3 +123,21 @@ def test_stratified_quota_exact_k_per_cell(spark, sf_dir):
     per_cell = collections.Counter((r.lang, r.source) for r in rows)
     assert all(c <= 5 for c in per_cell.values())
     assert max(r.rk for r in rows) <= 5
+
+
+def test_kn_heldout_unseen_handling(spark):
+    from kaspi_etl_spark.llm import lm
+
+    train = spark.createDataFrame(
+        [(0, "a b a b a c"), (2, "b c a b")], "doc_id LONG, text STRING"
+    )
+    # doc 1: seen bigrams; doc 3: unseen left context "z" and an OOV
+    # continuation "q" — both must score finitely (floor convention)
+    score = spark.createDataFrame(
+        [(1, "a b c"), (3, "z q a")], "doc_id LONG, text STRING"
+    )
+    rows = {r.doc_id: r for r in lm.kn_score_heldout(train, score).collect()}
+    assert rows[1].n_bigrams == 2 and rows[3].n_bigrams == 2
+    assert rows[1].surprisal_scaled >= 0 and rows[3].surprisal_scaled >= 0
+    # garbled text scores strictly worse than in-distribution text
+    assert rows[3].bits_per_token > rows[1].bits_per_token
