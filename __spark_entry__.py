@@ -184,7 +184,6 @@ _GATE_PRIORITY = [
     "bpe_compression_eval",
     "customers_l_diverse",
     "docs_zipf_fit",
-    "docs_hashed_tf",
     "lm_greedy_generate",
     "events_cuped_adjusted",
     "daily_revenue_cusum",
