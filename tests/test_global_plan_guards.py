@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "docs_heaps_curve",  # 1-row token-total broadcast onto the 41-row ladder
     "docs_logreg_eval",  # 1-row rank-sum broadcast onto the confusion row
     "customer_rfm_segments",  # 1-row (min,max)/count broadcasts per rank axis
+    "docs_kn_bigram",  # 1-row bigram-type-count broadcast into the KN ratio
+    "docs_kn_heldout",  # same 1-row total broadcast onto the scored bigrams
     "kmeans_inertia_report",  # inherits kmeans_assign's bounded seed cross product
     "minhash_dedup_eval",  # 1-row pred/truth/common count broadcasts
 }
