@@ -434,6 +434,18 @@ def main() -> None:
 
             run(k, "assoc_rules_lowsup", _assoc_low)
 
+        if want("kn_bigram"):
+            docs_kn = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_kn = docs_kn.count()
+
+            def _kn():
+                out = lm.kn_bigram_model(docs_kn)
+                return {"rows": out.count(), "in_rows": n_kn}
+
+            run(k, "kn_bigram", _kn)
+
         if want("jaccard_capped"):
             docs_jc = docs if docs is not None else scaled_union(
                 docs0, k, "doc_id", 10_000_000, vowel_mut("text")
