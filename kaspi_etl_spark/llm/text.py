@@ -933,3 +933,189 @@ def weighted_priority_sample(
         .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def rouge2_overlap(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """ROUGE-2 overlap between candidate near-duplicate pairs — the
+    n-gram-with-multiplicity refinement of set Jaccard (Lin 2004): for
+    each (id_a, id_b) pair, clipped bigram matches
+    sum(min(count_a(g), count_b(g))) over shared bigrams g, reported as
+    exact ppm precision (vs a's bigram count) and recall (vs b's).
+    Dedup pipelines use it to grade candidate pairs before destructive
+    collapse: a containment-heavy pair scores high recall / low
+    precision, a true near-dup scores high on both.
+
+    Scale shape: bigrams hash to 60-bit md5 longs (shuffle keys are
+    8 bytes regardless of text; both engines share the hash so even a
+    collision is mirrored), per-doc gram counts are one map-side-combined
+    groupBy over the corpus, and the pair scoring joins touch only the
+    docs that appear in ``pairs`` (semi-join pushdown on the pair ids) —
+    never all-pairs. 0-bigram sides report 0 ppm (documented 0/0 = 0).
+
+    Returns (id_a, id_b, match2, n2_a, n2_b, rouge2_prec_ppm,
+    rouge2_rec_ppm, rouge2_f1).
+    """
+    from .dedup import md5_long, split_words
+
+    w = docs.select(
+        F.col(id_col).alias("_d"), split_words(F.col(text_col)).alias("_w")
+    )
+    grams = (
+        w.select(
+            "_d",
+            "_w",
+            F.explode_outer(
+                F.sequence(F.lit(0), F.greatest(F.size("_w") - 2, F.lit(0)))
+            ).alias("_i"),
+        )
+        .filter(F.col("_i") <= F.size("_w") - 2)
+        .select(
+            "_d",
+            md5_long(
+                F.concat_ws(
+                    " ",
+                    F.element_at("_w", F.col("_i") + 1),
+                    F.element_at("_w", F.col("_i") + 2),
+                )
+            ).alias("_gh"),
+        )
+        .groupBy("_d", "_gh")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    totals = grams.groupBy("_d").agg(F.sum("_c").cast("long").alias("_n2"))
+    p = pairs.select(id_a, id_b)
+    ga = grams.select(F.col("_d").alias(id_a), "_gh", F.col("_c").alias("_ca"))
+    gb = grams.select(F.col("_d").alias(id_b), "_gh", F.col("_c").alias("_cb"))
+    matches = (
+        p.join(ga, id_a)
+        .join(gb, [id_b, "_gh"])
+        .groupBy(id_a, id_b)
+        .agg(F.sum(F.least("_ca", "_cb")).cast("long").alias("match2"))
+    )
+    out = (
+        p.join(matches, [id_a, id_b], "left")
+        .join(
+            totals.select(F.col("_d").alias(id_a), F.col("_n2").alias("n2_a")),
+            id_a,
+            "left",
+        )
+        .join(
+            totals.select(F.col("_d").alias(id_b), F.col("_n2").alias("n2_b")),
+            id_b,
+            "left",
+        )
+        .select(
+            F.col(id_a),
+            F.col(id_b),
+            F.coalesce("match2", F.lit(0)).cast("long").alias("match2"),
+            F.coalesce("n2_a", F.lit(0)).cast("long").alias("n2_a"),
+            F.coalesce("n2_b", F.lit(0)).cast("long").alias("n2_b"),
+        )
+    )
+    prec = F.when(
+        F.col("n2_a") > 0,
+        F.floor(F.lit(1000000) * F.col("match2") / F.col("n2_a")),
+    ).otherwise(F.lit(0))
+    rec = F.when(
+        F.col("n2_b") > 0,
+        F.floor(F.lit(1000000) * F.col("match2") / F.col("n2_b")),
+    ).otherwise(F.lit(0))
+    out = out.withColumn("rouge2_prec_ppm", prec.cast("long")).withColumn(
+        "rouge2_rec_ppm", rec.cast("long")
+    )
+    s = F.col("rouge2_prec_ppm") + F.col("rouge2_rec_ppm")
+    f1 = F.when(
+        s > 0,
+        F.lit(2.0)
+        * F.col("rouge2_prec_ppm").cast("double")
+        * F.col("rouge2_rec_ppm").cast("double")
+        / s.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return out.withColumn("rouge2_f1", f1)
+
+
+def fim_split(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022):
+    deterministically split each document's whitespace words into
+    (prefix, middle, suffix) at two hash-derived word boundaries, so an
+    infilling LLM can train on <suffix-first or PSM reorderings built
+    from these columns. Hash-derived cut points (md5 of the doc id, two
+    salts) make the split reproducible with zero RNG state — the same
+    auditability property as every sampler in this engine.
+
+    Cut points: a = H_a mod (n+1) in [0, n], b = a + H_b mod (n-a+1) in
+    [a, n] — every (a, b) boundary pair with a <= b is reachable, and
+    empty prefixes / middles / suffixes occur naturally (the FIM paper
+    trains on those too). NULL / wordless docs emit three empty strings.
+
+    One narrow map over the corpus: no shuffle, no UDF; column-pruned to
+    (id, text) and fully inside whole-stage codegen.
+
+    Returns (id, n_words, fim_cut_a, fim_cut_b, fim_prefix, fim_middle,
+    fim_suffix).
+    """
+    from .dedup import md5_long, split_words
+
+    d = docs.select(
+        F.col(id_col),
+        F.filter(
+            F.coalesce(split_words(F.col(text_col)), F.array()),
+            lambda x: x != "",
+        ).alias("_w"),
+    ).withColumn("n_words", F.size("_w").cast("long"))
+    a = md5_long(F.col(id_col).cast("string"), salt="fim_a") % (
+        F.col("n_words") + 1
+    )
+    d = d.withColumn("fim_cut_a", a.cast("long"))
+    b = F.col("fim_cut_a") + md5_long(F.col(id_col).cast("string"), salt="fim_b") % (
+        F.col("n_words") - F.col("fim_cut_a") + 1
+    )
+    d = d.withColumn("fim_cut_b", b.cast("long"))
+    # strings coalesce to '' so a NULL id (NULL hash -> NULL cuts) still
+    # emits empty parts — the DuckDB mirror does the same (its
+    # out-of-bounds list slices also yield NULL where Spark yields [])
+    return d.select(
+        id_col,
+        "n_words",
+        "fim_cut_a",
+        "fim_cut_b",
+        F.coalesce(
+            F.array_join(
+                F.slice("_w", F.lit(1), F.col("fim_cut_a").cast("int")), " "
+            ),
+            F.lit(""),
+        ).alias("fim_prefix"),
+        F.coalesce(
+            F.array_join(
+                F.slice(
+                    "_w",
+                    (F.col("fim_cut_a") + 1).cast("int"),
+                    (F.col("fim_cut_b") - F.col("fim_cut_a")).cast("int"),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("fim_middle"),
+        F.coalesce(
+            F.array_join(
+                F.slice(
+                    "_w",
+                    (F.col("fim_cut_b") + 1).cast("int"),
+                    (F.col("n_words") - F.col("fim_cut_b")).cast("int"),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("fim_suffix"),
+    )

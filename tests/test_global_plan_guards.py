@@ -60,6 +60,7 @@ BNLJ_ALLOWED = {
     "docs_kn_heldout",  # same 1-row total broadcast onto the scored bigrams
     "kmeans_inertia_report",  # inherits kmeans_assign's bounded seed cross product
     "minhash_dedup_eval",  # 1-row pred/truth/common count broadcasts
+    "ann_matryoshka_recall",  # two bounded query-sample cross products (full + truncated brute sides)
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

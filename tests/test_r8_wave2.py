@@ -1,0 +1,88 @@
+"""Unit tests for the round-8 second-wave operators: FIM split,
+ROUGE-2 pair grading, and matryoshka truncation recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaspi_etl_spark.llm import similarity, text
+
+
+def test_fim_split_parts_reassemble(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i % 7))) for i in range(40)],
+        "doc_id LONG, text STRING",
+    )
+    got = text.fim_split(docs).collect()
+    assert len(got) == 40
+    for r in got:
+        # cut invariants: 0 <= a <= b <= n
+        assert 0 <= r.fim_cut_a <= r.fim_cut_b <= r.n_words
+        parts = [p for p in (r.fim_prefix, r.fim_middle, r.fim_suffix) if p]
+        reassembled = " ".join(parts)
+        original = " ".join(f"w{j}" for j in range(r.doc_id % 7))
+        assert reassembled == original
+        # word counts of the parts partition n_words
+        n = sum(len(p.split()) for p in parts if p)
+        assert n == r.n_words
+
+
+def test_fim_split_null_and_empty_text(spark):
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "   ")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r for r in text.fim_split(docs).collect()}
+    for i in (1, 2, 3):
+        r = got[i]
+        assert r.n_words == 0
+        assert (r.fim_prefix, r.fim_middle, r.fim_suffix) == ("", "", "")
+
+
+def test_rouge2_clipped_counts_hand_computed(spark):
+    # a: "x y x y z" -> bigrams {xy:2, yx:1, yz:1}, n2=4
+    # b: "x y z x y" -> bigrams {xy:2, yz:1, zx:1}, n2=4
+    # clipped matches: min(2,2) + min(1,1) = 3
+    docs = spark.createDataFrame(
+        [(1, "x y x y z"), (2, "x y z x y")], "doc_id LONG, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "id_a LONG, id_b LONG")
+    r = text.rouge2_overlap(docs, pairs).collect()[0]
+    assert (r.match2, r.n2_a, r.n2_b) == (3, 4, 4)
+    assert r.rouge2_prec_ppm == 750000
+    assert r.rouge2_rec_ppm == 750000
+    assert abs(r.rouge2_f1 - 750000.0) < 1e-9
+
+
+def test_rouge2_zero_bigram_sides_report_zero(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b c"), (3, None)], "doc_id LONG, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2), (3, 2)], "id_a LONG, id_b LONG")
+    got = {(r.id_a, r.id_b): r for r in text.rouge2_overlap(docs, pairs).collect()}
+    assert got[(1, 2)].match2 == 0 and got[(1, 2)].n2_a == 0
+    assert got[(1, 2)].rouge2_prec_ppm == 0
+    assert got[(3, 2)].match2 == 0 and got[(3, 2)].rouge2_f1 == 0.0
+
+
+def test_matryoshka_prefix_identical_vectors_give_full_recall(spark):
+    # vectors whose first 16 dims fully determine the cosine order:
+    # dims 16..63 are constant zero, so truncation loses nothing and
+    # recall@k must be exactly 1.0 for every query
+    import random
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1, 1) for _ in range(16)] + [0.0] * 48)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c16 = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    q16 = queries.select("query_id", F.slice("embedding", 1, 16).alias("embedding"))
+    full = similarity.brute_force_topk(emb, queries, k=5)
+    trunc = similarity.brute_force_topk(c16, q16, k=5)
+    got = similarity.recall_at_k(trunc, full, k=5).collect()
+    assert len(got) == 3
+    assert all(r.recall_at_5 == 1.0 for r in got)
