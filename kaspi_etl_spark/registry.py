@@ -11364,3 +11364,161 @@ def q_ann_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     full = sim_ops.brute_force_topk(corpus, queries, k=10)
     trunc = sim_ops.brute_force_topk(c16, q16, k=10)
     return sim_ops.recall_at_k(trunc, full, k=10)
+
+
+# --- Unigram-LM tokenizer (Kudo 2018) — the second trained-tokenizer family
+from .llm import unigram as unigram_ops  # noqa: E402
+
+_UNI_L = unigram_ops.PIECE_MAX_LEN
+_UNI_W = unigram_ops.WORD_MAX_LEN
+_UNI_MIN = unigram_ops.MIN_COUNT
+
+
+def _sql_unigram_cte() -> str:
+    """CTE chain mirroring llm/unigram.unigram_train: seed-piece counts,
+    fixed-point piece surprisals, the vocabulary edge table, then one
+    MATERIALIZED CTE per Viterbi round (inlining would re-evaluate the
+    DP chain exponentially — the PCA/BPE oracle lesson), and the
+    char-segmentation fallback for words past the unroll bound."""
+    parts = [
+        f"""wc AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_WORDS_EXPR}) AS word FROM documents)
+      WHERE word <> '' GROUP BY word
+    ),
+    p1 AS (SELECT word, cnt, unnest(range(0, len(word))) AS j FROM wc),
+    p2 AS (SELECT word, cnt, j,
+                  unnest(range(1, least({_UNI_L}, len(word) - j) + 1)) AS l
+           FROM p1),
+    pieces AS (
+      SELECT piece, cnt FROM (
+        SELECT substr(word, CAST(j + 1 AS INT), CAST(l AS INT)) AS piece,
+               CAST(sum(cnt) AS BIGINT) AS cnt
+        FROM p2 GROUP BY 1)
+      WHERE cnt >= {_UNI_MIN} OR len(piece) = 1
+    ),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t FROM pieces),
+    pc AS MATERIALIZED (
+      SELECT piece, cnt,
+             CAST(({lm_ops.sql_flog2('t')} - {lm_ops.sql_flog2('cnt')})
+                  AS BIGINT) AS cost
+      FROM pieces, tot
+    ),
+    short AS (SELECT word, cnt, CAST(len(word) AS INT) AS n
+              FROM wc WHERE len(word) <= {_UNI_W}),
+    e1 AS (SELECT word, n, unnest(range(1, n + 1)) AS i FROM short),
+    e2 AS (SELECT word, n, i,
+                  unnest(range(1, least({_UNI_L}, i) + 1)) AS d
+           FROM e1),
+    edges AS MATERIALIZED (
+      SELECT s.word, s.n, CAST(s.i AS INT) AS i, CAST(s.i - s.d AS INT) AS j,
+             pc.cost, pc.piece
+      FROM (SELECT word, n, i, d,
+                   substr(word, CAST(i - d + 1 AS INT), CAST(d AS INT)) AS piece
+            FROM e2) s
+      JOIN pc ON pc.piece = s.piece
+    ),
+    b0 AS (SELECT word, n, CAST(0 AS BIGINT) AS bcost, '' AS seg FROM short)"""
+    ]
+    for i in range(1, _UNI_W + 1):
+        unions = []
+        for j in range(max(0, i - _UNI_L), i):
+            unions.append(
+                f"""SELECT e.word, e.n, b.bcost + e.cost AS bcost,
+                 CAST({j} AS BIGINT) AS j,
+                 CASE WHEN b.seg = '' THEN e.piece
+                      ELSE b.seg || ' ' || e.piece END AS seg
+          FROM edges e JOIN b{j} b ON b.word = e.word
+          WHERE e.i = {i} AND e.j = {j}"""
+            )
+        u = "\n          UNION ALL\n          ".join(unions)
+        parts.append(
+            f""",
+    b{i} AS MATERIALIZED (
+      SELECT word, n, bcost, seg FROM (
+        SELECT word, n, bcost, seg,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY bcost, j) AS rn
+        FROM (
+          {u}
+        ))
+      WHERE rn = 1
+    )"""
+        )
+    done_union = "\n      UNION ALL ".join(
+        f"SELECT word, bcost, seg FROM b{i} WHERE n = {i}"
+        for i in range(1, _UNI_W + 1)
+    )
+    parts.append(
+        f""",
+    done AS (
+      {done_union}
+    ),
+    seg_short AS (
+      SELECT s.word, s.cnt,
+             CAST(len(string_split(d.seg, ' ')) AS BIGINT) AS n_pieces,
+             d.bcost AS cost_scaled, d.seg
+      FROM short s JOIN done d ON d.word = s.word
+    ),
+    longw AS (SELECT word, cnt FROM wc WHERE len(word) > {_UNI_W}),
+    seg_long AS (
+      SELECT word, cnt, CAST(len(word) AS BIGINT) AS n_pieces,
+             CAST(sum(cost) AS BIGINT) AS cost_scaled,
+             trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seg
+      FROM (SELECT le.word, le.cnt, pc.cost
+            FROM (SELECT word, cnt, unnest(range(1, len(word) + 1)) AS i
+                  FROM longw) le
+            JOIN pc ON pc.piece = substr(le.word, CAST(le.i AS INT), 1))
+      GROUP BY word, cnt
+    ),
+    seg_all AS (
+      SELECT * FROM seg_short UNION ALL SELECT * FROM seg_long
+    )"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "docs_unigram_segment",
+    f"""
+    WITH {_sql_unigram_cte()}
+    SELECT word, cnt, n_pieces, cost_scaled, seg FROM seg_all
+    """,
+)
+def q_docs_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (Kudo 2018) Viterbi segmentation of the
+    corpus dictionary: substring-seeded vocabulary, exact fixed-point
+    piece surprisals (shared flog2 kernel), minimum-cost segmentation
+    per word with the (cost, split-point) tie-break, char-segmentation
+    fallback past the {_UNI_W}-char unroll bound. The second trained
+    tokenizer family next to BPE (llm/unigram.py)."""
+    d = _read(spark, sf_dir, "documents")
+    _, seg = unigram_ops.unigram_train(d)
+    return seg
+
+
+@register(
+    "docs_unigram_em_step",
+    f"""
+    WITH {_sql_unigram_cte()},
+    occ AS (
+      SELECT piece, CAST(sum(cnt) AS BIGINT) AS em_cnt
+      FROM (SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM seg_all)
+      GROUP BY 1
+    ),
+    etot AS (SELECT CAST(sum(em_cnt) AS BIGINT) AS t2 FROM occ)
+    SELECT piece, em_cnt,
+           CAST(({lm_ops.sql_flog2('t2')} - {lm_ops.sql_flog2('em_cnt')})
+                AS BIGINT) AS em_cost_scaled
+    FROM occ, etot
+    """,
+)
+def q_docs_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-EM re-estimation step of unigram-LM training: Viterbi-count
+    each piece across the segmented dictionary (weighted by corpus word
+    counts) and renormalize to new fixed-point surprisals — the
+    prune-and-iterate step that shrinks the seed vocabulary to the
+    pieces the segmentation actually uses (llm/unigram.py
+    em_reestimate)."""
+    d = _read(spark, sf_dir, "documents")
+    _, seg = unigram_ops.unigram_train(d)
+    return unigram_ops.em_reestimate(seg)
