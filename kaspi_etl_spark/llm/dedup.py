@@ -1477,3 +1477,73 @@ def leakage_safe_split(
         .otherwise(F.lit("test"))
     )
     return labeled.select(id_col, "cluster_id", split.alias("split"))
+
+
+def ngram_novelty_bloom(
+    train_docs: DataFrame,
+    probe_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-split n-gram novelty at constant memory: build ONE Bloom
+    filter over the training split's word shingles, then score each
+    probe document by the fraction of its distinct shingles the filter
+    has never seen. The streaming-friendly novelty signal a training
+    pipeline uses to rank incoming documents against an already-ingested
+    corpus when the exact shingle index would be data-sized — false
+    positives (Bloom rate) UNDERSTATE novelty, never invent it, and are
+    deterministic given the md5 position hashes, so the SQL oracle
+    reproduces every collision exactly.
+
+    Scale shape: the filter is a constant-size (word_idx, word) table
+    regardless of corpus size; probes dedup to DISTINCT shingle strings
+    before the broadcast probe join (vocabulary-sized, never
+    doc x shingle), then join back per document. Docs with no shingles
+    (NULL text) emit no row — mirrored inner semantics.
+
+    Returns (id, n_shingles, n_seen, novelty_ppm).
+    """
+    from .sketch import bloom_build, bloom_probe
+
+    def _shingles(d: DataFrame) -> DataFrame:
+        # NULL text would emit a spurious '' shingle (concat_ws skips
+        # nulls) where the SQL comprehension emits nothing — the
+        # source_overlap_minhash lesson; filter on BOTH sides
+        w = d.filter(F.col(text_col).isNotNull()).select(
+            F.col(id_col), split_words(F.col(text_col)).alias("_w")
+        )
+        return w.select(
+            F.col(id_col),
+            F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias(
+                "shingle"
+            ),
+        )
+
+    train_sh = _shingles(train_docs).select("shingle")
+    bloom = bloom_build(train_sh, "shingle")
+    probe_sh = _shingles(probe_docs)
+    vocab = probe_sh.select("shingle").distinct()
+    probed = bloom_probe(vocab, bloom, "shingle")
+    per = (
+        probe_sh.join(probed, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.col("might_contain").cast("long"))
+            .cast("long")
+            .alias("n_seen"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_shingles",
+        "n_seen",
+        F.floor(
+            F.lit(1000000)
+            * (F.col("n_shingles") - F.col("n_seen"))
+            / F.col("n_shingles")
+        )
+        .cast("long")
+        .alias("novelty_ppm"),
+    )

@@ -1119,3 +1119,65 @@ def fim_split(
             F.lit(""),
         ).alias("fim_suffix"),
     )
+
+
+def lpt_token_shards(
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Balanced training-shard assignment by striped longest-first
+    placement: rank documents by token count DESC (hash-of-id
+    tiebreak — the shardable total order, ranks.py) and stripe rank r
+    into shard (r-1) mod n_shards. The classic LPT load-balancing
+    approximation, distributed: the heaviest n_shards docs seed one
+    shard each, and every following stripe adds a near-equal layer, so
+    shard token totals stay within one document of each other without
+    any sequential bin state. Complements token_shard_assignment
+    (contiguous ~budget-sized shards in hash order) when the shard
+    COUNT is fixed and balance is the goal (one file per trainer rank).
+
+    Output: one row per shard — (shard_id, n_docs, shard_tokens,
+    load_ppm) where load_ppm = floor(1e6 * shard_tokens * n_shards /
+    total_tokens), exactly 1e6 for perfectly level shards. The ppm
+    numerator runs through DECIMAL(38,0) (BIGINT wraps past ~9e18 /
+    1e6 / n_shards total tokens; oracle mirrors via HUGEINT).
+    """
+    from ..ranks import total_order_row_number
+
+    d = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            whitespace_token_count(F.col(text_col)), F.lit(0)
+        ).alias("n_tokens"),
+    ).withColumn("_negtok", -F.col("n_tokens"))
+    ranked = total_order_row_number(
+        d, "_negtok", id_col, out_col="rn", salt="lpt"
+    )
+    per = (
+        ranked.withColumn(
+            "shard_id", ((F.col("rn") - 1) % F.lit(n_shards)).cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("shard_tokens"),
+        )
+    )
+    tot = d.agg(F.sum("n_tokens").cast("long").alias("_t"))
+    return per.join(F.broadcast(tot)).select(
+        "shard_id",
+        "n_docs",
+        "shard_tokens",
+        F.when(
+            F.col("_t") > 0,
+            F.expr(
+                f"CAST((CAST(shard_tokens AS DECIMAL(38,0)) * 1000000 * "
+                f"{int(n_shards)}) div _t AS BIGINT)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("load_ppm"),
+    )

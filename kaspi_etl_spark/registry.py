@@ -11522,3 +11522,153 @@ def q_docs_unigram_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     _, seg = unigram_ops.unigram_train(d)
     return unigram_ops.em_reestimate(seg)
+
+
+# --- LPT shard balancing + Bloom n-gram novelty ------------------------------
+
+_LPT_SHARDS = 8
+
+
+@register(
+    "token_shards_lpt",
+    rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN 0
+                  WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END
+               AS n_tokens
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (
+               ORDER BY -n_tokens ASC,
+                 {_sql_md5_long("coalesce(CAST(doc_id AS VARCHAR), '') || 'lpt'")} ASC,
+                 doc_id ASC) AS rn
+      FROM tok
+    ),
+    per AS (
+      SELECT (rn - 1) % {_LPT_SHARDS} AS shard_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+      FROM r GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t FROM tok)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id, n_docs, shard_tokens,
+           CAST(CASE WHEN t > 0
+                THEN (shard_tokens::HUGEINT * 1000000 * {_LPT_SHARDS}) // t
+                ELSE 0 END AS BIGINT) AS load_ppm
+    FROM per, tot
+    """,
+)
+def q_token_shards_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced fixed-count training shards by striped longest-first
+    (LPT) placement over the distributed total-order rank — the
+    one-file-per-trainer-rank layout where shard BALANCE (not size
+    budget) is the goal; complements token_shard_assignment's
+    contiguous budget shards. See llm/text.py lpt_token_shards."""
+    return text_ops.lpt_token_shards(
+        _read(spark, sf_dir, "documents"), n_shards=_LPT_SHARDS
+    )
+
+
+def _sql_novelty_bloom() -> str:
+    pos = sketch_ops.bloom_sql_positions("shingle")
+    k = sketch_ops.BLOOM_HASHES
+    wb = sketch_ops.BLOOM_WORD_BITS
+    build_rows = " UNION ALL ".join(
+        f"SELECT {p} AS pos FROM tsh" for p in pos
+    )
+    probe_rows = " UNION ALL ".join(
+        f"SELECT shingle, {p} AS pos FROM vocab" for p in pos
+    )
+    return f"""
+    WITH tr AS (SELECT doc_id, text FROM documents
+                WHERE doc_id % 2 = 0 AND text IS NOT NULL),
+    pr AS (SELECT doc_id, text FROM documents
+           WHERE doc_id % 2 = 1 AND text IS NOT NULL),
+    wt AS (SELECT doc_id, {SQL_WORDS} AS w FROM tr),
+    sht AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles
+            FROM wt),
+    tsh AS (SELECT unnest(shingles) AS shingle FROM sht),
+    bloom AS (
+      SELECT pos // {wb} AS word_idx,
+             bit_or(1::BIGINT << (pos % {wb})) AS word
+      FROM ({build_rows}) WHERE pos IS NOT NULL GROUP BY 1
+    ),
+    wp AS (SELECT doc_id, {SQL_WORDS} AS w FROM pr),
+    shp AS (SELECT doc_id, list_distinct({SQL_SHINGLES_RAW}) AS shingles
+            FROM wp),
+    psh AS (SELECT doc_id, unnest(shingles) AS shingle FROM shp),
+    vocab AS (SELECT DISTINCT shingle FROM psh),
+    vhits AS (
+      SELECT p.shingle,
+             (CAST(sum(CASE WHEN ((COALESCE(b.word, 0) >> (p.pos % {wb})) & 1) = 1
+                       THEN 1 ELSE 0 END) AS BIGINT) = {k}) AS seen
+      FROM ({probe_rows}) p
+      LEFT JOIN bloom b ON b.word_idx = (p.pos // {wb})
+      GROUP BY p.shingle
+    ),
+    per AS (
+      SELECT psh.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN v.seen THEN 1 ELSE 0 END) AS BIGINT) AS n_seen
+      FROM psh JOIN vhits v ON v.shingle = psh.shingle
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shingles, n_seen,
+           CAST((1000000 * (n_shingles - n_seen)) // n_shingles AS BIGINT)
+             AS novelty_ppm
+    FROM per
+    """
+
+
+@register("docs_novelty_bloom", _sql_novelty_bloom())
+def q_docs_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split n-gram novelty at constant memory: Bloom filter over
+    the even-id training split's word shingles, odd-id docs scored by
+    the ppm of their distinct shingles the filter has never seen — the
+    continuous-ingest novelty ranker (false positives understate
+    novelty and replay exactly in the oracle; see llm/dedup.py
+    ngram_novelty_bloom)."""
+    d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    return dedup_ops.ngram_novelty_bloom(
+        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+    )
+
+
+@register(
+    "dedup_cluster_histogram",
+    f"""
+    WITH base AS (
+      {ORACLES["dedup_clusters"]}
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM base GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+    FROM sizes GROUP BY 1
+    """,
+)
+def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-of-counts histogram over the near-dup connected components:
+    how many clusters of each size, and the doc mass they hold — the
+    dedup diagnostic that says whether duplication is a few giant
+    boilerplate families or a long tail of pairs, without ever ranking
+    the (data-sized) cluster list. Same count-of-counts shape as
+    order_key_skew_profile: two bounded aggs, no window."""
+    pairs = dedup_ops.minhash_near_dup_pairs(
+        llm_docs(spark, sf_dir), num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    )
+    cc = dedup_ops.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
+    )

@@ -61,6 +61,7 @@ BNLJ_ALLOWED = {
     "kmeans_inertia_report",  # inherits kmeans_assign's bounded seed cross product
     "minhash_dedup_eval",  # 1-row pred/truth/common count broadcasts
     "ann_matryoshka_recall",  # two bounded query-sample cross products (full + truncated brute sides)
+    "token_shards_lpt",  # 1-row token-total broadcast onto the 8 shard rows
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
@@ -150,6 +151,7 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "token_budget_sample": 1,  # <= 2^16 bucket offsets
     "token_pack_sequences": 1,  # <= 2^16 bucket offsets
     "token_shards": 1,  # <= 2^16 bucket offsets
+    "token_shards_lpt": 1,  # LPT rank's <= 1024-bin offset table
     # --- literal-bounded frames ---
     "corpus_mix_allocation": 3,  # |sources| rows (apportionment ladder)
     "corpus_mix_temperature": 3,  # |sources| rows

@@ -86,3 +86,66 @@ def test_matryoshka_prefix_identical_vectors_give_full_recall(spark):
     got = similarity.recall_at_k(trunc, full, k=5).collect()
     assert len(got) == 3
     assert all(r.recall_at_5 == 1.0 for r in got)
+
+
+def test_lpt_shards_balance_and_totals(spark):
+    from kaspi_etl_spark.llm.text import lpt_token_shards
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 37) % 100))) for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = lpt_token_shards(docs, n_shards=8).collect()
+    assert len(got) == 8
+    total = sum(1 + (i * 37) % 100 for i in range(200))
+    assert sum(r.shard_tokens for r in got) == total
+    assert sum(r.n_docs for r in got) == 200
+    # striping by descending size keeps shards near-level: every shard
+    # within 10% of the ideal eighth (deterministic given the hash)
+    ideal = total / 8
+    for r in got:
+        assert abs(r.shard_tokens - ideal) < 0.1 * ideal
+        assert abs(r.load_ppm - 1_000_000) < 100_000
+
+
+def test_lpt_shards_null_text_counts_zero(spark):
+    from kaspi_etl_spark.llm.text import lpt_token_shards
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "a b c"), (3, "")], "doc_id LONG, text STRING"
+    )
+    got = lpt_token_shards(docs, n_shards=2).collect()
+    assert sum(r.shard_tokens for r in got) == 3
+    assert sum(r.n_docs for r in got) == 3
+
+
+def test_novelty_bloom_no_false_novelty_on_seen_grams(spark):
+    from kaspi_etl_spark.llm.dedup import ngram_novelty_bloom
+
+    # probe doc 11 repeats train doc 1's text exactly -> novelty 0;
+    # probe doc 13 is fully disjoint vocabulary -> novelty 1e6 unless a
+    # Bloom collision (deterministic; pinned by the assertion)
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "eta theta iota kappa")],
+        "doc_id LONG, text STRING",
+    )
+    probe = spark.createDataFrame(
+        [(11, "alpha beta gamma delta epsilon zeta"),
+         (13, "qq ww ee rr tt yy uu ii")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in ngram_novelty_bloom(train, probe).collect()}
+    # false positives may UNDERSTATE novelty but never invent it:
+    assert got[11].novelty_ppm == 0
+    assert got[11].n_seen == got[11].n_shingles
+    assert got[13].novelty_ppm == 1_000_000
+    assert got[13].n_seen == 0
+
+
+def test_novelty_bloom_null_text_docs_emit_no_row(spark):
+    from kaspi_etl_spark.llm.dedup import ngram_novelty_bloom
+
+    train = spark.createDataFrame([(1, "a b c d")], "doc_id LONG, text STRING")
+    probe = spark.createDataFrame(
+        [(11, None), (12, "a b c d")], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id for r in ngram_novelty_bloom(train, probe).collect()}
+    assert got == {12}

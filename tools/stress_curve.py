@@ -488,6 +488,65 @@ def main() -> None:
 
             run(k, "pca_project", _pca)
 
+        if want("unigram_segment"):
+            from kaspi_etl_spark.llm import unigram
+
+            docs_u = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_u = docs_u.count()
+
+            def _uni():
+                # vowel permutation makes each copy's WORDS distinct, so
+                # the dictionary (the unit of unigram work) scales ~K
+                _, seg = unigram.unigram_train(docs_u)
+                return {"rows": seg.count(), "in_rows": n_u}
+
+            run(k, "unigram_segment", _uni)
+
+        if want("novelty_bloom"):
+            docs_nb = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_nb = docs_nb.count()
+
+            def _nb():
+                nn = docs_nb.filter(F.col("text").isNotNull())
+                out = dedup.ngram_novelty_bloom(
+                    nn.filter(F.col("doc_id") % 2 == 0),
+                    nn.filter(F.col("doc_id") % 2 == 1),
+                )
+                return {"rows": out.count(), "in_rows": n_nb}
+
+            run(k, "novelty_bloom", _nb)
+
+        if want("rouge2_overlap"):
+            docs_r = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_r = docs_r.count()
+
+            def _rouge():
+                pairs = dedup.minhash_near_dup_pairs(
+                    docs_r, num_hashes=8, bands=4, threshold=0.5
+                ).select("id_a", "id_b")
+                out = text.rouge2_overlap(docs_r, pairs)
+                return {"rows": out.count(), "in_rows": n_r}
+
+            run(k, "rouge2_overlap", _rouge)
+
+        if want("lpt_shards"):
+            docs_l = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_l = docs_l.count()
+
+            def _lpt():
+                out = text.lpt_token_shards(docs_l, n_shards=8)
+                return {"rows": out.count(), "in_rows": n_l}
+
+            run(k, "lpt_shards", _lpt)
+
     print("\n# summary")
     for r in results:
         print(json.dumps(r))
