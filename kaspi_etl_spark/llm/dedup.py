@@ -1306,34 +1306,89 @@ def minhash_index_probe(
     Returns (batch_id, index_id, n_common, n_batch, n_index, jaccard)
     for exact J >= t_num/t_den.
     """
+    index_bands = minhash_banded_rows(
+        index_docs, "index_id", text_col, id_col, num_hashes, bands, shingle_n
+    )
+    index_sh = _doc_shingle_hashes(index_docs, text_col, id_col, shingle_n).select(
+        F.col(id_col).alias("index_id"), "n_sh", "h"
+    )
+    return probe_minhash_index(
+        batch_docs,
+        index_bands,
+        index_sh,
+        text_col,
+        id_col,
+        num_hashes,
+        bands,
+        t_num,
+        t_den,
+        shingle_n,
+    )
+
+
+def minhash_banded_rows(
+    docs: DataFrame,
+    out_id: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(out_id, band_idx, band_key) LSH band rows — the persistable
+    per-doc index entries (pure per-doc functions of the text, so an
+    index over a growing corpus is maintained by APPENDING each new
+    batch's rows; the streaming job stores them as one partition dir
+    per micro-batch)."""
     rows_per_band = num_hashes // bands
-
-    def banded(docs: DataFrame, out_id: str) -> DataFrame:
-        sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
-        cols = []
-        for b in range(bands):
-            parts = [
-                F.col(f"sig_{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ]
-            cols.append(
-                F.struct(
-                    F.lit(b).alias("band_idx"),
-                    md5_long(F.concat_ws("|", *parts)).alias("band_key"),
-                )
+    sigs = minhash_signature(docs, text_col, id_col, num_hashes, shingle_n)
+    cols = []
+    for b in range(bands):
+        parts = [
+            F.col(f"sig_{b * rows_per_band + r}").cast("string")
+            for r in range(rows_per_band)
+        ]
+        cols.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                md5_long(F.concat_ws("|", *parts)).alias("band_key"),
             )
-        return sigs.select(
-            F.col(id_col).alias(out_id), F.explode(F.array(*cols)).alias("band")
-        ).select(out_id, "band.band_idx", "band.band_key")
+        )
+    return sigs.select(
+        F.col(id_col).alias(out_id), F.explode(F.array(*cols)).alias("band")
+    ).select(out_id, "band.band_idx", "band.band_key")
 
+
+def probe_minhash_index(
+    batch_docs: DataFrame,
+    index_bands: DataFrame,
+    index_shingles: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    t_num: int = 1,
+    t_den: int = 2,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Probe a document batch against a PRECOMPUTED index — the stored
+    form of minhash_index_probe: ``index_bands`` = (index_id, band_idx,
+    band_key) and ``index_shingles`` = (index_id, n_sh, h), both pure
+    per-doc functions a stateful pipeline appends per arrival. Same
+    candidate-join + semi-join-pruned exact verify as the inline form
+    (which now delegates here)."""
     cand = (
-        banded(batch_docs, "batch_id")
-        .join(banded(index_docs, "index_id"), ["band_idx", "band_key"])
+        minhash_banded_rows(
+            batch_docs, "batch_id", text_col, id_col, num_hashes, bands, shingle_n
+        )
+        .join(index_bands, ["band_idx", "band_key"])
         .select("batch_id", "index_id")
         .distinct()
     )
     sh_b = _doc_shingle_hashes(batch_docs, text_col, id_col, shingle_n)
-    sh_i = _doc_shingle_hashes(index_docs, text_col, id_col, shingle_n)
+    sh_i = index_shingles.select(
+        F.col("index_id").alias(id_col), "n_sh", "h"
+    )
     sb = (
         sh_b.join(
             cand.select(F.col("batch_id").alias(id_col)).distinct(),
@@ -1485,6 +1540,7 @@ def ngram_novelty_bloom(
     text_col: str = "text",
     id_col: str = "doc_id",
     shingle_n: int = 3,
+    m_bits: int | None = None,
 ) -> DataFrame:
     """Cross-split n-gram novelty at constant memory: build ONE Bloom
     filter over the training split's word shingles, then score each
@@ -1504,27 +1560,62 @@ def ngram_novelty_bloom(
 
     Returns (id, n_shingles, n_seen, novelty_ppm).
     """
-    from .sketch import bloom_build, bloom_probe
+    from .sketch import BLOOM_BITS, bloom_build
 
-    def _shingles(d: DataFrame) -> DataFrame:
-        # NULL text would emit a spurious '' shingle (concat_ws skips
-        # nulls) where the SQL comprehension emits nothing — the
-        # source_overlap_minhash lesson; filter on BOTH sides
-        w = d.filter(F.col(text_col).isNotNull()).select(
-            F.col(id_col), split_words(F.col(text_col)).alias("_w")
-        )
-        return w.select(
-            F.col(id_col),
-            F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias(
-                "shingle"
-            ),
-        )
+    # size the filter to the corpus: ~10 bits/distinct-shingle keeps the
+    # false-positive rate ~1% at k=4; the default sketch size (16384
+    # bits) saturates past ~2k distinct shingles and scores everything
+    # "seen" — still oracle-exact, but a useless ranker. Callers at
+    # scale pass m_bits explicitly; None keeps the sketch default.
+    m = m_bits if m_bits is not None else BLOOM_BITS
+    train_sh = doc_shingle_rows(train_docs, text_col, id_col, shingle_n).select(
+        "shingle"
+    )
+    bloom = bloom_build(train_sh, "shingle", m_bits=m)
+    return novelty_against_bloom(
+        probe_docs, bloom, text_col, id_col, shingle_n, m_bits=m
+    )
 
-    train_sh = _shingles(train_docs).select("shingle")
-    bloom = bloom_build(train_sh, "shingle")
-    probe_sh = _shingles(probe_docs)
+
+def doc_shingle_rows(
+    d: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, shingle) rows — per-doc DISTINCT word shingles. NULL text
+    is filtered up front: it would emit a spurious '' shingle
+    (concat_ws skips nulls) where a SQL comprehension emits nothing —
+    the source_overlap_minhash lesson; filter on BOTH sides."""
+    w = d.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col), split_words(F.col(text_col)).alias("_w")
+    )
+    return w.select(
+        F.col(id_col),
+        F.explode(shingles_from_words(F.col("_w"), shingle_n)).alias("shingle"),
+    )
+
+
+def novelty_against_bloom(
+    probe_docs: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """Score ``probe_docs`` against an ALREADY-BUILT shingle Bloom
+    filter (the probe half of ngram_novelty_bloom — shared with the
+    streaming novelty job, which maintains the filter incrementally).
+    An empty filter scores everything maximally novel."""
+    from .sketch import BLOOM_BITS, bloom_probe
+
+    probe_sh = doc_shingle_rows(probe_docs, text_col, id_col, shingle_n)
     vocab = probe_sh.select("shingle").distinct()
-    probed = bloom_probe(vocab, bloom, "shingle")
+    probed = bloom_probe(
+        vocab, bloom, "shingle",
+        m_bits=m_bits if m_bits is not None else BLOOM_BITS,
+    )
     per = (
         probe_sh.join(probed, "shingle")
         .groupBy(id_col)

@@ -11573,8 +11573,11 @@ def q_token_shards_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NOVELTY_BITS = 1 << 17  # ~10 bits per distinct sf0.01 shingle (~1% FP)
+
+
 def _sql_novelty_bloom() -> str:
-    pos = sketch_ops.bloom_sql_positions("shingle")
+    pos = sketch_ops.bloom_sql_positions("shingle", m_bits=_NOVELTY_BITS)
     k = sketch_ops.BLOOM_HASHES
     wb = sketch_ops.BLOOM_WORD_BITS
     build_rows = " UNION ALL ".join(
@@ -11634,7 +11637,9 @@ def q_docs_novelty_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_novelty_bloom)."""
     d = _read(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     return dedup_ops.ngram_novelty_bloom(
-        d.filter(F.col("doc_id") % 2 == 0), d.filter(F.col("doc_id") % 2 == 1)
+        d.filter(F.col("doc_id") % 2 == 0),
+        d.filter(F.col("doc_id") % 2 == 1),
+        m_bits=_NOVELTY_BITS,
     )
 
 

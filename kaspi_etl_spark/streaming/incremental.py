@@ -499,3 +499,189 @@ def assoc_stream_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+# ---------------------------------------------------------------------------
+# Streaming n-gram novelty (score-then-fold Bloom maintenance)
+# ---------------------------------------------------------------------------
+
+
+def merge_novelty_batch(
+    spark: SparkSession,
+    batch_df,
+    batch_id: int,
+    state_path: str,
+    scores_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Score one document batch against the PRE-batch shingle Bloom
+    state, then fold the batch's shingles in — the continuous-ingest
+    novelty ranker (llm.dedup.novelty_against_bloom) as an incremental
+    job.
+
+    Exactly-once discipline (the CMS marker pattern, extended to a
+    two-output step): scores for batch b land at scores_path/batch=b
+    with mode=overwrite BEFORE the state merge commits its marker.
+    Replay after a crash BEFORE the state swap re-scores against the
+    unchanged pre-batch state (same values — overwrite is idempotent);
+    replay AFTER the swap sees marker >= batch_id and skips both
+    outputs (the scores were already written pre-merge). Either crash
+    side lands in the same final state.
+
+    Granularity note: duplicates WITHIN one micro-batch score as novel
+    (the filter folds between batches, not between rows) — per-batch
+    novelty granularity, documented contract.
+    """
+    from ..llm import dedup, sketch
+
+    _recover_state(state_path)
+    if batch_id <= _last_merged_batch(state_path):
+        return  # replayed batch: scores written and state folded already
+    nn = batch_df.filter(F.col(text_col).isNotNull())
+    if os.path.exists(state_path):
+        bloom = spark.read.parquet(state_path)
+    else:
+        bloom = spark.createDataFrame([], "word_idx LONG, word LONG")
+    scores = dedup.novelty_against_bloom(nn, bloom, text_col, id_col)
+    scores.write.mode("overwrite").parquet(
+        os.path.join(scores_path, f"batch={int(batch_id)}")
+    )
+    batch_sh = dedup.doc_shingle_rows(nn, text_col, id_col).select("shingle")
+    batch_bloom = sketch.bloom_build(batch_sh, "shingle")
+    if os.path.exists(state_path):
+        merged = sketch.bloom_merge(bloom, batch_bloom)
+    else:
+        merged = batch_bloom
+    _swap_state_with_marker(merged, state_path, batch_id)
+
+
+def novelty_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    scores_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming novelty scoring over an NDJSON document stream: each
+    micro-batch is ranked against everything ingested before it, at
+    constant state size (one Bloom word table, no shingle index, no
+    watermark, nothing to evict)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+
+    def _merge(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        merge_novelty_batch(
+            spark, batch_df, batch_id, state_path, scores_path, id_col, text_col
+        )
+
+    writer = stream.writeStream.foreachBatch(_merge).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-dup index (log-structured MinHash LSH bands + shingles)
+# ---------------------------------------------------------------------------
+
+
+def minhash_index_step(
+    spark: SparkSession,
+    batch_df,
+    batch_id: int,
+    index_path: str,
+    matches_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """One micro-batch of continuous-ingest near-dup detection: probe
+    the batch against every PRIOR batch's index partitions, emit the
+    matches, then append this batch's band + shingle rows as new
+    partitions.
+
+    Exactly-once by construction, no marker needed: all three writes
+    land at batch=<id> partition dirs with mode=overwrite (idempotent),
+    and the probe reads only partitions with batch < batch_id — a
+    replayed batch can never see its own half-written state, and
+    partition pruning keeps the read from touching anything newer.
+    This is the log-structured-index shape: appends are new immutable
+    partitions; compaction is an offline concern.
+    """
+    from ..llm import dedup
+
+    bands_dir = os.path.join(index_path, "bands")
+    sh_dir = os.path.join(index_path, "shingles")
+    if os.path.exists(bands_dir):
+        ib = spark.read.parquet(bands_dir).filter(
+            F.col("batch") < batch_id
+        ).select("index_id", "band_idx", "band_key")
+        ish = spark.read.parquet(sh_dir).filter(
+            F.col("batch") < batch_id
+        ).select("index_id", "n_sh", "h")
+        matches = dedup.probe_minhash_index(
+            batch_df, ib, ish, text_col=text_col, id_col=id_col
+        )
+    else:
+        matches = spark.createDataFrame(
+            [],
+            "batch_id LONG, index_id LONG, n_common LONG, n_batch LONG, "
+            "n_index LONG, jaccard DOUBLE",
+        )
+    matches.write.mode("overwrite").parquet(
+        os.path.join(matches_path, f"batch={int(batch_id)}")
+    )
+    dedup.minhash_banded_rows(batch_df, "index_id", text_col, id_col).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(bands_dir, f"batch={int(batch_id)}"))
+    dedup._doc_shingle_hashes(batch_df, text_col, id_col, 3).select(
+        F.col(id_col).alias("index_id"), "n_sh", "h"
+    ).write.mode("overwrite").parquet(os.path.join(sh_dir, f"batch={int(batch_id)}"))
+
+
+def minhash_index_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    index_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming sibling of the gated minhash_index_probe: an NDJSON
+    document stream maintains a persistent LSH band + shingle index and
+    every micro-batch is deduplicated against everything ingested
+    before it — the crawl-refresh shape where re-deduplicating the full
+    corpus per arrival is a non-starter."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+
+    def _step(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        minhash_index_step(
+            spark, batch_df, batch_id, index_path, matches_path, id_col, text_col
+        )
+
+    writer = stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -461,3 +461,137 @@ def test_assoc_stream_job_state_equals_batch_rules(spark):
         for r in sinc.assoc_rules_from_state(spark, state, min_support=2).collect()
     }
     assert replayed == direct
+
+
+def test_novelty_stream_job_scores_against_prior_batches_only(spark):
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.llm import dedup, sketch
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="nov_src_")
+    state = tempfile.mkdtemp(prefix="nov_state_") + "/state"
+    scores = tempfile.mkdtemp(prefix="nov_scores_")
+    ckpt = tempfile.mkdtemp(prefix="nov_ckpt_")
+    schema = "doc_id long, text string"
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "eta theta iota kappa lambda mu"
+    t3 = "completely different words entirely here now"
+    try:
+        batches = [
+            [(1, t1), (2, t2)],
+            [(11, t1), (13, t3)],  # 11 repeats batch-0 text, 13 is new
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)
+
+        q = sinc.novelty_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            state_path=state,
+            scores_path=scores,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            max_files_per_trigger=1,
+        ).start()
+        q.awaitTermination(120)
+
+        got = {
+            r.doc_id: r for r in spark.read.parquet(f"{scores}/batch=*").collect()
+        }
+        assert set(got) == {1, 2, 11, 13}
+        # batch 0 scored against an EMPTY filter: everything novel
+        assert got[1].novelty_ppm == 1_000_000
+        assert got[2].novelty_ppm == 1_000_000
+        # batch 1: repeated text fully seen, new text fully novel
+        assert got[11].novelty_ppm == 0
+        assert got[13].novelty_ppm == 1_000_000
+
+        # final state equals a one-shot batch build over all docs
+        union = spark.createDataFrame(batches[0] + batches[1], schema)
+        direct = sketch.bloom_build(
+            dedup.doc_shingle_rows(union).select("shingle"), "shingle"
+        )
+        streamed = spark.read.parquet(state)
+        assert sorted(map(tuple, streamed.collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+
+        # replay of the last batch (crash after swap, before checkpoint
+        # commit): marker makes it a no-op for BOTH outputs
+        last = spark.createDataFrame(batches[1], schema)
+        sinc.merge_novelty_batch(spark, last, 1, state, scores)
+        replay_scores = {
+            r.doc_id: r.novelty_ppm
+            for r in spark.read.parquet(f"{scores}/batch=*").collect()
+        }
+        assert replay_scores[11] == 0 and replay_scores[13] == 1_000_000
+        assert sorted(map(tuple, spark.read.parquet(state).collect())) == sorted(
+            map(tuple, direct.collect())
+        )
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(scores, ignore_errors=True)
+
+
+def test_minhash_index_stream_job_equals_batch_probe(spark):
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.llm import dedup
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="mhi_src_")
+    index = tempfile.mkdtemp(prefix="mhi_idx_") + "/index"
+    matches = tempfile.mkdtemp(prefix="mhi_m_")
+    ckpt = tempfile.mkdtemp(prefix="mhi_ckpt_")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely unrelated sentence with distinct vocabulary all around"
+    try:
+        batches = [
+            [(1, base), (2, other)],
+            # 11 is a near-dup of 1 (one word appended); 13 is novel
+            [(11, base + " tail"), (13, "yet more fully disjoint words here")],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)
+
+        q = sinc.minhash_index_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            index_path=index,
+            matches_path=matches,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            max_files_per_trigger=1,
+        ).start()
+        q.awaitTermination(120)
+
+        got = spark.read.parquet(f"{matches}/batch=*").drop("batch").collect()
+        # streamed matches == the gated batch operator probing tick-1
+        # against tick-0 (batch 0 probes an empty index: no rows)
+        t0 = spark.createDataFrame(batches[0], schema)
+        t1 = spark.createDataFrame(batches[1], schema)
+        direct = dedup.minhash_index_probe(t0, t1).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, direct))
+        assert len(direct) >= 1  # the near-dup pair (11, 1) was found
+        assert {(r.batch_id, r.index_id) for r in direct} == {(11, 1)}
+
+        # replay of the last batch: probe filters batch < 1, writes
+        # overwrite the same partitions — byte-identical state + matches
+        sinc.minhash_index_step(spark, t1, 1, index, matches)
+        again = spark.read.parquet(f"{matches}/batch=*").drop("batch").collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, direct))
+    finally:
+        for d in (src, matches):
+            _shutil.rmtree(d, ignore_errors=True)
