@@ -131,6 +131,14 @@ HEADLINE = [
     "docs_heaps_curve",
     "docs_phrase_search",
     "events_markov_steady",
+    # r8 second session: constant-memory cross-split novelty (Bloom
+    # build + vocabulary-deduped probe) and clipped-bigram ROUGE-2 over
+    # the LSH candidate pairs. Deliberately NOT here:
+    # docs_unigram_segment (round-iterative trainer — its wall at this
+    # SF is driver-side plan compilation per Viterbi round; measured on
+    # the stress curve instead, like communities_lp).
+    "docs_novelty_bloom",
+    "docs_rouge_overlap",
 ]
 
 

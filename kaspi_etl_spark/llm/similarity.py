@@ -1797,3 +1797,85 @@ def negative_samples(
         .filter(F.col(id_col) != F.col("neg_id"))
         .select(id_col, "j", "neg_id")
     )
+
+
+def bitext_mine(
+    side_a: DataFrame,
+    side_b: DataFrame,
+    planes: list[list[float]],
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019): mutual
+    nearest neighbors between two embedding sides (two languages, two
+    crawl snapshots), scored by the margin of the match over each
+    side's next-best candidates — the standard parallel-corpus miner,
+    here over LSH-bucketed candidates so neither side ever cross-joins
+    the other (the all-pairs form is exactly what dies first at 100 TB;
+    recall is the single-table LSH rate, measured by ann_recall_eval's
+    machinery, and more tables/probes raise it the usual way).
+
+    Per side: rank candidates by (cosine DESC, id ASC) inside a
+    PARTITIONED window (WindowGroupLimit prunes to the top 3 before the
+    exchange), pivot ranks 1..3 into fixed columns so the margin
+    denominator is a FIXED-ORDER float sum (a float SUM over a group is
+    shuffle-order-dependent — parity killer), and keep pairs where each
+    endpoint is the other's rank-1. margin = cos * n_neighbors / (c1 +
+    c2 + c3) over the available neighbors; NULL when the denominator is
+    not positive (possible with negative cosines).
+
+    Returns (id_a, id_b, cosine_sim, n_nb_a, n_nb_b, margin_a,
+    margin_b).
+    """
+    an = with_normalized(side_a, vec_col, "_av").select(
+        F.col(id_a),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bk"),
+        "_av",
+    )
+    bn = with_normalized(side_b, vec_col, "_bv").select(
+        F.col(id_b),
+        hyperplane_bucket(F.col(vec_col), planes).alias("_bk"),
+        "_bv",
+    )
+    cand = an.join(bn, "_bk").select(
+        id_a, id_b, dot(F.col("_av"), F.col("_bv")).alias("cos")
+    )
+
+    def _side(df: DataFrame, key: str, other: str, tag: str) -> DataFrame:
+        w = Window.partitionBy(key).orderBy(F.col("cos").desc(), F.col(other).asc())
+        r = df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= 3)
+        return r.groupBy(key).agg(
+            F.max(F.when(F.col("_rk") == 1, F.col(other))).alias(f"best_{tag}"),
+            F.max(F.when(F.col("_rk") == 1, F.col("cos"))).alias(f"c1_{tag}"),
+            F.max(F.when(F.col("_rk") == 2, F.col("cos"))).alias(f"c2_{tag}"),
+            F.max(F.when(F.col("_rk") == 3, F.col("cos"))).alias(f"c3_{tag}"),
+            F.count(F.lit(1)).cast("long").alias(f"n_nb_{tag}"),
+        )
+    ta = _side(cand, id_a, id_b, "a")
+    tb = _side(cand, id_b, id_a, "b")
+    mutual = ta.join(
+        tb,
+        (F.col(f"best_a") == F.col(id_b)) & (F.col(f"best_b") == F.col(id_a)),
+    )
+
+    def _margin(tag: str):
+        denom = (
+            F.col(f"c1_{tag}")
+            + F.coalesce(F.col(f"c2_{tag}"), F.lit(0.0))
+            + F.coalesce(F.col(f"c3_{tag}"), F.lit(0.0))
+        )
+        return F.when(
+            denom > 0,
+            F.col(f"c1_{tag}") * F.col(f"n_nb_{tag}").cast("double") / denom,
+        )
+
+    return mutual.select(
+        F.col(id_a),
+        F.col(id_b),
+        F.col("c1_a").alias("cosine_sim"),
+        F.col("n_nb_a"),
+        F.col("n_nb_b"),
+        _margin("a").alias("margin_a"),
+        _margin("b").alias("margin_b"),
+    )

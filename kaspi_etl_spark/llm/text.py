@@ -1144,6 +1144,8 @@ def lpt_token_shards(
     numerator runs through DECIMAL(38,0) (BIGINT wraps past ~9e18 /
     1e6 / n_shards total tokens; oracle mirrors via HUGEINT).
     """
+    if n_shards < 1:
+        raise ValueError(f"lpt_token_shards: n_shards must be >= 1, got {n_shards}")
     from ..ranks import total_order_row_number
 
     d = docs.select(

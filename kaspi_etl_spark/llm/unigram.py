@@ -108,6 +108,8 @@ def piece_costs(pieces: DataFrame) -> DataFrame:
     oracle's sql_flog2 over the same total). Returns (piece, cnt,
     cost BIGINT >= 0)."""
     total = pieces.agg(F.sum("cnt").cast("long")).collect()[0][0]
+    if total is None:
+        raise ValueError("piece_costs: empty vocabulary (no corpus words)")
     d = with_flog2(pieces, "cnt", "_l2")
     return d.select(
         "piece",
@@ -291,6 +293,8 @@ def em_reestimate(seg: DataFrame) -> DataFrame:
     )
     occ = occ.persist()
     total = occ.agg(F.sum("em_cnt").cast("long")).collect()[0][0]
+    if total is None:
+        raise ValueError("em_reestimate: empty segmentation table")
     d = with_flog2(occ, "em_cnt", "_l2")
     return d.select(
         "piece",

@@ -11677,3 +11677,82 @@ def q_dedup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         (F.count(F.lit(1)) * F.col("cluster_size")).cast("long").alias("n_docs"),
     )
+
+
+@register(
+    "embeddings_bitext_mine",
+    f"""
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        {_sql_bucket_expr("(embedding::DOUBLE[])")} AS bucket,
+                        sqrt(list_reduce([x * x for x in embedding::DOUBLE[]],
+                                         (a, b) -> a + b)) AS nrm
+                 FROM embeddings),
+    corpus AS (
+      SELECT vec_id, bucket,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM raw
+    ),
+    a AS (SELECT vec_id AS id_a, bucket, vn AS av FROM corpus
+          WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS id_b, bucket, vn AS bv FROM corpus
+          WHERE vec_id % 2 = 1),
+    cand AS (
+      SELECT id_a, id_b,
+             {SQL_DOT.replace("{A}", "av").replace("{B}", "bv")} AS cos
+      FROM a JOIN b USING (bucket)
+    ),
+    ra AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_a
+                                        ORDER BY cos DESC, id_b ASC) AS rk
+           FROM cand),
+    ta AS (
+      SELECT id_a,
+             max(CASE WHEN rk = 1 THEN id_b END) AS best_a,
+             max(CASE WHEN rk = 1 THEN cos END) AS c1_a,
+             max(CASE WHEN rk = 2 THEN cos END) AS c2_a,
+             max(CASE WHEN rk = 3 THEN cos END) AS c3_a,
+             CAST(count(*) AS BIGINT) AS n_nb_a
+      FROM ra WHERE rk <= 3 GROUP BY id_a
+    ),
+    rb AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id_b
+                                        ORDER BY cos DESC, id_a ASC) AS rk
+           FROM cand),
+    tb AS (
+      SELECT id_b,
+             max(CASE WHEN rk = 1 THEN id_a END) AS best_b,
+             max(CASE WHEN rk = 1 THEN cos END) AS c1_b,
+             max(CASE WHEN rk = 2 THEN cos END) AS c2_b,
+             max(CASE WHEN rk = 3 THEN cos END) AS c3_b,
+             CAST(count(*) AS BIGINT) AS n_nb_b
+      FROM rb WHERE rk <= 3 GROUP BY id_b
+    )
+    SELECT ta.id_a, tb.id_b, ta.c1_a AS cosine_sim, ta.n_nb_a, tb.n_nb_b,
+           CASE WHEN ta.c1_a + coalesce(ta.c2_a, CAST(0.0 AS DOUBLE))
+                     + coalesce(ta.c3_a, CAST(0.0 AS DOUBLE)) > 0
+                THEN ta.c1_a * CAST(ta.n_nb_a AS DOUBLE)
+                     / (ta.c1_a + coalesce(ta.c2_a, CAST(0.0 AS DOUBLE))
+                        + coalesce(ta.c3_a, CAST(0.0 AS DOUBLE))) END AS margin_a,
+           CASE WHEN tb.c1_b + coalesce(tb.c2_b, CAST(0.0 AS DOUBLE))
+                     + coalesce(tb.c3_b, CAST(0.0 AS DOUBLE)) > 0
+                THEN tb.c1_b * CAST(tb.n_nb_b AS DOUBLE)
+                     / (tb.c1_b + coalesce(tb.c2_b, CAST(0.0 AS DOUBLE))
+                        + coalesce(tb.c3_b, CAST(0.0 AS DOUBLE))) END AS margin_b
+    FROM ta JOIN tb ON ta.best_a = tb.id_b AND tb.best_b = ta.id_a
+    """,
+)
+def q_embeddings_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk 2019) between the
+    even- and odd-id embedding halves: mutual LSH-bucketed nearest
+    neighbors with fixed-order top-3 margin scores — the
+    parallel-corpus miner, never an all-pairs cross join
+    (llm/similarity.py bitext_mine)."""
+    emb = _read(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    side_a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("id_a"), "embedding"
+    )
+    side_b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("id_b"), "embedding"
+    )
+    return sim_ops.bitext_mine(side_a, side_b, ANN_PLANES)

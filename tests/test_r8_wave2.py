@@ -149,3 +149,31 @@ def test_novelty_bloom_null_text_docs_emit_no_row(spark):
     )
     got = {r.doc_id for r in ngram_novelty_bloom(train, probe).collect()}
     assert got == {12}
+
+
+def test_bitext_mine_finds_planted_mutual_pairs(spark):
+    import random
+
+    from kaspi_etl_spark.llm.similarity import bitext_mine, deterministic_planes
+
+    rnd = random.Random(11)
+    rows = []
+    # planted translations: odd id 2i+1 = tiny perturbation of even 2i
+    for i in range(0, 40, 2):
+        v = [rnd.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        rows.append((i + 1, [x + 0.01 * rnd.uniform(-1, 1) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    a = emb.filter("vec_id % 2 = 0").selectExpr("vec_id AS id_a", "embedding")
+    b = emb.filter("vec_id % 2 = 1").selectExpr("vec_id AS id_b", "embedding")
+    planes = deterministic_planes(num_planes=2, dim=16)
+    got = {(r.id_a, r.id_b): r for r in bitext_mine(a, b, planes).collect()}
+    # every recovered pair must be a planted one (mutual top-1 is a
+    # strictly stronger condition than bucket co-occurrence)
+    assert got, "no pairs mined"
+    for (ia, ib), r in got.items():
+        assert ib == ia + 1
+        assert r.cosine_sim > 0.99
+        # margin defined and >= 1 (best neighbor >= mean of top-3)
+        assert r.margin_a is None or r.margin_a >= 1.0
+        assert r.margin_b is None or r.margin_b >= 1.0

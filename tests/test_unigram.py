@@ -109,3 +109,21 @@ def test_em_reestimate_counts_weighted_occurrences(spark):
     em = {r.piece: r.em_cost_scaled for r in unigram.em_reestimate(seg).collect()}
     assert em["ab"] == flog2_int(30) - flog2_int(25)
     assert em["c"] == flog2_int(30) - flog2_int(5)
+
+
+def test_empty_corpus_raises_cleanly(spark):
+    import pytest
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        unigram.unigram_train(empty)
+
+
+def test_lpt_invalid_shard_count_raises(spark):
+    import pytest
+
+    from kaspi_etl_spark.llm.text import lpt_token_shards
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="n_shards"):
+        lpt_token_shards(docs, n_shards=0)
