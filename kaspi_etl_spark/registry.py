@@ -11756,3 +11756,54 @@ def q_embeddings_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("id_b"), "embedding"
     )
     return sim_ops.bitext_mine(side_a, side_b, ANN_PLANES)
+
+
+@register(
+    "tokenizer_fertility_compare",
+    f"""
+    SELECT 'bpe' AS tokenizer,
+           CAST(sum(cnt) AS BIGINT) AS n_word_occurrences,
+           CAST(sum(cnt * n_toks) AS BIGINT) AS n_tokens,
+           CAST((1000000::HUGEINT * sum(cnt * n_toks)) // sum(cnt) AS BIGINT)
+             AS fertility_ppm
+    FROM (
+      WITH {_sql_bpe_cte(_BPE_MERGES)}
+      SELECT cnt, CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_toks
+      FROM s{_BPE_MERGES}
+    )
+    UNION ALL
+    SELECT 'unigram' AS tokenizer,
+           CAST(sum(cnt) AS BIGINT) AS n_word_occurrences,
+           CAST(sum(cnt * n_pieces) AS BIGINT) AS n_tokens,
+           CAST((1000000::HUGEINT * sum(cnt * n_pieces)) // sum(cnt) AS BIGINT)
+             AS fertility_ppm
+    FROM ({ORACLES["docs_unigram_segment"]})
+    """,
+)
+def q_tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head fertility (tokens per word occurrence, exact ppm) of
+    the two trained tokenizer families over the same corpus dictionary —
+    BPE after {_BPE_MERGES} merges vs the unigram-LM Viterbi
+    segmentation. The cross-family eval leg: both models train on the
+    identical word-count table, so the ppm difference is the modeling
+    choice, not the data. ppm numerators run through DECIMAL/HUGEINT
+    (1e6 x token counts wraps BIGINT at 100 TB token scales)."""
+    d = _read(spark, sf_dir, "documents")
+    _, bpe_seg = bpe_ops.bpe_train(d, n_merges=_BPE_MERGES)
+    bpe_rows = bpe_seg.select(
+        "cnt", F.size(F.split("seq", " ")).cast("long").alias("n_toks")
+    )
+    _, uni_seg = unigram_ops.unigram_train(d)
+    uni_rows = uni_seg.select("cnt", F.col("n_pieces").alias("n_toks"))
+
+    def side(rows: DataFrame, name: str) -> DataFrame:
+        return rows.agg(
+            F.sum("cnt").cast("long").alias("n_word_occurrences"),
+            F.sum(F.col("cnt") * F.col("n_toks")).cast("long").alias("n_tokens"),
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * sum(cnt * n_toks))"
+                " div sum(cnt) AS BIGINT)"
+            ).alias("fertility_ppm"),
+        ).select(F.lit(name).alias("tokenizer"), "*")
+
+    return side(bpe_rows, "bpe").unionByName(side(uni_rows, "unigram"))

@@ -685,3 +685,41 @@ def minhash_index_stream_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+def compact_minhash_index(
+    spark: SparkSession, index_path: str, upto_batch: int
+) -> None:
+    """Compact the log-structured near-dup index: fold every partition
+    with batch <= upto_batch into a single batch=upto_batch partition
+    (bands and shingles alike), staged-and-swapped per table so a crash
+    mid-compaction leaves the granular partitions intact.
+
+    Contract: ``upto_batch`` must be STRICTLY BELOW the stream's last
+    checkpoint-committed batch — a replay of batch b re-probes
+    partitions with batch < b, which after compaction only exist in
+    granular form for b > upto_batch. (Streaming replays only ever
+    target the last uncommitted batch, so compacting up to the previous
+    trigger's batch is always safe.) Probe semantics are unchanged: the
+    compacted partition keeps the HIGHEST folded batch id, so any
+    future batch N > upto_batch still reads it via batch < N.
+    """
+    for sub in ("bands", "shingles"):
+        root = os.path.join(index_path, sub)
+        if not os.path.exists(root):
+            continue
+        parts = [
+            d
+            for d in os.listdir(root)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) <= upto_batch
+        ]
+        if len(parts) <= 1:
+            continue
+        merged = spark.read.parquet(
+            *[os.path.join(root, d) for d in parts]
+        )
+        staging = f"{root}__compact_{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staging)
+        for d in parts:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+        os.rename(staging, os.path.join(root, f"batch={int(upto_batch)}"))

@@ -595,3 +595,44 @@ def test_minhash_index_stream_job_equals_batch_probe(spark):
     finally:
         for d in (src, matches):
             _shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compact_minhash_index_preserves_probe_results(spark):
+    import os
+    import shutil as _shutil
+    import tempfile
+
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    index = tempfile.mkdtemp(prefix="mhc_idx_") + "/index"
+    matches = tempfile.mkdtemp(prefix="mhc_m_")
+    schema = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    try:
+        b0 = spark.createDataFrame([(1, base), (2, "unrelated words here")], schema)
+        b1 = spark.createDataFrame([(5, "other disjoint content body")], schema)
+        b2 = spark.createDataFrame([(11, base + " tail")], schema)
+        sinc.minhash_index_step(spark, b0, 0, index, matches)
+        sinc.minhash_index_step(spark, b1, 1, index, matches)
+        before = sorted(
+            map(tuple, spark.read.parquet(f"{matches}/batch=*").drop("batch").collect())
+        )
+        # compact batches 0..1 (strictly below the next batch id 2)
+        sinc.compact_minhash_index(spark, index, upto_batch=1)
+        assert sorted(os.listdir(f"{index}/bands")) == ["batch=1"]
+        # probing batch 2 sees the SAME index content post-compaction
+        sinc.minhash_index_step(spark, b2, 2, index, matches)
+        got = spark.read.parquet(f"{matches}/batch=2").collect()
+        assert {(r.batch_id, r.index_id) for r in got} == {(11, 1)}
+        # and the earlier matches are untouched
+        after = sorted(
+            map(
+                tuple,
+                spark.read.parquet(f"{matches}/batch={{0,1}}")
+                .drop("batch")
+                .collect(),
+            )
+        )
+        assert after == before
+    finally:
+        _shutil.rmtree(matches, ignore_errors=True)
