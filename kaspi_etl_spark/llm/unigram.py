@@ -303,3 +303,61 @@ def em_reestimate(seg: DataFrame) -> DataFrame:
         .cast("long")
         .alias("em_cost_scaled"),
     )
+
+
+def unigram_encode_stats(
+    docs: DataFrame,
+    seg: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Trained-tokenizer APPLICATION (the bpe_encode_stats shape): per
+    document, word count and unigram-token count under a segmented
+    dictionary. OOV words (encoding a corpus the model was not trained
+    on) fall back to character count — the no-vocab-pieces
+    segmentation. Docs with no words get zeros. Corpus explode ->
+    dictionary equi-join (broadcastable) -> per-doc agg; the corpus
+    never carries segmentation strings."""
+    from .text import extract_words
+
+    toks = docs.select(
+        id_col, F.explode_outer(extract_words(F.col(text_col))).alias("word")
+    ).filter(F.col("word").isNotNull() & (F.col("word") != ""))
+    seg_n = seg.select("word", F.col("n_pieces").alias("n_toks"))
+    per_doc = (
+        toks.join(seg_n, "word", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum(F.coalesce(F.col("n_toks"), F.length("word").cast("long")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0)).cast("long").alias("n_words"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        )
+    )
+
+
+def save_model(pc: DataFrame, seg: DataFrame, path: str) -> None:
+    """Persist the trained tokenizer as two parquet tables under one
+    root — exact integer costs/counts, so a reloaded model segments and
+    scores bit-identically (the lm/k-means artifact pattern)."""
+    pc.write.mode("overwrite").parquet(f"{path}/pieces")
+    seg.write.mode("overwrite").parquet(f"{path}/segments")
+
+
+def load_model(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """Inverse of save_model: (piece_costs, segmented_dictionary) —
+    hand ``segments`` to unigram_encode_stats / em_reestimate, or
+    ``pieces`` to viterbi_segment for a NEW dictionary."""
+    return (
+        spark.read.parquet(f"{path}/pieces"),
+        spark.read.parquet(f"{path}/segments"),
+    )

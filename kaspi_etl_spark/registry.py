@@ -11807,3 +11807,37 @@ def q_tokenizer_fertility_compare(spark: SparkSession, sf_dir: str) -> DataFrame
         ).select(F.lit(name).alias("tokenizer"), "*")
 
     return side(bpe_rows, "bpe").unionByName(side(uni_rows, "unigram"))
+
+
+@register(
+    "docs_unigram_encode",
+    f"""
+    WITH {_sql_unigram_cte()},
+    toks AS (
+      SELECT doc_id, word
+      FROM (SELECT doc_id, unnest({_SQL_WORDS_EXPR}) AS word FROM documents)
+      WHERE word <> ''
+    ),
+    per AS (
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(COALESCE(g.n_pieces, length(t.word))) AS BIGINT)
+               AS n_tokens
+      FROM toks t LEFT JOIN seg_all g USING (word)
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_words, 0) AS n_words,
+           COALESCE(p.n_tokens, 0) AS n_tokens
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
+)
+def q_docs_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-tokenizer APPLICATION: per-document word and token counts
+    under the Viterbi segmentation trained on the same corpus — the
+    bpe_encode_tokens sibling for the second tokenizer family (OOV
+    words fall back to char count; wordless docs get zeros). See
+    llm/unigram.unigram_encode_stats."""
+    d = _read(spark, sf_dir, "documents")
+    _, seg = unigram_ops.unigram_train(d)
+    return unigram_ops.unigram_encode_stats(d, seg)

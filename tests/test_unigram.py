@@ -127,3 +127,33 @@ def test_lpt_invalid_shard_count_raises(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id LONG, text STRING")
     with pytest.raises(ValueError, match="n_shards"):
         lpt_token_shards(docs, n_shards=0)
+
+
+def test_model_persistence_roundtrip(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "abab ab ba abc cab " * 5)], "doc_id LONG, text STRING"
+    )
+    pc, seg = unigram.unigram_train(docs, min_count=2)
+    path = str(tmp_path / "uni_model")
+    unigram.save_model(pc, seg, path)
+    pc2, seg2 = unigram.load_model(spark, path)
+    assert sorted(map(tuple, pc.collect())) == sorted(map(tuple, pc2.collect()))
+    assert sorted(map(tuple, seg.collect())) == sorted(map(tuple, seg2.collect()))
+    # encoding from the reloaded model is bit-identical
+    a = unigram.unigram_encode_stats(docs, seg).collect()
+    b = unigram.unigram_encode_stats(docs, seg2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_encode_oov_falls_back_to_char_count(spark):
+    seg = spark.createDataFrame(
+        [("ab", 5, 1, 100, "ab")],
+        "word STRING, cnt LONG, n_pieces LONG, cost_scaled LONG, seg STRING",
+    )
+    docs = spark.createDataFrame(
+        [(1, "ab zzzz"), (2, ""), (3, None)], "doc_id LONG, text STRING"
+    )
+    got = {r.doc_id: r for r in unigram.unigram_encode_stats(docs, seg).collect()}
+    assert (got[1].n_words, got[1].n_tokens) == (2, 1 + 4)  # ab=1, zzzz=4 chars
+    assert (got[2].n_words, got[2].n_tokens) == (0, 0)
+    assert (got[3].n_words, got[3].n_tokens) == (0, 0)
