@@ -1183,3 +1183,31 @@ def lpt_token_shards(
         .cast("long")
         .alias("load_ppm"),
     )
+
+
+# Control chars (C0 minus \t\n\r, plus DEL) and zero-width/format chars
+# (ZWSP..ZWJ, BOM) — constructs chosen from the Java/RE2-identical
+# subset (the PII-regex discipline); both engines verified char-for-char
+NORMALIZE_STRIP_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F\x{200B}-\x{200D}\x{FEFF}]"
+
+
+def normalize_text(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus text normalization — the standard pre-tokenization
+    cleaning stage: strip control and zero-width characters, collapse
+    whitespace runs to single spaces, trim. One narrow codegen map,
+    no shuffle; NULL text flows through as NULL (filter-or-keep is the
+    caller's policy).
+
+    Returns (id, raw_len, norm_len, changed, text_norm).
+    """
+    stripped = F.regexp_replace(F.col(text_col), NORMALIZE_STRIP_RE, "")
+    norm = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("raw_len"),
+        F.length(norm).cast("long").alias("norm_len"),
+        (norm != F.col(text_col)).alias("changed"),
+        norm.alias("text_norm"),
+    )

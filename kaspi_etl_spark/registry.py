@@ -11841,3 +11841,28 @@ def q_docs_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     _, seg = unigram_ops.unigram_train(d)
     return unigram_ops.unigram_encode_stats(d, seg)
+
+
+@register(
+    "docs_normalize_text",
+    rf"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS raw_len,
+           CAST(length(n) AS BIGINT) AS norm_len,
+           n <> text AS changed,
+           n AS text_norm
+    FROM (
+      SELECT doc_id, text,
+             trim(regexp_replace(
+               regexp_replace(text, '{text_ops.NORMALIZE_STRIP_RE}', '', 'g'),
+               '\s+', ' ', 'g')) AS n
+      FROM documents
+    )
+    """,
+)
+def q_docs_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenization text normalization: strip control/zero-width
+    characters, collapse whitespace runs, trim — byte-for-byte mirrored
+    (the regex stays in the Java/RE2-identical subset, the PII-family
+    discipline). One narrow codegen map (llm/text.py normalize_text)."""
+    return text_ops.normalize_text(_read(spark, sf_dir, "documents"))

@@ -177,3 +177,23 @@ def test_bitext_mine_finds_planted_mutual_pairs(spark):
         # margin defined and >= 1 (best neighbor >= mean of top-3)
         assert r.margin_a is None or r.margin_a >= 1.0
         assert r.margin_b is None or r.margin_b >= 1.0
+
+
+def test_normalize_text_strips_and_collapses(spark):
+    from kaspi_etl_spark.llm.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a​b\x01c   d\te\r\nf"),
+            (2, "  already clean  "),
+            (3, None),
+            (4, ""),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in normalize_text(docs).collect()}
+    assert got[1].text_norm == "abc d e f"
+    assert got[1].changed is True
+    assert got[2].text_norm == "already clean" and got[2].changed is True
+    assert got[3].text_norm is None and got[3].changed is None
+    assert got[4].text_norm == "" and got[4].changed is False
