@@ -708,18 +708,34 @@ def compact_minhash_index(
         root = os.path.join(index_path, sub)
         if not os.path.exists(root):
             continue
-        parts = [
+        old_parts = [
             d
             for d in os.listdir(root)
             if d.startswith("batch=") and int(d.split("=", 1)[1]) <= upto_batch
         ]
-        if len(parts) <= 1:
+        if len(old_parts) <= 1:
             continue
+        newer = [
+            d
+            for d in os.listdir(root)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) > upto_batch
+        ]
         merged = spark.read.parquet(
-            *[os.path.join(root, d) for d in parts]
+            *[os.path.join(root, d) for d in old_parts]
         )
+        # whole-root stage-and-swap: a delete-then-rename of partition
+        # dirs has a window where the granular partitions are gone and
+        # the compacted one not yet named — a crash there loses the
+        # index. Staging the FULL new root (compacted partition + file
+        # copies of the newer ones) and swapping via rename keeps every
+        # crash point recoverable, the sinks.py discipline.
         staging = f"{root}__compact_{uuid.uuid4().hex[:8]}"
-        merged.write.mode("overwrite").parquet(staging)
-        for d in parts:
-            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
-        os.rename(staging, os.path.join(root, f"batch={int(upto_batch)}"))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(staging, f"batch={int(upto_batch)}")
+        )
+        for d in newer:
+            shutil.copytree(os.path.join(root, d), os.path.join(staging, d))
+        backup = f"{root}__old_{uuid.uuid4().hex[:8]}"
+        os.rename(root, backup)
+        os.rename(staging, root)
+        shutil.rmtree(backup, ignore_errors=True)
