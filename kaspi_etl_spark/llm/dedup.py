@@ -1638,3 +1638,59 @@ def novelty_against_bloom(
         .cast("long")
         .alias("novelty_ppm"),
     )
+
+
+def cluster_weighted_sample(
+    docs: DataFrame,
+    clusters: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "cws",
+) -> DataFrame:
+    """Duplication-aware training sample — "soft dedup": instead of
+    destructively collapsing near-dup clusters, sample documents with
+    weight 1/cluster_size (exact integer ppm) so each near-dup FAMILY
+    contributes roughly one document's worth of probability mass, and
+    unique documents keep full weight. Selection is the deterministic
+    A-ES scheme shared with llm.text.weighted_priority_sample (exact
+    fixed-point -log2(u) keys, one IEEE division, TakeOrderedAndProject
+    top-k) — auditable, zero RNG state.
+
+    ``clusters`` is a (id, cluster_id) frame (dedup.connected_components
+    output); docs absent from it are singletons (weight 1e6 ppm).
+
+    Returns the k selected (id, cluster_size, weight_ppm, sample_key).
+    """
+    if k < 1:
+        raise ValueError(f"cluster_weighted_sample: k must be >= 1, got {k}")
+    from .lm import FLOG2_ONE, with_flog2
+
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    d = (
+        docs.select(id_col)
+        .join(clusters, id_col, "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_size", F.lit(1)).cast("long").alias("cluster_size"),
+        )
+        .withColumn("weight_ppm", F.expr("1000000 div cluster_size"))
+        .withColumn(
+            "_u",
+            F.greatest(
+                md5_long(F.col(id_col).cast("string"), salt=salt), F.lit(1)
+            ),
+        )
+    )
+    d = with_flog2(d, "_u", "_l2u")
+    key = (
+        (F.lit(60 * FLOG2_ONE) - F.col("_l2u")).cast("double")
+        / F.col("weight_ppm").cast("double")
+    ).alias("sample_key")
+    return (
+        d.select(F.col(id_col), "cluster_size", "weight_ppm", key)
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -11866,3 +11866,54 @@ def q_docs_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the regex stays in the Java/RE2-identical subset, the PII-family
     discipline). One narrow codegen map (llm/text.py normalize_text)."""
     return text_ops.normalize_text(_read(spark, sf_dir, "documents"))
+
+
+_CWS_K = 100
+
+
+@register(
+    "docs_cluster_weighted_sample",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    base AS (
+      {ORACLES["dedup_clusters"]}
+    ),
+    sizes AS (
+      SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM base GROUP BY 1
+    ),
+    d AS (
+      SELECT docs.doc_id,
+             CAST(COALESCE(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+             CAST(1000000 // COALESCE(s.cluster_size, 1) AS BIGINT)
+               AS weight_ppm,
+             greatest({_sql_md5_long("CAST(docs.doc_id AS VARCHAR) || 'cws'")}, 1)
+               AS u
+      FROM docs
+      LEFT JOIN base ON base.doc_id = docs.doc_id
+      LEFT JOIN sizes s ON s.cluster_id = base.cluster_id
+    ),
+    keyed AS (
+      SELECT doc_id, cluster_size, weight_ppm,
+             CAST({60 * lm_ops.FLOG2_ONE} - {lm_ops.sql_flog2('u')} AS DOUBLE)
+               / CAST(weight_ppm AS DOUBLE) AS sample_key
+      FROM d
+    )
+    SELECT doc_id, cluster_size, weight_ppm, sample_key
+    FROM keyed ORDER BY sample_key ASC, doc_id ASC LIMIT {_CWS_K}
+    """,
+)
+def q_docs_cluster_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware "soft dedup" sampling: A-ES weighted sampling
+    with weight 1/near-dup-cluster-size, so each duplicate family
+    contributes one document's worth of probability mass instead of
+    being destructively collapsed (llm/dedup.py
+    cluster_weighted_sample; clusters = the gated dedup_clusters
+    connected components)."""
+    docs = llm_docs(spark, sf_dir)
+    pairs = dedup_ops.minhash_near_dup_pairs(
+        docs, num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    )
+    cc = dedup_ops.connected_components(pairs)
+    clusters = cc.select("doc_id", "cluster_id")
+    return dedup_ops.cluster_weighted_sample(docs, clusters, k=_CWS_K)

@@ -197,3 +197,38 @@ def test_normalize_text_strips_and_collapses(spark):
     assert got[2].text_norm == "already clean" and got[2].changed is True
     assert got[3].text_norm is None and got[3].changed is None
     assert got[4].text_norm == "" and got[4].changed is False
+
+
+def test_cluster_weighted_sample_downweights_dup_families(spark):
+    from kaspi_etl_spark.llm.dedup import cluster_weighted_sample
+
+    # 10 singletons + one 40-doc duplicate family: unweighted sampling
+    # would pick ~80% family docs; 1/cluster_size weighting drops the
+    # family to ~one-doc mass, so singletons dominate any small sample
+    docs = spark.createDataFrame(
+        [(i,) for i in range(50)], "doc_id LONG"
+    )
+    clusters = spark.createDataFrame(
+        [(i, 10) for i in range(10, 50)], "doc_id LONG, cluster_id LONG"
+    )
+    got = cluster_weighted_sample(docs, clusters, k=8).collect()
+    assert len(got) == 8
+    singles = [r for r in got if r.cluster_size == 1]
+    assert len(singles) >= 6  # deterministic given the hash — a pin
+    fam = [r for r in got if r.cluster_size == 40]
+    for r in fam:
+        assert r.weight_ppm == 25000
+    # determinism
+    again = cluster_weighted_sample(docs, clusters, k=8).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_cluster_weighted_sample_k_guard(spark):
+    import pytest
+
+    from kaspi_etl_spark.llm.dedup import cluster_weighted_sample
+
+    docs = spark.createDataFrame([(1,)], "doc_id LONG")
+    empty = spark.createDataFrame([], "doc_id LONG, cluster_id LONG")
+    with pytest.raises(ValueError, match="k must be"):
+        cluster_weighted_sample(docs, empty, k=0)
