@@ -11917,3 +11917,244 @@ def q_docs_cluster_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFram
     cc = dedup_ops.connected_components(pairs)
     clusters = cc.select("doc_id", "cluster_id")
     return dedup_ops.cluster_weighted_sample(docs, clusters, k=_CWS_K)
+
+
+@register(
+    "corpus_datacard",
+    rf"""
+    WITH stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_text,
+             CAST(sum(CASE WHEN text IS NULL THEN 0
+                           WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+'))
+                      END) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT CASE WHEN text IS NOT NULL THEN md5(text) END)
+                  AS BIGINT) AS n_distinct_texts
+      FROM documents
+    ),
+    langs AS (
+      SELECT lang_pred, n_docs AS cnt FROM ({ORACLES["lang_rollup"]})
+    ),
+    ent AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(cnt * ({lm_ops.sql_flog2('s.n_docs')}
+                             - {lm_ops.sql_flog2('cnt')})) AS BIGINT)
+               AS lang_entropy_scaled
+      FROM langs, stats s
+    )
+    SELECT s.n_docs, s.n_null_text, s.n_tokens, s.n_distinct_texts,
+           CAST(CASE WHEN s.n_docs - s.n_null_text > 0
+                THEN (1000000 * ((s.n_docs - s.n_null_text)
+                                 - s.n_distinct_texts))
+                     // (s.n_docs - s.n_null_text)
+                ELSE 0 END AS BIGINT) AS exact_dup_ppm,
+           COALESCE(e.n_langs, 0) AS n_langs,
+           COALESCE(e.lang_entropy_scaled, 0) AS lang_entropy_scaled,
+           CASE WHEN s.n_docs > 0
+                THEN CAST(COALESCE(e.lang_entropy_scaled, 0) AS DOUBLE)
+                     / CAST(s.n_docs * {lm_ops.FLOG2_ONE} AS DOUBLE)
+                ELSE CAST(0.0 AS DOUBLE) END AS lang_entropy_bits
+    FROM stats s LEFT JOIN ent e ON TRUE
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: doc/NULL/token counts, exact-duplicate ppm
+    (1 - distinct content hashes over non-null docs), and the language
+    distribution's Shannon entropy in exact fixed-point bits (flog2
+    kernel; the single IEEE division happens on exact operands) — the
+    release-metadata summary every corpus ships with. Two bounded 1-row
+    broadcasts; everything else is two aggregations."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    stats = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_text"),
+        F.sum(
+            F.coalesce(text_ops.whitespace_token_count(F.col("text")), F.lit(0))
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.count_distinct(
+            F.when(F.col("text").isNotNull(), F.md5("text"))
+        )
+        .cast("long")
+        .alias("n_distinct_texts"),
+    )
+    langs = (
+        d.select(text_ops.extract_words(F.col("text")).alias("_w"))
+        .select(
+            text_ops.lang_id_from_words(F.col("_w"), markers=ASCII_MARKERS).alias(
+                "lang_pred"
+            )
+        )
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    lj = langs.join(F.broadcast(stats.select("n_docs")))
+    lj = lm_ops.with_flog2(lj, "cnt", "_f2c")
+    lj = lm_ops.with_flog2(lj, "n_docs", "_f2n")
+    ent = lj.agg(
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("cnt") * (F.col("_f2n") - F.col("_f2c")))
+        .cast("long")
+        .alias("lang_entropy_scaled"),
+    )
+    nonnull = F.col("n_docs") - F.col("n_null_text")
+    return (
+        stats.join(F.broadcast(ent))
+        .select(
+            "n_docs",
+            "n_null_text",
+            "n_tokens",
+            "n_distinct_texts",
+            F.when(
+                nonnull > 0,
+                F.expr(
+                    "(1000000 * ((n_docs - n_null_text) - n_distinct_texts))"
+                    " div (n_docs - n_null_text)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("exact_dup_ppm"),
+            F.coalesce("n_langs", F.lit(0)).cast("long").alias("n_langs"),
+            F.coalesce("lang_entropy_scaled", F.lit(0))
+            .cast("long")
+            .alias("lang_entropy_scaled"),
+            F.when(
+                F.col("n_docs") > 0,
+                F.coalesce("lang_entropy_scaled", F.lit(0)).cast("double")
+                / (F.col("n_docs") * F.lit(lm_ops.FLOG2_ONE)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("lang_entropy_bits"),
+        )
+    )
+
+
+@register(
+    "corpus_mix_excess_reweight",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(total_bigrams) AS BIGINT) AS total_bigrams,
+             CAST(sum(total_surprisal) AS BIGINT) AS total_surprisal
+      FROM ({ORACLES["source_perplexity_profile"]}) GROUP BY source
+    ),
+    nz AS (SELECT * FROM per WHERE total_bigrams > 0),
+    g AS (
+      SELECT CAST(sum(total_surprisal) // sum(total_bigrams) AS BIGINT)
+        AS gmean
+      FROM nz
+    ),
+    m AS (
+      SELECT source, n_docs, total_bigrams,
+             CAST(total_surprisal // total_bigrams AS BIGINT)
+               AS mean_bits_scaled
+      FROM nz
+    ),
+    x AS (
+      SELECT m.source, m.n_docs, m.total_bigrams, m.mean_bits_scaled,
+             CAST(greatest(0, m.mean_bits_scaled - g.gmean) AS BIGINT)
+               AS excess_scaled,
+             CAST({lm_ops.FLOG2_ONE}
+                  + greatest(0, m.mean_bits_scaled - g.gmean) AS BIGINT) AS raw
+      FROM m, g
+    ),
+    tot AS (SELECT *, SUM(raw) OVER () AS total_raw FROM x),
+    quota AS (
+      SELECT *, CAST((1000000 * raw) // total_raw AS BIGINT) AS base_alloc,
+             CAST((1000000 * raw) % total_raw AS BIGINT) AS remainder,
+             CAST(1000000 - SUM((1000000 * raw) // total_raw) OVER ()
+                  AS BIGINT) AS leftover
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source ASC) AS rk
+      FROM quota
+    )
+    SELECT source, n_docs, total_bigrams, mean_bits_scaled, excess_scaled,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS new_weight_ppm
+    FROM ranked
+    """,
+)
+def q_corpus_mix_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One excess-loss reweighting step of a DoReMi-style data-mixture
+    optimizer (Xie et al. 2023, linearized update): per-source mean
+    LM surprisal vs the corpus mean, sources with EXCESS loss get their
+    mixture weight raised proportionally (raw = 1 + excess in 2^20
+    fixed point — the first-order expansion of DoReMi's exponentiated-
+    gradient update, chosen because fixed-point exp2 is not in the
+    mirrored kernel set while flog2 is), then exact largest-remainder
+    renormalization to ppm. All integer arithmetic; sources with zero
+    scored bigrams are excluded (no defined loss). Scale shape: the LM
+    scoring passes are the docs_lm_perplexity shapes; everything after
+    runs on the handful of source rows (bounded windows, the
+    corpus_mix_allocation precedent)."""
+    d = _read(spark, sf_dir, "documents")
+    scored = lm_ops.lm_score(d)
+    per = (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.sum("surprisal_scaled").cast("long").alias("total_surprisal"),
+        )
+        .filter(F.col("total_bigrams") > 0)
+    )
+    g = per.agg(
+        F.expr("CAST(sum(total_surprisal) div sum(total_bigrams) AS BIGINT)").alias(
+            "gmean"
+        )
+    )
+    x = (
+        per.withColumn(
+            "mean_bits_scaled",
+            F.expr("CAST(total_surprisal div total_bigrams AS BIGINT)"),
+        )
+        .join(F.broadcast(g))
+        .withColumn(
+            "excess_scaled",
+            F.greatest(F.lit(0), F.col("mean_bits_scaled") - F.col("gmean"))
+            .cast("long"),
+        )
+        .withColumn(
+            "raw", (F.lit(lm_ops.FLOG2_ONE) + F.col("excess_scaled")).cast("long")
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    quota = x.select(
+        "source",
+        "n_docs",
+        "total_bigrams",
+        "mean_bits_scaled",
+        "excess_scaled",
+        "raw",
+        F.expr("(1000000 * raw) div sum(raw) over ()").alias("base_alloc"),
+        F.expr("(1000000 * raw) % sum(raw) over ()").alias("remainder"),
+        (
+            F.lit(1000000)
+            - F.sum(F.expr("(1000000 * raw) div sum(raw) over ()")).over(w_all)
+        ).alias("leftover"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    )
+    return quota.withColumn("rk", rk).select(
+        "source",
+        "n_docs",
+        "total_bigrams",
+        "mean_bits_scaled",
+        "excess_scaled",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_weight_ppm"),
+    )
