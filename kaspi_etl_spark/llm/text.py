@@ -1144,30 +1144,15 @@ def lpt_token_shards(
     numerator runs through DECIMAL(38,0) (BIGINT wraps past ~9e18 /
     1e6 / n_shards total tokens; oracle mirrors via HUGEINT).
     """
-    if n_shards < 1:
-        raise ValueError(f"lpt_token_shards: n_shards must be >= 1, got {n_shards}")
-    from ..ranks import total_order_row_number
-
-    d = docs.select(
-        F.col(id_col),
-        F.coalesce(
-            whitespace_token_count(F.col(text_col)), F.lit(0)
-        ).alias("n_tokens"),
-    ).withColumn("_negtok", -F.col("n_tokens"))
-    ranked = total_order_row_number(
-        d, "_negtok", id_col, out_col="rn", salt="lpt"
-    )
+    assigned = lpt_shard_assignment(docs, n_shards, text_col, id_col)
     per = (
-        ranked.withColumn(
-            "shard_id", ((F.col("rn") - 1) % F.lit(n_shards)).cast("long")
-        )
-        .groupBy("shard_id")
+        assigned.groupBy("shard_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("shard_tokens"),
         )
     )
-    tot = d.agg(F.sum("n_tokens").cast("long").alias("_t"))
+    tot = assigned.agg(F.sum("n_tokens").cast("long").alias("_t"))
     return per.join(F.broadcast(tot)).select(
         "shard_id",
         "n_docs",
@@ -1210,4 +1195,36 @@ def normalize_text(
         F.length(norm).cast("long").alias("norm_len"),
         (norm != F.col(text_col)).alias("changed"),
         norm.alias("text_norm"),
+    )
+
+
+def lpt_shard_assignment(
+    docs: DataFrame,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document LPT shard assignment (the row-level form behind
+    lpt_token_shards): rank by token count DESC with the shardable
+    hash tiebreak, shard = (rank-1) mod n_shards. Returns
+    (id, n_tokens, shard_id)."""
+    if n_shards < 1:
+        raise ValueError(
+            f"lpt_shard_assignment: n_shards must be >= 1, got {n_shards}"
+        )
+    from ..ranks import total_order_row_number
+
+    d = docs.select(
+        F.col(id_col),
+        F.coalesce(
+            whitespace_token_count(F.col(text_col)), F.lit(0)
+        ).alias("n_tokens"),
+    ).withColumn("_negtok", -F.col("n_tokens"))
+    ranked = total_order_row_number(
+        d, "_negtok", id_col, out_col="rn", salt="lpt"
+    )
+    return ranked.select(
+        id_col,
+        "n_tokens",
+        ((F.col("rn") - 1) % F.lit(n_shards)).cast("long").alias("shard_id"),
     )

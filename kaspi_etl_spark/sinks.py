@@ -271,3 +271,30 @@ def write_packed_sequences(
         .partitionBy("seq_bucket")
         .parquet(path)
     )
+
+
+def write_lpt_shards(
+    docs: DataFrame,
+    path: str,
+    n_shards: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Balanced fixed-count training-shard writer: LPT striped
+    assignment (``llm.text.lpt_shard_assignment`` — near-equal token
+    mass per shard) and one output partition per shard, the
+    one-file-tree-per-trainer-rank layout. Counterpart of
+    ``write_token_shards`` (contiguous ~budget-sized shards) when the
+    shard COUNT is fixed and balance is the goal."""
+    from .llm.text import lpt_shard_assignment
+
+    shards = lpt_shard_assignment(
+        docs, n_shards, text_col=text_col, id_col=id_col
+    ).select(id_col, "shard_id")
+    out = docs.join(shards, id_col).repartition("shard_id")
+    (
+        out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("shard_id")
+        .parquet(path)
+    )

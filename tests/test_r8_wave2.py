@@ -232,3 +232,25 @@ def test_cluster_weighted_sample_k_guard(spark):
     empty = spark.createDataFrame([], "doc_id LONG, cluster_id LONG")
     with pytest.raises(ValueError, match="k must be"):
         cluster_weighted_sample(docs, empty, k=0)
+
+
+def test_write_lpt_shards_one_dir_per_shard(spark, tmp_path):
+    from kaspi_etl_spark.sinks import write_lpt_shards
+
+    rows = [(i, " ".join(["w"] * (1 + (i * 13) % 50))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    path = str(tmp_path / "lpt_out")
+    write_lpt_shards(docs, path, n_shards=4)
+    back = spark.read.parquet(path)
+    assert back.count() == 60
+    shards = {r.shard_id for r in back.select("shard_id").distinct().collect()}
+    assert shards == {0, 1, 2, 3}
+    # shard token masses stay near-level (same property as the query)
+    import collections
+
+    tok = collections.Counter()
+    for r in back.collect():
+        tok[r.shard_id] += len(r.text.split())
+    total = sum(tok.values())
+    for s in shards:
+        assert abs(tok[s] - total / 4) < 0.15 * total / 4
