@@ -900,3 +900,71 @@ def kn_score_heldout(
             / (F.col("n_bigrams") * FLOG2_ONE).cast("double")
         ).alias("bits_per_token"),
     )
+
+
+# --- fixed-point exp2 (inverse of flog2) -------------------------------------
+#
+# fexp2(s) ~= 2^(s / 2^20) * 2^20 for scaled s >= 0 — same LUT discipline
+# as flog2: e = s div 2^20 picks the octave, the fraction's top 10 bits
+# pick a 1024-entry mantissa bucket of round(2^(i/1024) * 2^20), and the
+# result is mantissa << e (exact integer shift; no runtime exp anywhere).
+# Monotone in s (the LUT is increasing and octave boundaries step from
+# LUT[1023] ~= 2^21 * 2^(-1/1024) up to 2^20 << 1). Quantization error
+# <= 2^-10 octaves (~0.07%). Domain contract: 0 <= s < 41 * 2^20 — the
+# mantissa (< 2^21) shifted by e must stay inside a signed BIGINT;
+# callers clamp (an exponentiated-gradient step caps its ratio anyway).
+
+FEXP2_LUT = [
+    int(round((2.0 ** (i / FLOG2_TABLE)) * FLOG2_ONE)) for i in range(FLOG2_TABLE)
+]
+FEXP2_MAX_E = 41
+
+
+def fexp2_int(s: int) -> int:
+    """Python mirror of ``with_fexp2`` / ``sql_fexp2`` (int s >= 0)."""
+    if s < 0 or s >= FEXP2_MAX_E * FLOG2_ONE:
+        raise ValueError(
+            f"fexp2_int requires 0 <= s < {FEXP2_MAX_E} * 2^20, got {s}"
+        )
+    e = s >> FLOG2_FRAC_BITS
+    idx = (s % FLOG2_ONE) >> (FLOG2_FRAC_BITS - FLOG2_IDX_BITS)
+    return FEXP2_LUT[idx] << e
+
+
+def with_fexp2(df: DataFrame, src: str, out: str) -> DataFrame:
+    """Append ``out`` = fexp2 of BIGINT column ``src`` (domain-checked:
+    a silent wrap would corrupt every downstream weight)."""
+    checked = F.when(
+        F.assert_true(
+            F.col(src).between(0, FEXP2_MAX_E * FLOG2_ONE - 1),
+            f"with_fexp2: {src} must be in [0, {FEXP2_MAX_E} * 2^20)",
+        ).isNull(),
+        F.col(src),
+    )
+    lut = f"_lut_{out}"
+    return (
+        df.withColumn(src, checked)
+        .withColumn(lut, F.lit(FEXP2_LUT).cast("array<bigint>"))
+        .withColumn(
+            out,
+            F.expr(
+                f"shiftleft(try_element_at({lut}, CAST(({src} % {FLOG2_ONE})"
+                f" >> {FLOG2_FRAC_BITS - FLOG2_IDX_BITS} AS INT) + 1),"
+                f" CAST({src} DIV {FLOG2_ONE} AS INT))"
+            ).cast("long"),
+        )
+        .drop(lut)
+    )
+
+
+def sql_fexp2(expr: str) -> str:
+    """DuckDB mirror of ``with_fexp2`` over a SQL expression (caller
+    guarantees the domain)."""
+    lut = "[" + ",".join(str(v) for v in FEXP2_LUT) + "]"
+    # the list values parse as INTEGER and DuckDB's << is width-typed —
+    # an un-cast mantissa overflows at e >= 11; shift a BIGINT
+    return (
+        f"(CAST(list_extract({lut}, CAST((({expr}) % {FLOG2_ONE})"
+        f" >> {FLOG2_FRAC_BITS - FLOG2_IDX_BITS} AS INT) + 1) AS BIGINT)"
+        f" << CAST(({expr}) // {FLOG2_ONE} AS INT))"
+    )

@@ -12158,3 +12158,141 @@ def q_corpus_mix_excess_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("new_weight_ppm"),
     )
+
+
+_DOREMI_ETA_SHIFT = 3  # eta = 1/8 in the exponentiated-gradient update
+_DOREMI_CAP = 40 * lm_ops.FLOG2_ONE  # weight-ratio clip at 2^40
+
+
+@register(
+    "corpus_mix_doremi_exp",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(sum(n_docs) AS BIGINT) AS n_docs,
+             CAST(sum(total_bigrams) AS BIGINT) AS total_bigrams,
+             CAST(sum(total_surprisal) AS BIGINT) AS total_surprisal
+      FROM ({ORACLES["source_perplexity_profile"]}) GROUP BY source
+    ),
+    nz AS (SELECT * FROM per WHERE total_bigrams > 0),
+    g AS (
+      SELECT CAST(sum(total_surprisal) // sum(total_bigrams) AS BIGINT)
+        AS gmean
+      FROM nz
+    ),
+    x AS (
+      SELECT nz.source, nz.n_docs, nz.total_bigrams,
+             CAST(nz.total_surprisal // nz.total_bigrams AS BIGINT)
+               AS mean_bits_scaled,
+             CAST(greatest(0, nz.total_surprisal // nz.total_bigrams - g.gmean)
+                  AS BIGINT) AS excess_scaled,
+             least(greatest(0, nz.total_surprisal // nz.total_bigrams
+                               - g.gmean) >> {_DOREMI_ETA_SHIFT},
+                   {_DOREMI_CAP}) AS s_eff
+      FROM nz, g
+    ),
+    w AS (
+      SELECT source, n_docs, total_bigrams, mean_bits_scaled, excess_scaled,
+             {lm_ops.sql_fexp2('s_eff')} AS raw
+      FROM x
+    ),
+    tot AS (SELECT *, SUM(raw::HUGEINT) OVER () AS total_raw FROM w),
+    quota AS (
+      SELECT *, CAST((1000000::HUGEINT * raw) // total_raw AS BIGINT)
+               AS base_alloc,
+             (1000000::HUGEINT * raw) % total_raw AS remainder,
+             CAST(1000000 - SUM((1000000::HUGEINT * raw) // total_raw)
+                            OVER () AS BIGINT) AS leftover
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source ASC) AS rk
+      FROM quota
+    )
+    SELECT source, n_docs, total_bigrams, mean_bits_scaled, excess_scaled,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS new_weight_ppm
+    FROM ranked
+    """,
+)
+def q_corpus_mix_doremi_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRUE exponentiated-gradient DoReMi mixture step (Xie et al.
+    2023): per-source excess LM surprisal drives a multiplicative
+    weight update w ∝ 2^(eta * excess) with eta = 1/{1 << _DOREMI_ETA_SHIFT}
+    and a 2^40 ratio clip, computed with the NEW fixed-point exp2
+    kernel (lm.with_fexp2 — the flog2 LUT discipline run in reverse,
+    bit-parity across Python/Spark/DuckDB), then exact
+    largest-remainder renormalization through DECIMAL/HUGEINT (the raw
+    weights can reach 2^61, so 1e6 x raw wraps BIGINT). The linearized
+    sibling corpus_mix_excess_reweight stays as the first-order form."""
+    d = _read(spark, sf_dir, "documents")
+    scored = lm_ops.lm_score(d)
+    per = (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("total_bigrams"),
+            F.sum("surprisal_scaled").cast("long").alias("total_surprisal"),
+        )
+        .filter(F.col("total_bigrams") > 0)
+    )
+    g = per.agg(
+        F.expr("CAST(sum(total_surprisal) div sum(total_bigrams) AS BIGINT)").alias(
+            "gmean"
+        )
+    )
+    x = (
+        per.withColumn(
+            "mean_bits_scaled",
+            F.expr("CAST(total_surprisal div total_bigrams AS BIGINT)"),
+        )
+        .join(F.broadcast(g))
+        .withColumn(
+            "excess_scaled",
+            F.greatest(F.lit(0), F.col("mean_bits_scaled") - F.col("gmean"))
+            .cast("long"),
+        )
+        .withColumn(
+            "s_eff",
+            F.least(
+                F.shiftright(F.col("excess_scaled"), _DOREMI_ETA_SHIFT),
+                F.lit(_DOREMI_CAP),
+            ).cast("long"),
+        )
+    )
+    x = lm_ops.with_fexp2(x, "s_eff", "raw")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base_expr = (
+        "CAST((CAST(1000000 AS DECIMAL(38,0)) * raw)"
+        " div sum(CAST(raw AS DECIMAL(38,0))) over () AS BIGINT)"
+    )
+    rem_expr = (
+        "(CAST(1000000 AS DECIMAL(38,0)) * raw)"
+        " % sum(CAST(raw AS DECIMAL(38,0))) over ()"
+    )
+    quota = x.select(
+        "source",
+        "n_docs",
+        "total_bigrams",
+        "mean_bits_scaled",
+        "excess_scaled",
+        F.expr(base_expr).alias("base_alloc"),
+        F.expr(rem_expr).alias("remainder"),
+        (F.lit(1000000) - F.sum(F.expr(base_expr)).over(w_all)).alias("leftover"),
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.col("remainder").desc(), F.col("source").asc())
+    )
+    return quota.withColumn("rk", rk).select(
+        "source",
+        "n_docs",
+        "total_bigrams",
+        "mean_bits_scaled",
+        "excess_scaled",
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("new_weight_ppm"),
+    )

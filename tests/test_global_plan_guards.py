@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "token_shards_lpt",  # 1-row token-total broadcast onto the 8 shard rows
     "corpus_datacard",  # two 1-row stat broadcasts (doc totals, entropy row)
     "corpus_mix_excess_reweight",  # lm_score's vocab broadcast + 1-row global-mean broadcast
+    "corpus_mix_doremi_exp",  # same shapes through the fexp2 update
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
@@ -158,6 +159,7 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "corpus_mix_allocation": 3,  # |sources| rows (apportionment ladder)
     "corpus_mix_temperature": 3,  # |sources| rows
     "corpus_mix_excess_reweight": 3,  # |sources| rows (same ladder)
+    "corpus_mix_doremi_exp": 3,  # |sources| rows (same ladder)
     "daily_revenue_cusum": 3,  # per-day rollup: calendar-bounded
     "daily_revenue_mad_outliers": 2,  # per-day rollup
     "orders_psi_drift": 2,  # per-day/bucket drift cells

@@ -135,3 +135,46 @@ def test_sb_backoff_levels_and_exactness(spark):
         2 * lm.SB_PEN + lut_n
     )
     assert n_tok == 12
+
+
+def test_fexp2_three_way_parity_and_roundtrip(spark):
+    import random
+
+    import duckdb
+
+    from kaspi_etl_spark.llm import lm
+
+    rnd = random.Random(3)
+    ss = sorted(
+        [0, 1, lm.FLOG2_ONE - 1, lm.FLOG2_ONE, 41 * lm.FLOG2_ONE - 1]
+        + [rnd.randrange(0, 41 * lm.FLOG2_ONE) for _ in range(200)]
+    )
+    con = duckdb.connect()
+    prev = None
+    for s in ss:
+        py = lm.fexp2_int(s)
+        sql = con.execute(f"SELECT {lm.sql_fexp2(str(s))}").fetchone()[0]
+        assert py == sql, (s, py, sql)
+        true = 2.0 ** (s / lm.FLOG2_ONE) * lm.FLOG2_ONE
+        assert abs(py - true) / true < 1e-3
+        if prev is not None:
+            assert py >= prev  # monotone
+        prev = py
+    df = spark.createDataFrame([(v,) for v in ss], "s LONG")
+    got = {r.s: r.o for r in lm.with_fexp2(df, "s", "o").collect()}
+    assert all(got[v] == lm.fexp2_int(v) for v in ss)
+    # round-trip through the log kernel: fexp2(flog2(x)) ~= x * 2^20
+    for x in (1, 7, 1000, 123456789, (1 << 40) + 12345):
+        rt = lm.fexp2_int(lm.flog2_int(x))
+        assert abs(rt - x * lm.FLOG2_ONE) / (x * lm.FLOG2_ONE) < 2e-3
+
+
+def test_fexp2_domain_guards(spark):
+    import pytest
+
+    from kaspi_etl_spark.llm import lm
+
+    with pytest.raises(ValueError):
+        lm.fexp2_int(-1)
+    with pytest.raises(ValueError):
+        lm.fexp2_int(41 * lm.FLOG2_ONE)
