@@ -1828,6 +1828,10 @@ def bitext_mine(
     Returns (id_a, id_b, cosine_sim, n_nb_a, n_nb_b, margin_a,
     margin_b).
     """
+    if not planes:
+        # an empty plane set makes every vector share bucket 0 — the
+        # all-pairs cross join this operator exists to avoid
+        raise ValueError("bitext_mine: planes must be non-empty")
     an = with_normalized(side_a, vec_col, "_av").select(
         F.col(id_a),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bk"),

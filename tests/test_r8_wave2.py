@@ -254,3 +254,14 @@ def test_write_lpt_shards_one_dir_per_shard(spark, tmp_path):
     total = sum(tok.values())
     for s in shards:
         assert abs(tok[s] - total / 4) < 0.15 * total / 4
+
+
+def test_bitext_mine_rejects_empty_planes(spark):
+    import pytest
+
+    from kaspi_etl_spark.llm.similarity import bitext_mine
+
+    a = spark.createDataFrame([(1, [1.0])], "id_a LONG, embedding ARRAY<DOUBLE>")
+    b = spark.createDataFrame([(2, [1.0])], "id_b LONG, embedding ARRAY<DOUBLE>")
+    with pytest.raises(ValueError, match="planes"):
+        bitext_mine(a, b, [])
