@@ -12296,3 +12296,89 @@ def q_corpus_mix_doremi_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("new_weight_ppm"),
     )
+
+
+_SQS_K = 100
+_SQS_T_SHIFT = 1  # softmax temperature 2 in log2 space (excess >> 1)
+
+
+@register(
+    "docs_softmax_quality_sample",
+    f"""
+    WITH per0 AS (
+      {ORACLES["docs_lm_perplexity"]}
+    ),
+    per AS (
+      SELECT doc_id,
+             CAST(surprisal_scaled // n_bigrams AS BIGINT) AS mean_bits_scaled
+      FROM per0 WHERE n_bigrams > 0
+    ),
+    g AS (SELECT CAST(max(mean_bits_scaled) AS BIGINT) AS gmax FROM per),
+    x AS (
+      SELECT per.doc_id, per.mean_bits_scaled,
+             least((g.gmax - per.mean_bits_scaled) >> {_SQS_T_SHIFT},
+                   {_DOREMI_CAP}) AS s_eff
+      FROM per, g
+    ),
+    wgt AS (
+      SELECT doc_id, mean_bits_scaled,
+             {lm_ops.sql_fexp2('s_eff')} AS weight
+      FROM x
+    ),
+    keyed AS (
+      SELECT doc_id, mean_bits_scaled, weight,
+             CAST({60 * lm_ops.FLOG2_ONE}
+                  - {lm_ops.sql_flog2(
+                      "greatest("
+                      + _sql_md5_long("CAST(doc_id AS VARCHAR) || 'sqs'")
+                      + ", 1)")}
+                  AS DOUBLE)
+               / CAST(weight AS DOUBLE) AS sample_key
+      FROM wgt
+    )
+    SELECT doc_id, mean_bits_scaled, weight, sample_key
+    FROM keyed ORDER BY sample_key ASC, doc_id ASC LIMIT {_SQS_K}
+    """,
+)
+def q_docs_softmax_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Softmax-temperature quality sampling: per-doc fluency (negative
+    excess surprisal vs the corpus worst) becomes a 2^(excess/T) weight
+    through the fixed-point exp2 kernel (T = 2), then the deterministic
+    A-ES scheme draws {_SQS_K} docs — "prefer fluent documents, but
+    keep tail diversity", the soft alternative to a hard perplexity
+    cutoff. Every weight is an exact BIGINT; selection is one
+    TakeOrderedAndProject."""
+    d = _read(spark, sf_dir, "documents")
+    scored = lm_ops.lm_score(d)
+    per = scored.filter(F.col("n_bigrams") > 0).select(
+        "doc_id",
+        F.expr("CAST(surprisal_scaled div n_bigrams AS BIGINT)").alias(
+            "mean_bits_scaled"
+        ),
+    )
+    g = per.agg(F.max("mean_bits_scaled").cast("long").alias("gmax"))
+    x = per.join(F.broadcast(g)).withColumn(
+        "s_eff",
+        F.least(
+            F.shiftright(F.col("gmax") - F.col("mean_bits_scaled"), _SQS_T_SHIFT),
+            F.lit(_DOREMI_CAP),
+        ).cast("long"),
+    )
+    x = lm_ops.with_fexp2(x, "s_eff", "weight")
+    x = x.withColumn(
+        "_u",
+        F.greatest(
+            dedup_ops.md5_long(F.col("doc_id").cast("string"), salt="sqs"),
+            F.lit(1),
+        ),
+    )
+    x = lm_ops.with_flog2(x, "_u", "_l2u")
+    key = (
+        (F.lit(60 * lm_ops.FLOG2_ONE) - F.col("_l2u")).cast("double")
+        / F.col("weight").cast("double")
+    ).alias("sample_key")
+    return (
+        x.select("doc_id", "mean_bits_scaled", "weight", key)
+        .orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
+        .limit(_SQS_K)
+    )
