@@ -265,3 +265,14 @@ def test_bitext_mine_rejects_empty_planes(spark):
     b = spark.createDataFrame([(2, [1.0])], "id_b LONG, embedding ARRAY<DOUBLE>")
     with pytest.raises(ValueError, match="planes"):
         bitext_mine(a, b, [])
+
+
+def test_auto_sign_planes_scales_with_n(spark):
+    from kaspi_etl_spark.llm.similarity import auto_sign_planes
+
+    assert len(auto_sign_planes(100, dim=8)) == 4  # floor
+    assert len(auto_sign_planes(1250, dim=8)) == 4
+    assert len(auto_sign_planes(100_000, dim=8)) == 7  # ceil(log2(80))
+    assert len(auto_sign_planes(10_000_000, dim=8)) == 13
+    # deterministic: same n -> same planes
+    assert auto_sign_planes(100_000, dim=8) == auto_sign_planes(100_000, dim=8)

@@ -547,6 +547,43 @@ def main() -> None:
 
             run(k, "lpt_shards", _lpt)
 
+        if want("bitext_mine"):
+            emb_b = emb if emb is not None else scaled_union(
+                emb0, k, "vec_id", 10_000_000, rot
+            ).localCheckpoint()
+            n_b = emb_b.count()
+
+            def _bitext():
+                a = emb_b.filter(F.col("vec_id") % 2 == 0).selectExpr(
+                    "vec_id AS id_a", "v AS embedding"
+                )
+                bb = emb_b.filter(F.col("vec_id") % 2 == 1).selectExpr(
+                    "vec_id AS id_b", "v AS embedding"
+                )
+                planes = similarity.auto_sign_planes(n_b, dim=64)
+                out = similarity.bitext_mine(a, bb, planes)
+                return {"rows": out.count(), "in_rows": n_b}
+
+            run(k, "bitext_mine", _bitext)
+
+        if want("cluster_sample"):
+            docs_cs = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_cs = docs_cs.count()
+
+            def _csamp():
+                pairs = dedup.minhash_near_dup_pairs(
+                    docs_cs, num_hashes=8, bands=4, threshold=0.5
+                )
+                cc = dedup.connected_components(pairs)
+                out = dedup.cluster_weighted_sample(
+                    docs_cs, cc.select("doc_id", "cluster_id"), k=1000
+                )
+                return {"rows": out.count(), "in_rows": n_cs}
+
+            run(k, "cluster_sample", _csamp)
+
     print("\n# summary")
     for r in results:
         print(json.dumps(r))
