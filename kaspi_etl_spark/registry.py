@@ -12382,3 +12382,131 @@ def q_docs_softmax_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
         .limit(_SQS_K)
     )
+
+
+def _sql_signbits(vec: str, lo: bool) -> str:
+    """Half of the 64-dim sign signature as a 32-bit word — bit 63 of a
+    single BIGINT would overflow DuckDB's checked shift (the Bloom
+    63-bit lesson), so the signature is two 32-bit words and Hamming
+    distance sums two popcounts."""
+    base = 0 if lo else 32
+    terms = " + ".join(
+        f"(CASE WHEN {vec}[{base + i + 1}] >= CAST(0.0 AS DOUBLE) "
+        f"THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"({terms})"
+
+
+@register(
+    "ann_binary_hamming_recall",
+    f"""
+    WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    nf AS (SELECT vec_id, v,
+                  sqrt(list_reduce([x * x for x in v], (a, b) -> a + b)) AS nrm
+           FROM raw),
+    corpus AS (
+      SELECT vec_id,
+             CASE WHEN nrm > 0 THEN list_transform(v, x -> x / nrm)
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS vn
+      FROM nf
+    ),
+    q AS (SELECT vec_id AS query_id, vn AS qn FROM corpus WHERE vec_id % 50 = 0),
+    f_scored AS (
+      SELECT q.query_id, c.vec_id,
+             {SQL_DOT.replace("{A}", "qn").replace("{B}", "vn")} AS cosine_sim
+      FROM corpus c CROSS JOIN q
+      WHERE q.query_id <> c.vec_id
+    ),
+    fullk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+        FROM f_scored)
+      WHERE rank <= 10
+    ),
+    sigs AS (SELECT vec_id, {_sql_signbits("v", True)} AS sig_lo,
+                    {_sql_signbits("v", False)} AS sig_hi FROM raw),
+    qs AS (SELECT vec_id AS query_id, sig_lo AS qlo, sig_hi AS qhi FROM sigs
+           WHERE vec_id % 50 = 0),
+    h_scored AS (
+      SELECT qs.query_id, s.vec_id,
+             CAST(bit_count(xor(qs.qlo, s.sig_lo))
+                  + bit_count(xor(qs.qhi, s.sig_hi)) AS BIGINT) AS hamming
+      FROM sigs s CROSS JOIN qs
+      WHERE qs.query_id <> s.vec_id
+    ),
+    hamk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming ASC, vec_id ASC) AS rank
+        FROM h_scored)
+      WHERE rank <= 10
+    )
+    SELECT f.query_id,
+           CAST(count(h.vec_id) AS BIGINT) AS n_hits,
+           CAST(count(h.vec_id) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall_at_10
+    FROM fullk f LEFT JOIN hamk h
+      ON f.query_id = h.query_id AND f.vec_id = h.vec_id
+    GROUP BY f.query_id
+    """,
+)
+def q_ann_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding search quality gate: recall@10 of sign-bit
+    Hamming top-10 (64-dim vector -> one 64-bit signature, distance =
+    popcount(xor) — 64x smaller index, SIMD-cheap distance) against the
+    exact cosine top-10. Completes the compression eval set next to
+    matryoshka truncation and int8 quantization. Both sides are the
+    bounded query-sample cross product (the allowlisted
+    ann_cosine_topk shape); at scale the Hamming side buckets by
+    signature prefix (the simhash pigeonhole machinery)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    corpus = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    queries = corpus.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    full = sim_ops.brute_force_topk(corpus, queries, k=10)
+    # two 32-bit words: bit 63 of one BIGINT overflows DuckDB's checked
+    # shift (the Bloom 63-bit lesson); the SQL-form shiftleft accepts
+    # the lambda's position column where the python API needs a literal
+    def _sig(lo: bool) -> F.Column:
+        base = 0 if lo else 32
+        return F.expr(
+            f"aggregate(transform(slice(embedding, {base + 1}, 32),"
+            " (x, i) -> CASE WHEN x >= CAST(0.0 AS DOUBLE)"
+            " THEN shiftleft(CAST(1 AS BIGINT), i)"
+            " ELSE CAST(0 AS BIGINT) END),"
+            " CAST(0 AS BIGINT), (acc, b) -> acc + b)"
+        )
+
+    sigs = corpus.select(
+        "vec_id", _sig(True).alias("sig_lo"), _sig(False).alias("sig_hi")
+    )
+    qs = sigs.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("sig_lo").alias("qlo"),
+        F.col("sig_hi").alias("qhi"),
+    )
+    scored = (
+        sigs.crossJoin(F.broadcast(qs))
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("sig_lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("sig_hi")))
+            )
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    )
+    ham = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 10
+    )
+    return sim_ops.recall_at_k(ham, full, k=10)

@@ -66,6 +66,7 @@ BNLJ_ALLOWED = {
     "corpus_mix_excess_reweight",  # lm_score's vocab broadcast + 1-row global-mean broadcast
     "corpus_mix_doremi_exp",  # same shapes through the fexp2 update
     "docs_softmax_quality_sample",  # lm_score's vocab broadcast + 1-row corpus-max broadcast
+    "ann_binary_hamming_recall",  # bounded query-sample cross products (cosine + Hamming sides)
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
