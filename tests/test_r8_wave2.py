@@ -276,3 +276,18 @@ def test_auto_sign_planes_scales_with_n(spark):
     assert len(auto_sign_planes(10_000_000, dim=8)) == 13
     # deterministic: same n -> same planes
     assert auto_sign_planes(100_000, dim=8) == auto_sign_planes(100_000, dim=8)
+
+
+def test_binary_hamming_identical_vectors_full_recall(spark):
+    # registry-level shape test: vectors whose sign pattern uniquely
+    # identifies them make Hamming top-k == cosine top-k
+    import kaspi_etl_spark.registry as reg
+
+    df = reg.QUERIES["ann_binary_hamming_recall"](
+        spark, "/root/testdata/sf0.001"
+    )
+    got = df.collect()
+    assert len(got) == 10
+    for r in got:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall_at_10 - r.n_hits / 10.0) < 1e-12
