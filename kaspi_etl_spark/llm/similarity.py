@@ -1832,16 +1832,21 @@ def bitext_mine(
         # an empty plane set makes every vector share bucket 0 — the
         # all-pairs cross join this operator exists to avoid
         raise ValueError("bitext_mine: planes must be non-empty")
+    # localCheckpoint the normalized sides: the normalized vector is a
+    # DERIVED column (transform(v, x/nrm)), and CollapseProject inlines
+    # it into the interpreted dot lambda PER ELEMENT after the join —
+    # measured ~190 us/candidate-pair at K=100 vs ~6 us with the
+    # checkpointed attribute form (the r6 derived-vector lesson)
     an = with_normalized(side_a, vec_col, "_av").select(
         F.col(id_a),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bk"),
         "_av",
-    )
+    ).localCheckpoint(eager=False)
     bn = with_normalized(side_b, vec_col, "_bv").select(
         F.col(id_b),
         hyperplane_bucket(F.col(vec_col), planes).alias("_bk"),
         "_bv",
-    )
+    ).localCheckpoint(eager=False)
     cand = an.join(bn, "_bk").select(
         id_a, id_b, dot(F.col("_av"), F.col("_bv")).alias("cos")
     )
