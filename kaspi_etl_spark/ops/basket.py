@@ -52,12 +52,78 @@ LIFT_PPM_EXPR = (
 )
 
 
+def basket_pairs(
+    baskets: DataFrame,
+    basket_col: str = "o",
+    item_col: str = "item",
+    min_support: int = 1,
+    max_basket_items: int | None = None,
+) -> DataFrame:
+    """Within-basket undirected item pairs — THE shared pair-generation
+    stage for association_rules / copurchase_item_sim /
+    copurchase_communities_lp (one implementation of the quadratic
+    step, not three).
+
+    Returns (item_a, item_b, co) with item_a < item_b and
+    co >= min_support, where co counts distinct baskets containing both
+    items.
+
+    Scale shape (100 TB):
+      * (basket, item) rows dedup first — one shuffle;
+      * ``max_basket_items`` is the hub-basket cap: a basket of B items
+        emits B^2/2 pair rows BEFORE any support filter can run, so one
+        pathological hub basket (a crawler account, a merged guest
+        cart) dominates the whole stage; baskets above the cap are
+        EXCLUDED from pair generation outright (deterministic, exactly
+        mirrorable in SQL as HAVING count(*) <= cap) — same treatment
+        as dedup's hot-shingle cap;
+      * the Apriori prune runs BEFORE the self-join when
+        min_support > 1: co <= min(n_a, n_b), so an item in fewer than
+        min_support baskets can never reach pair support — infrequent
+        items leave in a map-side-combinable groupBy + semi-join and
+        the self-join fan-out is bounded by the PRUNED basket size
+        squared. Output-identical to the unpruned form (property-tested
+        in tests/test_r9_ops.py);
+      * pair counting shuffles once on the (a, b) key.
+    """
+    b = baskets.select(
+        F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
+    ).distinct()
+    if max_basket_items is not None:
+        ok = (
+            b.groupBy("_o")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .filter(F.col("_bs") <= max_basket_items)
+            .select("_o")
+        )
+        b = b.join(ok, "_o", "left_semi")
+    if min_support > 1:
+        freq = (
+            b.groupBy("_i")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= min_support)
+            .select("_i")
+        )
+        b = b.join(freq, "_i", "left_semi")
+    a = b.select("_o", F.col("_i").alias("item_a"))
+    c = b.select(F.col("_o").alias("_o2"), F.col("_i").alias("item_b"))
+    co = (
+        a.join(c, (F.col("_o") == F.col("_o2")) & (F.col("item_a") < F.col("item_b")))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    if min_support > 1:
+        co = co.filter(F.col("co") >= min_support)
+    return co
+
+
 def association_rules(
     baskets: DataFrame,
     basket_col: str = "o",
     item_col: str = "item",
     min_support: int = 3,
     min_conf_ppm: int = 0,
+    max_basket_items: int | None = None,
 ) -> DataFrame:
     """Directed pair association rules over (basket, item) rows.
 
@@ -79,16 +145,14 @@ def association_rules(
     ).distinct()
     n_baskets = b.select(F.countDistinct("_o").alias("n_baskets"))
     item_n = b.groupBy("_i").agg(F.count(F.lit(1)).alias("n_orders"))
-    frequent = item_n.filter(F.col("n_orders") >= min_support)
-    # Apriori prune: only items frequent enough to ever reach pair support
-    pruned = b.join(frequent.select("_i"), "_i", "left_semi")
-    a = pruned.select(F.col("_o"), F.col("_i").alias("item_a"))
-    c = pruned.select(F.col("_o").alias("_o2"), F.col("_i").alias("item_b"))
-    co = (
-        a.join(c, (F.col("_o") == F.col("_o2")) & (F.col("item_a") < F.col("item_b")))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("co"))
-        .filter(F.col("co") >= min_support)
+    # Shared pair stage: Apriori prune + optional hub cap live there.
+    # n_antecedent/n_consequent stay the UNpruned per-item counts.
+    co = basket_pairs(
+        b,
+        basket_col="_o",
+        item_col="_i",
+        min_support=min_support,
+        max_basket_items=max_basket_items,
     )
     directed = co.select(
         F.col("item_a").alias("antecedent"),

@@ -7541,13 +7541,7 @@ def q_copurchase_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
     ).distinct()
     n = basket.groupBy("item").agg(F.count("*").cast("long").alias("n_orders"))
-    a = basket.select(F.col("o"), F.col("item").alias("item_a"))
-    b = basket.select(F.col("o").alias("o2"), F.col("item").alias("item_b"))
-    co = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("item_a") < F.col("item_b")))
-        .groupBy("item_a", "item_b")
-        .agg(F.count("*").cast("long").alias("co"))
-    )
+    co = basket_ops.basket_pairs(basket).withColumn("co", F.col("co").cast("long"))
     na = n.select(F.col("item").alias("na_item"), F.col("n_orders").alias("n_a"))
     nb = n.select(F.col("item").alias("nb_item"), F.col("n_orders").alias("n_b"))
     scored = (
@@ -10745,6 +10739,15 @@ def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_ops.rfm_segments(o)
 
 
+# Hub-basket cap for the LP edge build: a basket of B items emits B^2/2
+# pair rows before any support filter can run, so pair generation excludes
+# baskets above the cap outright (mirrored in the oracle as
+# HAVING COUNT(*) <= cap). TPC-H baskets are <= 7 items, so the cap is a
+# no-op on the gate data; its behavior is unit-pinned on a synthetic hub
+# basket in tests/test_r9_ops.py.
+_LP_HUB_CAP = 64
+
+
 def _sql_lp_oracle(rounds: int = 4) -> str:
     steps = []
     prev = "l0"
@@ -10763,9 +10766,11 @@ def _sql_lp_oracle(rounds: int = 4) -> str:
     )""")
         prev = f"l{k}"
     return f"""
-    WITH basket AS (
+    WITH b0 AS (
       SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
     ),
+    ok AS (SELECT o FROM b0 GROUP BY o HAVING COUNT(*) <= {_LP_HUB_CAP}),
+    basket AS (SELECT b0.o, b0.item FROM b0 JOIN ok USING (o)),
     co AS (
       SELECT a.item AS item_a, b.item AS item_b
       FROM basket a JOIN basket b ON a.o = b.o AND a.item < b.item
@@ -10790,20 +10795,22 @@ def q_copurchase_communities_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     fuses everything one weak edge bridges). Per round one edge join +
     one count groupBy + a rank-1 WindowGroupLimit, linear in edges;
     the oracle unrolls the identical rounds as MATERIALIZED CTEs
-    (ops.graph.label_propagation)."""
+    (ops.graph.label_propagation).
+
+    The edge build is the SHARED pair stage (ops.basket.basket_pairs):
+    the Apriori prune drops items in < 2 baskets BEFORE the
+    within-basket self-join (output-identical: a c>=2 pair needs both
+    items in >= 2 baskets since co <= min(n_a, n_b)), and the hub cap
+    excludes baskets above _LP_HUB_CAP items from pair generation
+    outright (mirrored in the oracle) — so one pathological hub basket
+    can no longer emit B^2/2 pre-filter rows."""
     li = _read(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
-    ).distinct()
-    a = basket.select("o", F.col("item").alias("item_a"))
-    b = basket.select(F.col("o").alias("o2"), F.col("item").alias("item_b"))
-    co = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("item_a") < F.col("item_b")))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("item_a", "item_b")
     )
+    co = basket_ops.basket_pairs(
+        basket, min_support=2, max_basket_items=_LP_HUB_CAP
+    ).select("item_a", "item_b")
     out = graph_ops.label_propagation(co, rounds=4, src_col="item_a", dst_col="item_b")
     return out.select(F.col("node").cast("long"), F.col("label").cast("long"))
 

@@ -23,6 +23,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from ..ops import basket as basket_ops
 from ..ops import incremental as inc
 from ..ops.basket import CONF_PPM_EXPR, LIFT_PPM_EXPR
 
@@ -359,13 +360,13 @@ def _assoc_counts(batch_df, basket_col: str, item_col: str):
     items = b.groupBy(F.col("_i").alias("item")).agg(
         F.count(F.lit(1)).cast("long").alias("n_orders")
     )
-    a = b.select("_o", F.col("_i").alias("item_a"))
-    c = b.select(F.col("_o").alias("_o2"), F.col("_i").alias("item_b"))
-    pairs = (
-        a.join(c, (F.col("_o") == F.col("_o2")) & (F.col("item_a") < F.col("item_b")))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("co"))
-    )
+    # Shared pair stage (ops.basket.basket_pairs). No per-batch Apriori
+    # prune here: co-counts accumulate across batches, so an item below
+    # support in THIS batch can still reach pair support later — pruning
+    # is only sound at read time (rules_from_assoc_state filters there).
+    pairs = basket_ops.basket_pairs(
+        b, basket_col="_o", item_col="_i"
+    ).withColumn("co", F.col("co").cast("long"))
     n = b.select(F.countDistinct("_o").cast("long").alias("n_baskets"))
     return items, pairs, n
 
