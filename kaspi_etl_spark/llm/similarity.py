@@ -1802,7 +1802,7 @@ def negative_samples(
 def bitext_mine(
     side_a: DataFrame,
     side_b: DataFrame,
-    planes: list[list[float]],
+    planes: list[list[float]] | None = None,
     id_a: str = "id_a",
     id_b: str = "id_b",
     vec_col: str = "embedding",
@@ -1827,7 +1827,19 @@ def bitext_mine(
 
     Returns (id_a, id_b, cosine_sim, n_nb_a, n_nb_b, margin_a,
     margin_b).
+
+    ``planes=None`` (the default) sizes the plane count to the corpus
+    via ``auto_sign_planes`` (larger side's row count, first vector's
+    dim — two bounded driver reads), so the scale-safe path is the one
+    you get by not thinking; pass explicit planes only when a pinned
+    bucket layout matters (the oracle-mirrored gate query does).
     """
+    if planes is None:
+        n = max(side_a.count(), side_b.count())
+        probe = side_a.select(F.size(F.col(vec_col)).alias("d")).first()
+        if probe is None or probe["d"] is None:
+            raise ValueError("bitext_mine: cannot infer dim from an empty side_a")
+        planes = auto_sign_planes(n, dim=int(probe["d"]))
     if not planes:
         # an empty plane set makes every vector share bucket 0 — the
         # all-pairs cross join this operator exists to avoid

@@ -11752,7 +11752,10 @@ def q_embeddings_bitext_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     even- and odd-id embedding halves: mutual LSH-bucketed nearest
     neighbors with fixed-order top-3 margin scores — the
     parallel-corpus miner, never an all-pairs cross join
-    (llm/similarity.py bitext_mine)."""
+    (llm/similarity.py bitext_mine). Passes explicit ANN_PLANES because
+    the oracle pins this bucket layout; the library DEFAULT (planes
+    omitted) is the corpus-sized auto_sign_planes path — the scale-safe
+    form callers get by not thinking."""
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )

@@ -144,3 +144,38 @@ def test_association_rules_hub_cap_param(spark):
     assert set(by_pair) == {(1, 2), (2, 1)}
     r = by_pair[(1, 2)]
     assert (r.support_cnt, r.n_antecedent, r.n_consequent, r.n_baskets) == (3, 4, 4, 4)
+
+
+def test_bitext_mine_auto_planes_is_default(spark):
+    """r8 VERDICT #3: omitting planes must take the corpus-sized
+    auto_sign_planes path (floor of 4 planes at toy scale) and still
+    recover only planted mutual pairs."""
+    import random
+
+    from kaspi_etl_spark.llm.similarity import bitext_mine
+
+    rnd = random.Random(11)
+    rows = []
+    for i in range(0, 40, 2):
+        v = [rnd.uniform(-1, 1) for _ in range(16)]
+        rows.append((i, v))
+        rows.append((i + 1, [x + 0.01 * rnd.uniform(-1, 1) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    a = emb.filter("vec_id % 2 = 0").selectExpr("vec_id AS id_a", "embedding")
+    b = emb.filter("vec_id % 2 = 1").selectExpr("vec_id AS id_b", "embedding")
+    got = {(r.id_a, r.id_b): r for r in bitext_mine(a, b).collect()}
+    assert got, "no pairs mined on the auto-plane path"
+    for (ia, ib), r in got.items():
+        assert ib == ia + 1
+        assert r.cosine_sim > 0.99
+
+
+def test_bitext_mine_auto_planes_empty_side_raises(spark):
+    from kaspi_etl_spark.llm.similarity import bitext_mine
+
+    a = spark.createDataFrame([], "id_a LONG, embedding ARRAY<DOUBLE>")
+    b = spark.createDataFrame([(1, [1.0, 0.0])], "id_b LONG, embedding ARRAY<DOUBLE>")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="empty side_a"):
+        bitext_mine(a, b)
