@@ -140,66 +140,76 @@ def entry(spark: SparkSession) -> DataFrame:
 # and the r1-era lang_rollup. Every displaced query remains green in
 # the local clean+adversarial full sweeps (ORACLE_FULL/ADV artifacts,
 # every round).
+# Round-9 rotation (VERDICT r8 top-next #2 and #4): 46 of the 50 slots go
+# to queries that have never had the driver's own check — the entire r8
+# second-session wave (17), the r8 first-session stragglers (4), and a
+# 25-query block of the boring-but-never-gated backlog (r1-era rollups,
+# profiles, samplers, quantiles — boring-but-gated beats
+# boring-and-assumed). Kept slots: the flagship plus the three queries
+# round 9's code touched (the copurchase pair-stage fix re-gates
+# copurchase_communities_lp / basket_assoc_rules / copurchase_item_sim;
+# embeddings_bitext_mine is both touched and first-time). Displaced: all
+# 46 r8-green gate occupants — every one keeps its family green via the
+# local clean+adversarial full sweeps (ORACLE_FULL/ADV artifacts, every
+# round), and 29 of them were driver-verified only last round. Remaining
+# never-gated backlog after this rotation: 17 (media_* rows-only trio,
+# the pipeline composites, and the hashed-TF/lang-MI pair, docs_term_rarity) —
+# fits in one r10 block.
 _GATE_PRIORITY = [
     "daily_net_revenue",
-    "inventory_reorder",
-    "global_analytics",
-    "reprice_proposals",
-    "sizing_adult",
-    "sales_etl_enrich",
-    "purchases_upsert",
-    "customer_bloom_probe",
-    "ann_pq_topk",
-    "media_features",
-    "part_linkage_fs",
-    "html_sellers_parse",
-    "dedup_clusters",
-    "events_funnel",
-    "orders_merge_upsert",
-    "orders_in_promo_windows",
-    "docs_logreg_predict",
-    "embeddings_int8_codes",
-    "docs_dsir_weights",
-    "corpus_mix_temperature",
-    "orders_hilbert_curve",
-    # --- r8-touched: the five de-globalized window queries, the pack
-    # family's surviving distributed form, the re-spread span-extents,
-    # and the new capped-then-residual exact-Jaccard composition ---
-    "customer_rfm_segments",
-    "docs_heaps_curve",
-    "embeddings_negative_samples",
-    "docs_logreg_eval",
-    "token_pack_sequences",
-    "docs_dup_span_extents",
-    "ngram_jaccard_residual",
-    # --- first-time driver checks (r8 rotation): the r7 second wave ---
-    "basket_assoc_rules",
-    "embeddings_pca_project",
-    "docs_token_entropy",
-    "events_markov_steady",
+    # --- r9-touched: the shared Apriori-pruned pair stage ---
     "copurchase_communities_lp",
-    "docs_phrase_search",
-    "kmeans_inertia_report",
-    "minhash_dedup_eval",
-    "bpe_compression_eval",
-    "customers_l_diverse",
-    "docs_zipf_fit",
-    "lm_greedy_generate",
-    "events_cuped_adjusted",
-    "daily_revenue_cusum",
-    "daily_revenue_mad_outliers",
-    "orders_psi_drift",
-    "orders_drift_profile",
-    "source_overlap_minhash",
-    "ann_hard_negatives",
-    # --- three of the operators BUILT this round (new code gets the
-    # driver's own check first; docs_lang_source_mi / docs_hashed_tf /
-    # lang_rollup stay sweep-verified, as do the remaining r8-built
-    # docs_leakage_safe_split / docs_stratified_quota / docs_kn_bigram —
-    # all green in the clean AND adversarial sweeps) ---
-    "docs_weighted_sample_aes",
-    "docs_eval_contamination",
-    "minhash_index_probe",
+    "basket_assoc_rules",
+    "copurchase_item_sim",
+    # --- r8 second-session wave (never driver-verified) ---
+    "embeddings_bitext_mine",
+    "docs_fim_split",
+    "docs_rouge_overlap",
+    "ann_matryoshka_recall",
+    "docs_unigram_segment",
+    "docs_unigram_em_step",
+    "docs_unigram_encode",
+    "tokenizer_fertility_compare",
+    "token_shards_lpt",
+    "docs_novelty_bloom",
+    "dedup_cluster_histogram",
+    "docs_cluster_weighted_sample",
+    "corpus_datacard",
+    "corpus_mix_excess_reweight",
+    "corpus_mix_doremi_exp",
+    "docs_softmax_quality_sample",
+    "ann_binary_hamming_recall",
+    "docs_normalize_text",
+    # --- r8 first-session, still ungated ---
+    "docs_leakage_safe_split",
+    "docs_stratified_quota",
+    "docs_kn_bigram",
+    "docs_kn_heldout",
+    # --- the boring-but-never-gated backlog block ---
+    "lang_rollup",
+    "export_roundtrip",
+    "lineitem_profile",
+    "rep_signals",
+    "variant_price_outliers",
+    "text_scrub",
+    "vocab_top_tokens",
+    "events_dedup",
+    "events_value_quantiles",
+    "docs_weighted_sample",
+    "docs_stratified_sample",
+    "dedup_method_panel",
+    "benchmark_contamination",
+    "daily_revenue_incremental",
+    "purchases_change_feed",
+    "part_name_matches",
+    "copurchase_triangles",
+    "embedding_centroids",
+    "bigram_coverage",
+    "returnflag_price_quantiles",
+    "lang_confusion",
+    "order_key_skew_profile",
+    "bigram_pmi_top",
+    "kmeans_assign",
 ]
 
 

@@ -1228,3 +1228,108 @@ def lpt_shard_assignment(
         "n_tokens",
         ((F.col("rn") - 1) % F.lit(n_shards)).cast("long").alias("shard_id"),
     )
+
+
+def repetition_profile(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top2_max_ppm: int = 200_000,
+    top3_max_ppm: int = 180_000,
+    dup5_max_ppm: int = 150_000,
+) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021, Table A1), adapted
+    from character fractions to word n-gram OCCURRENCE fractions (the
+    corpus here has no line structure; the thresholds keep the paper's
+    values — 0.20 top-2-gram, 0.18 top-3-gram, 0.15 duplicate-5-gram):
+
+    - top2gram_ppm / top3gram_ppm: share of n-gram occurrences taken by
+      the single most frequent n-gram — catches boilerplate loops a
+      word-level quality gate (gopher_quality_flags) misses;
+    - dup5gram_ppm: share of 5-gram occurrences whose gram appears more
+      than once in the doc — catches long-span self-repetition;
+    - rep_pass: the conjunctive gate. Docs shorter than n words have 0
+      for that metric (vacuously pass, like the paper's short docs).
+
+    All ratios are exact integer ppm (1e6 * x div total), so any SQL
+    engine reproduces them bit-for-bit. Scale shape: ONE tokenize +
+    ONE position explode per doc emitting up to 3 gram rows per
+    position (never three corpus scans); grams hash to 60-bit md5
+    longs (8-byte shuffle keys, hash shared with the oracle so even a
+    collision is mirrored); the counts are two map-side-combinable
+    groupBys keyed by doc — no joins, no windows.
+    """
+    from .dedup import md5_long, split_words
+
+    base = docs.select(
+        F.col(id_col),
+        F.when(
+            F.col(text_col).isNull() | (F.trim(F.col(text_col)) == ""), F.lit(0)
+        )
+        .otherwise(F.size(split_words(F.col(text_col))))
+        .cast("long")
+        .alias("n_words"),
+    )
+    w = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("_d"), split_words(F.col(text_col)).alias("_w"))
+    pos = w.filter(F.size("_w") >= 2).select(
+        "_d",
+        "_w",
+        F.explode(F.sequence(F.lit(0), F.size("_w") - 2)).alias("_i"),
+    )
+
+    def _gh(n: int):
+        gram = F.concat_ws(
+            " ", *[F.element_at("_w", F.col("_i") + k + 1) for k in range(n)]
+        )
+        return F.when(F.col("_i") <= F.size("_w") - n, md5_long(gram))
+
+    stacked = (
+        pos.select(
+            "_d",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(n).alias("n"), _gh(n).alias("h"))
+                        for n in (2, 3, 5)
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select("_d", F.col("s.n").alias("_n"), F.col("s.h").alias("_h"))
+        .filter(F.col("_h").isNotNull())
+    )
+    counts = stacked.groupBy("_d", "_n", "_h").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    per = counts.groupBy("_d", "_n").agg(
+        F.sum("_c").cast("long").alias("_tot"),
+        F.max("_c").cast("long").alias("_top"),
+        F.coalesce(
+            F.sum(F.when(F.col("_c") >= 2, F.col("_c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("_dup"),
+    )
+    per = per.withColumn(
+        "_top_ppm", F.expr("(1000000 * _top) div _tot").cast("long")
+    ).withColumn("_dup_ppm", F.expr("(1000000 * _dup) div _tot").cast("long"))
+    piv = per.groupBy("_d").agg(
+        F.max(F.when(F.col("_n") == 2, F.col("_top_ppm"))).alias("_t2"),
+        F.max(F.when(F.col("_n") == 3, F.col("_top_ppm"))).alias("_t3"),
+        F.max(F.when(F.col("_n") == 5, F.col("_dup_ppm"))).alias("_d5"),
+    )
+    out = base.join(piv, base[id_col] == piv["_d"], "left").select(
+        F.col(id_col),
+        "n_words",
+        F.coalesce("_t2", F.lit(0)).cast("long").alias("top2gram_ppm"),
+        F.coalesce("_t3", F.lit(0)).cast("long").alias("top3gram_ppm"),
+        F.coalesce("_d5", F.lit(0)).cast("long").alias("dup5gram_ppm"),
+    )
+    return out.withColumn(
+        "rep_pass",
+        (F.col("top2gram_ppm") <= top2_max_ppm)
+        & (F.col("top3gram_ppm") <= top3_max_ppm)
+        & (F.col("dup5gram_ppm") <= dup5_max_ppm),
+    )

@@ -4619,18 +4619,32 @@ def q_price_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS c
       FROM ex GROUP BY label, pos
     )
-    SELECT label, CAST(MAX(c) AS BIGINT) AS n_vecs,
-           list(CAST(s AS DOUBLE) / CAST(c * 1048576 AS DOUBLE)
-                ORDER BY pos) AS centroid
-    FROM sums GROUP BY label
+    -- n_vecs via a window, NOT a self-join on label: an equi-join drops
+    -- the NULL-label group that GROUP BY keeps (the r8 adversarial trap)
+    SELECT label,
+           CAST(MAX(c) OVER (PARTITION BY label) AS BIGINT) AS n_vecs,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(s AS DOUBLE) / CAST(c * 1048576 AS DOUBLE) AS centroid_val
+    FROM sums
     """,
 )
 def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding centroid via fixed-point integer sums — the
     order-independent (hence engine-reproducible) form of the float mean.
-    See llm/similarity.py embedding_centroids for the scale analysis."""
+    See llm/similarity.py embedding_centroids for the scale analysis.
+    The registry image posexplodes the centroid to one SCALAR row per
+    dimension (the driver harness cannot canonicalize array cells — the
+    embeddings_int8_codes precedent); the library op keeps the array
+    form."""
     e = _read(spark, sf_dir, "embeddings")
-    return sim_ops.embedding_centroids(e, "label", "embedding")
+    out = sim_ops.embedding_centroids(e, "label", "embedding")
+    return out.select(
+        "label",
+        "n_vecs",
+        F.posexplode("centroid").alias("pos", "centroid_val"),
+    ).select(
+        "label", "n_vecs", F.col("pos").cast("long").alias("pos"), "centroid_val"
+    )
 
 
 # --- Bigram-coverage LM scoring ---------------------------------------------
@@ -12520,3 +12534,78 @@ def q_ann_binary_hamming_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank") <= 10
     )
     return sim_ops.recall_at_k(ham, full, k=10)
+
+
+# ---------------------------------------------------------------------------
+# r9 additions: repetition profile, classifier calibration, diversity,
+# whitening, fragment stitching, beam decode.
+# ---------------------------------------------------------------------------
+
+
+def _sql_rep_grams(n: int) -> str:
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"[array_to_string(w[i+1:i+{n}], ' ') "
+        f"for i in range(0, len(w) - {n} + 1)] "
+        f"ELSE []::VARCHAR[] END"
+    )
+
+
+@register(
+    "docs_repetition_profile",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                  ELSE len({SQL_WORDS}) END AS n_words
+      FROM documents
+    ),
+    w AS (
+      SELECT doc_id, {SQL_WORDS} AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    g AS (
+      SELECT doc_id, n, {_sql_md5_long('g')} AS h FROM (
+        SELECT doc_id, 2 AS n, unnest({_sql_rep_grams(2)}) AS g FROM w
+        UNION ALL
+        SELECT doc_id, 3 AS n, unnest({_sql_rep_grams(3)}) AS g FROM w
+        UNION ALL
+        SELECT doc_id, 5 AS n, unnest({_sql_rep_grams(5)}) AS g FROM w
+      )
+    ),
+    c AS (SELECT doc_id, n, h, CAST(COUNT(*) AS BIGINT) AS c
+          FROM g GROUP BY 1, 2, 3),
+    per AS (
+      SELECT doc_id, n,
+             (1000000 * MAX(c)) // SUM(c) AS top_ppm,
+             (1000000 * COALESCE(SUM(CASE WHEN c >= 2 THEN c END), 0))
+               // SUM(c) AS dup_ppm
+      FROM c GROUP BY 1, 2
+    ),
+    piv AS (
+      SELECT doc_id,
+             MAX(CASE WHEN n = 2 THEN top_ppm END) AS t2,
+             MAX(CASE WHEN n = 3 THEN top_ppm END) AS t3,
+             MAX(CASE WHEN n = 5 THEN dup_ppm END) AS d5
+      FROM per GROUP BY doc_id
+    )
+    SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(COALESCE(p.t2, 0) AS BIGINT) AS top2gram_ppm,
+           CAST(COALESCE(p.t3, 0) AS BIGINT) AS top3gram_ppm,
+           CAST(COALESCE(p.d5, 0) AS BIGINT) AS dup5gram_ppm,
+           COALESCE(p.t2, 0) <= 200000 AND COALESCE(p.t3, 0) <= 180000
+             AND COALESCE(p.d5, 0) <= 150000 AS rep_pass
+    FROM base b LEFT JOIN piv p USING (doc_id)
+    """,
+)
+def q_docs_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters (Rae et al. 2021 Table A1, word-n-gram
+    occupancy adaptation): top-2/3-gram occurrence share and
+    duplicate-5-gram share per doc in exact ppm, plus the conjunctive
+    rep_pass gate — the self-repetition complement to
+    docs_quality_gopher's word-level flags. One tokenize + one position
+    explode emitting <= 3 hashed gram rows per position, two
+    map-side-combinable groupBys keyed by doc
+    (llm/text.py repetition_profile)."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.repetition_profile(d)

@@ -179,3 +179,36 @@ def test_bitext_mine_auto_planes_empty_side_raises(spark):
 
     with _pt.raises(ValueError, match="empty side_a"):
         bitext_mine(a, b)
+
+
+def test_repetition_profile_planted(spark):
+    from kaspi_etl_spark.llm.text import repetition_profile
+
+    docs = spark.createDataFrame(
+        [
+            # 'a b' repeated 5x: top 2-gram 'a b' has 5 of 9 occurrences
+            (1, "a b a b a b a b a b"),
+            # no repetition at all
+            (2, "one two three four five six seven eight"),
+            # shorter than 5 words: dup5 must be 0 (vacuous pass)
+            (3, "x y z"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_profile(docs).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    r1 = out[1]
+    assert r1.n_words == 10
+    assert r1.top2gram_ppm == 1_000_000 * 5 // 9
+    assert not r1.rep_pass  # 555555 ppm > 200000
+    # dup5: all six 5-grams are 'a b a b x' patterns; 'a b a b a' x3 and
+    # 'b a b a b' x3 -> every 5-gram occurrence duplicated
+    assert r1.dup5gram_ppm == 1_000_000
+    r2 = out[2]
+    assert r2.rep_pass and r2.top2gram_ppm == 1_000_000 // 7
+    r3 = out[3]
+    assert r3.dup5gram_ppm == 0 and r3.n_words == 3
+    assert out[4].n_words == 0 and out[4].rep_pass
+    assert out[5].n_words == 0 and out[5].rep_pass
