@@ -387,3 +387,57 @@ def eval_metrics(
         .cast("long")
         .alias("auc_ppm"),
     )
+
+
+def calibration_bins(scored: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Reliability diagram + expected calibration error for a scored
+    frame (p_scaled in [0, 2^LR_P], label y) — the calibration leg of
+    the classifier eval family (Naeini et al. 2015 ECE; the
+    quality-filter use: a miscalibrated quality classifier silently
+    skews a threshold-sampled corpus even at good AUC).
+
+    bin = min(p_scaled * n_bins div 2^LR_P, n_bins - 1); per observed
+    bin: exact count, positive count, mean predicted probability and
+    empirical positive rate in integer ppm, their absolute gap, and the
+    corpus ECE (count-weighted mean gap) replicated on each row. All
+    ratios are integer-exact; the weighted products run through
+    DECIMAL(38,0) so a trillion-row corpus cannot wrap BIGINT. The
+    total rides a 1-row broadcast crossJoin (never an unpartitioned
+    window); the binning groupBy is map-side combinable.
+    """
+    one = 1 << LR_P
+    b = scored.select(
+        F.least(
+            F.expr(f"(p_scaled * {n_bins}) div {one}"), F.lit(n_bins - 1)
+        )
+        .cast("long")
+        .alias("bin"),
+        "p_scaled",
+        "y",
+    )
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("p_scaled").cast("long").alias("_sum_p"),
+    )
+    per = per.withColumn(
+        "mean_pred_ppm",
+        F.expr(
+            "CAST(1000000 AS DECIMAL(38,0)) * CAST(_sum_p AS DECIMAL(38,0))"
+            f" div (CAST(n AS DECIMAL(38,0)) * {one})"
+        ).cast("long"),
+    ).withColumn(
+        "frac_pos_ppm", F.expr("(1000000 * n_pos) div n").cast("long")
+    ).withColumn(
+        "gap_ppm", F.abs(F.col("mean_pred_ppm") - F.col("frac_pos_ppm"))
+    )
+    tot = per.agg(
+        F.expr(
+            "CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(gap_ppm AS DECIMAL(38,0)))"
+            " div sum(CAST(n AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("ece_ppm")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "bin", "n", "n_pos", "mean_pred_ppm", "frac_pos_ppm",
+        F.col("gap_ppm").cast("long").alias("gap_ppm"), "ece_ppm",
+    )

@@ -12609,3 +12609,44 @@ def q_docs_repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm/text.py repetition_profile)."""
     d = _read(spark, sf_dir, "documents")
     return text_ops.repetition_profile(d)
+
+
+@register(
+    "docs_logreg_calibration",
+    """
+    WITH p AS ({PRED}),
+    b AS (
+      SELECT least((p_scaled * 10) // 1048576, 9) AS bin, p_scaled, y
+      FROM p
+    ),
+    per AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST((1000000::HUGEINT * CAST(SUM(p_scaled) AS HUGEINT))
+                  // (CAST(COUNT(*) AS HUGEINT) * 1048576)
+                  AS BIGINT) AS mean_pred_ppm,
+             CAST((1000000 * SUM(y)) // COUNT(*) AS BIGINT) AS frac_pos_ppm
+      FROM b GROUP BY bin
+    ),
+    g AS (SELECT *, CAST(abs(mean_pred_ppm - frac_pos_ppm) AS BIGINT)
+                      AS gap_ppm FROM per),
+    t AS (SELECT CAST(SUM(n::HUGEINT * gap_ppm::HUGEINT)
+                      // SUM(n::HUGEINT) AS BIGINT) AS ece_ppm
+          FROM g)
+    SELECT g.bin, g.n, g.n_pos, g.mean_pred_ppm, g.frac_pos_ppm, g.gap_ppm,
+           t.ece_ppm
+    FROM g, t
+    """.replace("{PRED}", ORACLES["docs_logreg_predict"]),
+)
+def q_docs_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + ECE for the trained quality classifier —
+    the calibration leg next to docs_logreg_eval's discrimination
+    metrics (a threshold-sampling pipeline needs calibrated
+    probabilities, not just rank order). 10 probability bins with exact
+    ppm mean-predicted vs empirical-positive rates and the
+    count-weighted ECE on every row; products run through DECIMAL(38,0)
+    (llm/classifier.py calibration_bins)."""
+    d = _read(spark, sf_dir, "documents")
+    weights = _lr_weights(spark, sf_dir)
+    scored = clf_ops.predict(d, weights, _lr_label_col())
+    return clf_ops.calibration_bins(scored)

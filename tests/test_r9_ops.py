@@ -212,3 +212,35 @@ def test_repetition_profile_planted(spark):
     assert r3.dup5gram_ppm == 0 and r3.n_words == 3
     assert out[4].n_words == 0 and out[4].rep_pass
     assert out[5].n_words == 0 and out[5].rep_pass
+
+
+def test_calibration_bins_handcrafted(spark):
+    from kaspi_etl_spark.llm.classifier import LR_P, calibration_bins
+
+    one = 1 << LR_P
+    # two bins: low-prob (p=0.25 exactly, bin 2) with 1/4 positives (well
+    # calibrated: |250000-250000|=0) and high-prob (p=0.875, bin 8) with
+    # 1/2 positives (gap 375000)
+    rows = [(i, one // 4, 1 if i == 0 else 0) for i in range(4)]
+    rows += [(10 + i, one * 7 // 8, i % 2) for i in range(4)]
+    scored = spark.createDataFrame(rows, "doc_id long, p_scaled long, y long")
+    out = {r.bin: r for r in calibration_bins(scored).collect()}
+    assert set(out) == {2, 8}
+    lo, hi = out[2], out[8]
+    assert (lo.n, lo.n_pos, lo.mean_pred_ppm, lo.frac_pos_ppm, lo.gap_ppm) == (
+        4, 1, 250_000, 250_000, 0)
+    assert (hi.n, hi.n_pos, hi.mean_pred_ppm, hi.frac_pos_ppm, hi.gap_ppm) == (
+        4, 2, 875_000, 500_000, 375_000)
+    # ECE = (4*0 + 4*375000) / 8 = 187500, replicated on both rows
+    assert lo.ece_ppm == hi.ece_ppm == 187_500
+
+
+def test_calibration_bins_top_bin_clamp(spark):
+    from kaspi_etl_spark.llm.classifier import LR_P, calibration_bins
+
+    one = 1 << LR_P
+    scored = spark.createDataFrame(
+        [(1, one, 1)], "doc_id long, p_scaled long, y long"
+    )
+    (r,) = calibration_bins(scored).collect()
+    assert r.bin == 9  # p_scaled == 2^LR_P clamps into the last bin
