@@ -1230,6 +1230,49 @@ def lpt_shard_assignment(
     )
 
 
+def stacked_gram_hashes(
+    w: DataFrame, ns: tuple[int, ...], key_col: str = "_d"
+) -> DataFrame:
+    """(key, n, gram-hash) rows for several n-gram lengths from ONE
+    position explode over a bound (key, _w words-array) frame: each
+    position emits up to len(ns) hashed grams (NULL — filtered — where
+    the gram would run past the end), so the corpus is tokenized and
+    exploded once regardless of how many lengths are requested. Grams
+    hash to 60-bit md5 longs (8-byte shuffle keys; the oracle mirrors
+    the hash, so even a collision reproduces). Shared by
+    repetition_profile and distinct_ngram_diversity."""
+    from .dedup import md5_long
+
+    n_min = min(ns)
+    pos = w.filter(F.size("_w") >= n_min).select(
+        key_col,
+        "_w",
+        F.explode(F.sequence(F.lit(0), F.size("_w") - n_min)).alias("_i"),
+    )
+
+    def _gh(n: int):
+        gram = F.concat_ws(
+            " ", *[F.element_at("_w", F.col("_i") + k + 1) for k in range(n)]
+        )
+        return F.when(F.col("_i") <= F.size("_w") - n, md5_long(gram))
+
+    return (
+        pos.select(
+            key_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(n).alias("n"), _gh(n).alias("h"))
+                        for n in ns
+                    ]
+                )
+            ).alias("s"),
+        )
+        .select(key_col, F.col("s.n").alias("_n"), F.col("s.h").alias("_h"))
+        .filter(F.col("_h").isNotNull())
+    )
+
+
 def repetition_profile(
     docs: DataFrame,
     text_col: str = "text",
@@ -1259,7 +1302,7 @@ def repetition_profile(
     collision is mirrored); the counts are two map-side-combinable
     groupBys keyed by doc — no joins, no windows.
     """
-    from .dedup import md5_long, split_words
+    from .dedup import split_words
 
     base = docs.select(
         F.col(id_col),
@@ -1273,33 +1316,7 @@ def repetition_profile(
     w = docs.filter(
         F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
     ).select(F.col(id_col).alias("_d"), split_words(F.col(text_col)).alias("_w"))
-    pos = w.filter(F.size("_w") >= 2).select(
-        "_d",
-        "_w",
-        F.explode(F.sequence(F.lit(0), F.size("_w") - 2)).alias("_i"),
-    )
-
-    def _gh(n: int):
-        gram = F.concat_ws(
-            " ", *[F.element_at("_w", F.col("_i") + k + 1) for k in range(n)]
-        )
-        return F.when(F.col("_i") <= F.size("_w") - n, md5_long(gram))
-
-    stacked = (
-        pos.select(
-            "_d",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(F.lit(n).alias("n"), _gh(n).alias("h"))
-                        for n in (2, 3, 5)
-                    ]
-                )
-            ).alias("s"),
-        )
-        .select("_d", F.col("s.n").alias("_n"), F.col("s.h").alias("_h"))
-        .filter(F.col("_h").isNotNull())
-    )
+    stacked = stacked_gram_hashes(w, (2, 3, 5), key_col="_d")
     counts = stacked.groupBy("_d", "_n", "_h").agg(
         F.count(F.lit(1)).cast("long").alias("_c")
     )
@@ -1332,4 +1349,43 @@ def repetition_profile(
         (F.col("top2gram_ppm") <= top2_max_ppm)
         & (F.col("top3gram_ppm") <= top3_max_ppm)
         & (F.col("dup5gram_ppm") <= dup5_max_ppm),
+    )
+
+
+def distinct_ngram_diversity(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Distinct-n lexical diversity per corpus slice (Li et al. 2016):
+    for each (group, n), total n-gram occurrences, distinct n-grams,
+    and distinct_ppm = 1e6 * distinct div total — the generation-
+    diversity metric applied as a corpus datacard column (a slice
+    whose distinct-2 ratio collapses is template spam even when every
+    doc passes per-doc gates). NULL groups are kept (GROUP BY, never
+    an equi-join). Scale: one tokenize + one position explode
+    (stacked_gram_hashes), one groupBy keyed (group, n, gram-hash) —
+    gram spreads the hot-group keys — and one rollup.
+    """
+    from .dedup import split_words
+
+    w = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(group_col).alias("_g"), split_words(F.col(text_col)).alias("_w"))
+    stacked = stacked_gram_hashes(w, ns, key_col="_g")
+    counts = stacked.groupBy("_g", "_n", "_h").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    return counts.groupBy("_g", "_n").agg(
+        F.sum("_c").cast("long").alias("total_ngrams"),
+        F.count(F.lit(1)).cast("long").alias("distinct_ngrams"),
+    ).select(
+        F.col("_g").alias(group_col),
+        F.col("_n").cast("long").alias("n"),
+        "total_ngrams",
+        "distinct_ngrams",
+        F.expr("(1000000 * distinct_ngrams) div total_ngrams")
+        .cast("long")
+        .alias("distinct_ppm"),
     )

@@ -12650,3 +12650,38 @@ def q_docs_logreg_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights = _lr_weights(spark, sf_dir)
     scored = clf_ops.predict(d, weights, _lr_label_col())
     return clf_ops.calibration_bins(scored)
+
+
+@register(
+    "corpus_distinct_ngrams",
+    f"""
+    WITH w AS (
+      SELECT source, {SQL_WORDS} AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    g AS (
+      SELECT source, n, {_sql_md5_long('g')} AS h FROM (
+        SELECT source, 1 AS n, unnest(w) AS g FROM w
+        UNION ALL
+        SELECT source, 2 AS n, unnest({_sql_rep_grams(2)}) AS g FROM w
+        UNION ALL
+        SELECT source, 3 AS n, unnest({_sql_rep_grams(3)}) AS g FROM w
+      )
+    ),
+    c AS (SELECT source, n, h, CAST(COUNT(*) AS BIGINT) AS c
+          FROM g GROUP BY 1, 2, 3)
+    SELECT source, CAST(n AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS total_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS distinct_ngrams,
+           CAST((1000000 * COUNT(*)) // SUM(c) AS BIGINT) AS distinct_ppm
+    FROM c GROUP BY source, n
+    """,
+)
+def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-1/2/3-gram diversity per source (Li et al. 2016
+    distinct-n as a datacard column): exact occurrence totals, distinct
+    counts, and integer-ppm ratios — the slice-level template-spam
+    detector next to the per-doc repetition profile
+    (llm/text.py distinct_ngram_diversity)."""
+    d = _read(spark, sf_dir, "documents")
+    return text_ops.distinct_ngram_diversity(d)

@@ -244,3 +244,28 @@ def test_calibration_bins_top_bin_clamp(spark):
     )
     (r,) = calibration_bins(scored).collect()
     assert r.bin == 9  # p_scaled == 2^LR_P clamps into the last bin
+
+
+def test_distinct_ngram_diversity_handcrafted(spark):
+    from kaspi_etl_spark.llm.text import distinct_ngram_diversity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a a a a", "tmpl"),      # 4 unigrams, 1 distinct
+            (2, "a a", "tmpl"),          # +2 occurrences, same gram
+            (3, "x y z", "var"),         # all distinct
+            (4, None, "var"),            # ignored
+            (5, "w1 w2", None),          # NULL group must be kept
+        ],
+        "doc_id long, text string, source string",
+    )
+    rows = {(r.source, r.n): r for r in distinct_ngram_diversity(docs).collect()}
+    t1 = rows[("tmpl", 1)]
+    assert (t1.total_ngrams, t1.distinct_ngrams, t1.distinct_ppm) == (6, 1, 166_666)
+    t2 = rows[("tmpl", 2)]
+    assert (t2.total_ngrams, t2.distinct_ngrams) == (4, 1)  # 'a a' x4
+    v1 = rows[("var", 1)]
+    assert (v1.total_ngrams, v1.distinct_ngrams, v1.distinct_ppm) == (3, 3, 1_000_000)
+    assert (None, 1) in rows and rows[(None, 1)].total_ngrams == 2
+    # doc 3 has 3 words -> 1 trigram; doc 5 has 2 words -> no trigram
+    assert rows[("var", 3)].total_ngrams == 1 and (None, 3) not in rows
