@@ -1914,3 +1914,42 @@ def auto_sign_planes(n: int, dim: int, target_bucket: int = 1250) -> list[list[f
 
     num = max(4, int(_m.ceil(_m.log2(max(n, 1) / float(target_bucket))))) if n > target_bucket else 4
     return deterministic_planes(num_planes=num, dim=dim)
+
+
+def pca_variance_report(
+    n: int,
+    sx: list[int],
+    sxy: dict[tuple[int, int], int],
+    component: list[int],
+    dims: int = 16,
+) -> dict[str, int]:
+    """Variance-explained report for a power-iterated component — the
+    eval leg of the PCA family (train: pca_moments/pca_power_component;
+    score: pca_project; EVAL: this): the Rayleigh quotient
+    lambda1 = v'Cv / v'v of the centered scatter matrix C (exact
+    integers, C is PSD by construction so every quantity is
+    non-negative) and the explained-variance share vs trace(C).
+
+    Floors are two-step (lambda first, then the ppm ratio) so both
+    engines compute the identical value without the 1e6 * v'Cv product
+    ever forming (it could exceed HUGEINT's 2^127 on a wide corpus);
+    lambda/trace are emitted e20-scaled (// 2^20) to stay BIGINT-safe.
+    All driver-side exact Python ints over the bounded moments read."""
+    C = [[0] * dims for _ in range(dims)]
+    for i in range(dims):
+        for j in range(i, dims):
+            c = n * sxy.get((i, j), 0) - sx[i] * sx[j]
+            C[i][j] = c
+            C[j][i] = c
+    trace = sum(C[i][i] for i in range(dims))
+    v = component
+    vCv = sum(C[i][j] * v[i] * v[j] for i in range(dims) for j in range(dims))
+    vv = sum(x * x for x in v)
+    lam = vCv // vv if vv > 0 else 0  # vCv >= 0 (PSD): // == floor
+    explained_ppm = (1_000_000 * lam) // trace if trace > 0 else 0
+    return {
+        "n_vectors": n,
+        "lambda1_e20": lam // PCA_SCALE,
+        "trace_e20": trace // PCA_SCALE,
+        "explained_ppm": explained_ppm,
+    }

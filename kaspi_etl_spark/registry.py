@@ -9671,6 +9671,24 @@ def _sql_pca_oracle(dims: int = 16, iters: int = 6) -> str:
     renormalization (mod identity: DuckDB // truncates, Python //
     floors; subtracting the positive mod first makes the division exact
     so both agree) -> literal-free projection join."""
+    chain, prev = _sql_pca_chain(dims, iters)
+    return f"""{chain},
+    proj AS (
+      SELECT e.vec_id, CAST(SUM(CAST(e.xq AS HUGEINT) * v.v) AS BIGINT) AS p
+      FROM ex e JOIN {prev} v ON e.i = v.pos GROUP BY 1
+    )
+    SELECT b.vec_id,
+           CAST(COALESCE(p.p, 0) AS BIGINT) AS proj_scaled,
+           CAST(COALESCE(p.p, 0) AS DOUBLE)
+             / CAST({sim_ops.PCA_SCALE**2} AS DOUBLE) AS proj_value
+    FROM base b LEFT JOIN proj p USING (vec_id)
+    """
+
+
+def _sql_pca_chain(dims: int = 16, iters: int = 6) -> tuple[str, str]:
+    """The shared WITH-chain of the PCA oracle (moments -> cov ->
+    unrolled power iterations); returns (chain_sql, final_v_cte_name) so
+    each PCA-family query supplies its own SELECT tail."""
     sc = sim_ops.PCA_SCALE
     steps = []
     prev = "v0"
@@ -9687,7 +9705,7 @@ def _sql_pca_oracle(dims: int = 16, iters: int = 6) -> str:
                     END AS v
              FROM u{k} JOIN {prev} ON u{k}.pos = {prev}.pos, m{k})""")
         prev = f"v{k}"
-    return f"""
+    chain = f"""
     WITH base AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings
       WHERE embedding IS NOT NULL AND len(embedding) >= {dims}
@@ -9721,17 +9739,8 @@ def _sql_pca_oracle(dims: int = 16, iters: int = 6) -> str:
       CROSS JOIN nn
     ),
     v0 AS MATERIALIZED (SELECT unnest(range(1, {dims + 1})) AS pos,
-                  CAST({sc} AS HUGEINT) AS v),{",".join(steps)},
-    proj AS (
-      SELECT e.vec_id, CAST(SUM(CAST(e.xq AS HUGEINT) * v.v) AS BIGINT) AS p
-      FROM ex e JOIN {prev} v ON e.i = v.pos GROUP BY 1
-    )
-    SELECT b.vec_id,
-           CAST(COALESCE(p.p, 0) AS BIGINT) AS proj_scaled,
-           CAST(COALESCE(p.p, 0) AS DOUBLE)
-             / CAST({sc * sc} AS DOUBLE) AS proj_value
-    FROM base b LEFT JOIN proj p USING (vec_id)
-    """
+                  CAST({sc} AS HUGEINT) AS v),{",".join(steps)}"""
+    return chain, prev
 
 
 @register("embeddings_pca_project", _sql_pca_oracle(16, 6))
@@ -12685,3 +12694,46 @@ def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm/text.py distinct_ngram_diversity)."""
     d = _read(spark, sf_dir, "documents")
     return text_ops.distinct_ngram_diversity(d)
+
+
+def _sql_pca_variance_oracle(dims: int = 16, iters: int = 6) -> str:
+    chain, prev = _sql_pca_chain(dims, iters)
+    sc = sim_ops.PCA_SCALE
+    return f"""{chain},
+    tr AS (SELECT SUM(c) AS t FROM cov WHERE i = j),
+    num AS (SELECT SUM(c.c * va.v * vb.v) AS q
+            FROM cov c JOIN {prev} va ON va.pos = c.i
+                       JOIN {prev} vb ON vb.pos = c.j),
+    den AS (SELECT SUM(v * v) AS d FROM {prev}),
+    lam AS (SELECT CASE WHEN den.d > 0 THEN num.q // den.d
+                        ELSE 0 END AS l
+            FROM num, den)
+    SELECT CAST(nn.n AS BIGINT) AS n_vectors,
+           CAST(lam.l // {sc} AS BIGINT) AS lambda1_e20,
+           CAST(tr.t // {sc} AS BIGINT) AS trace_e20,
+           CAST(CASE WHEN tr.t > 0 THEN (1000000 * lam.l) // tr.t
+                     ELSE 0 END AS BIGINT) AS explained_ppm
+    FROM lam, tr, nn
+    """
+
+
+@register("embeddings_pca_variance", _sql_pca_variance_oracle(16, 6))
+def q_embeddings_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-explained report of the top principal component — the
+    eval leg the PCA family was missing (every trained family here has
+    train / score / eval): exact Rayleigh quotient of the centered
+    scatter matrix and its ppm share of trace(C), one row, everything
+    from the SAME bounded moments read as embeddings_pca_project (the
+    distributed work is shared; the report itself is driver-side exact
+    integers mirrored by the unrolled oracle chain)
+    (llm/similarity.py pca_variance_report)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    n, sx, sxy = sim_ops.pca_moments(emb, dims=16)
+    v = sim_ops.pca_power_component(n, sx, sxy, dims=16, iters=6)
+    rep = sim_ops.pca_variance_report(n, sx, sxy, v, dims=16)
+    return spark.createDataFrame(
+        [(rep["n_vectors"], rep["lambda1_e20"], rep["trace_e20"],
+          rep["explained_ppm"])],
+        "n_vectors bigint, lambda1_e20 bigint, trace_e20 bigint, "
+        "explained_ppm bigint",
+    )

@@ -269,3 +269,32 @@ def test_distinct_ngram_diversity_handcrafted(spark):
     assert (None, 1) in rows and rows[(None, 1)].total_ngrams == 2
     # doc 3 has 3 words -> 1 trigram; doc 5 has 2 words -> no trigram
     assert rows[("var", 3)].total_ngrams == 1 and (None, 3) not in rows
+
+
+def test_pca_variance_report_axis_aligned():
+    from kaspi_etl_spark.llm.similarity import PCA_SCALE, pca_variance_report
+
+    # 3 points on the x-axis of a 2-dim space: ALL variance on dim 0.
+    # xq values: -2^20, 0, 2^20 (already quantized scale)
+    one = PCA_SCALE
+    n = 3
+    sx = [0, 0]
+    sxy = {(0, 0): 2 * one * one, (0, 1): 0, (1, 1): 0}
+    v = [one, 0]  # the true top component
+    rep = pca_variance_report(n, sx, sxy, v, dims=2)
+    assert rep["n_vectors"] == 3
+    assert rep["explained_ppm"] == 1_000_000  # everything explained
+    # lambda = v'Cv/v'v = C00 = n*sxy00 = 6*2^40 -> e20 = 6*2^20
+    assert rep["lambda1_e20"] == 6 * one
+    assert rep["trace_e20"] == 6 * one
+
+
+def test_pca_variance_report_isotropic():
+    from kaspi_etl_spark.llm.similarity import PCA_SCALE, pca_variance_report
+
+    one = PCA_SCALE
+    n = 2
+    sx = [0, 0]
+    sxy = {(0, 0): 2 * one * one, (0, 1): 0, (1, 1): 2 * one * one}
+    rep = pca_variance_report(n, sx, sxy, [one, 0], dims=2)
+    assert rep["explained_ppm"] == 500_000  # half the trace on each axis
