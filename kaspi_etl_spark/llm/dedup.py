@@ -1694,3 +1694,64 @@ def cluster_weighted_sample(
         .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def fragment_stitch_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_fanout: int = 64,
+) -> DataFrame:
+    """Chunked-duplicate stitching: directed (prev, next) candidate
+    pairs where prev's LAST k words equal next's FIRST k words — the
+    crawl-fragment signal (one page split across fetches, a doc chunked
+    mid-stream) that whole-doc or shingle-set dedup misses because the
+    fragments share almost no content overall.
+
+    Scale shape: one narrow map extracts a single head and tail k-gram
+    per doc (hashed to 60-bit md5 longs — 8-byte join keys, oracle
+    mirrors the hash), then ONE equi-join on the boundary hash. A
+    boilerplate boundary (template opener shared by H docs meeting a
+    template closer in T docs) fans out H*T, so grams above
+    ``max_fanout`` on either side are excluded outright (deterministic,
+    HAVING count <= cap in the oracle) — the hot-shingle treatment.
+
+    Returns (prev_id, next_id); self-pairs excluded.
+    """
+    w = docs.filter(
+        F.col(text_col).isNotNull() & (F.trim(F.col(text_col)) != "")
+    ).select(F.col(id_col).alias("_d"), split_words(F.col(text_col)).alias("_w"))
+    w = w.filter(F.size("_w") >= k)
+    head = F.concat_ws(
+        " ", *[F.element_at("_w", i + 1) for i in range(k)]
+    )
+    tail = F.concat_ws(
+        " ", *[F.element_at("_w", F.size("_w") - k + i + 1) for i in range(k)]
+    )
+    hw = w.select(
+        "_d", md5_long(head).alias("_hh"), md5_long(tail).alias("_th")
+    )
+    hok = (
+        hw.groupBy("_hh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") <= max_fanout)
+        .select("_hh")
+    )
+    tok = (
+        hw.groupBy("_th")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") <= max_fanout)
+        .select("_th")
+    )
+    tails = hw.join(tok, "_th", "left_semi").select(
+        F.col("_d").alias("prev_id"), F.col("_th").alias("_bh")
+    )
+    heads = hw.join(hok, "_hh", "left_semi").select(
+        F.col("_d").alias("next_id"), F.col("_hh").alias("_bh")
+    )
+    return (
+        tails.join(heads, "_bh")
+        .filter(F.col("prev_id") != F.col("next_id"))
+        .select("prev_id", "next_id")
+    )

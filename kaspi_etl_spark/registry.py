@@ -12737,3 +12737,43 @@ def q_embeddings_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vectors bigint, lambda1_e20 bigint, trace_e20 bigint, "
         "explained_ppm bigint",
     )
+
+
+_STITCH_K = 3
+_STITCH_CAP = 64
+
+
+@register(
+    "docs_fragment_stitch",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {SQL_WORDS} AS w
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    hw AS (
+      SELECT doc_id,
+             {_sql_md5_long(f"array_to_string(w[1:{_STITCH_K}], ' ')")} AS hh,
+             {_sql_md5_long(
+                 f"array_to_string(w[len(w)-{_STITCH_K}+1:len(w)], ' ')"
+             )} AS th
+      FROM w WHERE len(w) >= {_STITCH_K}
+    ),
+    hok AS (SELECT hh FROM hw GROUP BY hh HAVING COUNT(*) <= {_STITCH_CAP}),
+    tok AS (SELECT th FROM hw GROUP BY th HAVING COUNT(*) <= {_STITCH_CAP})
+    SELECT t.doc_id AS prev_id, h.doc_id AS next_id
+    FROM hw t JOIN tok ON t.th = tok.th
+    JOIN hw h ON t.th = h.hh
+    JOIN hok ON h.hh = hok.hh
+    WHERE t.doc_id <> h.doc_id
+    """,
+)
+def q_docs_fragment_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunked-duplicate stitching: directed (prev, next) pairs whose
+    boundary 3-grams match (prev's tail = next's head) — the
+    crawl-fragment detector whole-doc dedup misses; one narrow map per
+    doc + one 8-byte-key equi-join, hot boundaries capped at 64 on both
+    sides (llm/dedup.py fragment_stitch_pairs)."""
+    d = _read(spark, sf_dir, "documents")
+    return dedup_ops.fragment_stitch_pairs(
+        d, k=_STITCH_K, max_fanout=_STITCH_CAP
+    )

@@ -298,3 +298,36 @@ def test_pca_variance_report_isotropic():
     sxy = {(0, 0): 2 * one * one, (0, 1): 0, (1, 1): 2 * one * one}
     rep = pca_variance_report(n, sx, sxy, [one, 0], dims=2)
     assert rep["explained_ppm"] == 500_000  # half the trace on each axis
+
+
+def test_fragment_stitch_planted(spark):
+    from kaspi_etl_spark.llm.dedup import fragment_stitch_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "delta epsilon zeta eta theta iota"),  # 1 -> 2 stitch
+            (3, "unrelated words entirely here now"),
+            (4, "delta epsilon zeta"),  # 1 -> 4 too (head == its k-gram)
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r.prev_id, r.next_id) for r in fragment_stitch_pairs(docs, k=3).collect()}
+    # doc 4's tail is also 'delta epsilon zeta' so it stitches into 2
+    # and 4's head matches 1's tail; no self-pairs
+    assert got == {(1, 2), (1, 4), (4, 2)}
+
+
+def test_fragment_stitch_fanout_cap(spark):
+    from kaspi_etl_spark.llm.dedup import fragment_stitch_pairs
+
+    # 5 docs share the same head gram; tail doc matches them all
+    rows = [(i, "common head gram tail%d x y" % i) for i in range(5)]
+    rows += [(100, "something ends with common head gram")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = fragment_stitch_pairs(docs, k=3, max_fanout=64)
+    assert uncapped.count() == 5
+    capped = fragment_stitch_pairs(docs, k=3, max_fanout=4)
+    assert capped.count() == 0  # hot head gram excluded outright
