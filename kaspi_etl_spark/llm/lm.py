@@ -968,3 +968,93 @@ def sql_fexp2(expr: str) -> str:
         f" >> {FLOG2_FRAC_BITS - FLOG2_IDX_BITS} AS INT) + 1) AS BIGINT)"
         f" << CAST(({expr}) // {FLOG2_ONE} AS INT))"
     )
+
+
+def beam_decode(
+    docs: DataFrame,
+    steps: int = 6,
+    beam: int = 2,
+    n_seeds: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Beam-search decoding from the corpus bigram model — the width-B
+    sibling of greedy_generate (greedy = beam 1): from each seed, keep
+    the ``beam`` highest-scoring paths, scoring each hop by the exact
+    fixed-point conditional surprisal flog2(c12) - flog2(c1) (additive
+    BIGINTs — no float anywhere, so path scores are engine-exact).
+
+    Pruning soundness: a beam item's best B continuations can only use
+    its last word's top-B next words (per-hop scores depend on nothing
+    else), so expansion joins the per-context top-B table (a
+    WindowGroupLimit, never the full bigram table per step). Ties break
+    on the full path string ASC — a total, engine-neutral order. Paths
+    are NOT recombined on equal last words: the kept object is the path
+    itself (recombination would be Viterbi, a different operator). A
+    path whose last word has no continuation dies (inner join); a seed
+    whose beams all die drops out.
+
+    Each step is one equi-join of <= n_seeds*beam rows against the
+    top-B next-map + one rank-within-seed — ``steps`` shallow joins, no
+    recursion, no driver loop. The next-map and seeds are
+    localCheckpointed: every step references them, and the compounding
+    logical-plan duplication is the unigram-DP lesson (NOTES r8).
+
+    Returns (seed, rank, path, score_scaled) for the final beams.
+    """
+    big = doc_bigrams(docs, id_col, text_col)
+    cnt = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = cnt.groupBy("w1").agg(F.sum("c").alias("c1"))
+    w = Window.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2").asc())
+    nxt = (
+        cnt.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= beam)
+        .join(c1, "w1")
+    )
+    nxt = with_flog2(nxt, "c", "_l12")
+    nxt = with_flog2(nxt, "c1", "_l1")
+    nxt = nxt.select(
+        "w1", "w2", (F.col("_l12") - F.col("_l1")).cast("long").alias("_delta")
+    ).localCheckpoint(eager=False)
+    tf = (
+        docs.select(F.explode_outer(extract_words(F.col(text_col))).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    seeds = (
+        tf.orderBy(F.col("f").desc(), F.col("_t").asc())
+        .limit(n_seeds)
+        .select(F.col("_t").alias("seed"))
+        .localCheckpoint(eager=False)
+    )
+    beams = seeds.select(
+        "seed",
+        F.col("seed").alias("path"),
+        F.col("seed").alias("word"),
+        F.lit(0).cast("long").alias("score"),
+    )
+    for _ in range(steps):
+        expanded = beams.join(nxt, beams["word"] == nxt["w1"]).select(
+            "seed",
+            F.concat_ws(" ", "path", "w2").alias("path"),
+            F.col("w2").alias("word"),
+            (F.col("score") + F.col("_delta")).cast("long").alias("score"),
+        )
+        wnd = Window.partitionBy("seed").orderBy(
+            F.col("score").desc(), F.col("path").asc()
+        )
+        beams = (
+            expanded.withColumn("_rk", F.row_number().over(wnd))
+            .filter(F.col("_rk") <= beam)
+            .drop("_rk")
+        )
+    final_w = Window.partitionBy("seed").orderBy(
+        F.col("score").desc(), F.col("path").asc()
+    )
+    return beams.select(
+        "seed",
+        F.row_number().over(final_w).cast("long").alias("rank"),
+        "path",
+        F.col("score").alias("score_scaled"),
+    )

@@ -12777,3 +12777,53 @@ def q_docs_fragment_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.fragment_stitch_pairs(
         d, k=_STITCH_K, max_fanout=_STITCH_CAP
     )
+
+
+def _sql_beam_decode(steps: int = 6, beam: int = 2, n_seeds: int = 3) -> str:
+    bs = []
+    for t in range(1, steps + 1):
+        bs.append(f"""
+    b{t} AS (SELECT seed, path, word, score FROM (
+      SELECT b.seed, b.path || ' ' || n.w2 AS path, n.w2 AS word,
+             b.score + n.delta AS score,
+             ROW_NUMBER() OVER (PARTITION BY b.seed
+               ORDER BY b.score + n.delta DESC,
+                        b.path || ' ' || n.w2 ASC) AS r
+      FROM b{t - 1} b JOIN nxt n ON n.w1 = b.word) WHERE r <= {beam})""")
+    return f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    big0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+    cnt AS (SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c
+            FROM big0 GROUP BY 1, 2),
+    c1t AS (SELECT w1, CAST(SUM(c) AS BIGINT) AS c1 FROM cnt GROUP BY 1),
+    nxt AS (SELECT w1, w2, delta FROM (
+              SELECT cnt.w1, cnt.w2,
+                     CAST({lm_ops.sql_flog2('cnt.c')}
+                          - {lm_ops.sql_flog2('c1t.c1')} AS BIGINT) AS delta,
+                     ROW_NUMBER() OVER (PARTITION BY cnt.w1
+                                        ORDER BY cnt.c DESC, cnt.w2 ASC) AS r
+              FROM cnt JOIN c1t USING (w1)) WHERE r <= {beam}),
+    tf AS (SELECT t, CAST(count(*) AS BIGINT) AS f
+           FROM (SELECT unnest(ws) AS t FROM w) GROUP BY 1),
+    seeds AS (SELECT t AS seed FROM tf ORDER BY f DESC, t ASC LIMIT {n_seeds}),
+    b0 AS (SELECT seed, seed AS path, seed AS word,
+                  CAST(0 AS BIGINT) AS score FROM seeds),{",".join(bs)}
+    SELECT seed,
+           CAST(ROW_NUMBER() OVER (PARTITION BY seed
+                  ORDER BY score DESC, path ASC) AS BIGINT) AS rank,
+           path, CAST(score AS BIGINT) AS score_scaled
+    FROM b{steps}
+    """
+
+
+@register("lm_beam_decode", _sql_beam_decode(6, 2, 3))
+def q_lm_beam_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Width-2 beam-search decoding from the corpus bigram model — the
+    search-width generalization of lm_greedy_generate, scored by exact
+    fixed-point conditional surprisals so every path score is an
+    additive BIGINT both engines reproduce bit-for-bit. Per-context
+    top-B expansion (WindowGroupLimit) keeps each of the 6 steps a
+    <= seeds*beam-row join; oracle unrolls the identical steps
+    (llm/lm.py beam_decode)."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.beam_decode(d, steps=6, beam=2, n_seeds=3)

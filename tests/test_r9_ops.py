@@ -331,3 +331,40 @@ def test_fragment_stitch_fanout_cap(spark):
     assert uncapped.count() == 5
     capped = fragment_stitch_pairs(docs, k=3, max_fanout=4)
     assert capped.count() == 0  # hot head gram excluded outright
+
+
+def test_beam_decode_planted(spark):
+    from kaspi_etl_spark.llm.lm import beam_decode
+
+    # corpus where 'a' is followed by 'b' 3x and 'c' 2x; 'b'->'d' always,
+    # 'c'->'e' always. Greedy path from 'a': a b d...; beam keeps a-c-e too.
+    docs = spark.createDataFrame(
+        [
+            (1, "a b d a b d a b d"),
+            (2, "a c e a c e"),
+        ],
+        "doc_id long, text string",
+    )
+    out = beam_decode(docs, steps=2, beam=2, n_seeds=1).collect()
+    by_rank = {r.rank: r for r in out}
+    assert by_rank[1].seed == "a"
+    # rank-1 must be the higher-probability branch a->b->d
+    assert by_rank[1].path == "a b d"
+    assert by_rank[2].path == "a c e"
+    assert by_rank[1].score_scaled > by_rank[2].score_scaled
+
+
+def test_beam_decode_greedy_agreement(spark, sf_dir):
+    """Beam rank-1 with beam=1 must equal greedy's chain."""
+    from kaspi_etl_spark.llm.lm import beam_decode, greedy_generate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    g = greedy_generate(d, steps=4, n_seeds=2)
+    gpaths = {}
+    for r in g.collect():
+        gpaths.setdefault(r.seed, {})[r.step] = r.word
+    b = beam_decode(d, steps=4, beam=1, n_seeds=2).collect()
+    for r in b:
+        steps = gpaths[r.seed]
+        want = " ".join(steps[i] for i in sorted(steps))
+        assert r.path == want and r.rank == 1
