@@ -139,6 +139,18 @@ HEADLINE = [
     # the stress curve instead, like communities_lp).
     "docs_novelty_bloom",
     "docs_rouge_overlap",
+    # r9: the Gopher repetition profile (one explode, three gram
+    # lengths), slice-level distinct-n diversity, crawl-fragment
+    # stitching (one boundary-hash equi-join), classifier calibration
+    # (reliability bins + ECE), and width-2 beam decode (6 shallow
+    # joins over a WindowGroupLimit next-map). Deliberately NOT here:
+    # embeddings_pca_variance (driver-side report over the same moments
+    # embeddings_pca_project above already times).
+    "docs_repetition_profile",
+    "corpus_distinct_ngrams",
+    "docs_fragment_stitch",
+    "docs_logreg_calibration",
+    "lm_beam_decode",
 ]
 
 

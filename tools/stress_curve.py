@@ -393,22 +393,13 @@ def main() -> None:
             n_lic = lic.count()
 
             def _lp():
-                from kaspi_etl_spark.ops import graph
+                from kaspi_etl_spark.ops import basket, graph
 
-                b = lic.distinct()
-                a_ = b.select("o", F.col("item").alias("item_a"))
-                b_ = b.select(F.col("o").alias("o2"), F.col("item").alias("item_b"))
-                co = (
-                    a_.join(
-                        b_,
-                        (F.col("o") == F.col("o2"))
-                        & (F.col("item_a") < F.col("item_b")),
-                    )
-                    .groupBy("item_a", "item_b")
-                    .agg(F.count(F.lit(1)).alias("c"))
-                    .filter(F.col("c") >= 2)
-                    .select("item_a", "item_b")
-                )
+                # the r9 edge build: Apriori prune + hub cap BEFORE the
+                # within-basket self-join (registry copurchase_communities_lp)
+                co = basket.basket_pairs(
+                    lic, min_support=2, max_basket_items=64
+                ).select("item_a", "item_b")
                 out = graph.label_propagation(
                     co, rounds=4, src_col="item_a", dst_col="item_b"
                 )
