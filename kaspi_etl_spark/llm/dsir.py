@@ -195,3 +195,58 @@ def sql_dsir_ctes(
       FROM ds_feats f JOIN ds_stats s USING (j) CROSS JOIN ds_consts k
       GROUP BY f.id
     )"""
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_expr: Column,
+    k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    d: int = DSIR_D,
+    salt: str = "dsirrs",
+) -> DataFrame:
+    """The RESAMPLING leg of DSIR (Xie et al. 2023 sample documents
+    from the raw pool with probability proportional to exp of the
+    importance log-weight): deterministic A-ES selection entirely in
+    log space, so the exponential weight 2^(dsir_scaled/2^20) is never
+    materialized — A-ES keeps the k smallest -log2(u)/w, and
+
+        log2(-log2(u) / w) = flog2(60*2^20 - flog2(u)) - dsir_scaled
+                             (+ a constant shared by every row)
+
+    is an exact BIGINT under the shared flog2 kernel: u is the 60-bit
+    md5 of the id (no RNG state), both flog2 applications stay in the
+    kernel's integer domain, and the selection ORDER BY (key ASC, id
+    ASC) LIMIT k compiles to TakeOrderedAndProject. Only the raw pool
+    (is_target = 0) is sampled — the target slice defines the
+    distribution, it is not a selection candidate.
+
+    Returns (doc_id, n_feats, dsir_scaled, resample_key) for the k
+    selected docs.
+    """
+    from .lm import FLOG2_ONE
+
+    scored = dsir_weights(docs, target_expr, id_col, text_col, d)
+    pool = scored.filter(F.col("is_target") == 0).select(
+        id_col,
+        "n_feats",
+        "dsir_scaled",
+        F.greatest(
+            md5_long(F.col(id_col).cast("string"), salt=salt), F.lit(1)
+        ).alias("_u"),
+    )
+    pool = with_flog2(pool, "_u", "_lu")
+    pool = pool.withColumn(
+        "_a", F.greatest(F.lit(60 * FLOG2_ONE) - F.col("_lu"), F.lit(1))
+    )
+    pool = with_flog2(pool, "_a", "_la")
+    keyed = pool.select(
+        id_col,
+        "n_feats",
+        "dsir_scaled",
+        (F.col("_la") - F.col("dsir_scaled")).cast("long").alias("resample_key"),
+    )
+    return keyed.orderBy(
+        F.col("resample_key").asc(), F.col(id_col).asc()
+    ).limit(k)

@@ -12827,3 +12827,41 @@ def q_lm_beam_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm/lm.py beam_decode)."""
     d = _read(spark, sf_dir, "documents")
     return lm_ops.beam_decode(d, steps=6, beam=2, n_seeds=3)
+
+
+_DSIR_RS_K = 200
+
+
+@register(
+    "docs_dsir_resample",
+    f"""
+    WITH {dsir_ops.sql_dsir_ctes(_DSIR_TARGET_SQL)},
+    pool AS (
+      SELECT id AS doc_id, n_feats, dsir_scaled,
+             greatest({_sql_md5_long("CAST(id AS VARCHAR) || 'dsirrs'")}, 1)
+               AS u
+      FROM dsir_scored WHERE is_target = 0
+    ),
+    lu AS (SELECT doc_id, n_feats, dsir_scaled,
+                  greatest({60 * lm_ops.FLOG2_ONE} - {lm_ops.sql_flog2('u')}, 1)
+                    AS a
+           FROM pool)
+    SELECT doc_id, n_feats, dsir_scaled,
+           CAST({lm_ops.sql_flog2('a')} - dsir_scaled AS BIGINT)
+             AS resample_key
+    FROM lu
+    ORDER BY resample_key ASC, doc_id ASC LIMIT {_DSIR_RS_K}
+    """,
+)
+def q_docs_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The importance-RESAMPLING leg that completes the DSIR pipeline
+    (docs_dsir_weights estimates, this selects): deterministic A-ES
+    draw of 200 raw-pool documents with probability proportional to
+    2^(dsir log-weight), computed entirely in log space so the
+    exponential never materializes — key = flog2(60*2^20 - flog2(u))
+    - dsir_scaled, exact BIGINT, TakeOrderedAndProject selection
+    (llm/dsir.py dsir_resample)."""
+    d = _read(spark, sf_dir, "documents")
+    return dsir_ops.dsir_resample(
+        d, F.col("source").isin("src0", "src1", "src2"), k=_DSIR_RS_K
+    )

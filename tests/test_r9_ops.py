@@ -368,3 +368,40 @@ def test_beam_decode_greedy_agreement(spark, sf_dir):
         steps = gpaths[r.seed]
         want = " ".join(steps[i] for i in sorted(steps))
         assert r.path == want and r.rank == 1
+
+
+def test_dsir_resample_selects_from_raw_pool_only(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from kaspi_etl_spark.llm.dsir import dsir_resample, dsir_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = SF.col("source").isin("src0", "src1", "src2")
+    out = dsir_resample(d, tgt, k=50).collect()
+    assert len(out) == 50
+    # no selected doc may belong to the target slice
+    scored = {r["doc_id"]: r.is_target for r in dsir_weights(d, tgt).collect()}
+    assert all(scored[r.doc_id] == 0 for r in out)
+    # keys are sorted ascending and deterministic across runs
+    keys = [r.resample_key for r in out]
+    assert keys == sorted(keys)
+    out2 = dsir_resample(d, tgt, k=50).collect()
+    assert [(r.doc_id, r.resample_key) for r in out] == [
+        (r.doc_id, r.resample_key) for r in out2
+    ]
+
+
+def test_dsir_resample_weight_tilts_selection(spark):
+    """Docs with larger dsir weights must be overrepresented: build a
+    corpus where half the raw docs share the target's bigrams."""
+    from pyspark.sql import functions as SF
+
+    from kaspi_etl_spark.llm.dsir import dsir_resample
+
+    rows = [(i, "quality corpus tokens here", "t") for i in range(40)]
+    rows += [(100 + i, "quality corpus tokens here", "a") for i in range(30)]
+    rows += [(200 + i, "junk spam noise words", "b") for i in range(30)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = dsir_resample(d, SF.col("source") == "t", k=20).collect()
+    like_target = sum(1 for r in out if 100 <= r.doc_id < 200)
+    assert like_target >= 15  # target-like docs dominate the draw
