@@ -152,7 +152,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # 46 r8-green gate occupants — every one keeps its family green via the
 # local clean+adversarial full sweeps (ORACLE_FULL/ADV artifacts, every
 # round), and 29 of them were driver-verified only last round. Remaining
-# never-gated backlog after this rotation: 17 (media_* rows-only trio,
+# never-gated backlog after this rotation: 24 (seven family-redundant
+# entries deferred for the seven operators BUILT this round) (media_* rows-only trio,
 # the pipeline composites, and the hashed-TF/lang-MI pair, docs_term_rarity) —
 # fits in one r10 block.
 _GATE_PRIORITY = [
@@ -194,22 +195,32 @@ _GATE_PRIORITY = [
     "text_scrub",
     "vocab_top_tokens",
     "events_dedup",
-    "events_value_quantiles",
-    "docs_weighted_sample",
-    "docs_stratified_sample",
     "dedup_method_panel",
     "benchmark_contamination",
-    "daily_revenue_incremental",
     "purchases_change_feed",
-    "part_name_matches",
     "copurchase_triangles",
     "embedding_centroids",
     "bigram_coverage",
     "returnflag_price_quantiles",
     "lang_confusion",
     "order_key_skew_profile",
-    "bigram_pmi_top",
-    "kmeans_assign",
+    # --- the seven operators BUILT this round (new code gets the
+    # driver's own check first; displaced to make room: seven backlog
+    # entries whose families keep a driver-green or co-entering
+    # representative — docs_weighted_sample (A-ES sibling green r8),
+    # docs_stratified_sample (quota sibling enters above),
+    # events_value_quantiles (returnflag quantiles stay), 
+    # daily_revenue_incremental (CDC keeps orders_merge_upsert),
+    # part_name_matches (linkage green r8 + capped form green r6),
+    # bigram_pmi_top (bigram_coverage + docs_kn_bigram enter above),
+    # kmeans_assign (kmeans_inertia_report nests the assign oracle) ---
+    "docs_repetition_profile",
+    "docs_logreg_calibration",
+    "corpus_distinct_ngrams",
+    "embeddings_pca_variance",
+    "docs_fragment_stitch",
+    "lm_beam_decode",
+    "docs_dsir_resample",
 ]
 
 
