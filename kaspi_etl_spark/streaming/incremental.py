@@ -740,3 +740,83 @@ def compact_minhash_index(
         os.rename(root, backup)
         os.rename(staging, root)
         shutil.rmtree(backup, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming quality gate (frozen classifier + repetition gate per batch)
+# ---------------------------------------------------------------------------
+
+
+def quality_gate_step(
+    spark: SparkSession,
+    batch_df,
+    batch_id: int,
+    weights: list[int],
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Score one document micro-batch with a FROZEN quality model: the
+    trained logreg's fixed-point sigmoid (llm.classifier.predict, the
+    shuffle-free plan-constant form) plus the Gopher repetition gate
+    (llm.text.repetition_profile), admit = classifier-positive AND
+    repetition-pass — the production deployment shape of the batch
+    quality filters (model trained offline, applied to the firehose).
+
+    Stateless, so exactly-once needs no marker: the batch's rows land
+    at out_path/batch=<id> with mode=overwrite — a replayed batch
+    recomputes the identical values (the model is frozen and both
+    operators are deterministic) and overwrites idempotently.
+    """
+    from ..llm import classifier, text
+
+    nn = batch_df.filter(F.col(text_col).isNotNull())
+    scored = classifier.predict(nn, weights, None, id_col, text_col)
+    rep = text.repetition_profile(nn, text_col, id_col)
+    out = scored.join(rep, id_col).select(
+        id_col,
+        "p_scaled",
+        "pred",
+        "top2gram_ppm",
+        "top3gram_ppm",
+        "dup5gram_ppm",
+        "rep_pass",
+        ((F.col("pred") == 1) & F.col("rep_pass")).alias("admit"),
+    )
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_path, f"batch={int(batch_id)}")
+    )
+
+
+def quality_gate_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    weights: list[int],
+    out_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous quality gating over an NDJSON document stream with a
+    frozen offline-trained model (see quality_gate_step)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+
+    def _step(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        quality_gate_step(
+            spark, batch_df, batch_id, weights, out_path, id_col, text_col
+        )
+
+    writer = stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -636,3 +636,77 @@ def test_compact_minhash_index_preserves_probe_results(spark):
         assert after == before
     finally:
         _shutil.rmtree(matches, ignore_errors=True)
+
+
+def test_quality_gate_stream_job_matches_batch_and_replays(spark):
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.llm import classifier
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="qg_src_")
+    out = tempfile.mkdtemp(prefix="qg_out_")
+    ckpt = tempfile.mkdtemp(prefix="qg_ckpt_")
+    schema = "doc_id long, text string"
+    long_doc = " ".join(f"w{i}" for i in range(40))
+    spam_doc = "w1 w2 " * 20  # positive-class tokens, top-2-gram dominated
+    short_doc = "tiny doc"
+    try:
+        # freeze a model offline on a corpus with long-vs-short labels
+        train_rows = [(i, long_doc if i % 2 else short_doc) for i in range(40)]
+        train = spark.createDataFrame(train_rows, schema)
+        weights = classifier.train(
+            train, (F.length("text") > 50).cast("long")
+        )
+
+        batches = [
+            [(1, long_doc), (2, short_doc)],
+            [(11, spam_doc), (12, long_doc), (13, None)],
+        ]
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)
+
+        q = sinc.quality_gate_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            weights=weights,
+            out_path=out,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            max_files_per_trigger=1,
+        ).start()
+        q.awaitTermination(120)
+
+        got = {r.doc_id: r for r in spark.read.parquet(f"{out}/batch=*").collect()}
+        assert set(got) == {1, 2, 11, 12}  # NULL-text row dropped
+        assert got[1].admit and got[12].admit
+        assert not got[2].admit  # classifier-negative (short)
+        # classifier says yes (positive-class vocabulary) but the
+        # repetition gate vetoes: admit must be False
+        assert got[11].pred == 1 and not got[11].rep_pass and not got[11].admit
+        # streamed values == the batch operators run directly
+        union = spark.createDataFrame(
+            batches[0] + batches[1], schema
+        ).filter(F.col("text").isNotNull())
+        direct = {
+            r.doc_id: r
+            for r in classifier.predict(union, weights).collect()
+        }
+        for d, r in got.items():
+            assert r.p_scaled == direct[d].p_scaled
+            assert r.pred == direct[d].pred
+        # replay of the last batch overwrites idempotently
+        last = spark.createDataFrame(batches[1], schema)
+        sinc.quality_gate_step(spark, last, 1, weights, out)
+        again = {r.doc_id: r for r in spark.read.parquet(f"{out}/batch=*").collect()}
+        assert {d: r.p_scaled for d, r in again.items()} == {
+            d: r.p_scaled for d, r in got.items()
+        }
+    finally:
+        _shutil.rmtree(src, ignore_errors=True)
+        _shutil.rmtree(out, ignore_errors=True)
