@@ -9241,9 +9241,21 @@ def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget. One corpus pass; everything after runs on the handful of
     source rows (noted: the unpartitioned window is source-count
     sized)."""
-    budget = 100_000
     d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
-    c = (
+    c = _source_token_counts(d)
+    r0 = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
+    w_temp = (
+        F.when((r0 + 1) * (r0 + 1) <= F.col("n_tokens"), r0 + 1)
+        .when(r0 * r0 > F.col("n_tokens"), r0 - 1)
+        .otherwise(r0)
+    )
+    return _largest_remainder_alloc(
+        c.select("source", "n_tokens", w_temp.cast("long").alias("w_temp"))
+    )
+
+
+def _source_token_counts(d: DataFrame) -> DataFrame:
+    return (
         d.select(
             "source",
             F.size(dedup_ops.split_words(F.col("text"))).cast("long").alias("nt"),
@@ -9251,14 +9263,16 @@ def q_corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.sum("nt").cast("long").alias("n_tokens"))
     )
-    r0 = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long")
-    w_temp = (
-        F.when((r0 + 1) * (r0 + 1) <= F.col("n_tokens"), r0 + 1)
-        .when(r0 * r0 > F.col("n_tokens"), r0 - 1)
-        .otherwise(r0)
-    )
+
+
+def _largest_remainder_alloc(c: DataFrame, budget: int = 100_000) -> DataFrame:
+    """Shared apportionment tail of the corpus-mixing family: exact
+    largest-remainder allocation of ``budget`` over (source, n_tokens,
+    w_temp) rows — allocs sum EXACTLY to the budget. The unpartitioned
+    windows run over the source-count-sized frame (bounded input,
+    allowlisted class)."""
     w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    base = c.select("source", "n_tokens", w_temp.alias("w_temp")).select(
+    base = c.select(
         "source",
         "n_tokens",
         "w_temp",
@@ -12864,4 +12878,74 @@ def q_docs_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _read(spark, sf_dir, "documents")
     return dsir_ops.dsir_resample(
         d, F.col("source").isin("src0", "src1", "src2"), k=_DSIR_RS_K
+    )
+
+
+def _sql_mix_alloc_tail(budget: int = 100_000) -> str:
+    """Shared oracle tail for the corpus-mixing family: largest-remainder
+    apportionment from a CTE named ``c`` with (source, n_tokens, w_temp)."""
+    return f"""
+    tot AS (
+      SELECT source, n_tokens, w_temp,
+             SUM(w_temp) OVER () AS wt, SUM(n_tokens) OVER () AS nt
+      FROM c
+    ),
+    quota AS (
+      SELECT source, n_tokens, w_temp, nt,
+             CAST(({budget} * w_temp) // wt AS BIGINT) AS base_alloc,
+             CAST(({budget} * w_temp) % wt AS BIGINT) AS remainder,
+             CAST({budget} - SUM(({budget} * w_temp) // wt) OVER ()
+                  AS BIGINT) AS leftover
+      FROM tot
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source ASC)
+               AS rk
+      FROM quota
+    )
+    SELECT source, n_tokens, CAST(w_temp AS BIGINT) AS w_temp,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS sample_rate,
+           (CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                 AS DOUBLE) * CAST(nt AS DOUBLE))
+             / (CAST({budget} AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+             AS boost_vs_proportional
+    FROM ranked
+    """
+
+
+@register(
+    "corpus_mix_temperature_frac",
+    f"""
+    WITH c0 AS (
+      SELECT source, CAST(SUM(len({SQL_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents WHERE trim(text) <> '' GROUP BY source
+    ),
+    c AS (
+      SELECT source, n_tokens,
+             {lm_ops.sql_fexp2(f"(({lm_ops.sql_flog2('n_tokens')}) * 3) // 4")}
+               AS w_temp
+      FROM c0
+    ),{_sql_mix_alloc_tail()}
+    """,
+)
+def q_corpus_mix_temperature_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional-temperature corpus mixing (p^alpha with alpha = 3/4 —
+    the multilingual-sampling exponent between proportional and the
+    sqrt damping of corpus_mix_temperature): per-source weight
+    w = fexp2(flog2(n_tokens) * 3 div 4) ~ 2^20 * n^(3/4), exact under
+    the shared fixed-point kernels (the scale constant cancels in the
+    apportionment ratio), then the family's shared largest-remainder
+    allocation. This is the temperature>1 fexp2 application the r8
+    notes queued: ANY rational exponent p/q is one flog2 + one integer
+    multiply-divide + one fexp2 — no isqrt special-casing."""
+    d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    c = _source_token_counts(d)
+    c = lm_ops.with_flog2(c, "n_tokens", "_ln")
+    c = c.withColumn("_e", F.expr("(_ln * 3) div 4").cast("long"))
+    c = lm_ops.with_fexp2(c, "_e", "_w")
+    return _largest_remainder_alloc(
+        c.select("source", "n_tokens", F.col("_w").cast("long").alias("w_temp"))
     )
