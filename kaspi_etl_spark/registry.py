@@ -12949,3 +12949,72 @@ def q_corpus_mix_temperature_frac(spark: SparkSession, sf_dir: str) -> DataFrame
     return _largest_remainder_alloc(
         c.select("source", "n_tokens", F.col("_w").cast("long").alias("w_temp"))
     )
+
+
+@register(
+    "events_srm_check",
+    f"""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    a AS (
+      SELECT event_type,
+             {_sql_md5_long("coalesce(CAST(user_id AS VARCHAR), '') || 'srm'")}
+               % 2 AS variant
+      FROM u
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM a GROUP BY event_type
+    )
+    SELECT event_type, n_units, n_a, n_b,
+           CAST((1000000::HUGEINT * (n_a - n_b)::HUGEINT * (n_a - n_b)::HUGEINT)
+                // n_units::HUGEINT AS BIGINT) AS chi2_ppm,
+           (1000000::HUGEINT * (n_a - n_b)::HUGEINT * (n_a - n_b)::HUGEINT)
+                // n_units::HUGEINT > 3841459 AS srm_alarm
+    FROM c
+    """,
+)
+def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch health check per exposure segment — the
+    assignment sanity gate every experimentation pipeline runs before
+    reading an A/B result (a biased split invalidates CUPED and the
+    variant probes downstream): units = distinct (event_type, user)
+    exposures, variant = deterministic hash split, chi-square against
+    the 50/50 design in exact ppm ((n_a - n_b)^2 / n through HUGEINT —
+    the 1-dof identity for equal expected halves), alarm at the p<0.05
+    critical value 3.841459. NULL users hash as '' (a NULL unit must
+    still be counted; the rank-primitive lesson); NULL event_type kept
+    by GROUP BY."""
+    ev = read_events(spark, sf_dir)
+    u = ev.select("event_type", "user_id").distinct()
+    variant = (
+        dedup_ops.md5_long(
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")), salt="srm"
+        )
+        % 2
+    )
+    c = u.select("event_type", variant.alias("_v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    chi2 = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+        " * CAST(n_a - n_b AS DECIMAL(38,0))"
+        " * CAST(n_a - n_b AS DECIMAL(38,0)))"
+        " div CAST(n_units AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return c.select(
+        "event_type",
+        "n_units",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_ppm"),
+        (chi2 > 3_841_459).alias("srm_alarm"),
+    )

@@ -405,3 +405,39 @@ def test_dsir_resample_weight_tilts_selection(spark):
     out = dsir_resample(d, SF.col("source") == "t", k=20).collect()
     like_target = sum(1 for r in out if 100 <= r.doc_id < 200)
     assert like_target >= 15  # target-like docs dominate the draw
+
+
+def test_srm_check_detects_planted_mismatch(spark):
+    """A 90/10 planted split must alarm; hash-split must not."""
+    from kaspi_etl_spark import registry
+
+    # craft users whose hash-variant is known, to plant a biased sample
+    from kaspi_etl_spark.llm.dedup import md5_long
+
+    ids = spark.range(4000).select(F.col("id").alias("user_id"))
+    v = ids.select(
+        "user_id",
+        (md5_long(F.col("user_id").cast("string"), salt="srm") % 2).alias("v"),
+    ).collect()
+    a_ids = [r.user_id for r in v if r.v == 0]
+    b_ids = [r.user_id for r in v if r.v == 1]
+    # biased exposure: 900 from A, 100 from B
+    rows = [("click", u) for u in a_ids[:900]] + [("click", u) for u in b_ids[:100]]
+    ev = spark.createDataFrame(rows, "event_type string, user_id long")
+    u = ev.select("event_type", "user_id").distinct()
+    variant = (md5_long(F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+                        salt="srm") % 2)
+    c = u.select("event_type", variant.alias("_v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    ).collect()
+    (r,) = c
+    assert (r.n_a, r.n_b) == (900, 100)
+    chi2_ppm = 1_000_000 * (r.n_a - r.n_b) ** 2 // r.n_units
+    assert chi2_ppm == 640_000_000  # 800^2/1000 = 640 >> 3.84
+    # and the registry query on the real corpus must NOT alarm (hash split)
+    out = registry.QUERIES["events_srm_check"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out and all(not r2.srm_alarm for r2 in out)
