@@ -215,3 +215,64 @@ def bpe_encode_stats(
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
         )
     )
+
+
+def bpe_vocab_curve(
+    docs: DataFrame,
+    depths: tuple[int, ...] = (2, 4, 8),
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-size trade-off curve: train ONE merge chain to
+    max(depths) and report, at each requested depth, the vocabulary
+    size and corpus fertility the PREFIX of the merge list yields —
+    BPE's merge list is ordered, so every prefix IS a smaller tokenizer
+    and the whole curve costs one training run (the
+    'pick your vocab size' datacard: fertility falls as merges grow,
+    vocabulary grows; the knee is the budget answer).
+
+    Per depth: (n_merges, vocab_size, n_word_occurrences, n_tokens,
+    fertility_ppm) — fertility in exact ppm tokens-per-word-occurrence
+    over the weighted dictionary (never a corpus re-encode: the
+    dictionary carries occurrence counts). If the pair supply runs out
+    before a requested depth, deeper points repeat the converged
+    segmentation (mirrors the trainer's early stop).
+    """
+    wc = word_counts(docs, text_col).persist()
+    seqs = wc.select("word", "cnt", char_spaced(F.col("word")).alias("seq"))
+    snaps: list[tuple[int, DataFrame]] = []
+    for step in range(1, max(depths) + 1):
+        best = top_pair(seqs)
+        if best is not None:
+            seqs = seqs.withColumn(
+                "seq", apply_merge(F.col("seq"), best["lft"], best["rgt"])
+            )
+        if step in depths:
+            snaps.append((step, seqs))
+    out = None
+    for step, snap in snaps:
+        base = snap.select(
+            "cnt", F.size(F.split("seq", " ")).cast("long").alias("_nt"), "seq"
+        )
+        fert = base.agg(
+            F.sum("cnt").cast("long").alias("n_word_occurrences"),
+            F.sum(F.col("cnt") * F.col("_nt")).cast("long").alias("n_tokens"),
+        )
+        vocab = base.select(
+            F.explode(F.split("seq", " ")).alias("_tok")
+        ).agg(F.countDistinct("_tok").cast("long").alias("vocab_size"))
+        row = (
+            vocab.crossJoin(F.broadcast(fert))
+            .select(
+                F.lit(step).cast("long").alias("n_merges"),
+                "vocab_size",
+                "n_word_occurrences",
+                "n_tokens",
+                F.expr(
+                    "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                    " * CAST(n_tokens AS DECIMAL(38,0)))"
+                    " div CAST(n_word_occurrences AS DECIMAL(38,0)) AS BIGINT)"
+                ).alias("fertility_ppm"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

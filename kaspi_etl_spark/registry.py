@@ -13018,3 +13018,35 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2_ppm"),
         (chi2 > 3_841_459).alias("srm_alarm"),
     )
+
+
+_BPE_CURVE_DEPTHS = (2, 4, 8)
+
+
+@register(
+    "bpe_vocab_curve",
+    f"""
+    WITH {_sql_bpe_cte(max(_BPE_CURVE_DEPTHS))}
+    {" UNION ALL ".join(
+        f'''SELECT CAST({d} AS BIGINT) AS n_merges,
+           (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+            FROM (SELECT unnest(string_split(seq, ' ')) AS tok FROM s{d}))
+             AS vocab_size,
+           CAST(SUM(cnt) AS BIGINT) AS n_word_occurrences,
+           CAST(SUM(cnt * len(string_split(seq, ' '))) AS BIGINT) AS n_tokens,
+           CAST((1000000::HUGEINT
+                 * SUM(cnt * len(string_split(seq, ' ')))::HUGEINT)
+                // SUM(cnt)::HUGEINT AS BIGINT) AS fertility_ppm
+    FROM s{d}'''
+        for d in _BPE_CURVE_DEPTHS
+    )}
+    """,
+)
+def q_bpe_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocab-size/compression curve: one BPE training run to
+    8 merges, read at depths 2/4/8 (a merge-list prefix IS a smaller
+    tokenizer), reporting vocabulary size and exact-ppm fertility per
+    depth — the budget curve a tokenizer choice reads off
+    (llm/bpe.py bpe_vocab_curve)."""
+    d = _read(spark, sf_dir, "documents")
+    return bpe_ops.bpe_vocab_curve(d, _BPE_CURVE_DEPTHS)

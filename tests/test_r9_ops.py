@@ -441,3 +441,22 @@ def test_srm_check_detects_planted_mismatch(spark):
         spark, "/root/testdata/sf0.001"
     ).collect()
     assert out and all(not r2.srm_alarm for r2 in out)
+
+
+def test_bpe_vocab_curve_monotone(spark):
+    from kaspi_etl_spark.llm.bpe import bpe_vocab_curve
+
+    docs = spark.createDataFrame(
+        [(i, "banana bandana ban and anna") for i in range(4)],
+        "doc_id long, text string",
+    )
+    rows = {r.n_merges: r for r in bpe_vocab_curve(docs, (1, 2, 4)).collect()}
+    assert set(rows) == {1, 2, 4}
+    # fertility (tokens per word) never increases as merges grow;
+    # word-occurrence mass is depth-invariant
+    assert rows[1].fertility_ppm >= rows[2].fertility_ppm >= rows[4].fertility_ppm
+    n_occ = {r.n_word_occurrences for r in rows.values()}
+    assert len(n_occ) == 1
+    # at depth 0 fertility would be chars/word; with merges it must be
+    # strictly below that for this repetitive corpus
+    assert rows[4].fertility_ppm < 5_000_000
