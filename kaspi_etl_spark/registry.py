@@ -7544,12 +7544,12 @@ def q_copurchase_item_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts are exact integers and IEEE sqrt/divide are correctly
     rounded — the rank order is total (cosine desc, item_b asc).
 
-    Scale: pair generation is the basket self-join on orderkey —
-    fan-out bounded by per-order basket size squared (baskets are
-    small; a hub order would need the same frequency-cap treatment as
-    dedup shingles); the co-counts shuffle on the (a, b) pair key, and
-    the per-item top-5 compiles to WindowGroupLimit (partial top-k
-    before the exchange)."""
+    Scale: pair generation is the SHARED stage (ops.basket.basket_pairs
+    — pass max_basket_items there to cap hub orders, the same
+    frequency-cap treatment as dedup shingles; no min-support prune
+    applies here because every co>=1 pair is kept); the co-counts
+    shuffle on the (a, b) pair key, and the per-item top-5 compiles to
+    WindowGroupLimit (partial top-k before the exchange)."""
     li = _read(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
