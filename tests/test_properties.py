@@ -593,3 +593,90 @@ def test_binned_prefix_sum_property(spark, keys):
         (r.k, r.cum) for r in df.withColumn("cum", F.sum("w").over(w).cast("long")).collect()
     )
     assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),   # basket id
+            st.integers(min_value=0, max_value=9),   # item id
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    st.integers(min_value=1, max_value=4),           # min_support
+    st.sampled_from([None, 2, 4]),                   # hub cap
+)
+def test_basket_pairs_matches_bruteforce(spark, rows, min_support, cap):
+    from itertools import combinations
+
+    from kaspi_etl_spark.ops import basket as basket_ops
+
+    df = spark.createDataFrame(rows, "o long, item long")
+    got = sorted(
+        tuple(r)
+        for r in basket_ops.basket_pairs(
+            df, min_support=min_support, max_basket_items=cap
+        ).collect()
+    )
+    # pure-Python mirror: distinct rows, cap baskets, count all pairs,
+    # filter support — the UNPRUNED reference semantics
+    baskets: dict[int, set[int]] = {}
+    for o, i in set(rows):
+        baskets.setdefault(o, set()).add(i)
+    if cap is not None:
+        baskets = {o: s for o, s in baskets.items() if len(s) <= cap}
+    co: dict[tuple[int, int], int] = {}
+    for s in baskets.values():
+        for a, b in combinations(sorted(s), 2):
+            co[(a, b)] = co.get((a, b), 0) + 1
+    want = sorted(
+        (a, b, c) for (a, b), c in co.items() if c >= min_support
+    )
+    assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"),  # tiny vocab + spaces
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_repetition_profile_matches_bruteforce(spark, texts):
+    from collections import Counter
+
+    from kaspi_etl_spark.llm.text import repetition_profile
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_profile(df).collect()}
+
+    for i, t in rows:
+        words = t.strip().lower().split() if t and t.strip() else []
+        r = got[i]
+        assert r.n_words == len(words)
+
+        def stats(n):
+            grams = [
+                " ".join(words[j : j + n]) for j in range(len(words) - n + 1)
+            ] if len(words) >= n else []
+            if not grams:
+                return 0, 0
+            c = Counter(grams)
+            tot = len(grams)
+            top = 1_000_000 * max(c.values()) // tot
+            dup = 1_000_000 * sum(v for v in c.values() if v >= 2) // tot
+            return top, dup
+
+        t2, _ = stats(2)
+        t3, _ = stats(3)
+        _, d5 = stats(5)
+        assert (r.top2gram_ppm, r.top3gram_ppm, r.dup5gram_ppm) == (t2, t3, d5)
+        assert r.rep_pass == (t2 <= 200_000 and t3 <= 180_000 and d5 <= 150_000)
