@@ -392,3 +392,35 @@ def test_eval_contamination_is_one_join_one_rollup(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "docs_eval_contamination")
     assert "CartesianProduct" not in plan
     assert "Window" not in plan  # pure explode + join + hash aggregate
+
+
+def test_beam_decode_next_map_uses_window_group_limit(spark, sf_dir):
+    # the per-context top-B expansion table must prune partially
+    # (WindowGroupLimit), never full-sort the bigram table per step
+    plan = plan_of(spark, sf_dir, "lm_beam_decode")
+    assert "WindowGroupLimit" in plan
+
+
+def test_fragment_stitch_is_semi_joined_hash_equijoin(spark, sf_dir):
+    # boundary stitching = fanout-cap semi-joins feeding ONE equi-join
+    # on the 8-byte boundary hash; no nested-loop anywhere
+    plan = plan_of(spark, sf_dir, "docs_fragment_stitch")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_repetition_profile_stays_aggregation_shaped(spark, sf_dir):
+    # one explode feeding map-side-combinable aggregations — never a
+    # window or a self-join over the gram stream
+    plan = plan_of(spark, sf_dir, "docs_repetition_profile")
+    assert "partial_count" in plan or "partial" in plan
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_resample_is_take_ordered(spark, sf_dir):
+    # the A-ES selection must compile to TakeOrderedAndProject
+    # (per-partition partial top-k), not a global sort
+    plan = plan_of(spark, sf_dir, "docs_dsir_resample")
+    assert "TakeOrderedAndProject" in plan
