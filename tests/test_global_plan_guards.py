@@ -48,6 +48,9 @@ BNLJ_ALLOWED = {
     "docs_bm25_topk",  # 1-row (N, total-tokens) constants broadcast
     "ann_rrf_fusion",  # brute-force system side = the bounded cross product
     "docs_dsir_weights",  # 1-row (T+D, R+D) flog2 constants broadcast
+    "docs_dsir_resample",  # nests dsir_weights' 1-row constants broadcast
+    "docs_logreg_calibration",  # 1-row corpus-ECE total broadcast
+    "bpe_vocab_curve",  # per-depth 1-row fertility-total broadcasts
     "source_perplexity_profile",  # inherits lm_score's 1-row vocab broadcast
     "source_overlap_minhash",  # |sources|^2 pair join over per-source aggregates
     "basket_assoc_rules",  # 1-row n_baskets total broadcast back onto the rules
