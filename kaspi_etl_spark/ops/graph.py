@@ -209,3 +209,55 @@ def label_propagation(
         )
         labels = labels.localCheckpoint()  # truncate the growing lineage
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-core decomposition by synchronous peeling: each round removes
+    every node whose degree WITHIN the surviving subgraph is below k —
+    the density skeleton (a node in the k-core has k neighbors that
+    each have k neighbors, recursively), which separates structurally
+    embedded items from ones merely touched by a hub. Fixed-round
+    semantics: the result is "after ``rounds`` synchronous peels",
+    identical in any engine whether or not the peel has converged (the
+    oracle unrolls the same rounds; peeling is monotone, so extra
+    rounds past convergence are no-ops).
+
+    Per round: one degree groupBy over the doubled edge list semi-joined
+    to the survivor set — linear in edges, the LP shape. Survivor
+    frames localCheckpoint per round: each round's frame feeds both the
+    next round's two semi-joins, and lineage would otherwise compound
+    (the unigram-DP lesson).
+
+    Returns (node, deg) for nodes surviving ``rounds`` peels, with
+    their within-subgraph degree after the LAST peel.
+    """
+    und = edges.select(
+        F.col(src_col).alias("a"), F.col(dst_col).alias("b")
+    ).unionByName(
+        edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+    ).distinct().localCheckpoint(eager=False)
+    alive = und.select(F.col("a").alias("node")).distinct()
+    for _ in range(rounds):
+        live_edges = und.join(
+            alive.select(F.col("node").alias("a")), "a", "left_semi"
+        ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+        deg = live_edges.groupBy("a").agg(F.count(F.lit(1)).alias("_deg"))
+        alive = (
+            deg.filter(F.col("_deg") >= k)
+            .select(F.col("a").alias("node"))
+            .localCheckpoint(eager=False)
+        )
+    final_edges = und.join(
+        alive.select(F.col("node").alias("a")), "a", "left_semi"
+    ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+    return (
+        final_edges.groupBy("a")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("a").cast("long").alias("node"), "deg")
+    )

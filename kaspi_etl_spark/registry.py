@@ -13050,3 +13050,61 @@ def q_bpe_vocab_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     (llm/bpe.py bpe_vocab_curve)."""
     d = _read(spark, sf_dir, "documents")
     return bpe_ops.bpe_vocab_curve(d, _BPE_CURVE_DEPTHS)
+
+
+def _sql_kcore_oracle(k: int = 2, rounds: int = 6) -> str:
+    steps = []
+    prev = "a0"
+    for t in range(1, rounds + 1):
+        steps.append(f""",
+    le{t} AS MATERIALIZED (
+      SELECT u.a, u.b FROM und u
+      JOIN {prev} x ON u.a = x.node JOIN {prev} y ON u.b = y.node
+    ),
+    a{t} AS MATERIALIZED (
+      SELECT a AS node FROM le{t} GROUP BY a HAVING COUNT(*) >= {k}
+    )""")
+        prev = f"a{t}"
+    return f"""
+    WITH b0 AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
+    ),
+    ok AS (SELECT o FROM b0 GROUP BY o HAVING COUNT(*) <= {_LP_HUB_CAP}),
+    basket AS (SELECT b0.o, b0.item FROM b0 JOIN ok USING (o)),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM basket a JOIN basket b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS MATERIALIZED (
+      SELECT item_a AS a, item_b AS b FROM co
+      UNION SELECT item_b, item_a FROM co
+    ),
+    a0 AS MATERIALIZED (SELECT DISTINCT a AS node FROM und){"".join(steps)}
+    SELECT CAST(u.a AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM und u
+    JOIN {prev} x ON u.a = x.node JOIN {prev} y ON u.b = y.node
+    GROUP BY u.a
+    """
+
+
+@register("copurchase_kcore", _sql_kcore_oracle(2, 6))
+def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the co-purchase graph by synchronous peeling (6
+    fixed rounds — converged at this scale; extra rounds are no-ops by
+    monotonicity): the density skeleton that separates structurally
+    embedded items from hub-touched ones, the third graph view next to
+    LP communities and triangles. Edge build = the SAME shared pruned
+    pair stage as copurchase_communities_lp (Apriori prune + hub cap
+    before the self-join); each peel is one degree groupBy over the
+    survivor-semi-joined edge list (ops/graph.py kcore_peel)."""
+    li = _read(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+    )
+    co = basket_ops.basket_pairs(
+        basket, min_support=2, max_basket_items=_LP_HUB_CAP
+    ).select("item_a", "item_b")
+    return graph_ops.kcore_peel(
+        co, k=2, rounds=6, src_col="item_a", dst_col="item_b"
+    )

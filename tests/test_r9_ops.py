@@ -460,3 +460,28 @@ def test_bpe_vocab_curve_monotone(spark):
     # at depth 0 fertility would be chars/word; with merges it must be
     # strictly below that for this repetitive corpus
     assert rows[4].fertility_ppm < 5_000_000
+
+
+def test_kcore_peel_planted(spark):
+    from kaspi_etl_spark.ops.graph import kcore_peel
+
+    # triangle {1,2,3} (2-core) + pendant chain 3-4-5 (peels away)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = {r.node: r.deg for r in kcore_peel(edges, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+    # k=3: the triangle is not a 3-core; everything peels
+    assert kcore_peel(edges, k=3, rounds=4).count() == 0
+
+
+def test_kcore_peel_extra_rounds_are_noops(spark):
+    from kaspi_etl_spark.ops.graph import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6), (6, 4)],
+        "src long, dst long",
+    )
+    a = sorted(map(tuple, kcore_peel(edges, k=2, rounds=3).collect()))
+    b = sorted(map(tuple, kcore_peel(edges, k=2, rounds=8).collect()))
+    assert a == b  # monotone: past convergence nothing changes
