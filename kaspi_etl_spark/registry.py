@@ -13108,3 +13108,49 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.kcore_peel(
         co, k=2, rounds=6, src_col="item_a", dst_col="item_b"
     )
+
+
+from . import ranks as ranks_mod  # noqa: E402
+
+_EPOCHS = 2
+
+
+@register(
+    "docs_epoch_order",
+    f"""
+    WITH ids AS (SELECT doc_id FROM documents),
+    e AS (SELECT unnest(range(0, {_EPOCHS})) AS epoch)
+    SELECT CAST(e.epoch AS BIGINT) AS epoch, i.doc_id,
+           CAST(ROW_NUMBER() OVER (
+                  PARTITION BY e.epoch
+                  ORDER BY {_sql_md5_long(
+                      "coalesce(CAST(i.doc_id AS VARCHAR), '')"
+                      " || 'epoch' || CAST(e.epoch AS VARCHAR)"
+                  )} ASC, i.doc_id ASC) - 1 AS BIGINT) AS position
+    FROM ids i, e
+    """,
+)
+def q_docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order: for each epoch, every
+    document's position under an independent hash permutation
+    (md5(id || 'epoch' || e)) — the reproducible dataloader shuffle (no
+    RNG state to checkpoint; any worker can compute any position; the
+    permutations are epoch-independent so no inter-epoch correlation).
+    Each epoch's positions come from ranks.hash_order_prefix — the
+    distributed two-phase prefix rank, never a global-order window —
+    and epochs are a small unionByName (llm-pipeline dataloader leg)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id")
+    out = None
+    for e in range(_EPOCHS):
+        ranked = ranks_mod.hash_order_prefix(
+            d.withColumn("_w", F.lit(1).cast("long")),
+            "_w",
+            "doc_id",
+            salt=f"epoch{e}",
+        ).select(
+            F.lit(e).cast("long").alias("epoch"),
+            "doc_id",
+            (F.col("cum") - 1).cast("long").alias("position"),
+        )
+        out = ranked if out is None else out.unionByName(ranked)
+    return out

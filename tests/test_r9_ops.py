@@ -485,3 +485,18 @@ def test_kcore_peel_extra_rounds_are_noops(spark):
     a = sorted(map(tuple, kcore_peel(edges, k=2, rounds=3).collect()))
     b = sorted(map(tuple, kcore_peel(edges, k=2, rounds=8).collect()))
     assert a == b  # monotone: past convergence nothing changes
+
+
+def test_epoch_order_is_permutation_and_epoch_independent(spark, sf_dir):
+    from kaspi_etl_spark import registry
+
+    out = registry.QUERIES["docs_epoch_order"](spark, sf_dir).collect()
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r.epoch, {})[r.doc_id] = r.position
+    assert set(by_epoch) == {0, 1}
+    n = len(by_epoch[0])
+    for e, m in by_epoch.items():
+        assert sorted(m.values()) == list(range(n))  # a true permutation
+    # epochs must differ (independent hash permutations)
+    assert by_epoch[0] != by_epoch[1]
