@@ -13154,3 +13154,69 @@ def q_docs_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = ranked if out is None else out.unionByName(ranked)
     return out
+
+
+@register(
+    "corpus_budget_assemble",
+    f"""
+    WITH alloc AS ({{MIX}}),
+    d AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len({SQL_WORDS}) END AS BIGINT) AS n_tokens,
+             {_sql_md5_long("coalesce(CAST(doc_id AS VARCHAR), '') || 'cba'")}
+               AS pri
+      FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+    ),
+    cum AS (
+      SELECT d.doc_id, d.source, d.n_tokens, a.alloc,
+             SUM(d.n_tokens) OVER (
+               PARTITION BY d.source ORDER BY d.pri ASC, d.doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens
+      FROM d JOIN alloc a ON d.source IS NOT DISTINCT FROM a.source
+    )
+    SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= alloc
+    """.replace("{MIX}", ORACLES["corpus_mix_temperature"]),
+)
+def q_corpus_budget_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATERIALIZE the mixture: greedy per-source document selection
+    under corpus_mix_temperature's token allocation — each source's
+    docs taken in deterministic hash order until the source's allocated
+    budget is filled (a straddling doc is excluded, so every source
+    lands at or under budget; the standard assembly semantics). The
+    composition leg that turns mixing WEIGHTS into an actual training
+    corpus. One window partitioned by source over the hash order (the
+    skew note: a single dominant source serializes its own partition —
+    shard by top hash bits like the rank primitives if one source is
+    most of the corpus); the allocation table is a broadcast-sized
+    join on a NULL-SAFE key (an equi-join would drop a NULL source
+    group the mixing rollup keeps)."""
+    d = _read(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & (F.trim("text") != "")
+    )
+    alloc = q_corpus_mix_temperature(spark, sf_dir).select(
+        F.col("source").alias("_asrc"), "alloc"
+    )
+    docs = d.select(
+        "doc_id",
+        "source",
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(dedup_ops.split_words(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens"),
+        dedup_ops.md5_long(
+            F.coalesce(F.col("doc_id").cast("string"), F.lit("")), salt="cba"
+        ).alias("_pri"),
+    )
+    joined = docs.join(
+        F.broadcast(alloc), docs["source"].eqNullSafe(F.col("_asrc"))
+    )
+    w = Window.partitionBy(docs["source"]).orderBy(
+        F.col("_pri").asc(), F.col("doc_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    out = joined.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return out.filter(F.col("cum_tokens") <= F.col("alloc")).select(
+        "source", "doc_id", "n_tokens", "cum_tokens"
+    )

