@@ -166,6 +166,8 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "corpus_mix_excess_reweight": 3,  # |sources| rows (same ladder)
     "corpus_mix_doremi_exp": 3,  # |sources| rows (same ladder)
     "corpus_mix_temperature_frac": 3,  # |sources| rows (same ladder)
+    "corpus_budget_assemble": 3,  # nests the temperature ladder verbatim
+    "docs_epoch_order": 2,  # one <= 2^16-bucket prefix offset per epoch
     "daily_revenue_cusum": 3,  # per-day rollup: calendar-bounded
     "daily_revenue_mad_outliers": 2,  # per-day rollup
     "orders_psi_drift": 2,  # per-day/bucket drift cells
