@@ -151,6 +151,12 @@ HEADLINE = [
     "docs_fragment_stitch",
     "docs_logreg_calibration",
     "lm_beam_decode",
+    # r9 second wave: the mixture-materialization composition and the
+    # deterministic dataloader order (two prefix-rank epochs).
+    # Deliberately NOT here: copurchase_kcore (iterative-convergence
+    # loop, measured on the stress curve like communities_lp).
+    "corpus_budget_assemble",
+    "docs_epoch_order",
 ]
 
 
