@@ -407,6 +407,26 @@ def main() -> None:
 
             run(k, "communities_lp", _lp)
 
+        if want("kcore"):
+            li0k = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+            )
+            lik = scaled_union(li0k, k, "o", 100_000_000).localCheckpoint()
+            n_lik = lik.count()
+
+            def _kcore():
+                from kaspi_etl_spark.ops import basket, graph
+
+                co = basket.basket_pairs(
+                    lik, min_support=2, max_basket_items=64
+                ).select("item_a", "item_b")
+                out = graph.kcore_peel(
+                    co, k=2, rounds=6, src_col="item_a", dst_col="item_b"
+                )
+                return {"rows": out.count(), "in_rows": n_lik}
+
+            run(k, "kcore", _kcore)
+
         if want("assoc_rules_lowsup"):
             li0s = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
                 F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
