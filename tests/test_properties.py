@@ -680,3 +680,73 @@ def test_repetition_profile_matches_bruteforce(spark, texts):
         _, d5 = stats(5)
         assert (r.top2gram_ppm, r.top3gram_ppm, r.dup5gram_ppm) == (t2, t3, d5)
         assert r.rep_pass == (t2 <= 200_000 and t3 <= 180_000 and d5 <= 150_000)
+
+
+@FAST
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),
+            st.integers(min_value=0, max_value=8),
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    st.integers(min_value=1, max_value=3),
+)
+def test_kcore_matches_bruteforce_peel(spark, raw_edges, k):
+    from kaspi_etl_spark.ops.graph import kcore_peel
+
+    edges = [(a, b) for a, b in raw_edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rounds = 8
+    got = {r.node: r.deg for r in kcore_peel(df, k=k, rounds=rounds).collect()}
+    # python mirror: synchronous peel, same fixed-round semantics
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(rounds):
+        deg = {n: sum(1 for m in adj[n] if m in alive) for n in alive}
+        alive = {n for n in alive if deg[n] >= k}
+    want = {
+        n: sum(1 for m in adj[n] if m in alive) for n in alive
+    }
+    want = {n: d for n, d in want.items() if d > 0}
+    assert got == want
+
+
+@FAST
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("ab c"), min_size=0, max_size=24),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_fragment_stitch_matches_bruteforce(spark, texts):
+    from kaspi_etl_spark.llm.dedup import fragment_stitch_pairs
+
+    k = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.prev_id, r.next_id)
+        for r in fragment_stitch_pairs(df, k=k, max_fanout=64).collect()
+    )
+    heads, tails = {}, {}
+    for i, t in rows:
+        words = t.strip().lower().split() if t and t.strip() else []
+        if len(words) >= k:
+            heads[i] = " ".join(words[:k])
+            tails[i] = " ".join(words[-k:])
+    want = sorted(
+        (a, b)
+        for a in tails
+        for b in heads
+        if a != b and tails[a] == heads[b]
+    )
+    assert got == want
