@@ -275,4 +275,12 @@ def bpe_vocab_curve(
             )
         )
         out = row if out is None else out.unionByName(row)
-    return out
+    # materialize the <= |depths| result rows, then release the cached
+    # word-count table (persist() without this leaked one cached frame
+    # per call for the session lifetime); the result is returned as a
+    # local frame — bounded at |depths| rows by construction
+    try:
+        rows = out.collect()
+        return docs.sparkSession.createDataFrame(rows, out.schema)
+    finally:
+        wc.unpersist()

@@ -984,11 +984,18 @@ def beam_decode(
     fixed-point conditional surprisal flog2(c12) - flog2(c1) (additive
     BIGINTs — no float anywhere, so path scores are engine-exact).
 
-    Pruning soundness: a beam item's best B continuations can only use
-    its last word's top-B next words (per-hop scores depend on nothing
-    else), so expansion joins the per-context top-B table (a
-    WindowGroupLimit, never the full bigram table per step). Ties break
-    on the full path string ASC — a total, engine-neutral order. Paths
+    Pruning: a beam item's best B continuations come from its last
+    word's top-B next words (per-hop scores depend on nothing else), so
+    expansion joins the per-context top-B table (a WindowGroupLimit,
+    never the full bigram table per step). The per-context top-B is
+    picked by (raw count DESC, next-word ASC); distinct counts can
+    collapse to EQUAL flog2 deltas, so at flog2-level ties that
+    pre-selection is part of the defined semantics rather than a pure
+    score order (a path-ASC tie-break could in principle prefer a
+    continuation the count-order already discarded — both engines apply
+    the identical rule, so the oracle contract holds exactly). Final
+    beam ties break on the full path string ASC — a total,
+    engine-neutral order. Paths
     are NOT recombined on equal last words: the kept object is the path
     itself (recombination would be Viterbi, a different operator). A
     path whose last word has no continuation dies (inner join); a seed

@@ -1763,7 +1763,10 @@ def negative_samples(
 
     if k < 1:
         raise ValueError(f"negative_samples needs k >= 1, got {k}")
-    ids = df.select(F.col(id_col)).distinct()
+    # NULL ids are excluded EXPLICITLY (oracle mirror: WHERE vec_id IS
+    # NOT NULL) — hash_order_prefix itself keeps NULL ids (hashes '' )
+    # since r10, so the exclusion must be this operator's own rule
+    ids = df.select(F.col(id_col)).filter(F.col(id_col).isNotNull()).distinct()
     ranked = hash_order_prefix(
         ids.withColumn("_w", F.lit(1).cast("long")), "_w", id_col, salt=salt + "-rank"
     ).select(F.col(id_col), (F.col("cum") - 1).cast("long").alias("_rank"))

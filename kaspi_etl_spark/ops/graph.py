@@ -256,8 +256,11 @@ def kcore_peel(
     final_edges = und.join(
         alive.select(F.col("node").alias("a")), "a", "left_semi"
     ).join(alive.select(F.col("node").alias("b")), "b", "left_semi")
+    # node keeps the input id type — casting belongs to the caller
+    # (a long cast here would NULL string node ids; label_propagation
+    # leaves typing to the registry layer the same way)
     return (
         final_edges.groupBy("a")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
-        .select(F.col("a").cast("long").alias("node"), "deg")
+        .select(F.col("a").alias("node"), "deg")
     )

@@ -49,11 +49,12 @@ from .llm.dedup import md5_long
 
 __all__ = [
     "hash_order_prefix",
+    "keyed_hash_order_prefix",
     "binned_prefix_sum",
+    "keyed_value_order_row_number",
     "total_order_row_number",
     "ntile_from_row_number",
 ]
-
 
 def hash_order_prefix(
     df: DataFrame,
@@ -75,8 +76,18 @@ def hash_order_prefix(
     order == hash order and buckets are uniform regardless of the id
     distribution.  Phase 2's cross-bucket window runs over at most
     2^bucket_bits rows — metadata next to the data.
+
+    NULL ids hash as the empty string (oracle mirror:
+    ``md5(coalesce(id::VARCHAR, '') || salt)``): md5(NULL) is NULL,
+    which would NULL ``_bucket`` and silently DROP the row at the
+    offsets equi-join — the same trap total_order_row_number documents.
+    A caller whose semantics exclude NULL ids must filter them
+    explicitly (as negative_samples does), mirroring its oracle.
     """
-    d = df.withColumn("_pri", md5_long(F.col(id_col).cast("string"), salt=salt))
+    d = df.withColumn(
+        "_pri",
+        md5_long(F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt=salt),
+    )
     d = d.withColumn("_bucket", F.shiftright(F.col("_pri"), 60 - bucket_bits))
     bucket_sums = d.groupBy("_bucket").agg(F.sum(weight_col).alias("_bsum"))
     offsets = bucket_sums.select(
@@ -98,6 +109,81 @@ def hash_order_prefix(
             (F.col("_offset") + F.sum(weight_col).over(intra)).cast("long"),
         )
         .drop("_bucket", "_offset")
+    )
+
+
+def keyed_hash_order_prefix(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    id_col: str,
+    salt: str = "rnk",
+    bucket_bits: int = 16,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Per-key inclusive running sum of ``weight_col`` in
+    ``(md5(id||salt), id)`` order WITHIN each ``key_cols`` group — the
+    keyed form of :func:`hash_order_prefix`, for the skew profile a real
+    pretraining corpus has: ``PARTITION BY source`` with ``source`` a
+    low-cardinality metadata key means one dominant source (a web crawl
+    at 60-90% of the data) serializes its whole cumulative sum through
+    ONE task.  Here the heavy key's rows spread over 2^bucket_bits
+    hash sub-buckets that rank in parallel:
+
+      1. sub-bucket by the top hash bits of the order hash,
+      2. per-(key, sub-bucket) totals — bounded at
+         |keys| * 2^bucket_bits rows,
+      3. exclusive offsets via a window partitioned BY KEY over that
+         bounded table (<= 2^bucket_bits rows per key partition —
+         literal-bounded, never data-sized),
+      4. NULL-SAFE join back + intra-(key, sub-bucket) running sum.
+
+    Value-identical to ``sum(w) over (partition by key order by
+    md5(id), id rows unbounded preceding)`` at any partitioning.
+    NULL ids hash as ''; NULL key values are real groups and survive
+    (step 4's join is null-safe).
+    """
+    d = df.withColumn(
+        "_pri",
+        md5_long(F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt=salt),
+    )
+    d = d.withColumn("_bucket", F.shiftright(F.col("_pri"), 60 - bucket_bits))
+    bucket_sums = d.groupBy(*key_cols, "_bucket").agg(
+        F.sum(weight_col).alias("_bsum")
+    )
+    offsets = bucket_sums.select(
+        *key_cols,
+        "_bucket",
+        F.coalesce(
+            F.sum("_bsum").over(
+                Window.partitionBy(*key_cols)
+                .orderBy("_bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+    )
+    # rename the right side wholesale: the null-safe join keeps both
+    # sides' key columns, and the intra window below must resolve the
+    # LEFT side's unambiguously
+    o = offsets.select(
+        *[F.col(c).alias(f"_o_{i}") for i, c in enumerate(key_cols)],
+        F.col("_bucket").alias("_obucket"),
+        "_offset",
+    )
+    cond = d["_bucket"] == o["_obucket"]
+    for i, c in enumerate(key_cols):
+        cond = cond & d[c].eqNullSafe(o[f"_o_{i}"])
+    joined = d.join(F.broadcast(o), cond)
+    intra = (
+        Window.partitionBy(*[d[c] for c in key_cols], d["_bucket"])
+        .orderBy(d["_pri"], d[id_col])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keep = [d[c] for c in df.columns] + [d["_pri"]]
+    return joined.select(
+        *keep,
+        (F.col("_offset") + F.sum(weight_col).over(intra)).cast("long").alias(out_col),
     )
 
 
@@ -229,6 +315,98 @@ def total_order_row_number(
             out_col, (F.col("_goff") + F.row_number().over(intra)).cast("long")
         )
         .drop("_ck", "_h", "_hb", "_goff")
+    )
+
+
+def keyed_value_order_row_number(
+    df: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "rn",
+    count_col: str = "n_in_key",
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Exact 1-based row_number WITHIN each ``key_cols`` group over the
+    order ``order_cols[0] ASC, order_cols[1] ASC, ...`` — the keyed form
+    of the two-phase rank, for ``NTILE(k) OVER (PARTITION BY source
+    ORDER BY score)`` where ``source`` is low-cardinality metadata and
+    one dominant group would otherwise sort through ONE task (NTILE has
+    no WindowGroupLimit escape: it needs the full partition).
+
+    ``order_cols[0]`` must be numeric (double is fine) and non-NULL —
+    it value-bins into ``n_bins`` fixed-width buckets between the GLOBAL
+    min/max (one scalar aggregate; a shared range only affects balance,
+    never correctness: the bin map is monotone per key too).  Remaining
+    order columns are tiebreaks applied inside each (key, bin) window,
+    so heavy ties on the binned value are exact but not shardable —
+    the documented trade (a hash tiebreak column makes them shardable:
+    put it in ``order_cols`` AND bin on it via total_order_row_number's
+    composite trick if that profile ever appears).
+
+    Also emits ``count_col`` = the group's total row count (free from
+    the same bounded per-(key, bin) table; NTILE needs it).
+    Value-identical to ``row_number() over (partition by key order by
+    ...)`` + ``count(*) over (partition by key)``.  NULL keys survive
+    (null-safe join back).
+    """
+    v = order_cols[0]
+    mm = df.agg(
+        F.min(F.col(v).cast("double")).alias("_lo"),
+        F.max(F.col(v).cast("double")).alias("_hi"),
+    )
+    w = F.greatest(
+        F.lit(1e-300),
+        (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins)),
+    )
+    d = (
+        df.join(F.broadcast(mm))
+        .withColumn(
+            "_bucket",
+            F.least(
+                F.lit(n_bins - 1).cast("long"),
+                F.floor((F.col(v).cast("double") - F.col("_lo")) / w).cast("long"),
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    counts = d.groupBy(*key_cols, "_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_bc")
+    )
+    kw = Window.partitionBy(*key_cols)
+    offsets = counts.select(
+        *key_cols,
+        "_bucket",
+        F.coalesce(
+            F.sum("_bc").over(
+                kw.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_offset"),
+        F.sum("_bc")
+        .over(kw.orderBy("_bucket").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        ))
+        .cast("long")
+        .alias("_kn"),
+    )
+    o = offsets.select(
+        *[F.col(c).alias(f"_o_{i}") for i, c in enumerate(key_cols)],
+        F.col("_bucket").alias("_obucket"),
+        "_offset",
+        "_kn",
+    )
+    cond = d["_bucket"] == o["_obucket"]
+    for i, c in enumerate(key_cols):
+        cond = cond & d[c].eqNullSafe(o[f"_o_{i}"])
+    joined = d.join(F.broadcast(o), cond)
+    intra = Window.partitionBy(*[d[c] for c in key_cols], d["_bucket"]).orderBy(
+        *[d[c] for c in order_cols]
+    )
+    keep = [d[c] for c in df.columns]
+    return joined.select(
+        *keep,
+        (F.col("_offset") + F.row_number().over(intra)).cast("long").alias(out_col),
+        F.col("_kn").alias(count_col),
     )
 
 

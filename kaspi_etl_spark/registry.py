@@ -4316,10 +4316,19 @@ def q_part_name_matches_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue deciles per market segment: ntile/cume_dist/percent_rank
-    over a PARTITIONED window (a global ntile needs a total order — one
-    task no matter the cluster; partitioning by segment keeps the sort
-    distributed). Tie-break by customer_id pins bucket assignment so the
-    result is deterministic across engines."""
+    semantics computed from the KEYED two-phase rank
+    (ranks.keyed_value_order_row_number) — never ``NTILE(10) OVER
+    (PARTITION BY segment ...)``: ``segment`` has ~5 values, so each
+    partition is a fifth of the customer DIMENSION and sorts through
+    one task at scale (the r9-verdict skew family; the skewed-key plan
+    guard now bans the shape). customer_id is unique within segment
+    (groupBy output joined on the unique custkey), so the rank-based
+    forms are exactly the window functions: ntile = the integer NTILE
+    formula, cume_dist = rn/n (no order peers), percent_rank =
+    (rn-1)/(n-1) with the n=1 group pinned to 0. NULL revenue orders
+    last (DESC NULLS LAST on both engines), mapped below the smallest
+    real revenue before binning. Tie-break by customer_id pins bucket
+    assignment so the result is deterministic across engines."""
     rev = (
         _read(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("customer_id"))
@@ -4332,19 +4341,30 @@ def q_customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
-    w = Window.partitionBy("segment").orderBy(
-        F.col("revenue").desc(), F.col("customer_id")
+    base = rev.join(cust, rev.customer_id == cust.c_custkey).select(
+        "segment",
+        "customer_id",
+        "revenue",
+        # revenue DESC NULLS LAST == (-revenue) ASC with NULL above any
+        # real value (revenue is bounded far below 2^62)
+        F.coalesce(-F.col("revenue"), F.lit(1 << 62).cast("long")).alias("_negrev"),
     )
-    return (
-        rev.join(cust, rev.customer_id == cust.c_custkey)
-        .select(
-            "segment",
-            "customer_id",
-            "revenue",
-            F.ntile(10).over(w).cast("long").alias("decile"),
-            F.cume_dist().over(w).cast("double").alias("cume"),
-            F.percent_rank().over(w).cast("double").alias("pct_rank"),
-        )
+    ranked = ranks_mod.keyed_value_order_row_number(
+        base, ["segment"], ["_negrev", "customer_id"], out_col="_rn", count_col="_kn"
+    )
+    return ranked.select(
+        "segment",
+        "customer_id",
+        "revenue",
+        ranks_mod.ntile_from_row_number(F.col("_rn"), F.col("_kn"), 10).alias(
+            "decile"
+        ),
+        (F.col("_rn").cast("double") / F.col("_kn").cast("double")).alias("cume"),
+        F.when(F.col("_kn") > 1,
+               (F.col("_rn") - 1).cast("double")
+               / (F.col("_kn") - 1).cast("double"))
+        .otherwise(F.lit(0.0))
+        .alias("pct_rank"),
     )
 
 
@@ -9365,19 +9385,33 @@ def q_source_perplexity_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket) volume and exact mean surprisal. This is the composition
     CCNet actually ships — train once, split each source into
     fluency terciles, keep 'head' (bucket 1) for pretraining. The
-    NTILE runs per-source (bounded partitions), the rollup is one
-    groupBy; the model passes are the docs_lm_perplexity shapes."""
+    tercile assignment is the KEYED two-phase rank
+    (ranks.keyed_value_order_row_number + the exact integer NTILE
+    formula) — never ``NTILE(3) OVER (PARTITION BY source ...)``:
+    NTILE needs its FULL partition (no WindowGroupLimit escape), and
+    the dominant crawl source would sort most of the corpus in ONE
+    task; the keyed rank value-bins bits-per-token into 1024 buckets
+    that rank in parallel (r9 verdict #2). The rollup is one groupBy;
+    the model passes are the docs_lm_perplexity shapes."""
     d = _read(spark, sf_dir, "documents")
     scored = lm_ops.lm_score(d)
     joined = scored.join(d.select("doc_id", "source"), "doc_id")
-    w = Window.partitionBy("source").orderBy(
-        F.col("bits_per_token").asc(), F.col("doc_id").asc()
+    ranked = ranks_mod.keyed_value_order_row_number(
+        joined.select(
+            "source", "doc_id", "n_bigrams", "surprisal_scaled", "bits_per_token"
+        ),
+        ["source"],
+        ["bits_per_token", "doc_id"],
+        out_col="_rn",
+        count_col="_kn",
     )
-    bucketed = joined.select(
+    bucketed = ranked.select(
         "source",
         "n_bigrams",
         "surprisal_scaled",
-        F.ntile(3).over(w).cast("long").alias("bucket"),
+        ranks_mod.ntile_from_row_number(F.col("_rn"), F.col("_kn"), 3).alias(
+            "bucket"
+        ),
     )
     return bucketed.groupBy("source", "bucket").agg(
         F.count("*").cast("long").alias("n_docs"),
@@ -10238,7 +10272,7 @@ def q_lm_greedy_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
                AS BIGINT) AS off
       FROM (SELECT doc_id, n,
-                   {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'heaps'")} AS pri
+                   {_sql_md5_long("coalesce(CAST(doc_id AS VARCHAR), '') || 'heaps'")} AS pri
             FROM per_doc)
     ),
     toks AS (
@@ -13105,9 +13139,10 @@ def q_copurchase_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = basket_ops.basket_pairs(
         basket, min_support=2, max_basket_items=_LP_HUB_CAP
     ).select("item_a", "item_b")
-    return graph_ops.kcore_peel(
+    out = graph_ops.kcore_peel(
         co, k=2, rounds=6, src_col="item_a", dst_col="item_b"
     )
+    return out.select(F.col("node").cast("long").alias("node"), "deg")
 
 
 from . import ranks as ranks_mod  # noqa: E402
@@ -13187,12 +13222,16 @@ def q_corpus_budget_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget is filled (a straddling doc is excluded, so every source
     lands at or under budget; the standard assembly semantics). The
     composition leg that turns mixing WEIGHTS into an actual training
-    corpus. One window partitioned by source over the hash order (the
-    skew note: a single dominant source serializes its own partition —
-    shard by top hash bits like the rank primitives if one source is
-    most of the corpus); the allocation table is a broadcast-sized
-    join on a NULL-SAFE key (an equi-join would drop a NULL source
-    group the mixing rollup keeps)."""
+    corpus. The per-source running sum is the KEYED two-phase prefix
+    (ranks.keyed_hash_order_prefix) — never ``Window.partitionBy(
+    source)`` over the raw hash order: ``source`` is low-cardinality
+    metadata and a real pretraining corpus is DOMINATED by one source
+    (a web crawl at 60-90%), so that window serializes most of the
+    100 TB through ONE task; the keyed prefix spreads each source over
+    2^16 hash sub-buckets that rank in parallel (r9 verdict #1). The
+    allocation table is a broadcast-sized join on a NULL-SAFE key (an
+    equi-join would drop a NULL source group the mixing rollup
+    keeps)."""
     d = _read(spark, sf_dir, "documents").filter(
         F.col("text").isNotNull() & (F.trim("text") != "")
     )
@@ -13206,17 +13245,11 @@ def q_corpus_budget_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.size(dedup_ops.split_words(F.col("text"))))
         .cast("long")
         .alias("n_tokens"),
-        dedup_ops.md5_long(
-            F.coalesce(F.col("doc_id").cast("string"), F.lit("")), salt="cba"
-        ).alias("_pri"),
     )
-    joined = docs.join(
-        F.broadcast(alloc), docs["source"].eqNullSafe(F.col("_asrc"))
+    cum = ranks_mod.keyed_hash_order_prefix(
+        docs, ["source"], "n_tokens", "doc_id", salt="cba", out_col="cum_tokens"
     )
-    w = Window.partitionBy(docs["source"]).orderBy(
-        F.col("_pri").asc(), F.col("doc_id").asc()
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    out = joined.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    out = cum.join(F.broadcast(alloc), cum["source"].eqNullSafe(F.col("_asrc")))
     return out.filter(F.col("cum_tokens") <= F.col("alloc")).select(
         "source", "doc_id", "n_tokens", "cum_tokens"
     )

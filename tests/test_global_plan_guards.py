@@ -50,7 +50,6 @@ BNLJ_ALLOWED = {
     "docs_dsir_weights",  # 1-row (T+D, R+D) flog2 constants broadcast
     "docs_dsir_resample",  # nests dsir_weights' 1-row constants broadcast
     "docs_logreg_calibration",  # 1-row corpus-ECE total broadcast
-    "bpe_vocab_curve",  # per-depth 1-row fertility-total broadcasts
     "source_perplexity_profile",  # inherits lm_score's 1-row vocab broadcast
     "source_overlap_minhash",  # |sources|^2 pair join over per-source aggregates
     "basket_assoc_rules",  # 1-row n_baskets total broadcast back onto the rules
@@ -70,6 +69,7 @@ BNLJ_ALLOWED = {
     "corpus_mix_doremi_exp",  # same shapes through the fexp2 update
     "docs_softmax_quality_sample",  # lm_score's vocab broadcast + 1-row corpus-max broadcast
     "ann_binary_hamming_recall",  # bounded query-sample cross products (cosine + Hamming sides)
+    "customer_revenue_deciles",  # keyed rank's 1-row (min,max) bin-range broadcast
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
@@ -211,6 +211,100 @@ def test_unpartitioned_windows_only_where_bounded(all_dfs):
     }
     stale = {n for n in UNPARTITIONED_WINDOWS_ALLOWED if n not in got}
     assert not unexpected, f"unreviewed unpartitioned windows: {unexpected}"
+    assert not stale, f"stale allowlist entries: {stale}"
+
+
+# Partitioned-but-SKEWED windows: a window partitioned ONLY by
+# low-cardinality metadata columns (source, lang, segment, day...) is the
+# unpartitioned hazard in disguise — a real pretraining corpus is
+# dominated by one source (a web crawl at 60-90%), so "PARTITION BY
+# source" serializes most of the data through ONE task. Hazard shapes:
+# (a) a non-rank aggregate over an UNBOUNDED frame (running sums), and
+# (b) rank-family functions (ntile/rank/row_number/cume_dist/
+# percent_rank) with NO WindowGroupLimit below (NTILE and the dist
+# functions need the FULL partition; rank<=k escapes via the optimizer's
+# WindowGroupLimit). The fix is the keyed two-phase machinery
+# (ranks.keyed_hash_order_prefix / keyed_value_order_row_number) —
+# corpus_budget_assemble, source_perplexity_profile and
+# customer_revenue_deciles were converted r10 (the r9-verdict family).
+# Allowed entries are windows over LITERAL-BOUNDED inputs only, with the
+# reviewed justification; exact expected counts, staleness-asserted.
+METADATA_KEY_COLUMNS = {
+    "source", "lang", "segment", "day", "event_type", "variant",
+    "brand", "status", "l_returnflag", "l_linestatus",
+}
+SKEWED_KEY_WINDOWS_ALLOWED = {
+    # the keyed prefix machinery's own cross-bucket offset windows run
+    # per key over the per-(key, bucket) TOTALS table — literal-bounded
+    # at <= 2^16 (hash buckets) / <= 1024 (value bins) rows per key
+    # partition, metadata next to the data
+    "corpus_budget_assemble": 1,  # keyed_hash_order_prefix offsets
+    "source_perplexity_profile": 1,  # keyed_value_order_row_number offsets
+    "customer_revenue_deciles": 1,  # keyed_value_order_row_number offsets
+}
+
+_RANK_FAMILY_TAGS = (
+    "ntile(", "rank(", "row_number(", "percent_rank(", "cume_dist(",
+    "dense_rank(", "lag(", "lead(",
+)
+
+
+def _skewed_key_window_count(df) -> int:
+    """Count Window nodes whose partition keys are ALL metadata columns
+    and whose shape is a skew hazard (see the comment above)."""
+    plan = df._jdf.queryExecution().optimizedPlan()
+    hits = 0
+    stack = [plan]
+    while stack:
+        node = stack.pop()
+        for i in range(node.children().size()):
+            stack.append(node.children().apply(i))
+        if node.getClass().getSimpleName() != "Window":
+            continue
+        spec = node.partitionSpec()
+        if spec.isEmpty():
+            continue  # the unpartitioned guard's jurisdiction
+        keys = [
+            spec.apply(i).toString().split("#")[0].strip().lower()
+            for i in range(spec.size())
+        ]
+        if not all(k in METADATA_KEY_COLUMNS for k in keys):
+            continue
+        s = node.toString().split("\n")[0].lower()
+        rankish = any(t in s for t in _RANK_FAMILY_TAGS)
+        if rankish:
+            # rank<=k compiles to a WindowGroupLimit directly below the
+            # Window; its absence means the full partition materializes
+            has_wgl = False
+            sub = [node.children().apply(i) for i in range(node.children().size())]
+            while sub:
+                n2 = sub.pop()
+                nm = n2.getClass().getSimpleName()
+                if nm == "WindowGroupLimit":
+                    has_wgl = True
+                    break
+                if nm == "Window":
+                    continue  # a deeper window's limit is not ours
+                for i in range(n2.children().size()):
+                    sub.append(n2.children().apply(i))
+            if not has_wgl:
+                hits += 1
+        elif "unboundedpreceding" in s or "unboundedfollowing" in s:
+            hits += 1
+    return hits
+
+
+def test_skewed_key_windows_only_where_bounded(all_dfs):
+    got = {
+        name: n
+        for name, df in all_dfs.items()
+        if (n := _skewed_key_window_count(df)) > 0
+    }
+    unexpected = {
+        n: c for n, c in got.items() if SKEWED_KEY_WINDOWS_ALLOWED.get(n) != c
+    }
+    stale = {n for n in SKEWED_KEY_WINDOWS_ALLOWED if n not in got}
+    assert not unexpected, f"unreviewed skewed-key windows: {unexpected}"
     assert not stale, f"stale allowlist entries: {stale}"
 
 

@@ -407,7 +407,7 @@ def test_dsir_resample_weight_tilts_selection(spark):
     assert like_target >= 15  # target-like docs dominate the draw
 
 
-def test_srm_check_detects_planted_mismatch(spark):
+def test_srm_check_detects_planted_mismatch(spark, sf_dir):
     """A 90/10 planted split must alarm; hash-split must not."""
     from kaspi_etl_spark import registry
 
@@ -437,9 +437,7 @@ def test_srm_check_detects_planted_mismatch(spark):
     chi2_ppm = 1_000_000 * (r.n_a - r.n_b) ** 2 // r.n_units
     assert chi2_ppm == 640_000_000  # 800^2/1000 = 640 >> 3.84
     # and the registry query on the real corpus must NOT alarm (hash split)
-    out = registry.QUERIES["events_srm_check"](
-        spark, "/root/testdata/sf0.001"
-    ).collect()
+    out = registry.QUERIES["events_srm_check"](spark, sf_dir).collect()
     assert out and all(not r2.srm_alarm for r2 in out)
 
 

@@ -131,3 +131,76 @@ def test_total_order_row_number_null_value_fails_loudly(spark):
     df = spark.createDataFrame([("a", None), ("b", 3)], "k string, v long")
     with pytest.raises(Exception, match="must be non-NULL"):
         total_order_row_number(df, "v", "k").collect()
+
+
+@pytest.mark.parametrize(
+    "skew",
+    [
+        False,  # uniform keys
+        True,  # one dominant key (90% of rows) + a NULL key group
+    ],
+)
+def test_keyed_hash_order_prefix_matches_keyed_window(spark, skew):
+    from kaspi_etl_spark.ranks import keyed_hash_order_prefix
+
+    n = 400
+    rows = []
+    for i in range(n):
+        if skew:
+            src = "web" if i % 10 != 0 else (None if i % 20 == 0 else "wiki")
+        else:
+            src = f"s{i % 5}"
+        rows.append((f"d{i:04d}", src, (i % 7) + 1))
+    df = spark.createDataFrame(rows, "id string, src string, w long")
+    got = keyed_hash_order_prefix(
+        df, ["src"], "w", "id", salt="t", bucket_bits=4, out_col="cum"
+    )
+    w = Window.partitionBy("src").orderBy(
+        md5_long(F.coalesce(F.col("id").cast("string"), F.lit("")), salt="t"), "id"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("w").over(w).cast("long"))
+    assert sorted(
+        got.select("id", "src", "cum").collect(), key=str
+    ) == sorted(want.select("id", "src", "cum").collect(), key=str)
+
+
+def test_keyed_hash_order_prefix_null_id_survives(spark):
+    from kaspi_etl_spark.ranks import keyed_hash_order_prefix
+
+    df = spark.createDataFrame(
+        [(None, "a", 3), ("x", "a", 2), ("y", None, 1)], "id string, src string, w long"
+    )
+    got = keyed_hash_order_prefix(df, ["src"], "w", "id", bucket_bits=4)
+    assert got.count() == 3
+
+
+@pytest.mark.parametrize(
+    "case",
+    ["distinct", "heavy_ties", "clustered_doubles", "null_key_group"],
+)
+def test_keyed_value_order_row_number_matches_keyed_window(spark, case):
+    from kaspi_etl_spark.ranks import keyed_value_order_row_number
+
+    rows = []
+    for i in range(300):
+        key = f"k{i % 4}" if case != "null_key_group" else (f"k{i % 3}" if i % 5 else None)
+        if case == "distinct":
+            v = float(i)
+        elif case == "heavy_ties":
+            v = float(i % 2)
+        elif case == "clustered_doubles":
+            v = 1e9 + (i % 7) * 1e-6
+        else:
+            v = float(i % 11)
+        rows.append((key, f"d{i:04d}", v))
+    df = spark.createDataFrame(rows, "src string, id string, v double")
+    got = keyed_value_order_row_number(
+        df, ["src"], ["v", "id"], out_col="rn", count_col="kn", n_bins=8
+    )
+    w = Window.partitionBy("src").orderBy(F.col("v").asc(), F.col("id").asc())
+    want = df.withColumn("rn", F.row_number().over(w).cast("long")).withColumn(
+        "kn", F.count(F.lit(1)).over(Window.partitionBy("src")).cast("long")
+    )
+    assert sorted(
+        got.select("src", "id", "rn", "kn").collect(), key=str
+    ) == sorted(want.select("src", "id", "rn", "kn").collect(), key=str)
