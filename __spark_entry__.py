@@ -156,64 +156,69 @@ def entry(spark: SparkSession) -> DataFrame:
 # entries deferred for the seven operators BUILT this round) (media_* rows-only trio,
 # the pipeline composites, and the hashed-TF/lang-MI pair, docs_term_rarity) —
 # fits in one r10 block.
+# Round-10 rotation (VERDICT r9 top-next #4): the ENTIRE remaining
+# never-driver-verified backlog enters — all 26 SQL-oracle queries from
+# NOTES.md's r10 list (the 3 media queries are rows-only by declared
+# design: pixel bytes are not SQL-reachable, so they stay pytest-pinned
+# — llm/jpeg.py + llm/multimodal.py tests — and ride the local sweeps;
+# after this rotation the never-gated set is exactly that declared
+# trio). Also entering: everything round 10's code touched —
+# customer_revenue_deciles (converted to the keyed two-phase rank),
+# docs_heaps_curve (oracle NULL-id coalesce), embeddings_negative_samples
+# (explicit NULL-id filter); corpus_budget_assemble /
+# source_perplexity_profile / docs_epoch_order / copurchase_kcore /
+# bpe_vocab_curve are both r10-touched AND backlog entries. The
+# remaining slots keep r9 driver-green family representatives (swapped
+# for new r10 operators as they are built, as every round). Displaced:
+# the rest of the r9 gate — all driver-green last round, every one
+# green in the local clean+adversarial full sweeps every round.
 _GATE_PRIORITY = [
     "daily_net_revenue",
-    # --- r9-touched: the shared Apriori-pruned pair stage ---
+    # --- r10-touched (keyed-rank conversions + NULL-id fixes) ---
+    "customer_revenue_deciles",
+    "docs_heaps_curve",
+    "embeddings_negative_samples",
+    # --- the 26-query never-driver-verified backlog (NOTES.md r10 list) ---
+    "bigram_pmi_top",
+    "bpe_vocab_curve",
+    "copurchase_kcore",
+    "corpus_budget_assemble",
+    "corpus_clean_pipeline",
+    "corpus_mix_temperature_frac",
+    "corpus_release_pipeline",
+    "daily_revenue_incremental",
+    "docs_epoch_order",
+    "docs_hashed_tf",
+    "docs_lang_source_mi",
+    "docs_pii_redacted",
+    "docs_stratified_sample",
+    "docs_term_rarity",
+    "docs_url_blocklist",
+    "docs_weighted_sample",
+    "embedding_quantize",
+    "events_srm_check",
+    "events_value_quantiles",
+    "kmeans_assign",
+    "part_entity_clusters",
+    "part_name_matches",
+    "revenue_grouping_sets",
+    "sku_demand_trend",
+    "source_perplexity_profile",
+    "source_quality_rollup",
+    # --- r9 driver-green family representatives (r10 swap pool) ---
     "copurchase_communities_lp",
     "basket_assoc_rules",
-    "copurchase_item_sim",
-    # --- r8 second-session wave (never driver-verified) ---
     "embeddings_bitext_mine",
     "docs_fim_split",
     "docs_rouge_overlap",
     "ann_matryoshka_recall",
     "docs_unigram_segment",
-    "docs_unigram_em_step",
     "docs_unigram_encode",
     "tokenizer_fertility_compare",
-    "token_shards_lpt",
     "docs_novelty_bloom",
     "dedup_cluster_histogram",
-    "docs_cluster_weighted_sample",
-    "corpus_datacard",
-    "corpus_mix_excess_reweight",
-    "corpus_mix_doremi_exp",
-    "docs_softmax_quality_sample",
-    "ann_binary_hamming_recall",
-    "docs_normalize_text",
-    # --- r8 first-session, still ungated ---
     "docs_leakage_safe_split",
-    "docs_stratified_quota",
     "docs_kn_bigram",
-    "docs_kn_heldout",
-    # --- the boring-but-never-gated backlog block ---
-    "lang_rollup",
-    "export_roundtrip",
-    "lineitem_profile",
-    "rep_signals",
-    "variant_price_outliers",
-    "text_scrub",
-    "vocab_top_tokens",
-    "events_dedup",
-    "dedup_method_panel",
-    "benchmark_contamination",
-    "purchases_change_feed",
-    "copurchase_triangles",
-    "embedding_centroids",
-    "bigram_coverage",
-    "returnflag_price_quantiles",
-    "lang_confusion",
-    "order_key_skew_profile",
-    # --- the seven operators BUILT this round (new code gets the
-    # driver's own check first; displaced to make room: seven backlog
-    # entries whose families keep a driver-green or co-entering
-    # representative — docs_weighted_sample (A-ES sibling green r8),
-    # docs_stratified_sample (quota sibling enters above),
-    # events_value_quantiles (returnflag quantiles stay), 
-    # daily_revenue_incremental (CDC keeps orders_merge_upsert),
-    # part_name_matches (linkage green r8 + capped form green r6),
-    # bigram_pmi_top (bigram_coverage + docs_kn_bigram enter above),
-    # kmeans_assign (kmeans_inertia_report nests the assign oracle) ---
     "docs_repetition_profile",
     "docs_logreg_calibration",
     "corpus_distinct_ngrams",

@@ -427,6 +427,88 @@ def main() -> None:
 
             run(k, "kcore", _kcore)
 
+        if want("keyed_prefix_skew", "keyed_ntile_skew", "window_prefix_skew_control"):
+            # 90%-one-source corpus: the adversarial mix for per-source
+            # windows (a real pretraining corpus is dominated by one web
+            # crawl) — the hazard the r10 keyed machinery removes
+            docs_sk = scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).withColumn(
+                "source",
+                F.when(F.col("doc_id") % 10 != 0, F.lit("web")).otherwise(
+                    F.concat(F.lit("s"), (F.col("doc_id") % 7).cast("string"))
+                ),
+            ).localCheckpoint()
+            n_sk = docs_sk.count()
+
+        if want("keyed_prefix_skew"):
+
+            def _kps():
+                from kaspi_etl_spark import ranks
+                from kaspi_etl_spark.llm.dedup import split_words
+
+                d = docs_sk.select(
+                    "doc_id",
+                    "source",
+                    F.size(split_words(F.col("text"))).cast("long").alias("n_tokens"),
+                )
+                out = ranks.keyed_hash_order_prefix(
+                    d, ["source"], "n_tokens", "doc_id", salt="cba", out_col="cum"
+                )
+                return {"rows": out.count(), "in_rows": n_sk}
+
+            run(k, "keyed_prefix_skew", _kps)
+
+        if want("keyed_ntile_skew"):
+
+            def _kns():
+                from kaspi_etl_spark import ranks
+                from kaspi_etl_spark.llm.dedup import md5_long
+
+                d = docs_sk.select(
+                    "doc_id",
+                    "source",
+                    (
+                        (md5_long(F.col("doc_id").cast("string"), salt="sc") % 1000000)
+                        .cast("double")
+                        / F.lit(7.0)
+                    ).alias("score"),
+                )
+                ranked = ranks.keyed_value_order_row_number(
+                    d, ["source"], ["score", "doc_id"], out_col="rn", count_col="kn"
+                )
+                out = ranked.select(
+                    "doc_id",
+                    ranks.ntile_from_row_number(F.col("rn"), F.col("kn"), 3).alias("b"),
+                )
+                return {"rows": out.count(), "in_rows": n_sk}
+
+            run(k, "keyed_ntile_skew", _kns)
+
+        if want("window_prefix_skew_control"):
+            # the shape the keyed prefix REPLACED: Window.partitionBy(
+            # source) running sum — 90% of rows through one task
+            def _ctl():
+                from pyspark.sql import Window
+
+                from kaspi_etl_spark.llm.dedup import md5_long, split_words
+
+                d = docs_sk.select(
+                    "doc_id",
+                    "source",
+                    F.size(split_words(F.col("text"))).cast("long").alias("n_tokens"),
+                    md5_long(F.col("doc_id").cast("string"), salt="cba").alias("_pri"),
+                )
+                w = (
+                    Window.partitionBy("source")
+                    .orderBy("_pri", "doc_id")
+                    .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+                out = d.withColumn("cum", F.sum("n_tokens").over(w))
+                return {"rows": out.count(), "in_rows": n_sk}
+
+            run(k, "window_prefix_skew_control", _ctl)
+
         if want("assoc_rules_lowsup"):
             li0s = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
                 F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
