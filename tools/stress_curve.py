@@ -455,7 +455,12 @@ def main() -> None:
                 out = ranks.keyed_hash_order_prefix(
                     d, ["source"], "n_tokens", "doc_id", salt="cba", out_col="cum"
                 )
-                return {"rows": out.count(), "in_rows": n_sk}
+                # aggregate OVER the prefix column: a bare count() lets
+                # Catalyst prune the window away and times nothing
+                row = out.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("cum").alias("s")
+                ).collect()[0]
+                return {"rows": row.n, "chk": row.s, "in_rows": n_sk}
 
             run(k, "keyed_prefix_skew", _kps)
 
@@ -481,7 +486,10 @@ def main() -> None:
                     "doc_id",
                     ranks.ntile_from_row_number(F.col("rn"), F.col("kn"), 3).alias("b"),
                 )
-                return {"rows": out.count(), "in_rows": n_sk}
+                row = out.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("b").alias("s")
+                ).collect()[0]
+                return {"rows": row.n, "chk": row.s, "in_rows": n_sk}
 
             run(k, "keyed_ntile_skew", _kns)
 
@@ -505,7 +513,10 @@ def main() -> None:
                     .rowsBetween(Window.unboundedPreceding, Window.currentRow)
                 )
                 out = d.withColumn("cum", F.sum("n_tokens").over(w))
-                return {"rows": out.count(), "in_rows": n_sk}
+                row = out.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("cum").alias("s")
+                ).collect()[0]
+                return {"rows": row.n, "chk": row.s, "in_rows": n_sk}
 
             run(k, "window_prefix_skew_control", _ctl)
 
