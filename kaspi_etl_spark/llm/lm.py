@@ -1065,3 +1065,180 @@ def beam_decode(
         "path",
         F.col("score").alias("score_scaled"),
     )
+
+
+# --- Speculative-decoding acceptance estimator --------------------------------
+
+
+def speculative_acceptance(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_contexts: int = 50,
+) -> DataFrame:
+    """Expected token-acceptance rate of speculative decoding (Leviathan
+    et al. 2023, "Fast Inference from Transformers via Speculative
+    Decoding"): with a DRAFT model q proposing tokens that a TARGET
+    model p verifies, the per-step acceptance probability under the
+    paper's rejection rule is ``sum_w min(p(w), q(w))``.  Here the draft
+    is the corpus UNIGRAM model (q(w) = c_w / T) and the target the
+    bigram MLE (p(w | ctx) = c12 / c1), so the acceptance rate per
+    context is a planning signal for how much a cheap draft model buys
+    on THIS corpus before anyone trains the real pair.
+
+    Exact integer arithmetic end to end: for each context,
+    ``sum_w min(c12 * T, c_w * c1)`` over the seen continuations (the
+    MLE target gives unseen words probability 0, so min = 0 — the
+    restriction is exact, not an approximation), then
+    ``acceptance_ppm = floor(1e6 * S / (c1 * T))`` through DECIMAL(38)
+    products (oracle mirror: HUGEINT — the `//`-on-DECIMAL trap).
+    Contract: ``c12 * T < 10^38`` (a 10^19-token corpus with a 10^19
+    bigram count would overflow; far past any real corpus).
+
+    Scale shape: one token groupBy (draft counts), the shared bigram
+    groupBys (lm_train), one equi-join of bigram types against the
+    word-count table, one per-context groupBy, and a driver-bounded
+    ``ORDER BY c1 DESC LIMIT top_contexts`` (TakeOrderedAndProject —
+    the top-k never sorts the full context table).  Returns
+    (w1, c1, n_next, accept_ppm) for the ``top_contexts`` heaviest
+    contexts (ties on w1 ASC — total order).
+    """
+    from .text import extract_words
+
+    toks = (
+        docs.select(extract_words(F.col(text_col)).alias("_ws"))
+        .select(F.explode("_ws").alias("w"))
+        .filter(F.col("w").isNotNull() & (F.col("w") != ""))
+    )
+    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    t_row = cw.agg(F.sum("cw").cast("long").alias("t_total"))
+    c12, c1, _ = lm_train(docs, id_col, text_col)
+    j = (
+        c12.join(c1, "w1")
+        .join(cw.withColumnRenamed("w", "w2"), "w2")
+        .crossJoin(F.broadcast(t_row))
+    )
+    per = (
+        j.withColumn(
+            "_m",
+            F.least(
+                F.col("c12").cast("decimal(19,0)")
+                * F.col("t_total").cast("decimal(19,0)"),
+                F.col("cw").cast("decimal(19,0)")
+                * F.col("c1").cast("decimal(19,0)"),
+            ),
+        )
+        .groupBy("w1", "c1", "t_total")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_next"),
+            F.sum("_m").alias("_s"),
+        )
+    )
+    out = per.select(
+        "w1",
+        "c1",
+        "n_next",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * _s)"
+            " div (CAST(c1 AS DECIMAL(38,0)) * CAST(t_total AS DECIMAL(38,0)))"
+            " AS BIGINT)"
+        ).alias("accept_ppm"),
+    )
+    return out.orderBy(F.col("c1").desc(), F.col("w1").asc()).limit(top_contexts)
+
+
+# --- Moore-Lewis cross-entropy-difference selection ----------------------------
+
+
+def moore_lewis_select(
+    docs: DataFrame,
+    in_domain,
+    k: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intelligent data selection by cross-entropy difference (Moore &
+    Lewis 2010, "Intelligent Selection of Language Model Training
+    Data"): score every document by ``H_background(doc) -
+    H_in_domain(doc)`` and keep the top ``k`` — documents an in-domain
+    LM explains much better than the general-corpus LM are the ones
+    worth keeping for a domain corpus.  The classic, still-standard
+    selection baseline (CCNet and DSIR both descend from it; DSIR
+    replaces the LMs with hashed-ngram importance weights — this is the
+    LM-based original).
+
+    Both models are the engine's add-one-smoothed bigram LM.  The
+    background model is self-trained on the scored corpus (the
+    lm_score shape: partition-window counts over ONE shared tf table —
+    the corpus is tokenized exactly once); the in-domain model is
+    lm_train over the ``in_domain``-filtered slice, LEFT-joined so
+    unseen bigrams fall back to the smoothed 1/(C1+V) mass, with
+    ``den = greatest(C1+V, 1)`` so an EMPTY in-domain slice degrades to
+    zero surprisal instead of log(0) (mirrored in the oracle).
+
+    Per-token gains are exact scaled BIGINTs (shared flog2 kernel), so
+    per-doc ``gain_scaled`` is an exact integer sum; ``bits_gain`` is
+    one IEEE division of exact operands (engine-identical).  Top-k by
+    (bits_gain DESC, id ASC) compiles to TakeOrderedAndProject — no
+    full sort.  Returns (id, n_bigrams, gain_scaled, bits_gain).
+    """
+    tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col).localCheckpoint()
+    w12 = Window.partitionBy("w1", "w2")
+    w1w = Window.partitionBy("w1")
+    counted = tf.select(
+        id_col,
+        "w1",
+        "w2",
+        "tf",
+        F.sum("tf").over(w12).cast("long").alias("_c12b"),
+        F.sum("tf").over(w1w).cast("long").alias("_c1b"),
+    )
+    c12i, c1i, vi = lm_train(docs.filter(in_domain), id_col, text_col)
+    j = (
+        counted.join(
+            c12i.select("w1", "w2", F.col("c12").alias("_c12i")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(c1i.select("w1", F.col("c1").alias("_c1i")), ["w1"], "left")
+        .crossJoin(F.broadcast(_vocab_size(tf).select(F.col("v_size").alias("_vb"))))
+        .crossJoin(F.broadcast(vi.select(F.col("v_size").alias("_vi"))))
+    )
+    j = (
+        j.withColumn("_num_b", (F.col("_c12b") + 1).cast("long"))
+        .withColumn("_den_b", (F.col("_c1b") + F.col("_vb")).cast("long"))
+        .withColumn("_num_i", (F.coalesce(F.col("_c12i"), F.lit(0)) + 1).cast("long"))
+        .withColumn(
+            "_den_i",
+            F.greatest(
+                (F.coalesce(F.col("_c1i"), F.lit(0)) + F.col("_vi")).cast("long"),
+                F.lit(1).cast("long"),
+            ),
+        )
+    )
+    for src, out in (
+        ("_num_b", "_lnb"),
+        ("_den_b", "_ldb"),
+        ("_num_i", "_lni"),
+        ("_den_i", "_ldi"),
+    ):
+        j = with_flog2(j, src, out)
+    per = j.withColumn(
+        "_s",
+        F.col("tf")
+        * ((F.col("_ldb") - F.col("_lnb")) - (F.col("_ldi") - F.col("_lni"))),
+    )
+    agg = per.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("_s").cast("long").alias("gain_scaled"),
+    )
+    out = agg.select(
+        id_col,
+        "n_bigrams",
+        "gain_scaled",
+        (
+            F.col("gain_scaled").cast("double")
+            / (F.col("n_bigrams") * F.lit(FLOG2_ONE)).cast("double")
+        ).alias("bits_gain"),
+    )
+    return out.orderBy(F.col("bits_gain").desc(), F.col(id_col).asc()).limit(k)

@@ -264,3 +264,75 @@ def kcore_peel(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .select(F.col("a").alias("node"), "deg")
     )
+
+
+def ktruss_peel(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """k-truss decomposition by synchronous support peeling: each round
+    removes every edge contained in fewer than ``k - 2`` triangles
+    WITHIN the surviving edge set (Cohen 2008, "Trusses: cohesive
+    subgraphs for social network analysis").  A stricter density
+    skeleton than the k-core: membership requires triangle SUPPORT, not
+    just degree, so a hub spoke (degree-heavy, triangle-poor) that
+    survives k-core peeling is peeled here.  Fixed-round semantics like
+    kcore_peel: the result is "after ``rounds`` synchronous peels"
+    (peeling is monotone, extra rounds past convergence are no-ops).
+
+    Per round: double the canonical (a < b) edge list, one wedge join
+    (edge x neighbor-of-a), one closing equi-join on (b, z), one count
+    groupBy — linear in wedges, with the upstream hub cap
+    (ops/basket.basket_pairs) bounding per-node degree so the wedge
+    count cannot go quadratic on a hub.  Edge frames localCheckpoint
+    per round (the compounding-lineage discipline).  Requires
+    ``k >= 3`` (k - 2 >= 1), so the per-round inner count join is
+    lossless: a zero-support edge fails the threshold anyway.
+
+    Returns every edge surviving ``rounds`` peels as (a, b, support)
+    with its support RE-COMPUTED within the surviving set (LEFT join —
+    a survivor whose last triangles were peeled in the final round
+    reports support 0, it is not silently dropped).
+    """
+    if k < 3:
+        raise ValueError(f"ktruss_peel needs k >= 3, got {k}")
+    e = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+
+    def support(cur: DataFrame) -> DataFrame:
+        und = cur.select("a", "b").unionByName(
+            cur.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        n_a = und.select(F.col("a"), F.col("b").alias("z"))
+        wedges = cur.join(n_a, "a")
+        n_b = und.select(F.col("a").alias("b"), F.col("b").alias("z"))
+        tri = wedges.join(n_b, ["b", "z"])
+        return tri.groupBy("a", "b").agg(
+            F.count(F.lit(1)).cast("long").alias("_sup")
+        )
+
+    for _ in range(rounds):
+        e = (
+            support(e)
+            .filter(F.col("_sup") >= k - 2)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    final = e.join(
+        support(e).withColumnRenamed("_sup", "_s2"), ["a", "b"], "left"
+    )
+    return final.select(
+        "a",
+        "b",
+        F.coalesce(F.col("_s2"), F.lit(0)).cast("long").alias("support"),
+    )

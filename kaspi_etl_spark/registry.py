@@ -13253,3 +13253,305 @@ def q_corpus_budget_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(F.col("cum_tokens") <= F.col("alloc")).select(
         "source", "doc_id", "n_tokens", "cum_tokens"
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 additions: speculative-decoding acceptance, Moore-Lewis selection,
+# k-truss, windowed co-occurrence PMI.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_speculative_acceptance",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    tok AS (SELECT unnest(ws) AS w FROM w),
+    cw AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cw
+      FROM tok WHERE w IS NOT NULL AND w <> '' GROUP BY w
+    ),
+    t AS (SELECT CAST(SUM(cw) AS BIGINT) AS t_total FROM cw),
+    big0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+    c12 AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big0 GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    j AS (
+      SELECT b.w1, c1.c1, t.t_total,
+             LEAST(CAST(b.c12 AS HUGEINT) * t.t_total,
+                   CAST(cw.cw AS HUGEINT) * c1.c1) AS m
+      FROM c12 b JOIN c1 USING (w1) JOIN cw ON cw.w = b.w2, t
+    ),
+    per AS (
+      SELECT w1, c1, t_total,
+             CAST(count(*) AS BIGINT) AS n_next, SUM(m) AS s
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT w1, c1, n_next,
+           CAST((CAST(1000000 AS HUGEINT) * s)
+                // (CAST(c1 AS HUGEINT) * CAST(t_total AS HUGEINT))
+                AS BIGINT) AS accept_ppm
+    FROM per ORDER BY c1 DESC, w1 ASC LIMIT 50
+    """,
+)
+def q_lm_speculative_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding planning signal (Leviathan et al. 2023): the
+    expected acceptance rate sum_w min(p_target, p_draft) per context,
+    with the corpus unigram LM as the draft and the bigram MLE as the
+    target — how much a cheap draft buys on THIS corpus, per heavy
+    context. Exact ppm through HUGEINT/DECIMAL(38) cross products (the
+    MLE target zeroes unseen words, so summing over seen continuations
+    is exact); top-50 contexts via TakeOrderedAndProject, never a full
+    sort (llm/lm.py speculative_acceptance)."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.speculative_acceptance(d, top_contexts=50)
+
+
+_ML_FLOG2_ONE = lm_ops.FLOG2_ONE
+
+
+@register(
+    "docs_moore_lewis_select",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    big0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+    tf AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS tf
+      FROM big0 GROUP BY 1, 2, 3
+    ),
+    counted AS (
+      SELECT doc_id, w1, w2, tf,
+             CAST(SUM(tf) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12b,
+             CAST(SUM(tf) OVER (PARTITION BY w1) AS BIGINT) AS c1b
+      FROM tf
+    ),
+    vb AS (
+      SELECT CAST(count(DISTINCT x) AS BIGINT) AS v_b
+      FROM (SELECT w1 AS x FROM tf UNION SELECT w2 FROM tf)
+    ),
+    iw AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents
+           WHERE lang = 'en'),
+    ibig AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM iw),
+    itf AS (
+      SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS tf
+      FROM ibig GROUP BY 1, 2, 3
+    ),
+    ic12 AS (
+      SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c12i FROM itf GROUP BY 1, 2
+    ),
+    ic1 AS (SELECT w1, CAST(SUM(c12i) AS BIGINT) AS c1i FROM ic12 GROUP BY 1),
+    vi AS (
+      SELECT CAST(count(DISTINCT x) AS BIGINT) AS v_i
+      FROM (SELECT w1 AS x FROM itf UNION SELECT w2 FROM itf)
+    ),
+    nd AS (
+      SELECT c.doc_id, c.tf,
+             CAST(c.c12b + 1 AS BIGINT) AS num_b,
+             CAST(c.c1b + vb.v_b AS BIGINT) AS den_b,
+             CAST(COALESCE(i2.c12i, 0) + 1 AS BIGINT) AS num_i,
+             GREATEST(CAST(COALESCE(i1.c1i, 0) + vi.v_i AS BIGINT),
+                      CAST(1 AS BIGINT)) AS den_i
+      FROM counted c
+      LEFT JOIN ic12 i2 ON i2.w1 = c.w1 AND i2.w2 = c.w2
+      LEFT JOIN ic1 i1 ON i1.w1 = c.w1, vb, vi
+    ),
+    per AS (
+      SELECT doc_id, tf,
+             tf * (({lm_ops.sql_flog2('den_b')} - {lm_ops.sql_flog2('num_b')})
+                   - ({lm_ops.sql_flog2('den_i')} - {lm_ops.sql_flog2('num_i')}))
+               AS s
+      FROM nd
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+             CAST(SUM(s) AS BIGINT) AS gain_scaled
+      FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, gain_scaled,
+           CAST(gain_scaled AS DOUBLE)
+             / CAST(n_bigrams * {_ML_FLOG2_ONE} AS DOUBLE) AS bits_gain
+    FROM agg ORDER BY bits_gain DESC, doc_id ASC LIMIT 200
+    """,
+)
+def q_docs_moore_lewis_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection: keep the 200
+    documents the in-domain bigram LM (trained on the lang='en' slice)
+    explains best RELATIVE to the background LM (trained on the whole
+    corpus) — the classic domain-data selection baseline DSIR descends
+    from. Exact fixed-point gains (shared flog2 kernel), one corpus
+    tokenize shared by both scoring passes, top-k via
+    TakeOrderedAndProject (llm/lm.py moore_lewis_select)."""
+    d = _read(spark, sf_dir, "documents")
+    return lm_ops.moore_lewis_select(d, F.col("lang") == "en", k=200)
+
+
+def _sql_ktruss_oracle(k: int = 4, rounds: int = 3) -> str:
+    steps = []
+    prev = "e0"
+    for t in range(1, rounds + 1):
+        steps.append(f""",
+    und{t} AS MATERIALIZED (
+      SELECT a, b FROM {prev} UNION ALL SELECT b, a FROM {prev}
+    ),
+    e{t} AS MATERIALIZED (
+      SELECT e.a, e.b FROM {prev} e
+      JOIN und{t} x ON x.a = e.a
+      JOIN und{t} y ON y.a = e.b AND y.b = x.b
+      GROUP BY e.a, e.b HAVING COUNT(*) >= {k - 2}
+    )""")
+        prev = f"e{t}"
+    return f"""
+    WITH b0 AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem
+    ),
+    ok AS (SELECT o FROM b0 GROUP BY o HAVING COUNT(*) <= {_LP_HUB_CAP}),
+    basket AS (SELECT b0.o, b0.item FROM b0 JOIN ok USING (o)),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b
+      FROM basket a JOIN basket b ON a.o = b.o AND a.item < b.item
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    e0 AS MATERIALIZED (SELECT item_a AS a, item_b AS b FROM co)
+    {"".join(steps)},
+    undf AS (SELECT a, b FROM {prev} UNION ALL SELECT b, a FROM {prev}),
+    supf AS (
+      SELECT e.a, e.b, CAST(COUNT(*) AS BIGINT) AS c FROM {prev} e
+      JOIN undf x ON x.a = e.a
+      JOIN undf y ON y.a = e.b AND y.b = x.b
+      GROUP BY 1, 2
+    )
+    SELECT CAST(e.a AS BIGINT) AS a, CAST(e.b AS BIGINT) AS b,
+           CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+    FROM {prev} e LEFT JOIN supf s ON s.a = e.a AND s.b = e.b
+    """
+
+
+@register("copurchase_ktruss", _sql_ktruss_oracle(4, 3))
+def q_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-truss of the co-purchase graph: 3 synchronous support peels
+    remove every edge in fewer than 2 triangles within the surviving
+    set — the triangle-cohesion skeleton that is STRICTER than the
+    2-core (a degree-heavy, triangle-poor hub spoke survives k-core
+    peeling but not this). Rides the same shared Apriori-pruned,
+    hub-capped pair stage as the LP / k-core queries; per round one
+    wedge join + one closing equi-join + one count groupBy
+    (ops/graph.py ktruss_peel); the oracle unrolls identical rounds
+    as MATERIALIZED CTEs."""
+    li = _read(spark, sf_dir, "lineitem")
+    basket = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+    )
+    co = basket_ops.basket_pairs(
+        basket, min_support=2, max_basket_items=_LP_HUB_CAP
+    ).select("item_a", "item_b")
+    out = graph_ops.ktruss_peel(co, k=4, rounds=3, src_col="item_a", dst_col="item_b")
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        "support",
+    )
+
+
+@register(
+    "docs_skipgram_pmi",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({SQL_WORDS}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_toks FROM toks),
+    uni AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok
+    ),
+    w AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents WHERE trim(text) <> ''
+    ),
+    pr AS (
+      SELECT LEAST(ws[i + 1], ws[i + 1 + d.d]) AS x,
+             GREATEST(ws[i + 1], ws[i + 1 + d.d]) AS y
+      FROM (
+        SELECT ws, unnest(range(len(ws) - 1)) AS i
+        FROM w WHERE len(ws) >= 2
+      )
+      JOIN (VALUES (1), (2), (3)) d(d) ON i + 1 + d.d <= len(ws)
+    ),
+    np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pr),
+    cxy AS (
+      SELECT x, y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM pr GROUP BY x, y HAVING COUNT(*) >= 5
+    )
+    SELECT x, y, c_xy, u1.c AS c_x, u2.c AS c_y,
+           (CAST(c_xy * n_toks AS DOUBLE) / CAST(u1.c * u2.c AS DOUBLE))
+             * (CAST(n_toks AS DOUBLE) / CAST(n_pairs AS DOUBLE)) AS pmi_ratio
+    FROM cxy
+    JOIN uni u1 ON cxy.x = u1.tok
+    JOIN uni u2 ON cxy.y = u2.tok
+    CROSS JOIN n CROSS JOIN np
+    ORDER BY pmi_ratio DESC, x ASC, y ASC
+    LIMIT 30
+    """,
+)
+def q_docs_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed (skip-gram) collocations: unordered word pairs
+    co-occurring within +-3 positions — the word2vec/GloVe
+    co-occurrence preprocessing, where adjacent-only PMI
+    (bigram_pmi_top) misses 'new ... york' split by a modifier. PMI
+    ratio P(xy)/(P(x)P(y)) with P(xy) over the PAIR universe, computed
+    as two divisions of exact int64 products in a mirrored expression
+    shape (deterministic ranking cross-engine; DECIMAL(38) needed past
+    ~3e9 tokens, as the sibling notes). Shape: tokenize once, the
+    window fans out by exactly 3 zip_with slices (never a positional
+    self-join), two groupBys, the >= 5 support floor bounds the pair
+    table before the vocab equi-joins, top-30 via
+    TakeOrderedAndProject."""
+    d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    w = d.select(
+        dedup_ops.split_words(F.col("text")).alias("ws")
+    ).withColumn("n", F.size("ws"))
+    toks = w.select(F.explode("ws").alias("tok"))
+    n = toks.agg(F.count("*").cast("long").alias("n_toks"))
+    uni = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    pairs = None
+    for dd in (1, 2, 3):
+        p = w.filter(F.col("n") >= dd + 1).select(
+            F.explode(
+                F.zip_with(
+                    F.slice("ws", F.lit(1), F.col("n") - dd),
+                    F.slice("ws", F.lit(1 + dd), F.col("n") - dd),
+                    lambda a, b: F.struct(
+                        F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
+                    ),
+                )
+            ).alias("p")
+        ).select("p.x", "p.y")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    np_row = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
+    cxy = (
+        pairs.groupBy("x", "y")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .filter(F.col("c_xy") >= 5)
+    )
+    joined = (
+        cxy.join(uni.withColumnRenamed("tok", "x").withColumnRenamed("c", "c_x"), "x")
+        .join(uni.withColumnRenamed("tok", "y").withColumnRenamed("c", "c_y"), "y")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(np_row))
+    )
+    scored = joined.select(
+        "x",
+        "y",
+        "c_xy",
+        "c_x",
+        "c_y",
+        (
+            (
+                (F.col("c_xy") * F.col("n_toks")).cast("double")
+                / (F.col("c_x") * F.col("c_y")).cast("double")
+            )
+            * (F.col("n_toks").cast("double") / F.col("n_pairs").cast("double"))
+        ).alias("pmi_ratio"),
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio").desc(), F.col("x").asc(), F.col("y").asc()
+    ).limit(30)

@@ -70,6 +70,9 @@ BNLJ_ALLOWED = {
     "docs_softmax_quality_sample",  # lm_score's vocab broadcast + 1-row corpus-max broadcast
     "ann_binary_hamming_recall",  # bounded query-sample cross products (cosine + Hamming sides)
     "customer_revenue_deciles",  # keyed rank's 1-row (min,max) bin-range broadcast
+    "lm_speculative_acceptance",  # 1-row token-total broadcast into the min() arithmetic
+    "docs_moore_lewis_select",  # two 1-row vocab-size broadcasts (background + in-domain)
+    "docs_skipgram_pmi",  # 1-row token-total + 1-row pair-total broadcasts
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

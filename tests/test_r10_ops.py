@@ -1,0 +1,134 @@
+"""Round-10 operators: speculative-decoding acceptance, Moore-Lewis
+selection, k-truss peeling, windowed skip-gram PMI — planted-case unit
+pins (the registry oracles carry the full value checks)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+# --- speculative acceptance ---------------------------------------------------
+
+
+def test_speculative_acceptance_handcrafted(spark):
+    from kaspi_etl_spark.llm.lm import speculative_acceptance
+
+    # corpus: "a b a b a c" -> tokens a:3 b:2 c:1, T=6
+    # bigrams: (a,b):2 (b,a):2 (a,c):1 -> c1(a)=3, c1(b)=2
+    # context a: sum_w min(c12*T, cw*c1) = min(2*6, 2*3) + min(1*6, 1*3)
+    #          = 6 + 3 = 9 over c1*T = 18 -> 500000 ppm
+    # context b: min(2*6, 3*2) = 6 over 2*6 = 12 -> 500000 ppm
+    d = _docs(spark, [(1, "a b a b a c", "en")])
+    out = {r.w1: r for r in speculative_acceptance(d).collect()}
+    assert out["a"].accept_ppm == 500_000
+    assert out["a"].n_next == 2 and out["a"].c1 == 3
+    assert out["b"].accept_ppm == 500_000
+
+
+def test_speculative_acceptance_perfect_draft(spark):
+    from kaspi_etl_spark.llm.lm import speculative_acceptance
+
+    # deterministic text where target == draft on the only context:
+    # "x y x y": tokens x:2 y:2 T=4; bigrams (x,y):2,(y,x):1
+    # context x: min(2*4, 2*2)=4 over 2*4=8 -> 500000
+    # context y: min(1*4, 2*1)=2 over 1*4=4 -> 500000
+    d = _docs(spark, [(1, "x y x y", "en")])
+    rows = speculative_acceptance(d).collect()
+    assert all(0 <= r.accept_ppm <= 1_000_000 for r in rows)
+
+
+# --- Moore-Lewis selection -----------------------------------------------------
+
+
+def test_moore_lewis_prefers_in_domain_like_docs(spark):
+    from kaspi_etl_spark.llm.lm import moore_lewis_select
+
+    # in-domain (lang=en) speaks "alpha beta gamma"; background noise
+    # speaks distinct vocab. A held-out-ish doc reusing the in-domain
+    # phrasing must outrank the noise docs.
+    rows = [(i, "alpha beta gamma alpha beta", "en") for i in range(5)]
+    rows += [(100 + i, f"noise{i} junk{i} blob{i} qux{i}", "xx") for i in range(5)]
+    rows += [(999, "alpha beta gamma", "xx")]  # in-domain-like, not labeled
+    d = _docs(spark, rows)
+    out = moore_lewis_select(d, F.col("lang") == "en", k=6).collect()
+    top_ids = {r.doc_id for r in out}
+    # the 5 in-domain training docs rank highest (they ARE the domain),
+    # then the unlabeled in-domain-like doc; no noise doc makes the cut
+    assert 999 in top_ids
+    assert not any(100 <= i < 200 for i in top_ids)
+
+
+def test_moore_lewis_empty_in_domain_degrades_to_zero_surprisal(spark):
+    from kaspi_etl_spark.llm.lm import moore_lewis_select
+
+    d = _docs(spark, [(1, "a b c", "xx"), (2, "c d e", "yy")])
+    out = moore_lewis_select(d, F.col("lang") == "en", k=5).collect()
+    # no in-domain docs: gain = background surprisal (den_i=1 -> s_i=0)
+    assert len(out) == 2
+    assert all(r.gain_scaled >= 0 for r in out)
+
+
+# --- k-truss -------------------------------------------------------------------
+
+
+def test_ktruss_keeps_clique_drops_star(spark):
+    from kaspi_etl_spark.ops.graph import ktruss_peel
+
+    # K4 clique (every edge in 2 triangles) + a star center 10 with
+    # spokes to 3 leaves (no triangles at all)
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(10, 21), (10, 22), (10, 23)]
+    e = spark.createDataFrame(clique + star, "src long, dst long")
+    out = ktruss_peel(e, k=4, rounds=3).collect()
+    got = {(r.a, r.b): r.support for r in out}
+    assert set(got) == set(clique)
+    assert all(s == 2 for s in got.values())
+
+
+def test_ktruss_peel_cascades(spark):
+    from kaspi_etl_spark.ops.graph import ktruss_peel
+
+    # triangle chain: removing the weak tail edge peels the rest —
+    # a path of triangles sharing single edges is NOT a 4-truss
+    # (each shared edge has support 2 but the outer edges have 1)
+    tri_chain = [(1, 2), (2, 3), (1, 3), (3, 4), (2, 4)]
+    e = spark.createDataFrame(tri_chain, "src long, dst long")
+    assert ktruss_peel(e, k=4, rounds=3).count() == 0
+
+
+def test_ktruss_extra_rounds_are_noops(spark):
+    from kaspi_etl_spark.ops.graph import ktruss_peel
+
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    e = spark.createDataFrame(clique, "src long, dst long")
+    r2 = sorted(map(tuple, ktruss_peel(e, k=4, rounds=2).collect()))
+    r5 = sorted(map(tuple, ktruss_peel(e, k=4, rounds=5).collect()))
+    assert r2 == r5 and len(r2) == 10  # K5 survives with support 3
+
+
+def test_ktruss_requires_k_at_least_3(spark):
+    from kaspi_etl_spark.ops.graph import ktruss_peel
+
+    e = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError):
+        ktruss_peel(e, k=2)
+
+
+# --- skip-gram PMI ---------------------------------------------------------------
+
+
+def test_skipgram_pmi_finds_split_collocation(spark, sf_dir):
+    from kaspi_etl_spark import registry
+
+    # the registry query at sf0.001 must rank SOME pair and every ratio
+    # must be finite/positive with support >= 5
+    out = registry.QUERIES["docs_skipgram_pmi"](spark, sf_dir).collect()
+    assert out and all(r.c_xy >= 5 and r.pmi_ratio > 0 for r in out)
+    # descending by ratio
+    ratios = [r.pmi_ratio for r in out]
+    assert ratios == sorted(ratios, reverse=True)
