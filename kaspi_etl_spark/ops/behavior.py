@@ -278,3 +278,51 @@ def markov_steady_state(
             nv[d] += (v[s] * c) // rt[s]
         v = nv
     return v
+
+
+def srm_stats(units: DataFrame) -> DataFrame:
+    """Sample-ratio-mismatch chi-square per exposure segment from a
+    DISTINCT (event_type, user_id) unit table: deterministic md5 hash
+    split into two variants, exact-ppm chi-square against the 50/50
+    design via the 1-dof identity (n_a - n_b)^2 / n through DECIMAL(38)
+    (oracle mirror: HUGEINT), alarm at the p<0.05 critical value
+    3.841459. NULL users hash as '' (a NULL unit must still be
+    counted); NULL event_type kept by GROUP BY. Shared by the batch
+    gate query (registry events_srm_check) and the streaming monitor
+    (streaming/incremental.srm_monitor_step) — one computation, so
+    streamed == batch by construction AND by test."""
+    from ..llm.dedup import md5_long
+
+    variant = (
+        md5_long(
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")), salt="srm"
+        )
+        % 2
+    )
+    c = (
+        units.select("event_type", variant.alias("_v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            F.sum(F.when(F.col("_v") == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_a"),
+            F.sum(F.when(F.col("_v") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_b"),
+        )
+    )
+    chi2 = F.expr(
+        "CAST((CAST(1000000 AS DECIMAL(38,0))"
+        " * CAST(n_a - n_b AS DECIMAL(38,0))"
+        " * CAST(n_a - n_b AS DECIMAL(38,0)))"
+        " div CAST(n_units AS DECIMAL(38,0)) AS BIGINT)"
+    )
+    return c.select(
+        "event_type",
+        "n_units",
+        "n_a",
+        "n_b",
+        chi2.alias("chi2_ppm"),
+        (chi2 > 3_841_459).alias("srm_alarm"),
+    )

@@ -15,7 +15,7 @@ table fits a broadcast, which is the normal case.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -116,4 +116,120 @@ def l_diversify(
         out = out.withColumn(
             c, F.when(F.col("sens_l") >= l, F.col(c)).otherwise(F.lit(None))
         )
+    return out
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t_max_ppm: int,
+) -> DataFrame:
+    """t-closeness release (Li, Li & Venkatasubramanian 2007): a
+    quasi-identifier group is released only if the distribution of its
+    ORDERED sensitive attribute is within Earth-Mover's Distance
+    ``t_max_ppm`` (parts-per-million) of the GLOBAL distribution — the
+    skewness-attack guard l-diversity misses (a group with l distinct
+    but extreme values still leaks; closeness bounds how much the group
+    deviates from the table-wide base rate).
+
+    For an ordered discrete domain v_1 < ... < v_m the exact EMD is
+    ``(1/(m-1)) * sum_i |cum_i(p) - cum_i(q)|``; on common denominators
+    it is computed entirely in integers:
+    ``t_ppm = 1e6 * sum_i |cum_gc_i * N - cum_gl_i * g_n|
+      // ((m-1) * g_n * N)`` through DECIMAL(38) products (HUGEINT in
+    the oracle mirror).
+
+    Shape: one global band count (bounded at the band domain), one
+    per-(group, band) count, a dense group x band GRID (cross join of
+    two bounded dims) so absent cells contribute zeros, one cumulative
+    window over the grid (<= m rows per group — literal-bounded), and
+    the null-safe broadcast join back onto the rows (the l_diversify
+    mechanics). NULL sensitive values carry no position in an ordered
+    EMD: they are excluded from both distributions (documented trade);
+    a group with ONLY NULL sensitives has no distribution and is
+    suppressed conservatively. Appends grp_n (non-NULL-sensitive group
+    size) and t_ppm; quasi columns of failing groups become NULL, row
+    count preserved.
+    """
+    s = F.col(sensitive_col)
+    base = df.filter(s.isNotNull())
+    groups = base.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("grp_n")
+    )
+    bands = base.select(s.alias("_band")).distinct()
+    glob = base.groupBy(s.alias("_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("_gl")
+    )
+    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    m_row = bands.agg(
+        F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).cast("long").alias("_m1")
+    )
+    gc = base.groupBy(*quasi_cols, s.alias("_band")).agg(
+        F.count(F.lit(1)).cast("long").alias("_gc")
+    )
+    grid = groups.crossJoin(F.broadcast(bands))
+    right = gc
+    for c in quasi_cols:
+        right = right.withColumnRenamed(c, f"_q_{c}")
+    cond = F.col("_band").eqNullSafe(F.col("_rb"))
+    right = right.withColumnRenamed("_band", "_rb")
+    for c in quasi_cols:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"_q_{c}"))
+    cells = (
+        grid.join(right, cond, "left")
+        .select(
+            *quasi_cols,
+            "grp_n",
+            "_band",
+            F.coalesce(F.col("_gc"), F.lit(0)).cast("long").alias("_gc"),
+        )
+        .join(F.broadcast(glob), "_band")
+        .crossJoin(F.broadcast(n_row))
+    )
+    w = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy("_band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cells.select(
+        *quasi_cols,
+        "grp_n",
+        "_n",
+        F.abs(
+            F.sum(
+                F.col("_gc").cast("decimal(19,0)") * F.col("_n").cast("decimal(19,0)")
+                - F.col("_gl").cast("decimal(19,0)")
+                * F.col("grp_n").cast("decimal(19,0)")
+            ).over(w)
+        ).alias("_ad"),
+    )
+    stats = (
+        cum.groupBy(*quasi_cols, "grp_n", "_n")
+        .agg(F.sum("_ad").alias("_sad"))
+        .crossJoin(F.broadcast(m_row))
+        .select(
+            *quasi_cols,
+            "grp_n",
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0)) * _sad)"
+                " div (CAST(_m1 AS DECIMAL(38,0)) * CAST(grp_n AS DECIMAL(38,0))"
+                "      * CAST(_n AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("t_ppm"),
+        )
+    )
+    rstats = stats
+    for c in quasi_cols:
+        rstats = rstats.withColumnRenamed(c, f"_q_{c}")
+    jcond = None
+    for c in quasi_cols:
+        eq = F.col(c).eqNullSafe(F.col(f"_q_{c}"))
+        jcond = eq if jcond is None else (jcond & eq)
+    joined = df.join(F.broadcast(rstats), jcond, "left").drop(
+        *[f"_q_{c}" for c in quasi_cols]
+    )
+    keep = F.col("t_ppm").isNotNull() & (F.col("t_ppm") <= t_max_ppm)
+    out = joined
+    for c in quasi_cols:
+        out = out.withColumn(c, F.when(keep, F.col(c)).otherwise(F.lit(None)))
     return out

@@ -13024,34 +13024,12 @@ def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-dof identity for equal expected halves), alarm at the p<0.05
     critical value 3.841459. NULL users hash as '' (a NULL unit must
     still be counted; the rank-primitive lesson); NULL event_type kept
-    by GROUP BY."""
+    by GROUP BY. The computation is the SHARED ops/behavior.srm_stats —
+    the streaming monitor (streaming/incremental.srm_monitor_step) runs
+    the same function over its cumulative unit state."""
     ev = read_events(spark, sf_dir)
     u = ev.select("event_type", "user_id").distinct()
-    variant = (
-        dedup_ops.md5_long(
-            F.coalesce(F.col("user_id").cast("string"), F.lit("")), salt="srm"
-        )
-        % 2
-    )
-    c = u.select("event_type", variant.alias("_v")).groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("long").alias("n_units"),
-        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
-        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
-    )
-    chi2 = F.expr(
-        "CAST((CAST(1000000 AS DECIMAL(38,0))"
-        " * CAST(n_a - n_b AS DECIMAL(38,0))"
-        " * CAST(n_a - n_b AS DECIMAL(38,0)))"
-        " div CAST(n_units AS DECIMAL(38,0)) AS BIGINT)"
-    )
-    return c.select(
-        "event_type",
-        "n_units",
-        "n_a",
-        "n_b",
-        chi2.alias("chi2_ppm"),
-        (chi2 > 3_841_459).alias("srm_alarm"),
-    )
+    return behavior_ops.srm_stats(u)
 
 
 _BPE_CURVE_DEPTHS = (2, 4, 8)
@@ -13555,3 +13533,136 @@ def q_docs_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_ratio").desc(), F.col("x").asc(), F.col("y").asc()
     ).limit(30)
+
+
+@register(
+    "customers_t_closeness",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_nationkey,
+             CAST(FLOOR(CAST(c_acctbal AS DOUBLE) / CAST(2000 AS DOUBLE))
+                  AS BIGINT) AS band
+      FROM customer WHERE c_acctbal IS NOT NULL
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    bands AS (SELECT DISTINCT band FROM base),
+    m1 AS (
+      SELECT CAST(GREATEST(count(*) - 1, 1) AS BIGINT) AS m1 FROM bands
+    ),
+    gl AS (SELECT band, CAST(count(*) AS BIGINT) AS gl FROM base GROUP BY band),
+    grp AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS grp_n
+      FROM base GROUP BY 1, 2
+    ),
+    gc AS (
+      SELECT c_mktsegment, c_nationkey, band, CAST(count(*) AS BIGINT) AS gc
+      FROM base GROUP BY 1, 2, 3
+    ),
+    grid AS (
+      SELECT g.c_mktsegment, g.c_nationkey, g.grp_n, b.band
+      FROM grp g CROSS JOIN bands b
+    ),
+    cells AS (
+      SELECT gr.c_mktsegment, gr.c_nationkey, gr.grp_n, gr.band,
+             COALESCE(gc.gc, 0) AS gc, gl.gl
+      FROM grid gr
+      LEFT JOIN gc ON gc.c_mktsegment IS NOT DISTINCT FROM gr.c_mktsegment
+                  AND gc.c_nationkey IS NOT DISTINCT FROM gr.c_nationkey
+                  AND gc.band = gr.band
+      JOIN gl ON gl.band = gr.band
+    ),
+    cum AS (
+      SELECT c_mktsegment, c_nationkey, grp_n, n.n,
+             ABS(SUM(CAST(gc AS HUGEINT) * n.n - CAST(gl AS HUGEINT) * grp_n)
+                 OVER (PARTITION BY c_mktsegment, c_nationkey ORDER BY band
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+               AS ad
+      FROM cells, n
+    ),
+    stats AS (
+      SELECT c_mktsegment, c_nationkey, grp_n,
+             CAST((CAST(1000000 AS HUGEINT) * SUM(ad))
+                  // (CAST(m1.m1 AS HUGEINT) * CAST(grp_n AS HUGEINT)
+                      * CAST(n AS HUGEINT)) AS BIGINT) AS t_ppm
+      FROM cum, m1 GROUP BY c_mktsegment, c_nationkey, grp_n, m1.m1, n
+    )
+    SELECT b.c_custkey,
+           CASE WHEN s.t_ppm IS NOT NULL AND s.t_ppm <= 150000
+                THEN b.c_mktsegment END AS c_mktsegment,
+           CASE WHEN s.t_ppm IS NOT NULL AND s.t_ppm <= 150000
+                THEN b.c_nationkey END AS c_nationkey,
+           s.grp_n, s.t_ppm
+    FROM customer b
+    LEFT JOIN stats s
+      ON s.c_mktsegment IS NOT DISTINCT FROM b.c_mktsegment
+     AND s.c_nationkey IS NOT DISTINCT FROM b.c_nationkey
+    """,
+)
+def q_customers_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness release (t = 0.15) over the k-anon quasi pair with
+    the account-balance band as the ordered sensitive attribute: a
+    group whose band distribution sits further than 0.15 Earth-Mover's
+    Distance from the global distribution is suppressed — the
+    skewness-attack guard l-diversity misses. Exact integer EMD on the
+    dense group x band grid through HUGEINT/DECIMAL(38) common
+    denominators; the cumulative window runs over <= |band domain| rows
+    per group (ops/privacy.t_closeness)."""
+    c = _read(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal").cast("double") / F.lit(2000.0))
+        .cast("long")
+        .alias("band"),
+    )
+    out = privacy_ops.t_closeness(
+        c, ["c_mktsegment", "c_nationkey"], "band", t_max_ppm=150_000
+    )
+    return out.select("c_custkey", "c_mktsegment", "c_nationkey", "grp_n", "t_ppm")
+
+
+@register(
+    "lm_distill_targets",
+    f"""
+    WITH w AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents),
+    big0 AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM w),
+    c12 AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM big0 GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    ranked AS (
+      SELECT b.w1, b.w2, b.c12, c1.c1,
+             ROW_NUMBER() OVER (PARTITION BY b.w1
+                                ORDER BY b.c12 DESC, b.w2 ASC) AS rk
+      FROM c12 b JOIN c1 USING (w1) WHERE c1.c1 >= 5
+    )
+    SELECT w1, CAST(rk AS BIGINT) AS rank, w2, c12, c1,
+           CAST((1000000 * c12) // c1 AS BIGINT) AS p_ppm
+    FROM ranked WHERE rk <= 4
+    """,
+)
+def q_lm_distill_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge-distillation soft-target extraction: for every context
+    with support >= 5, the top-4 next words with their exact-ppm
+    teacher probabilities — the (context, candidate, p) table a student
+    LM trains against (and the draft table speculative decoding
+    serves from). rank <= 4 compiles to WindowGroupLimit (partial
+    top-k BEFORE the exchange — a billion-row context never sorts);
+    p_ppm is one exact int64 floor division (c12 <= c1, so 1e6 * c12
+    holds to ~9e12-token contexts)."""
+    d = _read(spark, sf_dir, "documents")
+    c12, c1, _ = lm_ops.lm_train(d)
+    j = c12.join(c1, "w1").filter(F.col("c1") >= 5)
+    wnd = Window.partitionBy("w1").orderBy(F.col("c12").desc(), F.col("w2").asc())
+    ranked = j.withColumn("rank", F.row_number().over(wnd)).filter(
+        F.col("rank") <= 4
+    )
+    return ranked.select(
+        "w1",
+        F.col("rank").cast("long").alias("rank"),
+        "w2",
+        "c12",
+        "c1",
+        F.expr("CAST((1000000 * c12) div c1 AS BIGINT)").alias("p_ppm"),
+    )

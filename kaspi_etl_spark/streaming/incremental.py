@@ -820,3 +820,78 @@ def quality_gate_stream_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+# --- Streaming SRM monitor -----------------------------------------------------
+
+
+def srm_monitor_step(
+    spark: SparkSession,
+    batch_df,
+    batch_id: int,
+    state_path: str,
+    out_path: str,
+) -> None:
+    """Fold one micro-batch of exposure events into the cumulative
+    distinct-(event_type, user_id) unit state and republish the SRM
+    table over the WHOLE history so far (ops/behavior.srm_stats — the
+    exact computation the batch gate query runs, so streamed values ==
+    batch values by construction).
+
+    State = the distinct unit set itself: SRM counts units, and
+    exactly-once unit counting across redelivered batches needs set
+    semantics, not a counter (a replayed batch re-unions the same
+    pairs — idempotent). O(units) state like the Bloom/novelty jobs;
+    at 100 TB partition the state by a user-hash prefix and rewrite
+    only touched partitions (module header). The emitted SRM table is
+    a full overwrite per batch — it is a REPORT over state, not an
+    append stream, so replay is idempotent by construction.
+    """
+    _recover_state(state_path)
+    new_units = batch_df.select("event_type", "user_id").distinct()
+    if os.path.exists(state_path):
+        merged = (
+            spark.read.parquet(state_path)
+            .unionByName(new_units)
+            .distinct()
+        )
+    else:
+        merged = new_units
+    _swap_state(merged, state_path)
+    from ..ops.behavior import srm_stats
+
+    srm_stats(spark.read.parquet(state_path)).write.mode("overwrite").parquet(
+        out_path
+    )
+
+
+def srm_monitor_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous sample-ratio-mismatch monitoring over an NDJSON
+    exposure stream: the assignment health gate, live — an experiment
+    whose split drifts mid-flight alarms at the batch it drifts in,
+    not at readout time (see srm_monitor_step)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+
+    def _step(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        srm_monitor_step(spark, batch_df, batch_id, state_path, out_path)
+
+    writer = stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

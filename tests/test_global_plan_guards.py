@@ -73,6 +73,7 @@ BNLJ_ALLOWED = {
     "lm_speculative_acceptance",  # 1-row token-total broadcast into the min() arithmetic
     "docs_moore_lewis_select",  # two 1-row vocab-size broadcasts (background + in-domain)
     "docs_skipgram_pmi",  # 1-row token-total + 1-row pair-total broadcasts
+    "customers_t_closeness",  # bounded band-grid cross + 1-row N/m broadcasts
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

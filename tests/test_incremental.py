@@ -710,3 +710,68 @@ def test_quality_gate_stream_job_matches_batch_and_replays(spark):
     finally:
         _shutil.rmtree(src, ignore_errors=True)
         _shutil.rmtree(out, ignore_errors=True)
+
+
+def test_srm_monitor_stream_matches_batch_and_replays(spark):
+    import shutil as _shutil
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.ops.behavior import srm_stats
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="srm_src_")
+    out = tempfile.mkdtemp(prefix="srm_out_") + "/srm"
+    state = tempfile.mkdtemp(prefix="srm_state_") + "/units"
+    ckpt = tempfile.mkdtemp(prefix="srm_ckpt_")
+    schema = "event_type string, user_id long"
+    batches = [
+        [("click", u) for u in range(100)],
+        # duplicates of batch 0's users plus new ones: set semantics
+        # must count each (event_type, user) once
+        [("click", u) for u in range(50, 150)] + [("view", u) for u in range(30)],
+        [("view", None)],  # NULL user is a real unit
+    ]
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)
+        q = sinc.srm_monitor_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            state_path=state,
+            out_path=out,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            max_files_per_trigger=1,
+        ).start()
+        q.awaitTermination(120)
+
+        got = {r.event_type: r for r in spark.read.parquet(out).collect()}
+        union = spark.createDataFrame(
+            [r for b in batches for r in b], schema
+        ).select("event_type", "user_id").distinct()
+        want = {r.event_type: r for r in srm_stats(union).collect()}
+        assert set(got) == set(want) == {"click", "view"}
+        for k in got:
+            assert (got[k].n_units, got[k].n_a, got[k].n_b, got[k].chi2_ppm) == (
+                want[k].n_units,
+                want[k].n_a,
+                want[k].n_b,
+                want[k].chi2_ppm,
+            )
+        assert got["click"].n_units == 150  # dedup across batches
+        assert got["view"].n_units == 31  # NULL user counted
+
+        # replaying the LAST batch is idempotent (set-union state)
+        last = spark.createDataFrame(batches[2], schema)
+        sinc.srm_monitor_step(spark, last, 2, state, out)
+        again = {r.event_type: r for r in spark.read.parquet(out).collect()}
+        assert {k: v.n_units for k, v in again.items()} == {
+            k: v.n_units for k, v in got.items()
+        }
+    finally:
+        for p in (src, out, state, ckpt):
+            _shutil.rmtree(p, ignore_errors=True)

@@ -132,3 +132,33 @@ def test_skipgram_pmi_finds_split_collocation(spark, sf_dir):
     # descending by ratio
     ratios = [r.pmi_ratio for r in out]
     assert ratios == sorted(ratios, reverse=True)
+
+
+# --- t-closeness ------------------------------------------------------------------
+
+
+def test_t_closeness_suppresses_skewed_group(spark):
+    from kaspi_etl_spark.ops.privacy import t_closeness
+
+    # the global distribution is dominated by the big 50/50 group, so
+    # the small all-0 group sits ~0.49 EMD from it (exact: 490196 ppm)
+    # while the big group reads ~0.0098 (9803 ppm)
+    rows = [(i, "fair", i % 2) for i in range(1000)]
+    rows += [(1000 + i, "skew", 0) for i in range(20)]
+    df = spark.createDataFrame(rows, "id long, grp string, band long")
+    out = t_closeness(df, ["grp"], "band", t_max_ppm=300_000)
+    got = {r.id: r for r in out.collect()}
+    assert len(got) == 1020
+    assert got[0].grp == "fair" and got[0].t_ppm == 9_803
+    assert got[1010].grp is None and got[1010].t_ppm == 490_196
+
+
+def test_t_closeness_null_band_group_suppressed(spark):
+    from kaspi_etl_spark.ops.privacy import t_closeness
+
+    rows = [(1, "a", 0), (2, "a", 1), (3, "ghost", None)]
+    df = spark.createDataFrame(rows, "id long, grp string, band long")
+    out = {r.id: r for r in t_closeness(df, ["grp"], "band", 500_000).collect()}
+    assert len(out) == 3
+    # a group with only NULL sensitives has no distribution: suppressed
+    assert out[3].grp is None and out[3].t_ppm is None
