@@ -205,18 +205,27 @@ _GATE_PRIORITY = [
     "sku_demand_trend",
     "source_perplexity_profile",
     "source_quality_rollup",
+    # --- the eight operators BUILT this round (new code gets the
+    # driver's own check first; displaced from the swap pool below:
+    # eight r9-green entries whose families keep a representative —
+    # basket_assoc_rules + copurchase_communities_lp (the pair stage
+    # keeps copurchase_ktruss entering on the same build),
+    # docs_fim_split / docs_rouge_overlap / docs_unigram_encode /
+    # tokenizer_fertility_compare / docs_novelty_bloom /
+    # dedup_cluster_histogram (each family keeps a sibling below or a
+    # multi-round-green record) ---
+    "lm_speculative_acceptance",
+    "docs_moore_lewis_select",
+    "copurchase_ktruss",
+    "docs_skipgram_pmi",
+    "customers_t_closeness",
+    "lm_distill_targets",
+    "orders_dow_seasonality",
+    "sku_price_elasticity",
     # --- r9 driver-green family representatives (r10 swap pool) ---
-    "copurchase_communities_lp",
-    "basket_assoc_rules",
     "embeddings_bitext_mine",
-    "docs_fim_split",
-    "docs_rouge_overlap",
     "ann_matryoshka_recall",
     "docs_unigram_segment",
-    "docs_unigram_encode",
-    "tokenizer_fertility_compare",
-    "docs_novelty_bloom",
-    "dedup_cluster_histogram",
     "docs_leakage_safe_split",
     "docs_kn_bigram",
     "docs_repetition_profile",

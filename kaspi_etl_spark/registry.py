@@ -13666,3 +13666,138 @@ def q_lm_distill_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c1",
         F.expr("CAST((1000000 * c12) div c1 AS BIGINT)").alias("p_ppm"),
     )
+
+
+@register(
+    "orders_dow_seasonality",
+    f"""
+    WITH o AS ({SQL_ORDERS_KASPI}),
+    daily AS (
+      SELECT order_date, CAST(SUM(gross_price_kzt) AS BIGINT) AS rev
+      FROM o GROUP BY order_date
+    ),
+    dowd AS (
+      SELECT CAST((order_date - DATE '1970-01-05') % 7 AS BIGINT) AS dow,
+             rev
+      FROM daily
+    ),
+    per AS (
+      SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(rev) AS BIGINT) AS revenue
+      FROM dowd GROUP BY dow
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_days) AS BIGINT) AS t_days,
+             CAST(SUM(revenue) AS BIGINT) AS t_rev
+      FROM per
+    )
+    SELECT dow, n_days, revenue,
+           CAST((CAST(1000000 AS HUGEINT) * revenue * t_days)
+                // (CAST(n_days AS HUGEINT) * t_rev) AS BIGINT)
+             AS index_ppm
+    FROM per, tot
+    """,
+)
+def q_orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index of gross revenue: mean daily revenue
+    per weekday over the grand mean, in exact ppm (common-denominator
+    integer form — no float means anywhere). The weekday is computed as
+    days-since-a-known-Monday mod 7 (engine-neutral arithmetic; the
+    engines' dayofweek() functions disagree on week start). Two bounded
+    groupBys: per-day rollup (calendar-bounded) then 7 weekday cells."""
+    daily = (
+        orders_kaspi(spark, sf_dir)
+        .groupBy("order_date")
+        .agg(F.sum("gross_price_kzt").cast("long").alias("rev"))
+    )
+    per = daily.select(
+        (
+            F.datediff(F.col("order_date"), F.lit("1970-01-05").cast("date")) % 7
+        )
+        .cast("long")
+        .alias("dow"),
+        "rev",
+    ).groupBy("dow").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("rev").cast("long").alias("revenue"),
+    )
+    tot = per.agg(
+        F.sum("n_days").cast("long").alias("t_days"),
+        F.sum("revenue").cast("long").alias("t_rev"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "n_days",
+        "revenue",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * revenue * t_days)"
+            " div (CAST(n_days AS DECIMAL(38,0)) * t_rev) AS BIGINT)"
+        ).alias("index_ppm"),
+    )
+
+
+@register(
+    "sku_price_elasticity",
+    f"""
+    WITH li AS (
+      SELECT l_partkey AS part_id,
+             {lm_ops.sql_flog2("GREATEST(CAST(round(l_extendedprice) AS BIGINT), 1)")}
+               AS x,
+             {lm_ops.sql_flog2("GREATEST(CAST(round(l_quantity) AS BIGINT), 1)")}
+               AS y
+      FROM lineitem
+    ),
+    agg AS (
+      SELECT part_id, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
+      FROM li GROUP BY part_id HAVING COUNT(*) >= 5
+    )
+    SELECT part_id, n,
+           CAST((CAST(1000000 AS HUGEINT) * (n * sxy - sx * sy))
+                // (n * sxx - sx * sx) AS BIGINT) AS elasticity_ppm
+    FROM agg WHERE n * sxx - sx * sx > 0
+    """,
+)
+def q_sku_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SKU log-log price elasticity of demand: the OLS slope of
+    flog2(quantity) on flog2(price) over each part's line items — the
+    pricing-analytics regression the reference domain (marketplace
+    repricing) acts on. Fully exact: both logs are the shared
+    fixed-point flog2 kernel, the slope is the classic
+    (n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) on DECIMAL(38)/HUGEINT sums (the
+    products overflow int64 past ~5e3 rows per part), floored to ppm
+    (both engines truncate toward zero — the div/// identity). Parts
+    with < 5 observations or zero price variance are excluded. One
+    map-side projection + one groupBy; no joins, no windows."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("part_id"),
+        F.greatest(F.round("l_extendedprice").cast("long"), F.lit(1).cast("long"))
+        .alias("_px"),
+        F.greatest(F.round("l_quantity").cast("long"), F.lit(1).cast("long"))
+        .alias("_qy"),
+    )
+    li = lm_ops.with_flog2(li, "_px", "x")
+    li = lm_ops.with_flog2(li, "_qy", "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        li.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(dec("x")).alias("sx"),
+            F.sum(dec("y")).alias("sy"),
+            F.sum(dec("x") * F.col("y")).alias("sxy"),
+            F.sum(dec("x") * F.col("x")).alias("sxx"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    return agg.select(
+        "part_id",
+        "n",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * (n * sxy - sx * sy))"
+            " div (n * sxx - sx * sx) AS BIGINT)"
+        ).alias("elasticity_ppm"),
+    ).filter(F.expr("n * sxx - sx * sx > 0"))

@@ -74,6 +74,7 @@ BNLJ_ALLOWED = {
     "docs_moore_lewis_select",  # two 1-row vocab-size broadcasts (background + in-domain)
     "docs_skipgram_pmi",  # 1-row token-total + 1-row pair-total broadcasts
     "customers_t_closeness",  # bounded band-grid cross + 1-row N/m broadcasts
+    "orders_dow_seasonality",  # 1-row grand-total broadcast onto the 7 weekday cells
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

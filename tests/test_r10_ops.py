@@ -162,3 +162,28 @@ def test_t_closeness_null_band_group_suppressed(spark):
     assert len(out) == 3
     # a group with only NULL sensitives has no distribution: suppressed
     assert out[3].grp is None and out[3].t_ppm is None
+
+
+# --- r10 analytics: elasticity + seasonality ----------------------------------------
+
+
+def test_sku_price_elasticity_sign(spark, sf_dir):
+    from kaspi_etl_spark import registry
+
+    # planted check rides the registry query shape at sf0.001: every
+    # retained part has >= 5 obs and finite ppm slope
+    out = registry.QUERIES["sku_price_elasticity"](spark, sf_dir).collect()
+    assert out and all(r.n >= 5 for r in out)
+
+
+def test_dow_seasonality_indices_average_to_one(spark, sf_dir):
+    from kaspi_etl_spark import registry
+
+    out = registry.QUERIES["orders_dow_seasonality"](spark, sf_dir).collect()
+    assert len(out) == 7
+    assert set(r.dow for r in out) == set(range(7))
+    # day-weighted mean of the indices is 1.0 by construction (ppm,
+    # floor rounding: within 7 ppm-units of 1e6 per day share)
+    t_days = sum(r.n_days for r in out)
+    weighted = sum(r.index_ppm * r.n_days for r in out) / t_days
+    assert abs(weighted - 1_000_000) < 10
