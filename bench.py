@@ -157,6 +157,20 @@ HEADLINE = [
     # loop, measured on the stress curve like communities_lp).
     "corpus_budget_assemble",
     "docs_epoch_order",
+    # r10: speculative-decoding acceptance (one token groupBy + bigram
+    # joins), Moore-Lewis selection (two LM scorings over one shared
+    # tokenize), windowed skip-gram PMI (3 zip_with slices), exact-EMD
+    # t-closeness, KD soft-target extraction (WindowGroupLimit), and
+    # the per-SKU log-log elasticity regression. Deliberately NOT here:
+    # copurchase_ktruss (iterative-convergence loop, stress-curve
+    # territory like kcore/LP) and orders_dow_seasonality (a 7-row
+    # rollup the daily-revenue queries above already cover in cost).
+    "lm_speculative_acceptance",
+    "docs_moore_lewis_select",
+    "docs_skipgram_pmi",
+    "customers_t_closeness",
+    "lm_distill_targets",
+    "sku_price_elasticity",
 ]
 
 
