@@ -424,3 +424,46 @@ def test_dsir_resample_is_take_ordered(spark, sf_dir):
     # (per-partition partial top-k), not a global sort
     plan = plan_of(spark, sf_dir, "docs_dsir_resample")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_distill_targets_uses_window_group_limit(spark, sf_dir):
+    # rank <= 4 per context must prune partially BEFORE the exchange —
+    # a dominant context never materializes its full continuation set
+    plan = plan_of(spark, sf_dir, "lm_distill_targets")
+    assert "WindowGroupLimit" in plan
+
+
+def test_r10_topk_queries_are_take_ordered(spark, sf_dir):
+    # top-k by score compiles to TakeOrderedAndProject (per-partition
+    # partial top-k), never a global sort materialization
+    for q in (
+        "lm_speculative_acceptance",
+        "docs_moore_lewis_select",
+        "docs_skipgram_pmi",
+    ):
+        plan = plan_of(spark, sf_dir, q)
+        assert "TakeOrderedAndProject" in plan, q
+
+
+def test_elasticity_is_one_groupby_no_joins(spark, sf_dir):
+    # per-part OLS sums: one map-side-combined groupBy, zero joins,
+    # zero windows — the cheapest possible regression shape
+    plan = plan_of(spark, sf_dir, "sku_price_elasticity")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_ktruss_rounds_are_equi_joins(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "copurchase_ktruss")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keyed_prefix_queries_have_no_single_partition_data_window(spark, sf_dir):
+    # the converted queries' remaining windows are the bounded offset
+    # tables (allowlisted in the skewed-key guard) and the per-(key,
+    # hash-bucket) intra ranks — partition count > 1 keys
+    for q in ("corpus_budget_assemble", "source_perplexity_profile",
+              "customer_revenue_deciles"):
+        plan = plan_of(spark, sf_dir, q)
+        assert "CartesianProduct" not in plan, q
