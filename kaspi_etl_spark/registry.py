@@ -13801,3 +13801,125 @@ def q_sku_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (n * sxx - sx * sx) AS BIGINT)"
         ).alias("elasticity_ppm"),
     ).filter(F.expr("n * sxx - sx * sx > 0"))
+
+
+_ZS_GROUP = 512  # simulated row-group size (rows per zone)
+
+
+@register(
+    "lineitem_zone_skip_eval",
+    f"""
+    WITH base AS (
+      SELECT l_orderkey * 8 + l_linenumber AS ck,
+             CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+               AS days
+      FROM lineitem WHERE l_shipdate IS NOT NULL
+    ),
+    nat AS (
+      SELECT days,
+             ROW_NUMBER() OVER (ORDER BY ck ASC,
+               {_sql_md5_long("coalesce(CAST(ck AS VARCHAR), '') || 'zs'")} ASC,
+               ck ASC) AS rn
+      FROM base
+    ),
+    srt AS (
+      SELECT days,
+             ROW_NUMBER() OVER (ORDER BY days ASC,
+               {_sql_md5_long("coalesce(CAST(ck AS VARCHAR), '') || 'zs'")} ASC,
+               ck ASC) AS rn
+      FROM base
+    ),
+    rng AS (
+      SELECT CAST(DATE '1995-03-01' - DATE '1970-01-01' AS BIGINT) AS lo,
+             CAST(DATE '1995-06-01' - DATE '1970-01-01' AS BIGINT) AS hi
+    ),
+    gn AS (
+      SELECT CAST((rn - 1) // {_ZS_GROUP} AS BIGINT) AS g,
+             MIN(days) AS mn, MAX(days) AS mx
+      FROM nat GROUP BY 1
+    ),
+    gs AS (
+      SELECT CAST((rn - 1) // {_ZS_GROUP} AS BIGINT) AS g,
+             MIN(days) AS mn, MAX(days) AS mx
+      FROM srt GROUP BY 1
+    ),
+    pern AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_scanned
+      FROM gn, rng
+    ),
+    pers AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(SUM(CASE WHEN mx >= lo AND mn < hi THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_scanned
+      FROM gs, rng
+    )
+    SELECT 'natural' AS layout, n_groups, n_scanned,
+           CAST((1000000 * (n_groups - n_scanned)) // n_groups AS BIGINT)
+             AS skip_ppm
+    FROM pern
+    UNION ALL
+    SELECT 'shipdate_sorted', n_groups, n_scanned,
+           CAST((1000000 * (n_groups - n_scanned)) // n_groups AS BIGINT)
+    FROM pers
+    """,
+)
+def q_lineitem_zone_skip_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max row-group statistics) skipping evaluation —
+    the storage-layout planning question behind partition pruning at
+    100 TB: simulate {_ZS_GROUP}-row groups under (a) the natural
+    insertion order and (b) a shipdate-sorted layout, and report how
+    many groups a one-quarter shipdate predicate must scan under each.
+    The sorted layout's skip fraction is what a `.sortBy` /
+    Z-order/Hilbert rewrite (orders_hilbert_curve is the multi-column
+    sibling) buys before any query runs. Global positions come from
+    the DISTRIBUTED total-order rank (value-bin x hash-sub-bucket —
+    never a global-order window; ties on the composite line key shard
+    by hash); group stats are one bounded groupBy per layout."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").isNotNull()
+    )
+    base = li.select(
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("long").alias("_ck"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("days"),
+    )
+    lo = F.datediff(F.lit("1995-03-01").cast("date"), F.lit("1970-01-01").cast("date"))
+    hi = F.datediff(F.lit("1995-06-01").cast("date"), F.lit("1970-01-01").cast("date"))
+
+    def layout_stats(ranked, name: str) -> DataFrame:
+        groups = (
+            ranked.select(
+                F.expr(f"CAST((_rn - 1) div {_ZS_GROUP} AS BIGINT)").alias("_g"),
+                "days",
+            )
+            .groupBy("_g")
+            .agg(F.min("days").alias("mn"), F.max("days").alias("mx"))
+        )
+        return groups.agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(
+                F.when((F.col("mx") >= lo) & (F.col("mn") < hi), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_scanned"),
+        ).select(
+            F.lit(name).alias("layout"),
+            "n_groups",
+            "n_scanned",
+            F.expr(
+                "CAST((1000000 * (n_groups - n_scanned)) div n_groups AS BIGINT)"
+            ).alias("skip_ppm"),
+        )
+
+    nat = ranks_mod.total_order_row_number(
+        base, "_ck", "_ck", out_col="_rn", salt="zs"
+    )
+    srt = ranks_mod.total_order_row_number(
+        base, "days", "_ck", out_col="_rn", salt="zs"
+    )
+    return layout_stats(nat, "natural").unionByName(
+        layout_stats(srt, "shipdate_sorted")
+    )

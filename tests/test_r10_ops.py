@@ -187,3 +187,19 @@ def test_dow_seasonality_indices_average_to_one(spark, sf_dir):
     t_days = sum(r.n_days for r in out)
     weighted = sum(r.index_ppm * r.n_days for r in out) / t_days
     assert abs(weighted - 1_000_000) < 10
+
+
+# --- zone-map skipping -----------------------------------------------------------
+
+
+def test_zone_skip_sorted_layout_dominates(spark, sf_dir):
+    from kaspi_etl_spark import registry
+
+    out = {r.layout: r for r in registry.QUERIES["lineitem_zone_skip_eval"](
+        spark, sf_dir
+    ).collect()}
+    assert set(out) == {"natural", "shipdate_sorted"}
+    assert out["natural"].n_groups == out["shipdate_sorted"].n_groups
+    # sorting by the predicate column can only improve zone skipping
+    assert out["shipdate_sorted"].skip_ppm >= out["natural"].skip_ppm
+    assert out["shipdate_sorted"].n_scanned <= out["natural"].n_scanned
