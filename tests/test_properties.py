@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 from hypothesis import given, settings, strategies as st
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from kaspi_etl_spark import clean
@@ -750,3 +751,50 @@ def test_fragment_stitch_matches_bruteforce(spark, texts):
         if a != b and tails[a] == heads[b]
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["web", "wiki", "code", None]),  # skewed keys
+            st.integers(min_value=0, max_value=50),  # weight
+            st.floats(min_value=-100, max_value=100, allow_nan=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_keyed_rank_primitives_match_brute_force(spark, rows):
+    """keyed_hash_order_prefix and keyed_value_order_row_number must be
+    value-identical to the per-key window forms they replace, on
+    arbitrary key skews including NULL key groups and tied values."""
+    from kaspi_etl_spark.llm.dedup import md5_long
+    from kaspi_etl_spark.ranks import (
+        keyed_hash_order_prefix,
+        keyed_value_order_row_number,
+    )
+
+    data = [(f"id{i:03d}", k, w, round(v, 3)) for i, (k, w, v) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id string, k string, w long, v double")
+
+    got_p = keyed_hash_order_prefix(df, ["k"], "w", "id", salt="pp", bucket_bits=3)
+    wp = Window.partitionBy("k").orderBy(
+        md5_long(F.coalesce(F.col("id").cast("string"), F.lit("")), salt="pp"),
+        "id",
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want_p = df.withColumn("cum", F.sum("w").over(wp).cast("long"))
+    assert sorted(got_p.select("id", "cum").collect()) == sorted(
+        want_p.select("id", "cum").collect()
+    )
+
+    got_r = keyed_value_order_row_number(
+        df, ["k"], ["v", "id"], out_col="rn", count_col="kn", n_bins=4
+    )
+    wr = Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("id").asc())
+    want_r = df.withColumn("rn", F.row_number().over(wr).cast("long")).withColumn(
+        "kn", F.count(F.lit(1)).over(Window.partitionBy("k")).cast("long")
+    )
+    assert sorted(got_r.select("id", "rn", "kn").collect()) == sorted(
+        want_r.select("id", "rn", "kn").collect()
+    )
