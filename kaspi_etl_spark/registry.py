@@ -13923,3 +13923,66 @@ def q_lineitem_zone_skip_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout_stats(nat, "natural").unionByName(
         layout_stats(srt, "shipdate_sorted")
     )
+
+
+@register(
+    "source_dup_matrix",
+    f"""
+    WITH mh AS ({{MH}}),
+    srcs AS (
+      SELECT doc_id, COALESCE(source, '(null)') AS src FROM documents
+    ),
+    m AS (
+      SELECT LEAST(sa.src, sb.src) AS src_a,
+             GREATEST(sa.src, sb.src) AS src_b,
+             CAST(p.est_jaccard * 8 AS BIGINT) AS e8
+      FROM mh p
+      JOIN srcs sa ON sa.doc_id = p.id_a % 1000000
+      JOIN srcs sb ON sb.doc_id = p.id_b % 1000000
+    )
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(e8) AS DOUBLE) / CAST(COUNT(*) * 8 AS DOUBLE)
+             AS mean_est_jaccard
+    FROM m GROUP BY src_a, src_b
+    """.replace("{MH}", ORACLES["minhash_lsh_pairs"]),
+)
+def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash-LSH near-dup pairs
+    rolled up to (source, source) cells with pair counts and mean
+    estimated Jaccard — the provenance diagnostic that tells you WHICH
+    sources copy from which (a crawl mirroring a wiki dump shows up as
+    one hot off-diagonal cell; the answer decides dedup priority and
+    mixing weights before any training run). Rides the existing banded
+    LSH pair stage verbatim; two source equi-joins + one bounded
+    |sources|^2 rollup. NULL sources rollup as '(null)' — LEAST/
+    GREATEST drop NULL members otherwise (both engines). The mean is
+    one double division of exact integers (est_jaccard * 8 is
+    integral by construction)."""
+    pairs = dedup_ops.minhash_near_dup_pairs(
+        llm_docs(spark, sf_dir), num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    )
+    srcs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("source"), F.lit("(null)")).alias("src")
+    )
+    m = (
+        pairs.join(
+            srcs.select(F.col("doc_id").alias("_da"), F.col("src").alias("_sa")),
+            pairs["id_a"] % 1000000 == F.col("_da"),
+        )
+        .join(
+            srcs.select(F.col("doc_id").alias("_db"), F.col("src").alias("_sb")),
+            pairs["id_b"] % 1000000 == F.col("_db"),
+        )
+        .select(
+            F.least(F.col("_sa"), F.col("_sb")).alias("src_a"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("src_b"),
+            (F.col("est_jaccard") * 8).cast("long").alias("_e8"),
+        )
+    )
+    return m.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (
+            F.sum("_e8").cast("double")
+            / (F.count(F.lit(1)) * 8).cast("double")
+        ).alias("mean_est_jaccard"),
+    )
