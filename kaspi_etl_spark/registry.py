@@ -13986,3 +13986,69 @@ def q_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.count(F.lit(1)) * 8).cast("double")
         ).alias("mean_est_jaccard"),
     )
+
+
+@register(
+    "dedup_priority_keep",
+    f"""
+    WITH cc AS ({{CC}}),
+    srcs AS (
+      SELECT doc_id, COALESCE(source, '~') AS src FROM documents
+    ),
+    m AS (
+      SELECT c.doc_id, c.cluster_id, s.src
+      FROM cc c JOIN srcs s ON s.doc_id = c.doc_id % 1000000
+    ),
+    r AS (
+      SELECT doc_id, cluster_id, src,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY src ASC, doc_id ASC) AS rk
+      FROM m
+    ),
+    n AS (
+      SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM m GROUP BY cluster_id
+    )
+    SELECT CAST(r.cluster_id AS BIGINT) AS cluster_id,
+           CAST(r.doc_id AS BIGINT) AS kept_doc_id,
+           r.src AS kept_src, n.n_members
+    FROM r JOIN n ON n.cluster_id = r.cluster_id
+    WHERE r.rk = 1
+    """.replace("{CC}", ORACLES["dedup_clusters"]),
+)
+def q_dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-based duplicate-cluster representative selection: for
+    every near-dup cluster keep the member from the highest-priority
+    source (lexicographic source rank here; a curated-source map in
+    production — 'keep the wiki copy, drop the crawl copy'), tiebreak
+    by doc id. The deterministic KEEP decision that turns dedup
+    clusters into an actual retention list — the alternative policies
+    are the probabilistic cluster_weighted_sample and min-id
+    dedup_clusters. rank-1 per cluster compiles to WindowGroupLimit
+    (partial top-1 before the exchange — a million-member boilerplate
+    family never sorts whole); member counts are one groupBy joined
+    back."""
+    pairs = dedup_ops.minhash_near_dup_pairs(
+        llm_docs(spark, sf_dir), num_hashes=NUM_HASHES, bands=LSH_BANDS, threshold=0.5
+    )
+    cc = dedup_ops.connected_components(pairs)
+    srcs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("_sd"),
+        F.coalesce(F.col("source"), F.lit("~")).alias("src"),
+    )
+    m = cc.join(srcs, cc["doc_id"] % 1000000 == F.col("_sd")).select(
+        "doc_id", "cluster_id", "src"
+    )
+    wnd = Window.partitionBy("cluster_id").orderBy(
+        F.col("src").asc(), F.col("doc_id").asc()
+    )
+    r = m.withColumn("rk", F.row_number().over(wnd)).filter(F.col("rk") == 1)
+    n = m.groupBy(F.col("cluster_id").alias("_nc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    return r.join(n, r["cluster_id"] == F.col("_nc")).select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("doc_id").cast("long").alias("kept_doc_id"),
+        F.col("src").alias("kept_src"),
+        "n_members",
+    )
