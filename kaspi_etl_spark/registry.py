@@ -14052,3 +14052,128 @@ def q_dedup_priority_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("kept_src"),
         "n_members",
     )
+
+
+_MDE_Z_PPM = 2_801_585  # (z_{0.025} + z_{0.20}) * 1e6 = (1.959964 + 0.841621)
+
+
+@register(
+    "events_power_mde",
+    f"""
+    WITH u AS (
+      SELECT DISTINCT event_type, user_id FROM events
+    ),
+    buyers AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type = 'purchase' AND user_id IS NOT NULL
+    ),
+    a AS (
+      SELECT u.event_type,
+             {_sql_md5_long("coalesce(CAST(u.user_id AS VARCHAR), '') || 'srm'")}
+               % 2 AS variant,
+             CASE WHEN b.user_id IS NOT NULL THEN 1 ELSE 0 END AS conv
+      FROM u LEFT JOIN buyers b ON b.user_id = u.user_id
+    ),
+    c AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_units,
+             CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(SUM(conv) AS BIGINT) AS n_conv
+      FROM a GROUP BY event_type
+    ),
+    p AS (
+      SELECT event_type, n_units, n_a, n_b,
+             CAST((1000000 * n_conv) // n_units AS BIGINT) AS conv_ppm,
+             CAST(((1000000 * n_conv) // n_units)
+                  * (1000000 - (1000000 * n_conv) // n_units)
+                  * ((1000000 // n_a) + (1000000 // n_b)) // 1000000
+                  AS BIGINT) AS var_ppm2
+      FROM c WHERE n_a > 0 AND n_b > 0
+    ),
+    s AS (
+      SELECT *, CAST(FLOOR(SQRT(CAST(var_ppm2 AS DOUBLE))) AS BIGINT) AS r0
+      FROM p
+    )
+    SELECT event_type, n_units, n_a, n_b, conv_ppm,
+           CAST({_MDE_Z_PPM} * (CASE
+                  WHEN (r0 + 1) * (r0 + 1) <= var_ppm2 THEN r0 + 1
+                  WHEN r0 * r0 > var_ppm2 THEN r0 - 1
+                  ELSE r0 END) // 1000000 AS BIGINT) AS mde_ppm
+    FROM s
+    """,
+)
+def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis per exposure segment: the minimum
+    detectable effect (absolute, ppm) of a two-proportion test at
+    alpha = 0.05 / power = 0.80 given the segment's realized variant
+    sizes and pooled conversion-to-purchase rate — the pre-readout
+    companion of events_srm_check and the CUPED probes (an experiment
+    whose MDE exceeds any plausible effect is not worth reading out).
+    mde = (z_a + z_b) * sqrt(p(1-p)(1/n_a + 1/n_b)), computed entirely
+    in floored ppm integers with the exact-isqrt correction trick the
+    CUSUM monitor uses (floor(sqrt(double)) +-1 — exact to 2^52). One
+    distinct-unit groupBy + one broadcast-size purchaser semi-join;
+    NULL users count as units but never convert (an equi-join cannot
+    match NULL — mirrored)."""
+    ev = read_events(spark, sf_dir)
+    u = ev.select("event_type", "user_id").distinct()
+    buyers = (
+        ev.filter((F.col("event_type") == "purchase") & F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("_bu"))
+        .distinct()
+    )
+    variant = (
+        dedup_ops.md5_long(
+            F.coalesce(F.col("user_id").cast("string"), F.lit("")), salt="srm"
+        )
+        % 2
+    )
+    a = u.join(buyers, u["user_id"] == F.col("_bu"), "left").select(
+        "event_type",
+        variant.alias("_v"),
+        F.when(F.col("_bu").isNotNull(), 1).otherwise(0).alias("_conv"),
+    )
+    c = a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_units"),
+        F.sum(F.when(F.col("_v") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("_v") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum("_conv").cast("long").alias("_nc"),
+    ).filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+    p = c.select(
+        "event_type",
+        "n_units",
+        "n_a",
+        "n_b",
+        F.expr("CAST((1000000 * _nc) div n_units AS BIGINT)").alias("conv_ppm"),
+        F.expr(
+            "CAST(((1000000 * _nc) div n_units)"
+            " * (1000000 - (1000000 * _nc) div n_units)"
+            " * ((1000000 div n_a) + (1000000 div n_b)) div 1000000 AS BIGINT)"
+        ).alias("_var"),
+    )
+    r0 = F.floor(F.sqrt(F.col("_var").cast("double"))).cast("long")
+    isq = (
+        F.when((r0 + 1) * (r0 + 1) <= F.col("_var"), r0 + 1)
+        .when(r0 * r0 > F.col("_var"), r0 - 1)
+        .otherwise(r0)
+    )
+    return p.select(
+        "event_type",
+        "n_units",
+        "n_a",
+        "n_b",
+        "conv_ppm",
+        # integer div below, not double /: the double quotient can round
+        # UP across an integer boundary before a cast truncates
+        (F.lit(_MDE_Z_PPM).cast("long") * isq).cast("long").alias("_num"),
+    ).select(
+        "event_type",
+        "n_units",
+        "n_a",
+        "n_b",
+        "conv_ppm",
+        F.expr("CAST(_num div 1000000 AS BIGINT)").alias("mde_ppm"),
+    )
