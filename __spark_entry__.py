@@ -222,11 +222,13 @@ _GATE_PRIORITY = [
     "lm_distill_targets",
     "orders_dow_seasonality",
     "sku_price_elasticity",
+    # --- r10 second wave (displacing four more pool entries, each
+    # r9-green with family siblings in local sweeps) ---
+    "lineitem_zone_skip_eval",
+    "source_dup_matrix",
+    "dedup_priority_keep",
+    "events_power_mde",
     # --- r9 driver-green family representatives (r10 swap pool) ---
-    "embeddings_bitext_mine",
-    "ann_matryoshka_recall",
-    "docs_unigram_segment",
-    "docs_leakage_safe_split",
     "docs_kn_bigram",
     "docs_repetition_profile",
     "docs_logreg_calibration",

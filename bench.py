@@ -171,6 +171,12 @@ HEADLINE = [
     "customers_t_closeness",
     "lm_distill_targets",
     "sku_price_elasticity",
+    # r10 second wave: the zone-map layout evaluator (two distributed
+    # total-order ranks over lineitem) and the cross-source dup matrix
+    # (rides the banded LSH pair stage). priority_keep and power_mde
+    # ride their families' existing headline entries in cost.
+    "lineitem_zone_skip_eval",
+    "source_dup_matrix",
 ]
 
 

@@ -520,6 +520,26 @@ def main() -> None:
 
             run(k, "window_prefix_skew_control", _ctl)
 
+        if want("ktruss"):
+            li0t = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+                F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
+            )
+            lit_ = scaled_union(li0t, k, "o", 100_000_000).localCheckpoint()
+            n_lit = lit_.count()
+
+            def _ktruss():
+                from kaspi_etl_spark.ops import basket, graph
+
+                co = basket.basket_pairs(
+                    lit_, min_support=2, max_basket_items=64
+                ).select("item_a", "item_b")
+                out = graph.ktruss_peel(
+                    co, k=4, rounds=3, src_col="item_a", dst_col="item_b"
+                )
+                return {"rows": out.count(), "in_rows": n_lit}
+
+            run(k, "ktruss", _ktruss)
+
         if want("assoc_rules_lowsup"):
             li0s = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
                 F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
