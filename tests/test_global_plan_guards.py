@@ -75,6 +75,7 @@ BNLJ_ALLOWED = {
     "docs_skipgram_pmi",  # 1-row token-total + 1-row pair-total broadcasts
     "customers_t_closeness",  # bounded band-grid cross + 1-row N/m broadcasts
     "orders_dow_seasonality",  # 1-row grand-total broadcast onto the 7 weekday cells
+    "lineitem_zone_skip_eval",  # two 1-row (min,max) bin-range broadcasts (total-order ranks)
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
@@ -165,6 +166,7 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "token_pack_sequences": 1,  # <= 2^16 bucket offsets
     "token_shards": 1,  # <= 2^16 bucket offsets
     "token_shards_lpt": 1,  # LPT rank's <= 1024-bin offset table
+    "lineitem_zone_skip_eval": 2,  # two total-order ranks' <= 1024-bin offsets
     # --- literal-bounded frames ---
     "corpus_mix_allocation": 3,  # |sources| rows (apportionment ladder)
     "corpus_mix_temperature": 3,  # |sources| rows
