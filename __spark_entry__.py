@@ -228,10 +228,10 @@ _GATE_PRIORITY = [
     "source_dup_matrix",
     "dedup_priority_keep",
     "events_power_mde",
+    "lm_pruned_model_eval",
+    "customer_ltv_cohort",
     # --- r9 driver-green family representatives (r10 swap pool) ---
-    "docs_kn_bigram",
     "docs_repetition_profile",
-    "docs_logreg_calibration",
     "corpus_distinct_ngrams",
     "embeddings_pca_variance",
     "docs_fragment_stitch",

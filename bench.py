@@ -177,6 +177,10 @@ HEADLINE = [
     # ride their families' existing headline entries in cost.
     "lineitem_zone_skip_eval",
     "source_dup_matrix",
+    # r10 third wave: the LM pruning size/quality trade (two scorings
+    # over one model-sized held-out tf table). customer_ltv_cohort is a
+    # calendar-bounded rollup the daily-revenue entries already cover.
+    "lm_pruned_model_eval",
 ]
 
 

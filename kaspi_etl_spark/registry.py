@@ -14177,3 +14177,241 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "conv_ppm",
         F.expr("CAST(_num div 1000000 AS BIGINT)").alias("mde_ppm"),
     )
+
+
+@register(
+    "lm_pruned_model_eval",
+    f"""
+    WITH tw AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents
+                WHERE doc_id % 2 = 0),
+    tbig AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM tw),
+    c12 AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS c12
+      FROM tbig GROUP BY 1, 2
+    ),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM c12 GROUP BY w1),
+    v AS (
+      SELECT CAST(count(DISTINCT x) AS BIGINT) AS v_size
+      FROM (SELECT w1 AS x FROM c12 UNION SELECT w2 FROM c12)
+    ),
+    hw AS (SELECT doc_id, {_SQL_WORDS_EXPR} AS ws FROM documents
+           WHERE doc_id % 2 = 1),
+    hbig AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i FROM hw),
+    htf AS (
+      SELECT ws[i] AS w1, ws[i+1] AS w2, CAST(count(*) AS BIGINT) AS tf
+      FROM hbig GROUP BY 1, 2
+    ),
+    variants AS (
+      SELECT 'full' AS variant, CAST(1 AS BIGINT) AS min_count
+      UNION ALL SELECT 'pruned_min2', 2
+    ),
+    kept AS (
+      SELECT va.variant, va.min_count, b.w1, b.w2, b.c12
+      FROM variants va JOIN c12 b ON b.c12 >= va.min_count
+    ),
+    msize AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS model_rows
+      FROM kept GROUP BY variant
+    ),
+    scored AS (
+      SELECT va.variant, h.tf,
+             CAST(COALESCE(k.c12, 0) + 1 AS BIGINT) AS num,
+             CAST(COALESCE(c1.c1, 0) + v.v_size AS BIGINT) AS den
+      FROM variants va
+      CROSS JOIN htf h
+      LEFT JOIN kept k ON k.variant = va.variant
+                      AND k.w1 = h.w1 AND k.w2 = h.w2
+      LEFT JOIN c1 ON c1.w1 = h.w1
+      CROSS JOIN v
+    ),
+    per AS (
+      SELECT variant, tf,
+             tf * ({lm_ops.sql_flog2('den')} - {lm_ops.sql_flog2('num')}) AS s
+      FROM scored
+    )
+    SELECT p.variant, m.model_rows,
+           CAST(SUM(p.tf) AS BIGINT) AS n_bigrams,
+           CAST(SUM(p.s) AS BIGINT) AS surprisal_scaled,
+           CAST(SUM(p.s) AS DOUBLE)
+             / CAST(SUM(p.tf) * {lm_ops.FLOG2_ONE} AS DOUBLE)
+             AS bits_per_token
+    FROM per p JOIN msize m ON m.variant = p.variant
+    GROUP BY p.variant, m.model_rows
+    """,
+)
+def q_lm_pruned_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-threshold LM pruning trade: train the bigram model on the
+    even-doc split, score the held-out odd-doc bigram stream with the
+    FULL model and with the singleton-pruned model (c12 >= 2; pruned
+    bigrams fall back to the smoothed unseen mass — exactly how a
+    pruned deployment behaves), and report model size vs held-out
+    quality side by side. The size/quality curve every n-gram-LM
+    deployment reads before shipping (Stolcke pruning's
+    count-threshold baseline). The held-out stream is tokenized ONCE
+    and aggregated to (w1, w2, tf) BEFORE scoring (model-sized, not
+    corpus-sized); both variants ride one join via the variant
+    dimension; c1/vocab are unpruned on both engines (pruning drops
+    bigram ROWS, not context mass)."""
+    d = _read(spark, sf_dir, "documents")
+    c12, c1, v = lm_ops.lm_train(d.filter(F.col("doc_id") % 2 == 0))
+    htf = (
+        lm_ops.doc_bigrams(d.filter(F.col("doc_id") % 2 == 1))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    variants = spark.createDataFrame(
+        [("full", 1), ("pruned_min2", 2)], "variant string, min_count long"
+    )
+    kept = variants.join(c12, F.col("c12") >= F.col("min_count"))
+    msize = kept.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("model_rows")
+    )
+    scored = (
+        variants.crossJoin(htf)
+        .join(
+            kept.select(
+                F.col("variant").alias("_kv"),
+                F.col("w1").alias("_kw1"),
+                F.col("w2").alias("_kw2"),
+                F.col("c12").alias("_kc12"),
+            ),
+            (F.col("variant") == F.col("_kv"))
+            & (F.col("w1") == F.col("_kw1"))
+            & (F.col("w2") == F.col("_kw2")),
+            "left",
+        )
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "variant",
+            "tf",
+            (F.coalesce(F.col("_kc12"), F.lit(0)) + 1).cast("long").alias("_num"),
+            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v_size"))
+            .cast("long")
+            .alias("_den"),
+        )
+    )
+    scored = lm_ops.with_flog2(scored, "_num", "_ln")
+    scored = lm_ops.with_flog2(scored, "_den", "_ld")
+    per = scored.withColumn("_s", F.col("tf") * (F.col("_ld") - F.col("_ln")))
+    agg = per.groupBy("variant").agg(
+        F.sum("tf").cast("long").alias("n_bigrams"),
+        F.sum("_s").cast("long").alias("surprisal_scaled"),
+    )
+    return agg.join(msize, "variant").select(
+        "variant",
+        "model_rows",
+        "n_bigrams",
+        "surprisal_scaled",
+        (
+            F.col("surprisal_scaled").cast("double")
+            / (F.col("n_bigrams") * F.lit(lm_ops.FLOG2_ONE)).cast("double")
+        ).alias("bits_per_token"),
+    )
+
+
+@register(
+    "customer_ltv_cohort",
+    f"""
+    WITH o AS ({SQL_ORDERS_KASPI}),
+    oc AS (
+      SELECT x.oid AS order_id, x.order_date, x.gross_price_kzt,
+             o_custkey AS customer_id
+      FROM orders JOIN (SELECT order_id AS oid, order_date, gross_price_kzt
+                        FROM o) x ON x.oid = o_orderkey
+      WHERE o_custkey IS NOT NULL
+    ),
+    first AS (
+      SELECT customer_id,
+             CAST(date_trunc('month', MIN(order_date)) AS DATE) AS cohort_month
+      FROM oc GROUP BY customer_id
+    ),
+    cells AS (
+      SELECT f.cohort_month,
+             CAST((CAST(date_part('year', oc.order_date) AS BIGINT) * 12
+                   + CAST(date_part('month', oc.order_date) AS BIGINT))
+                  - (CAST(date_part('year', f.cohort_month) AS BIGINT) * 12
+                     + CAST(date_part('month', f.cohort_month) AS BIGINT))
+                  AS BIGINT) AS month_offset,
+             oc.customer_id, oc.gross_price_kzt
+      FROM oc JOIN first f ON f.customer_id = oc.customer_id
+    ),
+    sizes AS (
+      SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM first GROUP BY cohort_month
+    ),
+    agg AS (
+      SELECT cohort_month, month_offset,
+             CAST(COUNT(DISTINCT customer_id) AS BIGINT) AS active_customers,
+             CAST(SUM(gross_price_kzt) AS BIGINT) AS revenue
+      FROM cells GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT a.cohort_month, a.month_offset, a.active_customers, a.revenue,
+             CAST(SUM(a.revenue) OVER (PARTITION BY a.cohort_month
+                    ORDER BY a.month_offset
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_revenue,
+             s.cohort_size
+      FROM agg a JOIN sizes s ON s.cohort_month = a.cohort_month
+    )
+    SELECT cohort_month, month_offset, cohort_size, active_customers,
+           revenue, cum_revenue,
+           CAST(cum_revenue // cohort_size AS BIGINT) AS ltv_per_customer
+    FROM cum
+    """,
+)
+def q_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers grouped by first-order
+    month, each cohort's revenue tracked by months-since-acquisition
+    with cumulative LTV per acquired customer — the unit-economics
+    readout (does a cohort repay acquisition by month k?) next to the
+    retention matrix. The cumulative window is partitioned by
+    cohort_month over the per-(cohort, offset) ROLLUP — calendar x
+    calendar bounded cells, never raw orders (aggregate first, window
+    the tiny frame — the CUSUM discipline); integer KZT end to end,
+    floor per-customer division."""
+    ok = orders_kaspi(spark, sf_dir).select(
+        "order_id", "order_date", "gross_price_kzt"
+    )
+    keys = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+    ).filter(F.col("customer_id").isNotNull())
+    oc = ok.join(keys, "order_id")
+    first = oc.groupBy("customer_id").agg(
+        F.trunc(F.min("order_date"), "month").alias("cohort_month")
+    )
+    mo = (
+        (F.year("order_date") * 12 + F.month("order_date"))
+        - (F.year("cohort_month") * 12 + F.month("cohort_month"))
+    ).cast("long")
+    cells = oc.join(first, "customer_id").select(
+        "cohort_month", mo.alias("month_offset"), "customer_id", "gross_price_kzt"
+    )
+    sizes = first.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    agg = cells.groupBy("cohort_month", "month_offset").agg(
+        F.count_distinct("customer_id").cast("long").alias("active_customers"),
+        F.sum("gross_price_kzt").cast("long").alias("revenue"),
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = agg.withColumn("cum_revenue", F.sum("revenue").over(w).cast("long")).join(
+        F.broadcast(sizes), "cohort_month"
+    )
+    return cum.select(
+        "cohort_month",
+        "month_offset",
+        "cohort_size",
+        "active_customers",
+        "revenue",
+        "cum_revenue",
+        F.expr("CAST(cum_revenue div cohort_size AS BIGINT)").alias(
+            "ltv_per_customer"
+        ),
+    )

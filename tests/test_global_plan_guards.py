@@ -76,6 +76,7 @@ BNLJ_ALLOWED = {
     "customers_t_closeness",  # bounded band-grid cross + 1-row N/m broadcasts
     "orders_dow_seasonality",  # 1-row grand-total broadcast onto the 7 weekday cells
     "lineitem_zone_skip_eval",  # two 1-row (min,max) bin-range broadcasts (total-order ranks)
+    "lm_pruned_model_eval",  # 2-row variant-dimension cross + 1-row vocab broadcast
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
