@@ -230,13 +230,13 @@ _GATE_PRIORITY = [
     "events_power_mde",
     "lm_pruned_model_eval",
     "customer_ltv_cohort",
+    "corpus_quality_budget_curve",
+    "events_stickiness",
     # --- r9 driver-green family representatives (r10 swap pool) ---
     "docs_repetition_profile",
     "corpus_distinct_ngrams",
-    "embeddings_pca_variance",
     "docs_fragment_stitch",
     "lm_beam_decode",
-    "docs_dsir_resample",
 ]
 
 

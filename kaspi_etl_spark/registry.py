@@ -14415,3 +14415,151 @@ def q_customer_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_customer"
         ),
     )
+
+
+_QBC_STEPS_PPM = (0, 250_000, 500_000, 750_000, 1_000_000)
+
+
+@register(
+    "corpus_quality_budget_curve",
+    f"""
+    WITH scored AS ({{LM}}),
+    d AS (
+      SELECT s.doc_id, s.n_bigrams + 1 AS n_tokens, s.bits_per_token
+      FROM scored s
+    ),
+    mm AS (
+      SELECT MIN(bits_per_token) AS lo, MAX(bits_per_token) AS hi FROM d
+    ),
+    grid AS (
+      SELECT unnest(ARRAY{list(_QBC_STEPS_PPM)}) AS step_ppm
+    ),
+    cuts AS (
+      SELECT step_ppm,
+             mm.lo + (mm.hi - mm.lo) * (CAST(step_ppm AS DOUBLE)
+                                        / CAST(1000000 AS DOUBLE)) AS cutoff
+      FROM grid, mm
+    )
+    SELECT c.step_ppm, c.cutoff AS cutoff_bpt,
+           CAST(COUNT(CASE WHEN d.bits_per_token <= c.cutoff THEN 1 END)
+                AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN d.bits_per_token <= c.cutoff
+                                  THEN d.n_tokens END), 0) AS BIGINT)
+             AS n_tokens
+    FROM cuts c, d
+    GROUP BY c.step_ppm, c.cutoff
+    """.replace("{LM}", ORACLES["docs_lm_perplexity"]),
+)
+def q_corpus_quality_budget_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget vs quality-cutoff curve: for a ladder of
+    bits-per-token cutoffs spanning the corpus range, how many
+    documents and tokens survive a perplexity filter at that setting —
+    the planning curve read BEFORE choosing a filter threshold (CCNet
+    keeps 'head'; this shows what each candidate head costs in
+    tokens). One LM scoring pass (the docs_lm_perplexity kernel), a
+    5-row cutoff ladder broadcast against the per-doc scores, one
+    grouped conditional aggregation — the docs never sort and never
+    self-join; cutoffs interpolate between the corpus min/max bpt
+    (both exact divisions of exact integers, engine-identical)."""
+    scored = lm_ops.lm_score(_read(spark, sf_dir, "documents"))
+    d = scored.select(
+        "doc_id",
+        (F.col("n_bigrams") + 1).cast("long").alias("n_tokens"),
+        "bits_per_token",
+    )
+    mm = d.agg(
+        F.min("bits_per_token").alias("lo"), F.max("bits_per_token").alias("hi")
+    )
+    grid = spark.createDataFrame(
+        [(s,) for s in _QBC_STEPS_PPM], "step_ppm long"
+    )
+    cuts = grid.crossJoin(F.broadcast(mm)).select(
+        "step_ppm",
+        (
+            F.col("lo")
+            + (F.col("hi") - F.col("lo"))
+            * (F.col("step_ppm").cast("double") / F.lit(1000000.0))
+        ).alias("cutoff"),
+    )
+    joined = d.crossJoin(F.broadcast(cuts))
+    out = joined.groupBy("step_ppm", "cutoff").agg(
+        F.count(F.when(F.col("bits_per_token") <= F.col("cutoff"), 1))
+        .cast("long")
+        .alias("n_docs"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("bits_per_token") <= F.col("cutoff"),
+                    F.col("n_tokens"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return out.withColumnRenamed("cutoff", "cutoff_bpt")
+
+
+@register(
+    "events_stickiness",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(CAST(ts AS DATE) AS DATE) AS day,
+             user_id
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    dau AS (
+      SELECT month, day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM e GROUP BY month, day
+    ),
+    per AS (
+      SELECT month,
+             CAST(SUM(dau) AS BIGINT) AS user_days,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM dau GROUP BY month
+    ),
+    mau AS (
+      SELECT month, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM e GROUP BY month
+    )
+    SELECT p.month, p.user_days, p.n_days, m.mau,
+           CAST((1000000 * p.user_days) // (p.n_days * m.mau) AS BIGINT)
+             AS stickiness_ppm
+    FROM per p JOIN mau m ON m.month = p.month
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — mean daily actives over monthly
+    actives in exact ppm (the engagement ratio every product dashboard
+    leads with). Two distinct-count groupBys over calendar-bounded
+    cells + one exact integer division; NULL users and NULL timestamps
+    are excluded on both engines (a user key is required to be
+    'active')."""
+    e = read_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+        F.col("ts").cast("date").alias("day"),
+        "user_id",
+    )
+    dau = e.groupBy("month", "day").agg(
+        F.count_distinct("user_id").cast("long").alias("dau")
+    )
+    per = dau.groupBy("month").agg(
+        F.sum("dau").cast("long").alias("user_days"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+    mau = e.groupBy("month").agg(
+        F.count_distinct("user_id").cast("long").alias("mau")
+    )
+    return per.join(mau, "month").select(
+        "month",
+        "user_days",
+        "n_days",
+        "mau",
+        F.expr(
+            "CAST((1000000 * user_days) div (n_days * mau) AS BIGINT)"
+        ).alias("stickiness_ppm"),
+    )

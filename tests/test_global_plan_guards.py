@@ -77,6 +77,7 @@ BNLJ_ALLOWED = {
     "orders_dow_seasonality",  # 1-row grand-total broadcast onto the 7 weekday cells
     "lineitem_zone_skip_eval",  # two 1-row (min,max) bin-range broadcasts (total-order ranks)
     "lm_pruned_model_eval",  # 2-row variant-dimension cross + 1-row vocab broadcast
+    "corpus_quality_budget_curve",  # lm_score's vocab broadcast + 5-row cutoff-ladder cross
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
