@@ -172,8 +172,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # for new r10 operators as they are built, as every round). Displaced:
 # the rest of the r9 gate — all driver-green last round, every one
 # green in the local clean+adversarial full sweeps every round.
+# Round-11 rotation (VERDICT r10 top-next #4/#5): the media trio enters
+# with FIRST-TIME VALUE ORACLES (media_resize / media_frame_sample
+# recompute the stub kernels in SQL via the hex trick; media_phash_pairs
+# looks hashes up in fixtures/media_expected_phash.parquet computed by
+# the repo's own pHash kernel and re-derives pairs with a brute
+# bit_count(xor) join — after this rotation ZERO queries are rows-only),
+# plus the four r11-built ops (orders_benford_audit, customer_survival_km,
+# docs_curriculum_schedule, docs_span_corruption). r11-touched queries
+# already in the prefix stay put: copurchase_ktruss (now k=3 so the gate
+# has ROWS — the r10 verdict's vacuous-gate fix), events_power_mde
+# (variance now per-variant floored division, BIGINT-safe at >1e6
+# units), customer_revenue_deciles (data-derived NULL sentinel),
+# corpus_budget_assemble + source_perplexity_profile (ranks.py schema
+# cleanup: _pri no longer leaks). Displaced (all r10 driver-green, each
+# with a family sibling staying): docs_repetition_profile +
+# corpus_distinct_ngrams (text-profile family keeps docs_term_rarity +
+# docs_hashed_tf's r10-green record and the quality pipelines),
+# docs_fragment_stitch (dedup keeps source_dup_matrix +
+# dedup_priority_keep), lm_beam_decode (LM keeps lm_speculative_
+# acceptance / lm_distill_targets / lm_pruned_model_eval),
+# docs_url_blocklist (web-clean keeps docs_pii_redacted +
+# corpus_clean_pipeline), docs_hashed_tf (keeps docs_term_rarity),
+# embedding_quantize (embeddings keep embeddings_negative_samples +
+# kmeans_assign).
 _GATE_PRIORITY = [
     "daily_net_revenue",
+    # --- r11-built (new code gets the driver's own check first) ---
+    "orders_benford_audit",
+    "customer_survival_km",
+    "docs_curriculum_schedule",
+    "docs_span_corruption",
+    # --- the media trio: first-time VALUE gates (r10 verdict #4) ---
+    "media_resize",
+    "media_frame_sample",
+    "media_phash_pairs",
     # --- r10-touched (keyed-rank conversions + NULL-id fixes) ---
     "customer_revenue_deciles",
     "docs_heaps_curve",
@@ -188,14 +221,11 @@ _GATE_PRIORITY = [
     "corpus_release_pipeline",
     "daily_revenue_incremental",
     "docs_epoch_order",
-    "docs_hashed_tf",
     "docs_lang_source_mi",
     "docs_pii_redacted",
     "docs_stratified_sample",
     "docs_term_rarity",
-    "docs_url_blocklist",
     "docs_weighted_sample",
-    "embedding_quantize",
     "events_srm_check",
     "events_value_quantiles",
     "kmeans_assign",
@@ -232,11 +262,6 @@ _GATE_PRIORITY = [
     "customer_ltv_cohort",
     "corpus_quality_budget_curve",
     "events_stickiness",
-    # --- r9 driver-green family representatives (r10 swap pool) ---
-    "docs_repetition_profile",
-    "corpus_distinct_ngrams",
-    "docs_fragment_stitch",
-    "lm_beam_decode",
 ]
 
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 import urllib.request
@@ -184,6 +185,60 @@ HEADLINE = [
 ]
 
 
+def min_over_passes(
+    samples: dict[str, list[tuple[float, float | None]]],
+) -> tuple[dict[str, float], dict[str, float]]:
+    """Per-query minimum wall and CPU across interleaved passes.
+
+    Minima are taken independently (the steal-free wall sample and the
+    steal-free CPU sample need not be the same pass)."""
+    timings: dict[str, float] = {}
+    cpu_timings: dict[str, float] = {}
+    for name, runs in samples.items():
+        if not runs:
+            continue
+        timings[name] = min(w for w, _ in runs)
+        cpus = [c for _, c in runs if c is not None]
+        if cpus:
+            cpu_timings[name] = min(cpus)
+    return timings, cpu_timings
+
+
+def flag_suspects(
+    cpu_timings: dict[str, float],
+    prev_cpu: dict[str, float],
+    factor: float = 5.0,
+    floor: float = 0.05,
+) -> list[str]:
+    """Contamination sentinel: queries whose MIN CPU across passes still
+    exceeds ``factor`` x the previous round's committed per-query CPU —
+    with interleaved passes, that can only happen if a host event spans
+    the entire bench (or the engine genuinely regressed); either way the
+    artifact should self-identify the rows a judge must re-measure.
+    ``floor`` ignores sub-50ms noise-dominated queries."""
+    return sorted(
+        q
+        for q, c in cpu_timings.items()
+        if prev_cpu.get(q, 0.0) > floor and c > factor * prev_cpu[q]
+    )
+
+
+def _git_head() -> str | None:
+    try:
+        return (
+            subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True,
+                text=True,
+                timeout=10,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            ).stdout.strip()
+            or None
+        )
+    except Exception:
+        return None
+
+
 def _executor_cpu_sec(spark) -> float | None:
     """Cumulative executor CPU seconds over all COMPLETE stages, via the
     status REST API (the UI is enabled for the bench session only).
@@ -228,43 +283,60 @@ def main() -> None:
     # engine, not first-touch costs.
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    # Best of 3 runs per query: the first run includes plan compilation,
-    # and the host demonstrably suffers CPU-steal bursts that can 3-4x a
-    # single run — three samples give the minimum a real chance to be a
-    # steal-free measurement. The minimum is the sustained-throughput
-    # number (the engine's cost; contention is the host's). The same
-    # min-of-3 applies to the CPU-seconds delta per run.
+    # Best of 3 samples per query, taken as 3 INTERLEAVED FULL PASSES
+    # over the query list (pass 1 runs every query once, then pass 2,
+    # then pass 3) — never 3 back-to-back repeats: the r10 driver
+    # artifact had a minutes-long host event poison four CONSECUTIVE
+    # queries at 4.7-90x their real CPU because all three back-to-back
+    # samples landed inside the burst. With full passes, a burst shorter
+    # than one whole pass (~the entire bench) cannot own any query's
+    # every sample, so the per-query minimum survives. The first pass
+    # additionally absorbs plan compilation. The minimum is the
+    # sustained-throughput number (the engine's cost; contention is the
+    # host's).
     # A single crashing query must never zero out the whole artifact
-    # (round 3 lost all bench numbers to one AnalysisException): record the
-    # failure, keep timing the rest, and still print the JSON line.
-    timings: dict[str, float] = {}
-    cpu_timings: dict[str, float] = {}
+    # (round 3 lost all bench numbers to one AnalysisException): record
+    # the failure, keep timing the rest, and still print the JSON line.
+    samples: dict[str, list[tuple[float, float | None]]] = {
+        name: [] for name in HEADLINE
+    }
     errors: dict[str, str] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = QUERIES[name]
-        best, best_cpu, n = float("inf"), float("inf"), 0
-        try:
-            for _ in range(3):
+    rowcounts: dict[str, int] = {}
+    for pass_no in range(3):
+        for name in HEADLINE:
+            if name in errors:
+                continue
+            fn = QUERIES[name]
+            try:
                 cpu0 = _executor_cpu_sec(spark)
                 t0 = time.time()
                 df = fn(spark, sf_dir)
-                n = df.count()
-                best = min(best, time.time() - t0)
+                rowcounts[name] = df.count()
+                wall = time.time() - t0
                 cpu1 = _executor_cpu_sec(spark)
-                if cpu0 is not None and cpu1 is not None:
-                    best_cpu = min(best_cpu, cpu1 - cpu0)
-        except Exception as exc:  # noqa: BLE001 - artifact robustness
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
-            continue
-        timings[name] = round(best, 3)
-        total += best
-        cpu_note = ""
-        if best_cpu != float("inf"):
-            cpu_timings[name] = round(best_cpu, 3)
-            cpu_note = f", cpu {best_cpu:.2f}s"
-        print(f"# {name}: {best:.2f}s ({n} rows{cpu_note})", file=sys.stderr)
+                cpu = (
+                    cpu1 - cpu0 if cpu0 is not None and cpu1 is not None else None
+                )
+                samples[name].append((wall, cpu))
+            except Exception as exc:  # noqa: BLE001 - artifact robustness
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+                print(f"# {name}: FAILED {errors[name]}", file=sys.stderr)
+        print(f"# --- pass {pass_no + 1}/3 complete ---", file=sys.stderr)
+
+    timings, cpu_timings = min_over_passes(samples)
+    timings = {k: round(v, 3) for k, v in timings.items()}
+    cpu_timings = {k: round(v, 3) for k, v in cpu_timings.items()}
+    total = sum(timings.values())
+    for name in HEADLINE:
+        if name in timings:
+            cpu_note = (
+                f", cpu {cpu_timings[name]:.2f}s" if name in cpu_timings else ""
+            )
+            print(
+                f"# {name}: {timings[name]:.2f}s"
+                f" ({rowcounts.get(name, 0)} rows{cpu_note})",
+                file=sys.stderr,
+            )
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -288,9 +360,15 @@ def main() -> None:
     # +/-2% (the r8/r9 lesson), so the parsed line carries the honest
     # round-over-round number itself instead of making the judge exhume
     # the old detail file from git. >1 means this round is slower.
+    # Provenance: the sidecar is stamped with the git HEAD that produced
+    # it, and the ratio reports WHICH commit it compared against
+    # (prev_git) — a second run in the same round rebases the ratio to
+    # ~1.0, and without the stamp that rebase is silent.
+    git = _git_head()
     try:
         with open(detail_path) as fh:
-            prev_cpu = json.load(fh).get("queries_cpu", {})
+            prev_detail = json.load(fh)
+        prev_cpu = prev_detail.get("queries_cpu", {})
         common = [q for q in cpu_timings if q in prev_cpu]
         prev_sum = sum(prev_cpu[q] for q in common)
         if prev_sum > 0:
@@ -298,8 +376,25 @@ def main() -> None:
                 sum(cpu_timings[q] for q in common) / prev_sum, 3
             )
             out["n_common"] = len(common)
+            prev_git = prev_detail.get("git")
+            if prev_git:
+                out["prev_git"] = prev_git
+                if git and prev_git == git:
+                    # same-commit rerun: the ratio measures host noise,
+                    # not a round-over-round engine delta
+                    out["prev_same_commit"] = True
+        # Contamination sentinel (r10 verdict): any query whose best CPU
+        # still exceeds 5x the previous committed detail gets flagged so
+        # the artifact self-identifies windows a judge must re-measure.
+        suspects = flag_suspects(cpu_timings, prev_cpu)
+        if suspects:
+            out["suspect"] = suspects[:8]
+            if len(suspects) > 8:
+                out["suspect_truncated"] = len(suspects) - 8
     except (OSError, ValueError):
         pass  # first run or unreadable sidecar: no ratio
+    if git:
+        out["git"] = git
 
     # The full per-query CPU map + error strings go to a sidecar file:
     # the driver captures only the LAST 2000 BYTES of stdout and parses

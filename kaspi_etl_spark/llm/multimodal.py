@@ -562,7 +562,13 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64) -> DataFr
             out = []
             for _, row in pdf.iterrows():
                 c = row["content"]
-                c = c if isinstance(c, bytes) else bytes(c)
+                # NULL content maps to b"" (bytes(None) would kill the
+                # whole Arrow batch) — same rule as media_phash
+                c = (
+                    c
+                    if isinstance(c, (bytes, bytearray))
+                    else b"" if c is None else bytes(c)
+                )
                 out.append(
                     {
                         "media_id": row["media_id"],
@@ -721,7 +727,12 @@ def sample_frames(media: DataFrame, every_ms: int = 5000) -> DataFrame:
             rows = []
             for _, row in pdf.iterrows():
                 c = row["content"]
-                c = c if isinstance(c, bytes) else bytes(c)
+                # NULL content maps to b"" — same rule as media_phash
+                c = (
+                    c
+                    if isinstance(c, (bytes, bytearray))
+                    else b"" if c is None else bytes(c)
+                )
                 for idx, ms, frame in _frames_dispatch(
                     c, int(row["meta"]["duration_ms"]), every_ms
                 ):

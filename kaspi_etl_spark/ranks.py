@@ -67,10 +67,12 @@ def hash_order_prefix(
     """Inclusive running sum of ``weight_col`` in ``(md5(id||salt), id)``
     order, computed without a global-order window.
 
-    Returns the input columns plus ``_pri`` (the 60-bit order hash) and
-    ``out_col`` (BIGINT inclusive prefix sum).  ``out_col - weight`` is
-    the exclusive offset; with ``weight = 1`` the prefix is a 1-based
-    row_number over the hash order.
+    Returns EXACTLY the input columns plus ``out_col`` (BIGINT inclusive
+    prefix sum) — internal columns (the order hash, buckets, offsets)
+    never leak into the schema, so select-star callers and unions are
+    safe.  ``out_col - weight`` is the exclusive offset; with
+    ``weight = 1`` the prefix is a 1-based row_number over the hash
+    order.
 
     The bucket is the top ``bucket_bits`` bits of the hash, so bucket
     order == hash order and buckets are uniform regardless of the id
@@ -108,7 +110,7 @@ def hash_order_prefix(
             out_col,
             (F.col("_offset") + F.sum(weight_col).over(intra)).cast("long"),
         )
-        .drop("_bucket", "_offset")
+        .drop("_bucket", "_offset", "_pri")
     )
 
 
@@ -141,7 +143,8 @@ def keyed_hash_order_prefix(
     Value-identical to ``sum(w) over (partition by key order by
     md5(id), id rows unbounded preceding)`` at any partitioning.
     NULL ids hash as ''; NULL key values are real groups and survive
-    (step 4's join is null-safe).
+    (step 4's join is null-safe).  Returns EXACTLY the input columns
+    plus ``out_col`` — schema-consistent with :func:`hash_order_prefix`.
     """
     d = df.withColumn(
         "_pri",
@@ -180,7 +183,7 @@ def keyed_hash_order_prefix(
         .orderBy(d["_pri"], d[id_col])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    keep = [d[c] for c in df.columns] + [d["_pri"]]
+    keep = [d[c] for c in df.columns]
     return joined.select(
         *keep,
         (F.col("_offset") + F.sum(weight_col).over(intra)).cast("long").alias(out_col),
@@ -334,6 +337,11 @@ def keyed_value_order_row_number(
     no WindowGroupLimit escape: it needs the full partition).
 
     ``order_cols[0]`` must be numeric (double is fine) and non-NULL —
+    enforced with the same loud ``assert_true`` guard
+    :func:`total_order_row_number` uses (a NULL order value would NULL
+    ``_bucket`` and silently DROP the row at the offsets equi-join;
+    callers must coalesce a sentinel that encodes their NULL ordering,
+    as customer_revenue_deciles does for DESC NULLS LAST) —
     it value-bins into ``n_bins`` fixed-width buckets between the GLOBAL
     min/max (one scalar aggregate; a shared range only affects balance,
     never correctness: the bin map is monotone per key too).  Remaining
@@ -350,6 +358,15 @@ def keyed_value_order_row_number(
     (null-safe join back).
     """
     v = order_cols[0]
+    checked = F.when(
+        F.assert_true(
+            F.col(v).isNotNull(),
+            f"keyed_value_order_row_number: {v} must be non-NULL "
+            "(coalesce a sentinel first)",
+        ).isNull(),
+        F.col(v),
+    )
+    df = df.withColumn(v, checked)
     mm = df.agg(
         F.min(F.col(v).cast("double")).alias("_lo"),
         F.max(F.col(v).cast("double")).alias("_hi"),

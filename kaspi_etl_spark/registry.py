@@ -2874,16 +2874,104 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return watch_mod.user_sessions(ev, value_alias="sum_value_floor")
 
 
-@register("media_resize")  # rows-only: stubbed decode kernel, real plumbing
+@register(
+    "media_resize",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][(doc_id % 3 + 1)] AS kind,
+             CAST(doc_id % 640 + 16 AS INT) AS src_w,
+             CAST(doc_id % 480 + 16 AS INT) AS src_h,
+             encode(coalesce(text, '')) AS content
+      FROM documents
+    ),
+    img AS (
+      SELECT media_id, kind,
+             GREATEST(1, (src_w * src_h) // 4096) AS ratio,
+             octet_length(content) AS n,
+             hex(content) AS hx
+      FROM media WHERE kind = 'image'
+    ),
+    sel AS (
+      SELECT media_id, kind, ratio, hx,
+             LEAST((n + ratio - 1) // ratio, 512) AS cnt
+      FROM img
+    )
+    SELECT media_id, kind,
+           CAST(64 AS INT) AS out_width, CAST(64 AS INT) AS out_height,
+           CAST(cnt AS BIGINT) AS n_out_bytes,
+           -- array_to_string([], '') is NULL in DuckDB, not ''
+           coalesce(array_to_string([substr(hx, 2*i*ratio + 1, 2)
+                                     for i in range(0, cnt)], ''), '')
+             AS out_hex
+    FROM sel
+    """,
+)
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize over the Arrow mapInPandas stage — registered form
+    projects the binary OUTPUT to scalar columns (byte count + hex) so
+    the driver gate hash-matches VALUES, not just row counts (r10
+    verdict #4: the media trio's rows-only gates proved nothing about
+    the payloads). The stub resize kernel is a deterministic byte
+    subsample (content[::ratio][:512] with ratio = src_area//dst_area),
+    so it IS SQL-expressible: the oracle re-derives the exact output
+    bytes from hex(content) — the same hex trick media_features uses —
+    and works on ANY corpus (clean, adversarial, any sf), not a
+    pinned-fixture snapshot. NULL payloads map to b'' on both engines."""
     media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
-    return mm_ops.resize_images(media, width=64, height=64)
+    out = mm_ops.resize_images(media, width=64, height=64)
+    return out.select(
+        "media_id",
+        "kind",
+        "out_width",
+        "out_height",
+        F.length("content").cast("long").alias("n_out_bytes"),
+        F.hex("content").alias("out_hex"),
+    )
 
 
-@register("media_frame_sample")  # rows-only: stubbed decode kernel
+@register(
+    "media_frame_sample",
+    """
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             ['image','audio','video'][(doc_id % 3 + 1)] AS kind,
+             CAST(doc_id % 60000 AS INT) AS dur,
+             encode(coalesce(text, '')) AS content
+      FROM documents
+    ),
+    vid AS (
+      SELECT media_id,
+             octet_length(content) AS n,
+             hex(content) AS hx,
+             LEAST(GREATEST(dur // 5000, 1), 16) AS cnt
+      FROM media WHERE kind = 'video'
+    ),
+    fr AS (SELECT media_id, n, hx, unnest(range(0, cnt)) AS i FROM vid)
+    SELECT media_id, CAST(i AS INT) AS frame_idx,
+           CAST(i * 5000 AS INT) AS frame_ms,
+           substr(hx, 2*((i*97) % GREATEST(n, 1)) + 1, 64) AS frame_hex
+    FROM fr
+    """,
+)
 def q_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (UDTF-shaped mapInPandas expansion) —
+    registered form projects each sampled frame to its hex so the gate
+    hash-matches the actual frame BYTES (r10 verdict #4). The stub
+    sampler emits content[start:start+32] at start = (i*97) % len for
+    each sampled timestamp (capped at 16 frames), which the oracle
+    reproduces as hex substrings — corpus-independent, so the
+    adversarial sweep exercises it too. Real concatenated-BMP / MP4
+    payloads take the real-kernel dispatch path, pytest-pinned
+    (tests/test_jobs_multimodal.py)."""
     media = mm_ops.media_from_documents(_read(spark, sf_dir, "documents"))
-    return mm_ops.sample_frames(media, every_ms=5000)
+    out = mm_ops.sample_frames(media, every_ms=5000)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "frame_ms",
+        F.hex("frame").alias("frame_hex"),
+    )
 
 
 # Winnowing gram hash: fixed-coefficient polynomial over code points,
@@ -4326,8 +4414,14 @@ def q_customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     forms are exactly the window functions: ntile = the integer NTILE
     formula, cume_dist = rn/n (no order peers), percent_rank =
     (rn-1)/(n-1) with the n=1 group pinned to 0. NULL revenue orders
-    last (DESC NULLS LAST on both engines), mapped below the smallest
-    real revenue before binning. Tie-break by customer_id pins bucket
+    last (DESC NULLS LAST on both engines) via a sentinel DERIVED from
+    the data — one more than the real max of (-revenue), from a 1-row
+    broadcast aggregate — never a far-away constant like 1<<62: a
+    constant sentinel stretches the global value-bin range ~4.6e18 wide
+    the moment one NULL group exists, so every real row lands in bin 0
+    and the keyed rank degenerates back to one window partition per
+    segment (correct values, lost parallelism — the exact skew the
+    conversion removes). Tie-break by customer_id pins bucket
     assignment so the result is deterministic across engines."""
     rev = (
         _read(spark, sf_dir, "orders")
@@ -4341,13 +4435,20 @@ def q_customer_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _read(spark, sf_dir, "customer").select(
         F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
     )
-    base = rev.join(cust, rev.customer_id == cust.c_custkey).select(
-        "segment",
-        "customer_id",
-        "revenue",
-        # revenue DESC NULLS LAST == (-revenue) ASC with NULL above any
-        # real value (revenue is bounded far below 2^62)
-        F.coalesce(-F.col("revenue"), F.lit(1 << 62).cast("long")).alias("_negrev"),
+    # sentinel just above the real max of the ASC order key (-revenue);
+    # coalesce(0) covers the all-NULL-revenue degenerate frame
+    sent = rev.agg(
+        F.coalesce(-F.min("revenue") + 1, F.lit(0)).cast("long").alias("_sent")
+    )
+    base = (
+        rev.join(cust, rev.customer_id == cust.c_custkey)
+        .join(F.broadcast(sent))
+        .select(
+            "segment",
+            "customer_id",
+            "revenue",
+            F.coalesce(-F.col("revenue"), F.col("_sent")).alias("_negrev"),
+        )
     )
     ranked = ranks_mod.keyed_value_order_row_number(
         base, ["segment"], ["_negrev", "customer_id"], out_col="_rn", count_col="_kn"
@@ -10030,7 +10131,23 @@ def q_events_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return behavior_ops.cuped_variant_summary(per_user)
 
 
-@register("media_phash_pairs")  # rows-only: hashes come from the Python decode
+@register(
+    "media_phash_pairs",
+    f"""
+    WITH docs AS ({SQL_LLM_DOCS}),
+    ph AS (
+      SELECT d.doc_id AS media_id, fx.phash
+      FROM docs d
+      JOIN read_parquet('/root/repo/fixtures/media_expected_phash.parquet') fx
+        ON md5(coalesce(d.text, '')) = fx.content_md5
+    )
+    SELECT CAST(a.media_id AS BIGINT) AS id_a,
+           CAST(b.media_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+    FROM ph a JOIN ph b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 3
+    """,
+)
 def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate IMAGE detection: 64-bit perceptual hash (decode ->
     gray 32x32 -> 2D DCT -> median-thresholded low-frequency block, the
@@ -10040,11 +10157,18 @@ def q_media_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     real PNG/JPEG/BMP codecs (llm/jpeg.py DCT kernels) with the
     deterministic byte stub for non-image payloads; everything after
     the hash is JVM integer banding — the image counterpart of
-    simhash_pairs. No SQL oracle (pixels are not SQL-reachable): the
-    kernel is pytest-pinned on real codec fixtures instead
-    (re-encode distance ~4, unrelated ~32). Runs over the llm_docs
-    corpus (the one with injected duplicates) so the gate exercises
-    real collisions — exact-dup payloads must land at Hamming 0."""
+    simhash_pairs. Pixels are not SQL-reachable, but each payload's
+    HASH is a pure function of its bytes, so the oracle looks hashes up
+    in a fixture precomputed by the repo's OWN kernel
+    (tools/make_media_expected.py, keyed on content md5 so one fixture
+    serves clean AND adversarial corpora) and re-derives the pair set
+    with a brute-force bit_count(xor) <= 3 join — equivalent to the
+    banded join by pigeonhole (r10 verdict #4: the rows-only gate
+    proved nothing about values; this one hash-matches them). A corpus
+    payload missing from the fixture fails LOUDLY (dropped join row ->
+    rowcount mismatch). Runs over the llm_docs corpus (the one with
+    injected duplicates) so the gate exercises real collisions —
+    exact-dup payloads must land at Hamming 0."""
     media = mm_ops.media_from_documents(llm_docs(spark, sf_dir))
     hashes = mm_ops.media_phash(media)
     return mm_ops.phash_hamming_pairs(hashes, max_hamming=3)
@@ -13405,17 +13529,21 @@ def _sql_ktruss_oracle(k: int = 4, rounds: int = 3) -> str:
     """
 
 
-@register("copurchase_ktruss", _sql_ktruss_oracle(4, 3))
+@register("copurchase_ktruss", _sql_ktruss_oracle(3, 3))
 def q_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """4-truss of the co-purchase graph: 3 synchronous support peels
-    remove every edge in fewer than 2 triangles within the surviving
+    """3-truss of the co-purchase graph: 3 synchronous support peels
+    remove every edge in fewer than 1 triangle within the surviving
     set — the triangle-cohesion skeleton that is STRICTER than the
     2-core (a degree-heavy, triangle-poor hub spoke survives k-core
-    peeling but not this). Rides the same shared Apriori-pruned,
-    hub-capped pair stage as the LP / k-core queries; per round one
-    wedge join + one closing equi-join + one count groupBy
-    (ops/graph.py ktruss_peel); the oracle unrolls identical rounds
-    as MATERIALIZED CTEs."""
+    peeling but not this). k=3 so the driver gate BITES on this data:
+    the 4-truss is empty at sf0.01 AND sf0.1 AND on the adversarial
+    corpus (r10 verdict: a 0 == 0 gate proves nothing); the k=4 form
+    stays as the stress-curve subject, and pytest pins the peel
+    semantics at k=4 on planted graphs (tests/test_r10_ops.py). Rides
+    the same shared Apriori-pruned, hub-capped pair stage as the LP /
+    k-core queries; per round one wedge join + one closing equi-join +
+    one count groupBy (ops/graph.py ktruss_peel); the oracle unrolls
+    identical rounds as MATERIALIZED CTEs."""
     li = _read(spark, sf_dir, "lineitem")
     basket = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("item")
@@ -13423,7 +13551,7 @@ def q_copurchase_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     co = basket_ops.basket_pairs(
         basket, min_support=2, max_basket_items=_LP_HUB_CAP
     ).select("item_a", "item_b")
-    out = graph_ops.ktruss_peel(co, k=4, rounds=3, src_col="item_a", dst_col="item_b")
+    out = graph_ops.ktruss_peel(co, k=3, rounds=3, src_col="item_a", dst_col="item_b")
     return out.select(
         F.col("a").cast("long").alias("a"),
         F.col("b").cast("long").alias("b"),
@@ -14087,9 +14215,10 @@ _MDE_Z_PPM = 2_801_585  # (z_{0.025} + z_{0.20}) * 1e6 = (1.959964 + 0.841621)
     p AS (
       SELECT event_type, n_units, n_a, n_b,
              CAST((1000000 * n_conv) // n_units AS BIGINT) AS conv_ppm,
-             CAST(((1000000 * n_conv) // n_units)
-                  * (1000000 - (1000000 * n_conv) // n_units)
-                  * ((1000000 // n_a) + (1000000 // n_b)) // 1000000
+             CAST((((1000000 * n_conv) // n_units)
+                   * (1000000 - (1000000 * n_conv) // n_units)) // n_a
+                + (((1000000 * n_conv) // n_units)
+                   * (1000000 - (1000000 * n_conv) // n_units)) // n_b
                   AS BIGINT) AS var_ppm2
       FROM c WHERE n_a > 0 AND n_b > 0
     ),
@@ -14114,7 +14243,13 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose MDE exceeds any plausible effect is not worth reading out).
     mde = (z_a + z_b) * sqrt(p(1-p)(1/n_a + 1/n_b)), computed entirely
     in floored ppm integers with the exact-isqrt correction trick the
-    CUSUM monitor uses (floor(sqrt(double)) +-1 — exact to 2^52). One
+    CUSUM monitor uses (floor(sqrt(double)) +-1 — exact to 2^52). The
+    ppm^2 variance is Q div n_a + Q div n_b with Q = conv_ppm *
+    (1e6 - conv_ppm) — per-variant floored division, NEVER through the
+    integer reciprocals (1000000 div n): those floor to 0 once a
+    variant exceeds 1e6 units (and carry ~100% relative error near it),
+    collapsing mde_ppm to 0 at exactly the scale the query targets.
+    All terms fit BIGINT (Q <= 2.5e11). One
     distinct-unit groupBy + one broadcast-size purchaser semi-join;
     NULL users count as units but never convert (an equi-join cannot
     match NULL — mirrored)."""
@@ -14149,9 +14284,10 @@ def q_events_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.expr("CAST((1000000 * _nc) div n_units AS BIGINT)").alias("conv_ppm"),
         F.expr(
-            "CAST(((1000000 * _nc) div n_units)"
-            " * (1000000 - (1000000 * _nc) div n_units)"
-            " * ((1000000 div n_a) + (1000000 div n_b)) div 1000000 AS BIGINT)"
+            "CAST((((1000000 * _nc) div n_units)"
+            " * (1000000 - (1000000 * _nc) div n_units)) div n_a"
+            " + (((1000000 * _nc) div n_units)"
+            " * (1000000 - (1000000 * _nc) div n_units)) div n_b AS BIGINT)"
         ).alias("_var"),
     )
     r0 = F.floor(F.sqrt(F.col("_var").cast("double"))).cast("long")
@@ -14562,4 +14698,416 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST((1000000 * user_days) div (n_days * mau) AS BIGINT)"
         ).alias("stickiness_ppm"),
+    )
+
+
+# ===========================================================================
+# r11 additions: Benford audit, Kaplan-Meier survival, curriculum
+# schedule, span-corruption masks.
+# ===========================================================================
+
+# Benford first-digit expectation, ppm: round(log10(1 + 1/d) * 1e6).
+# The nine literals sum to exactly 1_000_000, so the expected-count
+# arithmetic below is an exact partition of n.
+_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+assert sum(_BENFORD_PPM) == 1_000_000
+_BENFORD_VALUES = ", ".join(
+    f"({d}, {p})" for d, p in enumerate(_BENFORD_PPM, start=1)
+)
+
+
+@register(
+    "orders_benford_audit",
+    f"""
+    WITH v AS (
+      SELECT CAST(round(o_totalprice) AS BIGINT) AS amt FROM orders
+      WHERE o_totalprice IS NOT NULL AND round(o_totalprice) >= 1
+    ),
+    d AS (
+      SELECT CAST(substr(CAST(amt AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+             CAST(COUNT(*) AS BIGINT) AS n_obs
+      FROM v GROUP BY 1
+    ),
+    n AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM d),
+    e(digit, exp_ppm) AS (VALUES {_BENFORD_VALUES})
+    SELECT e.digit, COALESCE(d.n_obs, 0) AS n_obs,
+           CAST((1000000 * COALESCE(d.n_obs, 0)) // n.n_total AS BIGINT)
+             AS obs_ppm,
+           CAST(e.exp_ppm AS BIGINT) AS exp_ppm,
+           CAST((CAST(1000000 * COALESCE(d.n_obs, 0)
+                      - n.n_total * e.exp_ppm AS HUGEINT)
+                 * CAST(1000000 * COALESCE(d.n_obs, 0)
+                        - n.n_total * e.exp_ppm AS HUGEINT))
+                // (CAST(n.n_total AS HUGEINT) * e.exp_ppm) AS BIGINT)
+             AS chi2_contrib_ppm
+    FROM e LEFT JOIN d ON d.digit = e.digit, n
+    ORDER BY e.digit
+    """,
+)
+def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order amounts — the classic
+    fraud/data-quality screen (fabricated or unit-mangled amounts break
+    the log-uniform leading-digit distribution). Exact integer
+    arithmetic end-to-end: first digit via string head (no float log),
+    the nine Benford expectations as shared ppm literals summing to
+    exactly 1e6, and the per-digit chi-square contribution
+    (obs*1e6 - n*exp_ppm)^2 / (n*exp_ppm) in DECIMAL(38)/HUGEINT (the
+    square overflows BIGINT past ~3k rows). One groupBy to 9 cells +
+    one 1-row total broadcast: metadata-sized at any corpus scale."""
+    v = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice").isNotNull())
+        .select(F.round("o_totalprice").cast("long").alias("amt"))
+        .filter(F.col("amt") >= 1)
+    )
+    d = v.groupBy(
+        F.substring(F.col("amt").cast("string"), 1, 1).cast("long").alias("digit")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    n = d.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    e = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(_BENFORD_PPM, start=1)],
+        "digit long, exp_ppm long",
+    )
+    out = (
+        e.join(d, "digit", "left")
+        .join(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr("CAST((1000000 * coalesce(n_obs, 0)) div n_total AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            "exp_ppm",
+            F.expr(
+                "CAST((CAST(1000000 * coalesce(n_obs, 0)"
+                "           - n_total * exp_ppm AS DECIMAL(38,0))"
+                "      * CAST(1000000 * coalesce(n_obs, 0)"
+                "             - n_total * exp_ppm AS DECIMAL(38,0)))"
+                " div (CAST(n_total AS DECIMAL(38,0)) * exp_ppm) AS BIGINT)"
+            ).alias("chi2_contrib_ppm"),
+        )
+    )
+    return out
+
+
+_KM_CHURN_DAYS = 90  # inactive this long before the corpus end = churned
+
+
+@register(
+    "customer_survival_km",
+    f"""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate FROM orders WHERE o_orderdate IS NOT NULL
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS max_date FROM o),
+    per AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MIN(o_orderdate), MAX(o_orderdate))
+                  AS BIGINT) AS t_days,
+             CASE WHEN CAST(date_diff('day', MAX(o_orderdate), mx.max_date)
+                            AS BIGINT) > {_KM_CHURN_DAYS}
+                  THEN 1 ELSE 0 END AS event
+      FROM o, mx GROUP BY o_custkey, mx.max_date
+    ),
+    g AS (
+      SELECT t_days,
+             CAST(SUM(event) AS BIGINT) AS n_events,
+             CAST(SUM(1 - event) AS BIGINT) AS n_censored
+      FROM per GROUP BY t_days
+    ),
+    tot AS (SELECT CAST(SUM(n_events + n_censored) AS BIGINT) AS n FROM g),
+    r AS (
+      SELECT g.*,
+             CAST(tot.n - COALESCE(SUM(n_events + n_censored) OVER (
+               ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+      FROM g, tot
+    ),
+    s AS (
+      SELECT t_days, n_risk, n_events, n_censored,
+             SUM(CASE WHEN n_risk > n_events THEN
+                   {lm_ops.sql_flog2('greatest(n_risk - n_events, 1)')}
+                   - {lm_ops.sql_flog2('greatest(n_risk, 1)')}
+                 ELSE 0 END) OVER (
+               ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum
+      FROM r
+    )
+    SELECT t_days, n_risk, n_events, n_censored,
+           CASE WHEN n_events = n_risk THEN NULL
+                ELSE CAST(cum AS BIGINT) END AS log2_surv_scaled,
+           CASE WHEN n_events = n_risk THEN NULL
+                ELSE CAST(cum AS DOUBLE) / {lm_ops.FLOG2_ONE} END
+             AS log2_survival
+    FROM s
+    """,
+)
+def q_customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier customer survival curve with right-censoring: a
+    customer's lifetime is last-order minus first-order days; customers
+    still active within {_KM_CHURN_DAYS} days of the corpus end are
+    CENSORED (the standard churn-analytics construction). survival(t) =
+    prod over event days <= t of (1 - d/n) is computed EXACTLY as a
+    running integer sum of fixed-point log2s (the shared flog2 kernel:
+    log2((n-d)/n) = flog2(n-d) - flog2(n), bit-identical across
+    engines); log2_survival divides the scaled sum by 2^20 — a
+    power-of-two division, so the double is identical on both engines
+    too. A day where everyone remaining dies makes survival exactly 0:
+    log columns go NULL there (it is necessarily the last grid row).
+    Plan: one per-customer groupBy, one grid groupBy (calendar-bounded
+    <= date-range days), windows only over that bounded grid."""
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", "o_orderdate")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("max_date"))
+    per = (
+        o.join(F.broadcast(mx))
+        .groupBy("o_custkey", "max_date")
+        .agg(
+            F.datediff(F.max("o_orderdate"), F.min("o_orderdate"))
+            .cast("long")
+            .alias("t_days"),
+            F.when(
+                F.datediff(F.col("max_date"), F.max("o_orderdate"))
+                > _KM_CHURN_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("event"),
+        )
+    )
+    g = per.groupBy("t_days").agg(
+        F.sum("event").cast("long").alias("n_events"),
+        F.sum(1 - F.col("event")).cast("long").alias("n_censored"),
+    )
+    tot = g.agg(
+        F.sum(F.col("n_events") + F.col("n_censored")).cast("long").alias("_n")
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    r = (
+        g.join(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("_n")
+            - F.coalesce(
+                F.sum(F.col("n_events") + F.col("n_censored")).over(w_prev),
+                F.lit(0),
+            ),
+        )
+        .drop("_n")
+    )
+    r = r.withColumn("_ns", F.greatest(F.col("n_risk") - F.col("n_events"), F.lit(1)))
+    r = r.withColumn("_nr", F.greatest(F.col("n_risk"), F.lit(1)))
+    r = lm_ops.with_flog2(r, "_ns", "_l_ns")
+    r = lm_ops.with_flog2(r, "_nr", "_l_nr")
+    w_cum = Window.orderBy("t_days").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = F.sum(
+        F.when(F.col("n_risk") > F.col("n_events"), F.col("_l_ns") - F.col("_l_nr"))
+        .otherwise(F.lit(0))
+    ).over(w_cum)
+    zero = F.col("n_events") == F.col("n_risk")
+    return r.select(
+        "t_days",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.when(zero, F.lit(None)).otherwise(cum).cast("long").alias(
+            "log2_surv_scaled"
+        ),
+        F.when(zero, F.lit(None))
+        .otherwise(cum.cast("double") / F.lit(float(lm_ops.FLOG2_ONE)))
+        .alias("log2_survival"),
+    )
+
+
+@register(
+    "docs_curriculum_schedule",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({SQL_WORDS}) END AS n
+      FROM documents WHERE text IS NOT NULL
+    ),
+    mm AS (SELECT MIN(n) AS lo, MAX(n) AS hi FROM d),
+    b AS (
+      SELECT doc_id,
+             LEAST(3, (n - mm.lo) // GREATEST(1, (mm.hi - mm.lo + 1) // 4))
+               AS bucket
+      FROM d, mm
+    ),
+    st AS (SELECT doc_id, bucket, unnest(range(bucket, 4)) AS stage FROM b)
+    SELECT CAST(stage AS BIGINT) AS stage, doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(row_number() OVER (
+             PARTITION BY stage
+             ORDER BY bucket,
+                      {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'cur'")},
+                      doc_id) AS BIGINT) AS position
+    FROM st
+    """,
+)
+def q_docs_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Competence-based curriculum schedule (Platanios et al. 2019
+    shape): difficulty = token-length quartile bucket (fixed-width bins
+    between the global min/max — one 1-row broadcast, monotone exact),
+    stage k trains on every doc of bucket <= k, and each stage's
+    training order is (easy bucket first, then deterministic hash
+    shuffle within bucket). The within-stage position is the KEYED
+    two-phase rank (ranks.keyed_hash_order_prefix over (stage, bucket))
+    plus a <= 16-row bucket-offset rollup — never ``row_number() OVER
+    (PARTITION BY stage)``: stage has 4 values and stage 3 contains the
+    WHOLE corpus, the exact metadata-key serialization the skewed-key
+    plan guard bans. The dataloader leg of the LLM pipeline, composing
+    with docs_epoch_order (epoch shuffles) and corpus_budget_assemble
+    (mixture assembly)."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.when(F.trim("text") == "", F.lit(0))
+            .otherwise(F.size(dedup_ops.split_words(F.col("text"))))
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    mm = d.agg(F.min("n").alias("_lo"), F.max("n").alias("_hi"))
+    b = (
+        d.join(F.broadcast(mm))
+        .select(
+            "doc_id",
+            F.least(
+                F.lit(3).cast("long"),
+                F.floor(
+                    (F.col("n") - F.col("_lo"))
+                    / F.greatest(
+                        F.lit(1).cast("long"),
+                        F.floor((F.col("_hi") - F.col("_lo") + 1) / 4).cast("long"),
+                    )
+                ).cast("long"),
+            ).alias("bucket"),
+        )
+    )
+    st = b.select(
+        "doc_id",
+        "bucket",
+        F.explode(F.sequence(F.col("bucket"), F.lit(3).cast("long"))).alias("stage"),
+    )
+    ranked = ranks_mod.keyed_hash_order_prefix(
+        st.withColumn("_w", F.lit(1).cast("long")),
+        ["stage", "bucket"],
+        "_w",
+        "doc_id",
+        salt="cur",
+        out_col="_rib",
+    )
+    counts = st.groupBy("stage", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_bc")
+    )
+    offsets = counts.select(
+        F.col("stage").alias("_os"),
+        F.col("bucket").alias("_ob"),
+        F.coalesce(
+            F.sum("_bc").over(
+                Window.partitionBy("stage")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    out = ranked.join(
+        F.broadcast(offsets),
+        (ranked["stage"] == F.col("_os")) & (ranked["bucket"] == F.col("_ob")),
+    )
+    return out.select(
+        "stage",
+        "doc_id",
+        "bucket",
+        (F.col("_off") + F.col("_rib")).cast("long").alias("position"),
+    )
+
+
+_SPAN_CHUNK = 20  # tokens per corruption chunk
+_SPAN_LEN = 3  # masked span length (3/20 = 15% corruption rate)
+
+
+@register(
+    "docs_span_corruption",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents WHERE text IS NOT NULL
+    ),
+    c AS (
+      SELECT doc_id, ws, unnest(range(0, len(ws) // {_SPAN_CHUNK})) AS j
+      FROM d WHERE len(ws) >= {_SPAN_CHUNK}
+    ),
+    m AS (
+      SELECT doc_id, ws, j,
+             CAST({_SPAN_CHUNK} * j
+                  + {_sql_md5_long(
+                      "CAST(doc_id AS VARCHAR) || '#' || CAST(j AS VARCHAR)"
+                      " || 'spn'")}
+                    % {_SPAN_CHUNK - _SPAN_LEN + 1} AS BIGINT) AS start_pos
+      FROM c
+    )
+    SELECT doc_id, CAST(j AS BIGINT) AS span_idx, start_pos,
+           CAST({_SPAN_LEN} AS BIGINT) AS span_len,
+           array_to_string(ws[start_pos + 1 : start_pos + {_SPAN_LEN}], ' ')
+             AS masked_text
+    FROM m
+    """,
+)
+def q_docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption mask generation: partition each doc
+    into {_SPAN_CHUNK}-token chunks and mask a {_SPAN_LEN}-token span
+    per chunk at a deterministic hash offset (md5(doc_id#chunk) %
+    {_SPAN_CHUNK - _SPAN_LEN + 1}) — a 15% corruption rate with
+    non-overlapping spans BY CONSTRUCTION (each span lives inside its
+    own chunk), no RNG state to checkpoint, any worker can regenerate
+    any doc's masks (the objective-construction leg of the LLM
+    pipeline; the same determinism argument as docs_epoch_order). One
+    explode over chunk indices + O(1) array slicing per span — no
+    joins, no shuffle beyond the scan."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", dedup_ops.split_words(F.col("text")).alias("_ws"))
+        .withColumn("_n", F.size("_ws"))
+        .filter(F.col("_n") >= _SPAN_CHUNK)
+    )
+    c = d.select(
+        "doc_id",
+        "_ws",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                (F.col("_n") / _SPAN_CHUNK).cast("long") - 1,
+            )
+        ).alias("j"),
+    )
+    start = (
+        F.lit(_SPAN_CHUNK).cast("long") * F.col("j")
+        + dedup_ops.md5_long(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit("#"), F.col("j").cast("string")
+            ),
+            salt="spn",
+        )
+        % (_SPAN_CHUNK - _SPAN_LEN + 1)
+    ).cast("long")
+    m = c.withColumn("start_pos", start)
+    return m.select(
+        "doc_id",
+        F.col("j").cast("long").alias("span_idx"),
+        "start_pos",
+        F.lit(_SPAN_LEN).cast("long").alias("span_len"),
+        F.array_join(
+            F.slice(F.col("_ws"), F.col("start_pos") + 1, F.lit(_SPAN_LEN)), " "
+        ).alias("masked_text"),
     )

@@ -78,6 +78,9 @@ BNLJ_ALLOWED = {
     "lineitem_zone_skip_eval",  # two 1-row (min,max) bin-range broadcasts (total-order ranks)
     "lm_pruned_model_eval",  # 2-row variant-dimension cross + 1-row vocab broadcast
     "corpus_quality_budget_curve",  # lm_score's vocab broadcast + 5-row cutoff-ladder cross
+    "orders_benford_audit",  # 1-row digit-total broadcast onto the 9 cells
+    "customer_survival_km",  # 1-row max-date + 1-row population broadcasts
+    "docs_curriculum_schedule",  # 1-row (min,max) length-bin broadcast
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
@@ -193,6 +196,10 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "vocab_top_tokens": 1,
     # --- reference-parity op over a UI-bounded frame ---
     "variant_sort_rank": 1,  # O2: one scraped page's variant grid
+    # --- calendar-bounded rollups ---
+    "customer_survival_km": 2,  # at-risk suffix + log-survival running
+    # sums over the lifetime-day grid (<= date-range days, like
+    # daily_revenue_cusum's calendar frames)
 }
 
 
@@ -236,20 +243,130 @@ def test_unpartitioned_windows_only_where_bounded(all_dfs):
 # (ranks.keyed_hash_order_prefix / keyed_value_order_row_number) —
 # corpus_budget_assemble, source_perplexity_profile and
 # customer_revenue_deciles were converted r10 (the r9-verdict family).
+#
+# r11 (VERDICT r10 #3): the key classification is DERIVED FROM DATA,
+# not hand-curated — a window is safe only if at least one partition key
+# is PROVEN data-scaled (its distinct count grows >= 4x from sf0.01 to
+# sf0.1 AND reaches >= 256 — dates, sources, segments, priorities and
+# every other fixed-domain key all fail that test at any name), or is
+# one of ranks.py's internal hash-shard columns (2^bits sub-buckets by
+# construction). A novel low-cardinality column — or an UNPROVEN alias —
+# is hazardous by default and must be reviewed into the allowlist.
 # Allowed entries are windows over LITERAL-BOUNDED inputs only, with the
 # reviewed justification; exact expected counts, staleness-asserted.
-METADATA_KEY_COLUMNS = {
-    "source", "lang", "segment", "day", "event_type", "variant",
-    "brand", "status", "l_returnflag", "l_linestatus",
+
+# ranks.py's internal sub-bucket keys: top hash bits of md5(id) /
+# fixed-width value bins — 2^bits / n_bins shards by construction, the
+# machinery that makes a skewed key's partition shardable.
+PROVEN_SHARD_COLUMNS = {"_bucket", "_hb", "_ck", "_obucket"}
+
+_CARDINALITY_SF_PAIR = ("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+
+
+@pytest.fixture(scope="session")
+def high_card_columns():
+    """Column names PROVEN data-scaled: per-name max distinct count grows
+    >= 4x between sf0.01 and sf0.1 (10x data) and reaches >= 256.
+    Computed from the parquet itself (duckdb, ~1s) so a future skewed
+    key under any name is caught without curating a list."""
+    import glob
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    counts: dict[str, dict[str, int]] = {}
+    for sf in _CARDINALITY_SF_PAIR:
+        for p in sorted(glob.glob(f"{sf}/*.parquet")):
+            cols = [
+                r[0]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM read_parquet('{p}')"
+                ).fetchall()
+            ]
+            exprs = ", ".join(
+                f'approx_count_distinct("{c}") AS "{c}"' for c in cols
+            )
+            row = con.execute(
+                f"SELECT {exprs} FROM read_parquet('{p}')"
+            ).fetchone()
+            for c, n in zip(cols, row):
+                d = counts.setdefault(c.lower(), {})
+                d[sf] = max(d.get(sf, 0), int(n or 0))
+    small_sf, big_sf = _CARDINALITY_SF_PAIR
+    return {
+        c
+        for c, d in counts.items()
+        if d.get(big_sf, 0) >= 4 * d.get(small_sf, 1) and d.get(big_sf, 0) >= 256
+    }
+
+
+def test_high_card_derivation_classifies_known_columns(high_card_columns):
+    """The derivation itself: data-scaled ids prove high-card; every
+    fixed-domain key — INCLUDING names the old hand-curated list never
+    mentioned (o_orderpriority, l_shipmode-alikes, p_brand, dates) —
+    classifies as hazard without anyone listing it."""
+    for c in ("doc_id", "user_id", "o_orderkey", "l_orderkey", "c_custkey"):
+        assert c in high_card_columns, c
+    for c in (
+        "source", "lang", "c_mktsegment", "event_type", "l_returnflag",
+        # never in the old curated set — the guard now catches them free:
+        "o_orderpriority", "p_brand", "o_orderdate", "l_shipdate",
+        "l_quantity", "label", "p_type", "n_name",
+        # and any NOVEL / alias name is unproven -> hazardous by default
+        "some_future_column",
+    ):
+        assert c not in high_card_columns, c
+
+
+# Aliases of data-proven keys: each maps to the physical column it is
+# projected from (cast/concat only — cardinality-preserving), and a test
+# below asserts the TARGET itself proves high-card from the data, so
+# these entries cannot silently rot into a metadata key.
+PROVEN_ALIAS_OF = {
+    "productid": "l_partkey",  # registry: CAST(l_partkey AS VARCHAR)
+    "sku_key": "l_partkey",  # registry: 'SKU_' || partkey
+    "customer_id": "c_custkey",  # sizing/behavior frames' alias
+    "id": "doc_id",  # llm frames project document/vector ids as `id`
 }
+# Reference-domain ENTITY keys the fixture fabricates low-card
+# (watch_events: variantId = user_id % 20, seller = event_type — a
+# 20 x 5 grid) but that are data-scaled in the reference's production
+# domain: a variant page per catalog product x a merchant per offer is
+# the reference's own partition key (price_watch.ts), and the catalog
+# grows with the data. Reviewed, not provable from this fixture.
+DOMAIN_ENTITY_KEYS = {"variantid", "seller"}
+# Vocabulary keys: these windows run over AGGREGATED type tables
+# (term/bigram tf — the model-sized frame every LM trainer
+# materializes), never the raw corpus; one partition = one word's
+# distinct-partner set, bounded by vocabulary growth (Heaps), not data.
+VOCAB_KEYS = {"term", "w1", "w2"}
+
 SKEWED_KEY_WINDOWS_ALLOWED = {
-    # the keyed prefix machinery's own cross-bucket offset windows run
-    # per key over the per-(key, bucket) TOTALS table — literal-bounded
-    # at <= 2^16 (hash buckets) / <= 1024 (value bins) rows per key
-    # partition, metadata next to the data
+    # the keyed prefix machinery's cross-bucket offset windows run per
+    # key over the per-(key, bucket) TOTALS table — literal-bounded at
+    # <= 2^16 (hash buckets) / <= 1024 (value bins) rows per key
+    # partition, metadata next to the data. The intra windows partition
+    # by (key, _bucket) and are exempted via PROVEN_SHARD_COLUMNS.
     "corpus_budget_assemble": 1,  # keyed_hash_order_prefix offsets
     "source_perplexity_profile": 1,  # keyed_value_order_row_number offsets
     "customer_revenue_deciles": 1,  # keyed_value_order_row_number offsets
+    # --- windows over literal-bounded / grid-shaped inputs (reviewed
+    # r11 when the guard went fail-closed on unproven keys) ---
+    "bigram_coverage": 1,  # `h` = md5 bucket hash: high-card by
+    # construction, but the generic name stays fail-closed
+    "returnflag_price_quantiles": 1,  # per-group bucket GRID (sketch
+    # buckets x 3 returnflags), never the raw rows
+    "docs_lang_source_mi": 2,  # lang x source contingency cells
+    "lm_beam_decode": 1,  # row_number per seed over the <= W*k beam
+    # frontier — both dimensions literal-bounded (6 sibling windows
+    # carry a WindowGroupLimit and are exempted by the rank<=k check)
+    "customers_t_closeness": 1,  # dense segment x nation x band grid
+    "customer_ltv_cohort": 1,  # calendar-bounded cohort-month x
+    # month-offset rollup (the window input is the rollup, not orders)
+    "docs_curriculum_schedule": 2,  # keyed_hash_order_prefix offsets
+    # (per-(stage,bucket) TOTALS, <= 16 * 2^16 rows) + the <= 16-row
+    # stage x bucket offset rollup
 }
 
 _RANK_FAMILY_TAGS = (
@@ -258,9 +375,9 @@ _RANK_FAMILY_TAGS = (
 )
 
 
-def _skewed_key_window_count(df) -> int:
-    """Count Window nodes whose partition keys are ALL metadata columns
-    and whose shape is a skew hazard (see the comment above)."""
+def _skewed_key_window_count(df, high_card: set[str]) -> int:
+    """Count Window nodes with NO partition key proven data-scaled (or a
+    hash-shard internal) whose shape is a skew hazard (see above)."""
     plan = df._jdf.queryExecution().optimizedPlan()
     hits = 0
     stack = [plan]
@@ -277,8 +394,15 @@ def _skewed_key_window_count(df) -> int:
             spec.apply(i).toString().split("#")[0].strip().lower()
             for i in range(spec.size())
         ]
-        if not all(k in METADATA_KEY_COLUMNS for k in keys):
-            continue
+        if any(
+            k in high_card
+            or k in PROVEN_SHARD_COLUMNS
+            or PROVEN_ALIAS_OF.get(k) in high_card
+            or k in DOMAIN_ENTITY_KEYS
+            or k in VOCAB_KEYS
+            for k in keys
+        ):
+            continue  # one data-scaled key shards the whole partition
         s = node.toString().split("\n")[0].lower()
         rankish = any(t in s for t in _RANK_FAMILY_TAGS)
         if rankish:
@@ -303,11 +427,11 @@ def _skewed_key_window_count(df) -> int:
     return hits
 
 
-def test_skewed_key_windows_only_where_bounded(all_dfs):
+def test_skewed_key_windows_only_where_bounded(all_dfs, high_card_columns):
     got = {
         name: n
         for name, df in all_dfs.items()
-        if (n := _skewed_key_window_count(df)) > 0
+        if (n := _skewed_key_window_count(df, high_card_columns)) > 0
     }
     unexpected = {
         n: c for n, c in got.items() if SKEWED_KEY_WINDOWS_ALLOWED.get(n) != c
@@ -315,6 +439,54 @@ def test_skewed_key_windows_only_where_bounded(all_dfs):
     stale = {n for n in SKEWED_KEY_WINDOWS_ALLOWED if n not in got}
     assert not unexpected, f"unreviewed skewed-key windows: {unexpected}"
     assert not stale, f"stale allowlist entries: {stale}"
+
+
+def test_proven_alias_targets_actually_prove(high_card_columns):
+    """Every PROVEN_ALIAS_OF entry must point at a column the DATA
+    proves high-card — an alias of a metadata key is a lie the guard
+    would then propagate."""
+    for alias, target in PROVEN_ALIAS_OF.items():
+        assert target in high_card_columns, (alias, target)
+
+
+def test_novel_low_cardinality_key_is_caught(spark, high_card_columns):
+    """The r10-verdict escape: a skewed window under a column name the
+    old hand-curated list never mentioned must now be flagged. A NOVEL
+    name ('tenant_shard') is unproven -> hazardous; the same window
+    partitioned by a data-proven key (doc_id) passes; adding ranks.py's
+    _bucket shard key exempts it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100).select(
+        (F.col("id") % 3).alias("tenant_shard"),
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).alias("_bucket"),
+        (F.col("id") * 2).alias("w"),
+    )
+    running = F.sum("w").over(
+        Window.partitionBy("tenant_shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hazard = df.withColumn("cum", running)
+    assert _skewed_key_window_count(hazard, high_card_columns) == 1
+
+    safe_rank = df.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("w")),
+    )
+    assert _skewed_key_window_count(safe_rank, high_card_columns) == 0
+
+    sharded = df.withColumn(
+        "cum",
+        F.sum("w").over(
+            Window.partitionBy("tenant_shard", "_bucket")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    assert _skewed_key_window_count(sharded, high_card_columns) == 0
 
 
 def test_allowlists_not_stale(all_plans):

@@ -1,0 +1,193 @@
+"""Round-11 operators: Benford first-digit audit, Kaplan-Meier survival,
+competence curriculum schedule, span-corruption masks — planted-case
+unit pins (the registry oracles carry the full value checks)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kaspi_etl_spark.registry import (
+    _BENFORD_PPM,
+    q_customer_survival_km,
+    q_docs_curriculum_schedule,
+    q_docs_span_corruption,
+    q_orders_benford_audit,
+)
+
+
+def _write_orders(tmp_path, rows):
+    """rows: (custkey, orderdate, totalprice)"""
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "o_orderdate": pa.array([r[1] for r in rows], pa.date32()),
+                "o_totalprice": pa.array([float(r[2]) for r in rows], pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    return str(tmp_path)
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, text)"""
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    return str(tmp_path)
+
+
+# --- Benford audit -----------------------------------------------------------
+
+
+def test_benford_counts_and_chi2_planted(spark, tmp_path):
+    d0 = dt.date(2020, 1, 1)
+    amounts = [1, 10, 199, 2, 25, 3]  # digits 1:3, 2:2, 3:1
+    sf = _write_orders(tmp_path, [(i, d0, a) for i, a in enumerate(amounts)])
+    out = {r.digit: r for r in q_orders_benford_audit(spark, sf).collect()}
+    assert len(out) == 9  # every digit row present even with 0 observations
+    n = len(amounts)
+    expect_obs = {1: 3, 2: 2, 3: 1}
+    for d in range(1, 10):
+        r = out[d]
+        obs = expect_obs.get(d, 0)
+        assert r.n_obs == obs
+        assert r.obs_ppm == (1_000_000 * obs) // n
+        exp_ppm = _BENFORD_PPM[d - 1]
+        assert r.exp_ppm == exp_ppm
+        diff = 1_000_000 * obs - n * exp_ppm
+        assert r.chi2_contrib_ppm == (diff * diff) // (n * exp_ppm)
+
+
+def test_benford_ignores_nonpositive_and_rounds(spark, tmp_path):
+    d0 = dt.date(2020, 1, 1)
+    # 0.4 rounds to 0 (dropped), 0.6 rounds to 1, -5 dropped
+    sf = _write_orders(tmp_path, [(1, d0, 0.4), (2, d0, 0.6), (3, d0, -5.0)])
+    out = {r.digit: r for r in q_orders_benford_audit(spark, sf).collect()}
+    assert out[1].n_obs == 1
+    assert sum(r.n_obs for r in out.values()) == 1
+
+
+# --- Kaplan-Meier survival ---------------------------------------------------
+
+
+def test_km_hand_computed_curve(spark, tmp_path):
+    rows = [
+        # A: T=60, last 2020-03-01 -> gap 305 days -> event
+        (1, dt.date(2020, 1, 1), 10.0),
+        (1, dt.date(2020, 3, 1), 10.0),
+        # B: T=30, gap 335 -> event
+        (2, dt.date(2020, 1, 1), 10.0),
+        (2, dt.date(2020, 1, 31), 10.0),
+        # C: T=183, gap 30 -> censored
+        (3, dt.date(2020, 6, 1), 10.0),
+        (3, dt.date(2020, 12, 1), 10.0),
+        # D: single order on the corpus max date -> T=0, censored
+        (4, dt.date(2020, 12, 31), 10.0),
+    ]
+    sf = _write_orders(tmp_path, rows)
+    out = {r.t_days: r for r in q_customer_survival_km(spark, sf).collect()}
+    assert sorted(out) == [0, 30, 60, 183]
+    assert (out[0].n_risk, out[0].n_events, out[0].n_censored) == (4, 0, 1)
+    assert (out[30].n_risk, out[30].n_events) == (3, 1)
+    assert (out[60].n_risk, out[60].n_events) == (2, 1)
+    assert (out[183].n_risk, out[183].n_censored) == (1, 1)
+    # survival: 1, 2/3, 1/3, 1/3 -> log2: 0, -0.585, -1.585, -1.585
+    assert out[0].log2_survival == 0.0
+    assert math.isclose(out[30].log2_survival, math.log2(2 / 3), abs_tol=2e-4)
+    assert math.isclose(out[60].log2_survival, math.log2(1 / 3), abs_tol=2e-4)
+    assert out[183].log2_survival == out[60].log2_survival  # censoring: flat
+
+
+def test_km_survival_zero_goes_null(spark, tmp_path):
+    d0 = dt.date(2020, 1, 1)
+    rows = [
+        # both customers churn with the same lifetime -> d = n at that t
+        (1, d0, 10.0),
+        (1, dt.date(2020, 1, 11), 10.0),
+        (2, d0, 10.0),
+        (2, dt.date(2020, 1, 11), 10.0),
+        # anchor customer fixing max_date far in the future, lifetime 0
+        # and ALSO an event (gap > 90 needs a later max date holder)...
+        (3, dt.date(2021, 1, 1), 10.0),
+    ]
+    sf = _write_orders(tmp_path, rows)
+    out = {r.t_days: r for r in q_customer_survival_km(spark, sf).collect()}
+    # t=0: customer 3, censored (last order on max date). t=10: both die.
+    assert (out[10].n_risk, out[10].n_events) == (2, 2)
+    assert out[10].log2_surv_scaled is None  # survival exactly 0
+    assert out[10].log2_survival is None
+
+
+# --- curriculum schedule -----------------------------------------------------
+
+
+def test_curriculum_stage_membership_and_positions(spark, tmp_path):
+    docs = [
+        (1, "a"),  # 1 token  -> bucket 0 (lo=1, hi=8, width=2)
+        (2, "a b c d"),  # 4 -> bucket 1
+        (3, "a b c d e f"),  # 6 -> bucket 2
+        (4, "a b c d e f g h"),  # 8 -> bucket 3
+    ]
+    sf = _write_docs(tmp_path, docs)
+    rows = q_docs_curriculum_schedule(spark, sf).collect()
+    by_stage = {}
+    for r in rows:
+        by_stage.setdefault(r.stage, []).append(r)
+    assert {s: sorted(r.doc_id for r in v) for s, v in by_stage.items()} == {
+        0: [1],
+        1: [1, 2],
+        2: [1, 2, 3],
+        3: [1, 2, 3, 4],
+    }
+    for s, v in by_stage.items():
+        # positions are a 1..n permutation, ordered easy-bucket-first
+        assert sorted(r.position for r in v) == list(range(1, len(v) + 1))
+        for r1 in v:
+            for r2 in v:
+                if r1.bucket < r2.bucket:
+                    assert r1.position < r2.position
+
+
+def test_curriculum_single_length_degenerates_to_one_bucket(spark, tmp_path):
+    sf = _write_docs(tmp_path, [(i, "x y z") for i in range(5)])
+    rows = q_docs_curriculum_schedule(spark, sf).collect()
+    assert all(r.bucket == 0 for r in rows)
+    # every stage contains all docs with a full 1..5 position permutation
+    for s in range(4):
+        pos = sorted(r.position for r in rows if r.stage == s)
+        assert pos == [1, 2, 3, 4, 5]
+
+
+# --- span corruption ---------------------------------------------------------
+
+
+def test_span_corruption_spans_stay_in_chunk(spark, tmp_path):
+    words = [f"w{i}" for i in range(45)]
+    sf = _write_docs(tmp_path, [(7, " ".join(words))])
+    rows = q_docs_span_corruption(spark, sf).collect()
+    assert sorted(r.span_idx for r in rows) == [0, 1]  # 45 // 20 = 2 chunks
+    for r in rows:
+        lo, hi = 20 * r.span_idx, 20 * r.span_idx + 17
+        assert lo <= r.start_pos <= hi  # span fits inside its own chunk
+        assert r.span_len == 3
+        assert r.masked_text == " ".join(
+            words[r.start_pos : r.start_pos + 3]
+        )
+
+
+def test_span_corruption_short_docs_emit_nothing(spark, tmp_path):
+    sf = _write_docs(tmp_path, [(1, " ".join(f"w{i}" for i in range(19))), (2, "")])
+    assert q_docs_span_corruption(spark, sf).count() == 0

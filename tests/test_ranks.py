@@ -204,3 +204,31 @@ def test_keyed_value_order_row_number_matches_keyed_window(spark, case):
     assert sorted(
         got.select("src", "id", "rn", "kn").collect(), key=str
     ) == sorted(want.select("src", "id", "rn", "kn").collect(), key=str)
+
+
+def test_keyed_value_order_row_number_null_value_fails_loudly(spark):
+    from kaspi_etl_spark.ranks import keyed_value_order_row_number
+
+    df = spark.createDataFrame(
+        [("a", "x", None), ("a", "y", 3.0)], "src string, id string, v double"
+    )
+    with pytest.raises(Exception, match="must be non-NULL"):
+        keyed_value_order_row_number(df, ["src"], ["v", "id"]).collect()
+
+
+def test_prefix_rank_output_schemas_have_no_internal_columns(spark):
+    """Both hash-order prefixes return EXACTLY input columns + out_col —
+    no _pri / _bucket / _offset leakage (ADVICE r10: the keyed form
+    leaked _pri, breaking select-star unions against the unkeyed one)."""
+    from kaspi_etl_spark.ranks import hash_order_prefix, keyed_hash_order_prefix
+
+    df = spark.createDataFrame(
+        [("a", "s1", 2), ("b", "s1", 1), ("c", "s2", 5)],
+        "id string, src string, w long",
+    )
+    got_u = hash_order_prefix(df, "w", "id", out_col="cum")
+    got_k = keyed_hash_order_prefix(df, ["src"], "w", "id", out_col="cum")
+    assert got_u.columns == ["id", "src", "w", "cum"]
+    assert got_k.columns == ["id", "src", "w", "cum"]
+    # schema-consistent siblings: a select-star union must work
+    assert got_u.unionByName(got_k).count() == 6
