@@ -198,11 +198,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # kmeans_assign).
 _GATE_PRIORITY = [
     "daily_net_revenue",
-    # --- r11-built (new code gets the driver's own check first) ---
+    # --- r11-built (new code gets the driver's own check first; the
+    # second wave displaces docs_lang_source_mi (term/MI family keeps
+    # docs_term_rarity) and docs_stratified_sample (sampling keeps
+    # docs_weighted_sample), both r10 driver-green) ---
     "orders_benford_audit",
     "customer_survival_km",
     "docs_curriculum_schedule",
     "docs_span_corruption",
+    "customers_dp_histogram",
+    "token_pack_report",
     # --- the media trio: first-time VALUE gates (r10 verdict #4) ---
     "media_resize",
     "media_frame_sample",
@@ -221,9 +226,7 @@ _GATE_PRIORITY = [
     "corpus_release_pipeline",
     "daily_revenue_incremental",
     "docs_epoch_order",
-    "docs_lang_source_mi",
     "docs_pii_redacted",
-    "docs_stratified_sample",
     "docs_term_rarity",
     "docs_weighted_sample",
     "events_srm_check",

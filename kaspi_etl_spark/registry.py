@@ -15111,3 +15111,200 @@ def q_docs_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("_ws"), F.col("start_pos") + 1, F.lit(_SPAN_LEN)), " "
         ).alias("masked_text"),
     )
+
+
+# eps = 1 discrete-Laplace (two-sided geometric) noise scale:
+# L = round(log2(e) * eps * 2^20) — the fixed-point |log2(alpha)| with
+# alpha = exp(-eps). Shared literal across engines.
+_DP_EPS_L = 1_512_775
+_DP_SEED = "dpr1"  # release seed: a NEW release must change it
+
+
+def _dp_geom_sql(cell: str, salt: str) -> str:
+    """DuckDB: geometric(1 - alpha) sample via inverse CDF,
+    G = floor(log2(u) / log2(alpha)) with u = (h+1)/2^60 from the md5
+    hash of the cell key — both numerator and denominator negative, so
+    the positive quotient truncates = floors."""
+    h = _sql_md5_long(f"{cell} || '{salt}'")
+    return (
+        f"(({60 * lm_ops.FLOG2_ONE} - {lm_ops.sql_flog2(f'({h} + 1)')})"
+        f" // {_DP_EPS_L})"
+    )
+
+
+@register(
+    "customers_dp_histogram",
+    f"""
+    WITH cells AS (
+      SELECT c_mktsegment AS segment, c_nationkey AS nation,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY 1, 2
+    ),
+    keyed AS (
+      SELECT segment, nation, n,
+             coalesce(segment, '') || '#' || coalesce(CAST(nation AS VARCHAR), '')
+               AS ck
+      FROM cells
+    )
+    SELECT segment, nation,
+           CAST({_dp_geom_sql('ck', _DP_SEED + 'a')}
+                - {_dp_geom_sql('ck', _DP_SEED + 'b')} AS BIGINT) AS noise,
+           CAST(n + {_dp_geom_sql('ck', _DP_SEED + 'a')}
+                  - {_dp_geom_sql('ck', _DP_SEED + 'b')} AS BIGINT)
+             AS noisy_count
+    FROM keyed
+    """,
+)
+def q_customers_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eps=1 differentially-private release of the segment x nation
+    customer histogram: discrete-Laplace noise added to each cell's
+    count as the difference of two geometric draws (the exact
+    discrete-Laplace construction), each drawn by inverse CDF
+    G = floor(log2(u) / log2(alpha)) from a SEEDED hash uniform
+    u = (md5(cell||seed)+1)/2^60 — the reproducible-release pattern (a
+    fixed release seed, so the noise is sampled ONCE per release and
+    any worker regenerates it; re-releasing with a fresh seed is a new
+    privacy spend). log2 runs through the shared flog2 fixed-point
+    kernel, so the noise integers are bit-identical across engines; the
+    LUT approximates the geometric's parameter to ~1e-4 relative —
+    treat eps as nominal at that precision. Completes the privacy
+    family (k-anon / l-diverse / t-closeness / PII) with the
+    noise-release leg. One groupBy to |segments| x |nations| cells;
+    per-cell O(1) arithmetic — no data-sized stage after the rollup.
+    A real release would DROP the noise column (kept here so the gate
+    value-checks the draw itself)."""
+    cells = (
+        _read(spark, sf_dir, "customer")
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    ck = F.concat(
+        F.coalesce(F.col("segment"), F.lit("")),
+        F.lit("#"),
+        F.coalesce(F.col("nation").cast("string"), F.lit("")),
+    )
+    keyed = cells.withColumn("_ck", ck)
+
+    def geom(salt: str, out: str):
+        h = dedup_ops.md5_long(F.col("_ck"), salt=salt)
+        d2 = keyed.select("_ck", (h + 1).alias("_u"))
+        d2 = lm_ops.with_flog2(d2, "_u", "_lu")
+        # integer `div`, never `/` + cast (the double quotient can round
+        # UP across an integer boundary before truncation)
+        return d2.select(
+            F.col("_ck").alias(f"_k_{out}"),
+            F.expr(
+                f"CAST(({60 * lm_ops.FLOG2_ONE} - _lu) div {_DP_EPS_L} AS BIGINT)"
+            ).alias(out),
+        )
+
+    g1 = geom(_DP_SEED + "a", "_g1")
+    g2 = geom(_DP_SEED + "b", "_g2")
+    out = (
+        keyed.join(F.broadcast(g1), keyed["_ck"] == g1["_k__g1"])
+        .join(F.broadcast(g2), keyed["_ck"] == g2["_k__g2"])
+    )
+    return out.select(
+        "segment",
+        "nation",
+        (F.col("_g1") - F.col("_g2")).cast("long").alias("noise"),
+        (F.col("n") + F.col("_g1") - F.col("_g2")).cast("long").alias("noisy_count"),
+    )
+
+
+@register(
+    "token_pack_report",
+    f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens,
+             {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'tbs'")} AS pri
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY pri, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, n_tokens, cum - n_tokens AS start,
+             unnest(range(CAST((cum - n_tokens) // 512 AS BIGINT),
+                          CAST((cum - 1) // 512 + 1 AS BIGINT))) AS seq_id
+      FROM r WHERE n_tokens > 0
+    ),
+    per_span AS (
+      SELECT seq_id,
+             CAST(least(start + n_tokens, seq_id * 512 + 512)
+                  - greatest(start, seq_id * 512) AS BIGINT) AS n_in_seq,
+             CASE WHEN start < seq_id * 512
+                       OR start + n_tokens > seq_id * 512 + 512
+                  THEN 1 ELSE 0 END AS crosses
+      FROM spans
+    ),
+    per_seq AS (
+      SELECT seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_in_seq) AS BIGINT) AS fill,
+             CAST(SUM(crosses) AS BIGINT) AS n_boundary_docs
+      FROM per_span GROUP BY seq_id
+    )
+    SELECT n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(fill) AS BIGINT) AS tokens,
+           CAST(MIN(fill) AS BIGINT) AS min_fill,
+           CAST(SUM(n_boundary_docs) AS BIGINT) AS boundary_docs,
+           CAST((1000000 * SUM(fill)) // (512 * COUNT(*)) AS BIGINT)
+             AS fill_ppm
+    FROM per_seq GROUP BY n_docs
+    """,
+)
+def q_token_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over token_pack_sequences' 512-token
+    training sequences: histogram by docs-per-sequence with exact fill
+    (ppm), minimum fill (the tail sequence shows here), and how many
+    doc spans cross a sequence boundary — the attention-mask /
+    cross-doc-contamination accounting an SFT pipeline reads before
+    choosing split-vs-drop packing. Pure rollup of the pack layout
+    (shares its two-phase prefix rank; a span crosses iff it starts
+    mid-doc (doc_offset > 0) or ends before its doc does); output is
+    bounded by the max docs-per-sequence, metadata-sized anywhere."""
+    d = _read(spark, sf_dir, "documents")
+    packed = text_ops.pack_sequences(d, seq_len=512)
+    ntok = d.select(
+        F.col("doc_id").alias("_nd"),
+        F.when(F.trim("text") == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("_nt"),
+    )
+    spans = packed.join(ntok, packed["doc_id"] == F.col("_nd")).select(
+        "seq_id",
+        "n_in_seq",
+        (
+            (F.col("doc_offset") > 0)
+            | (F.col("doc_offset") + F.col("n_in_seq") < F.col("_nt"))
+        )
+        .cast("int")
+        .alias("_crosses"),
+    )
+    per_seq = spans.groupBy("seq_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_in_seq").cast("long").alias("fill"),
+        F.sum("_crosses").cast("long").alias("_bd"),
+    )
+    return per_seq.groupBy("n_docs").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seqs"),
+        F.sum("fill").cast("long").alias("tokens"),
+        F.min("fill").cast("long").alias("min_fill"),
+        F.sum("_bd").cast("long").alias("boundary_docs"),
+        F.expr("CAST((1000000 * SUM(fill)) div (512 * COUNT(*)) AS BIGINT)").alias(
+            "fill_ppm"
+        ),
+    )

@@ -169,6 +169,7 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "embeddings_negative_samples": 1,  # id-rank's <= 2^16 bucket offsets
     "token_budget_sample": 1,  # <= 2^16 bucket offsets
     "token_pack_sequences": 1,  # <= 2^16 bucket offsets
+    "token_pack_report": 1,  # same prefix machinery (rollup nests it)
     "token_shards": 1,  # <= 2^16 bucket offsets
     "token_shards_lpt": 1,  # LPT rank's <= 1024-bin offset table
     "lineitem_zone_skip_eval": 2,  # two total-order ranks' <= 1024-bin offsets

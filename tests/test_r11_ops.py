@@ -191,3 +191,95 @@ def test_span_corruption_spans_stay_in_chunk(spark, tmp_path):
 def test_span_corruption_short_docs_emit_nothing(spark, tmp_path):
     sf = _write_docs(tmp_path, [(1, " ".join(f"w{i}" for i in range(19))), (2, "")])
     assert q_docs_span_corruption(spark, sf).count() == 0
+
+
+# --- DP histogram release ----------------------------------------------------
+
+
+def _write_customers(tmp_path, rows):
+    """rows: (custkey, mktsegment, nationkey)"""
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+                "c_mktsegment": pa.array([r[1] for r in rows], pa.string()),
+                "c_nationkey": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        ),
+        str(tmp_path / "customer.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_dp_histogram_noise_matches_python_mirror(spark, tmp_path):
+    import hashlib
+
+    from kaspi_etl_spark.llm.lm import FLOG2_ONE, flog2_int
+    from kaspi_etl_spark.registry import (
+        _DP_EPS_L,
+        _DP_SEED,
+        q_customers_dp_histogram,
+    )
+
+    rows = [(i, ["AUTO", "HOUSE"][i % 2], i % 3) for i in range(30)]
+    sf = _write_customers(tmp_path, rows)
+    out = {(r.segment, r.nation): r for r in q_customers_dp_histogram(spark, sf).collect()}
+    assert len(out) == 6
+
+    def md5_long(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def geom(ck: str, salt: str) -> int:
+        h = md5_long(ck + salt)
+        return (60 * FLOG2_ONE - flog2_int(h + 1)) // _DP_EPS_L
+
+    from collections import Counter
+
+    truth = Counter((seg, nat) for _, seg, nat in rows)
+    for (seg, nat), r in out.items():
+        ck = f"{seg}#{nat}"
+        want = geom(ck, _DP_SEED + "a") - geom(ck, _DP_SEED + "b")
+        assert r.noise == want, (seg, nat)
+        assert r.noisy_count == truth[(seg, nat)] + want
+
+
+def test_dp_histogram_noise_is_seeded_and_varied(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_customers_dp_histogram
+
+    rows = [(i, f"S{i % 7}", i % 5) for i in range(70)]
+    sf = _write_customers(tmp_path, rows)
+    a = sorted(map(tuple, q_customers_dp_histogram(spark, sf).collect()))
+    b = sorted(map(tuple, q_customers_dp_histogram(spark, sf).collect()))
+    assert a == b  # reproducible release: same seed -> same noise
+    noises = {r[2] for r in a}
+    assert len(noises) > 1  # the draw actually varies across cells
+
+
+# --- packing report ----------------------------------------------------------
+
+
+def test_pack_report_single_long_doc(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_token_pack_report
+
+    sf = _write_docs(tmp_path, [(1, " ".join(f"w{i}" for i in range(1024)))])
+    rows = q_token_pack_report(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # one 1024-token doc -> two full 512 sequences, both holding a
+    # boundary-crossing span of the same single doc
+    assert (r.n_docs, r.n_seqs, r.tokens) == (1, 2, 1024)
+    assert r.min_fill == 512 and r.fill_ppm == 1_000_000
+    assert r.boundary_docs == 2
+
+
+def test_pack_report_exact_fit_docs_never_cross(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_token_pack_report
+
+    docs = [(i, " ".join(f"w{j}" for j in range(512))) for i in range(4)]
+    sf = _write_docs(tmp_path, docs)
+    rows = q_token_pack_report(spark, sf).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_seqs, r.tokens) == (1, 4, 2048)
+    assert r.boundary_docs == 0  # every doc lands exactly on a boundary
+    assert r.fill_ppm == 1_000_000
