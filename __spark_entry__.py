@@ -208,6 +208,14 @@ _GATE_PRIORITY = [
     "docs_span_corruption",
     "customers_dp_histogram",
     "token_pack_report",
+    # third wave: retention matrix + RAKE keyphrases (displacing
+    # revenue_grouping_sets — analytics keep daily_net_revenue /
+    # daily_revenue_incremental / sku_demand_trend — and
+    # events_value_quantiles — events keep events_srm_check /
+    # events_power_mde / events_stickiness; both displaced entries r10
+    # driver-green)
+    "events_retention_matrix",
+    "docs_rake_keyphrases",
     # --- the media trio: first-time VALUE gates (r10 verdict #4) ---
     "media_resize",
     "media_frame_sample",
@@ -230,11 +238,9 @@ _GATE_PRIORITY = [
     "docs_term_rarity",
     "docs_weighted_sample",
     "events_srm_check",
-    "events_value_quantiles",
     "kmeans_assign",
     "part_entity_clusters",
     "part_name_matches",
-    "revenue_grouping_sets",
     "sku_demand_trend",
     "source_perplexity_profile",
     "source_quality_rollup",

@@ -182,6 +182,17 @@ HEADLINE = [
     # over one model-sized held-out tf table). customer_ltv_cohort is a
     # calendar-bounded rollup the daily-revenue entries already cover.
     "lm_pruned_model_eval",
+    # r11: the curriculum schedule (keyed two-phase rank with a 2.5x
+    # stage fan-out — the round's only new data-scaled machinery
+    # composition), span-corruption masks (one explode + array slices),
+    # and the Kaplan-Meier survival rollup (per-customer groupBy +
+    # calendar-grid windows). Deliberately NOT here: orders_benford_audit
+    # and customers_dp_histogram (9-cell / 125-cell rollups the revenue
+    # family already covers in cost) and token_pack_report (rides the
+    # measured pack_sequences prefix machinery).
+    "docs_curriculum_schedule",
+    "docs_span_corruption",
+    "customer_survival_km",
 ]
 
 

@@ -1389,3 +1389,96 @@ def distinct_ngram_diversity(
         .cast("long")
         .alias("distinct_ppm"),
     )
+
+
+def curriculum_schedule(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4,
+    salt: str = "cur",
+) -> DataFrame:
+    """Competence-based curriculum schedule (Platanios et al. 2019
+    shape): difficulty = token-length bucket (fixed-width bins between
+    the global min/max, one 1-row broadcast), stage k trains on every
+    doc of bucket <= k, within-stage order = (easy bucket first, hash
+    shuffle within bucket). Returns (stage, id, bucket, position).
+
+    The within-stage position is the KEYED two-phase rank
+    (ranks.keyed_hash_order_prefix over (stage, bucket)) plus a
+    <= n_buckets^2-row offset rollup — never ``row_number() OVER
+    (PARTITION BY stage)``: stage has n_buckets values and the last
+    stage contains the WHOLE corpus, the metadata-key serialization
+    the skewed-key plan guard bans."""
+    from pyspark.sql import Window
+
+    from ..ranks import keyed_hash_order_prefix
+    from .dedup import split_words
+
+    top = n_buckets - 1
+    d = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.when(F.trim(text_col) == "", F.lit(0))
+            .otherwise(F.size(split_words(F.col(text_col))))
+            .cast("long")
+            .alias("n"),
+        )
+    )
+    mm = d.agg(F.min("n").alias("_lo"), F.max("n").alias("_hi"))
+    b = d.join(F.broadcast(mm)).select(
+        id_col,
+        F.least(
+            F.lit(top).cast("long"),
+            F.floor(
+                (F.col("n") - F.col("_lo"))
+                / F.greatest(
+                    F.lit(1).cast("long"),
+                    F.floor(
+                        (F.col("_hi") - F.col("_lo") + 1) / n_buckets
+                    ).cast("long"),
+                )
+            ).cast("long"),
+        ).alias("bucket"),
+    )
+    st = b.select(
+        id_col,
+        "bucket",
+        F.explode(F.sequence(F.col("bucket"), F.lit(top).cast("long"))).alias(
+            "stage"
+        ),
+    )
+    ranked = keyed_hash_order_prefix(
+        st.withColumn("_w", F.lit(1).cast("long")),
+        ["stage", "bucket"],
+        "_w",
+        id_col,
+        salt=salt,
+        out_col="_rib",
+    )
+    counts = st.groupBy("stage", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("_bc")
+    )
+    offsets = counts.select(
+        F.col("stage").alias("_os"),
+        F.col("bucket").alias("_ob"),
+        F.coalesce(
+            F.sum("_bc").over(
+                Window.partitionBy("stage")
+                .orderBy("bucket")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    )
+    out = ranked.join(
+        F.broadcast(offsets),
+        (ranked["stage"] == F.col("_os")) & (ranked["bucket"] == F.col("_ob")),
+    )
+    return out.select(
+        "stage",
+        id_col,
+        "bucket",
+        (F.col("_off") + F.col("_rib")).cast("long").alias("position"),
+    )

@@ -14965,71 +14965,8 @@ def q_docs_curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan guard bans. The dataloader leg of the LLM pipeline, composing
     with docs_epoch_order (epoch shuffles) and corpus_budget_assemble
     (mixture assembly)."""
-    d = (
-        _read(spark, sf_dir, "documents")
-        .filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.when(F.trim("text") == "", F.lit(0))
-            .otherwise(F.size(dedup_ops.split_words(F.col("text"))))
-            .cast("long")
-            .alias("n"),
-        )
-    )
-    mm = d.agg(F.min("n").alias("_lo"), F.max("n").alias("_hi"))
-    b = (
-        d.join(F.broadcast(mm))
-        .select(
-            "doc_id",
-            F.least(
-                F.lit(3).cast("long"),
-                F.floor(
-                    (F.col("n") - F.col("_lo"))
-                    / F.greatest(
-                        F.lit(1).cast("long"),
-                        F.floor((F.col("_hi") - F.col("_lo") + 1) / 4).cast("long"),
-                    )
-                ).cast("long"),
-            ).alias("bucket"),
-        )
-    )
-    st = b.select(
-        "doc_id",
-        "bucket",
-        F.explode(F.sequence(F.col("bucket"), F.lit(3).cast("long"))).alias("stage"),
-    )
-    ranked = ranks_mod.keyed_hash_order_prefix(
-        st.withColumn("_w", F.lit(1).cast("long")),
-        ["stage", "bucket"],
-        "_w",
-        "doc_id",
-        salt="cur",
-        out_col="_rib",
-    )
-    counts = st.groupBy("stage", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("_bc")
-    )
-    offsets = counts.select(
-        F.col("stage").alias("_os"),
-        F.col("bucket").alias("_ob"),
-        F.coalesce(
-            F.sum("_bc").over(
-                Window.partitionBy("stage")
-                .orderBy("bucket")
-                .rowsBetween(Window.unboundedPreceding, -1)
-            ),
-            F.lit(0),
-        ).alias("_off"),
-    )
-    out = ranked.join(
-        F.broadcast(offsets),
-        (ranked["stage"] == F.col("_os")) & (ranked["bucket"] == F.col("_ob")),
-    )
-    return out.select(
-        "stage",
-        "doc_id",
-        "bucket",
-        (F.col("_off") + F.col("_rib")).cast("long").alias("position"),
+    return text_ops.curriculum_schedule(
+        _read(spark, sf_dir, "documents"), n_buckets=4, salt="cur"
     )
 
 
@@ -15307,4 +15244,198 @@ def q_token_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((1000000 * SUM(fill)) div (512 * COUNT(*)) AS BIGINT)").alias(
             "fill_ppm"
         ),
+    )
+
+
+@register(
+    "events_retention_matrix",
+    """
+    WITH e AS (
+      SELECT user_id,
+             CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    cohort AS (
+      SELECT user_id, MIN(week) AS cohort_week FROM e GROUP BY user_id
+    ),
+    size_ AS (
+      SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+      FROM cohort GROUP BY cohort_week
+    ),
+    act AS (SELECT DISTINCT user_id, week FROM e),
+    ret AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, a.week) // 7 AS BIGINT)
+               AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM act a JOIN cohort c ON c.user_id = a.user_id
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.week_offset, s.cohort_size, r.n_active,
+           CAST((1000000 * r.n_active) // s.cohort_size AS BIGINT)
+             AS retention_ppm
+    FROM ret r JOIN size_ s ON s.cohort_week = r.cohort_week
+    """,
+)
+def q_events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the classic triangle every
+    growth dashboard leads with: users cohorted by first-active week,
+    each cell = fraction of the cohort active k weeks later (exact
+    ppm). Offset 0 is 1e6 by construction (a user is active in their
+    cohort week). Three groupBys over (user, week) distinct activity —
+    cells are calendar x calendar bounded, the joins are
+    broadcast-sized rollups; nothing data-sized survives past the
+    distinct. Complements events_stickiness (DAU/MAU) and
+    customer_ltv_cohort (revenue-sided cohorts)."""
+    e = (
+        read_events(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id", F.trunc(F.col("ts").cast("date"), "week").alias("week")
+        )
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    size = cohort.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    act = e.distinct()
+    ret = (
+        act.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            # both weeks are Monday-truncated so the day diff is an
+            # exact multiple of 7; div for the integer-division
+            # discipline anyway
+            F.expr("CAST(datediff(week, cohort_week) div 7 AS BIGINT)").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+    )
+    return ret.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "cohort_size",
+        "n_active",
+        F.expr("CAST((1000000 * n_active) div cohort_size AS BIGINT)").alias(
+            "retention_ppm"
+        ),
+    )
+
+
+_RAKE_STOPWORDS = text_ops.LANG_MARKERS["en"]  # shared deterministic set
+_RAKE_MAX_LEN = 4
+_RAKE_TOP = 100
+
+
+@register(
+    "docs_rake_keyphrases",
+    f"""
+    WITH d AS (
+      SELECT doc_id, {SQL_WORDS} AS ws FROM documents WHERE text IS NOT NULL
+    ),
+    t AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM d),
+    toks AS (SELECT doc_id, pos, ws[pos] AS w FROM t WHERE ws[pos] <> ''),
+    nonstop AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM toks
+      WHERE w NOT IN ({", ".join(f"'{w}'" for w in _RAKE_STOPWORDS)})
+    ),
+    ph AS (
+      SELECT doc_id, grp,
+             string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM nonstop GROUP BY doc_id, grp
+      HAVING COUNT(*) <= {_RAKE_MAX_LEN}
+    ),
+    pw AS (
+      SELECT doc_id, grp, phrase, plen,
+             unnest(string_split(phrase, ' ')) AS w
+      FROM ph
+    ),
+    wsc AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree
+      FROM pw GROUP BY w
+    ),
+    scored AS (
+      SELECT p.doc_id, p.grp, p.phrase,
+             CAST(SUM((wsc.degree * 1000000) // wsc.freq) AS BIGINT) AS score
+      FROM pw p JOIN wsc ON wsc.w = p.w
+      GROUP BY p.doc_id, p.grp, p.phrase
+    ),
+    agg AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+             MIN(score) AS score
+      FROM scored GROUP BY phrase
+    )
+    SELECT phrase, n_occurrences, score
+    FROM agg ORDER BY score DESC, phrase ASC LIMIT {_RAKE_TOP}
+    """,
+)
+def q_docs_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al. 2010): candidate phrases
+    are maximal stopword-free token runs (capped at {_RAKE_MAX_LEN}
+    words — the boundedness cap), each scored by the sum of its words'
+    degree/frequency ratios over the whole candidate set (degree = sum
+    of lengths of phrases containing the word; exact floored-ppm
+    integer per word, so scores are engine-identical). Top {_RAKE_TOP}
+    phrases corpus-wide. Stopword set = the shared deterministic
+    English marker list (llm/text.LANG_MARKERS — the same small-set
+    convention the language-ID heuristic documents). Plan: one
+    posexplode, per-doc gaps-and-islands (window partitioned by doc_id
+    — data-scaled key), one vocab-keyed groupBy + join, global top-k
+    via TakeOrderedAndProject."""
+    d = (
+        _read(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", dedup_ops.split_words(F.col("text")).alias("_ws"))
+    )
+    toks = d.select(
+        "doc_id", F.posexplode("_ws").alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w").filter(
+        F.col("w") != ""
+    )
+    nonstop = toks.filter(~F.col("w").isin(_RAKE_STOPWORDS)).withColumn(
+        "grp",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    ph = (
+        nonstop.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("long").alias("plen"),
+        )
+        .filter(F.col("plen") <= _RAKE_MAX_LEN)
+    )
+    pw = ph.select(
+        "doc_id", "grp", "phrase", "plen", F.explode(F.split("phrase", " ")).alias("w")
+    )
+    wsc = pw.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum("plen").cast("long").alias("degree"),
+    )
+    scored = (
+        pw.join(wsc, "w")
+        .groupBy("doc_id", "grp", "phrase")
+        .agg(
+            F.sum(F.expr("CAST((degree * 1000000) div freq AS BIGINT)"))
+            .cast("long")
+            .alias("score")
+        )
+    )
+    agg = scored.groupBy("phrase").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.min("score").alias("score"),
+    )
+    return agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(
+        _RAKE_TOP
     )

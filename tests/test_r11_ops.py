@@ -283,3 +283,85 @@ def test_pack_report_exact_fit_docs_never_cross(spark, tmp_path):
     assert (r.n_docs, r.n_seqs, r.tokens) == (1, 4, 2048)
     assert r.boundary_docs == 0  # every doc lands exactly on a boundary
     assert r.fill_ppm == 1_000_000
+
+
+# --- retention matrix --------------------------------------------------------
+
+
+def _write_events(tmp_path, rows):
+    """rows: (event_id, ts, user_id)"""
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([1.0] * len(rows), pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_retention_matrix_hand_case(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_events_retention_matrix
+
+    mon0 = dt.datetime(2020, 1, 6)  # a Monday
+    wk = dt.timedelta(weeks=1)
+    rows = [
+        # cohort A (week 0): users 1,2. user 1 returns weeks 1 and 2;
+        # user 2 returns week 2 only.
+        (1, mon0, 1),
+        (2, mon0 + dt.timedelta(days=2), 2),
+        (3, mon0 + wk, 1),
+        (4, mon0 + 2 * wk, 1),
+        (5, mon0 + 2 * wk + dt.timedelta(days=3), 2),
+        # cohort B (week 1): user 3, never returns
+        (6, mon0 + wk + dt.timedelta(days=1), 3),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = {
+        (r.cohort_week, r.week_offset): r
+        for r in q_events_retention_matrix(spark, sf).collect()
+    }
+    a, b = dt.date(2020, 1, 6), dt.date(2020, 1, 13)
+    assert out[(a, 0)].cohort_size == 2 and out[(a, 0)].retention_ppm == 1_000_000
+    assert out[(a, 1)].n_active == 1 and out[(a, 1)].retention_ppm == 500_000
+    assert out[(a, 2)].n_active == 2 and out[(a, 2)].retention_ppm == 1_000_000
+    assert out[(b, 0)].cohort_size == 1
+    assert (b, 1) not in out  # user 3 never returns
+
+
+# --- RAKE keyphrases ---------------------------------------------------------
+
+
+def test_rake_scores_multiword_phrases_above_lone_words(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_docs_rake_keyphrases
+
+    # "deep learning" co-occurs as a run twice; "the" is a stopword so
+    # "systems" appears as a lone candidate.
+    docs = [
+        (1, "deep learning beats the baseline"),
+        (2, "deep learning and the systems"),
+    ]
+    sf = _write_docs(tmp_path, docs)
+    rows = {r.phrase: r for r in q_docs_rake_keyphrases(spark, sf).collect()}
+    # candidates: "deep learning beats" (len 3), "baseline",
+    # "deep learning" (len 2, after 'and' is a stopword), "systems"
+    assert "deep learning beats" in rows
+    assert "systems" in rows
+    # RAKE favors words living in longer runs: deep/learning degree >
+    # freq, so any multiword phrase outscores a lone single word
+    assert rows["deep learning"].score > rows["systems"].score
+    # score arithmetic: hand-check "systems" (freq 1, degree 1)
+    assert rows["systems"].score == 1_000_000
+
+
+def test_rake_all_stopword_doc_emits_nothing(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_docs_rake_keyphrases
+
+    sf = _write_docs(tmp_path, [(1, "the and of to"), (2, None)])
+    assert q_docs_rake_keyphrases(spark, sf).count() == 0

@@ -690,6 +690,23 @@ def main() -> None:
 
             run(k, "bitext_mine", _bitext)
 
+        if want("curriculum"):
+            docs_cur = docs if docs is not None else scaled_union(
+                docs0, k, "doc_id", 10_000_000, vowel_mut("text")
+            ).localCheckpoint()
+            n_cur = docs_cur.count()
+
+            def _cur():
+                # aggregate OVER the computed position: a bare count()
+                # would let Catalyst prune the rank machinery away
+                out = text.curriculum_schedule(docs_cur)
+                row = out.agg(
+                    F.count(F.lit(1)).alias("n"), F.sum("position").alias("s")
+                ).collect()[0]
+                return {"rows": row.n, "chk": row.s, "in_rows": n_cur}
+
+            run(k, "curriculum", _cur)
+
         if want("cluster_sample"):
             docs_cs = docs if docs is not None else scaled_union(
                 docs0, k, "doc_id", 10_000_000, vowel_mut("text")
