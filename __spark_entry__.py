@@ -216,6 +216,14 @@ _GATE_PRIORITY = [
     # driver-green)
     "events_retention_matrix",
     "docs_rake_keyphrases",
+    # + the ABC/Pareto analysis on the NEW total_order_prefix_sum rank
+    # primitive (displacing source_quality_rollup — source-profile
+    # family keeps source_perplexity_profile + source_dup_matrix)
+    "sku_abc_analysis",
+    # + the UniMax mixing leg (displacing sku_demand_trend — analytics
+    # keep daily_revenue_incremental + sku_price_elasticity, both
+    # driver-green r10)
+    "corpus_mix_unimax",
     # --- the media trio: first-time VALUE gates (r10 verdict #4) ---
     "media_resize",
     "media_frame_sample",
@@ -241,9 +249,7 @@ _GATE_PRIORITY = [
     "kmeans_assign",
     "part_entity_clusters",
     "part_name_matches",
-    "sku_demand_trend",
     "source_perplexity_profile",
-    "source_quality_rollup",
     # --- the eight operators BUILT this round (new code gets the
     # driver's own check first; displaced from the swap pool below:
     # eight r9-green entries whose families keep a representative —

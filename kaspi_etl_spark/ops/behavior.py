@@ -326,3 +326,67 @@ def srm_stats(units: DataFrame) -> DataFrame:
         chi2.alias("chi2_ppm"),
         (chi2 > 3_841_459).alias("srm_alarm"),
     )
+
+
+# Benford first-digit expectation, ppm: round(log10(1 + 1/d) * 1e6).
+# The nine literals sum to exactly 1_000_000 (asserted), so expected
+# counts partition n exactly.
+BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
+assert sum(BENFORD_PPM) == 1_000_000
+
+
+def benford_stats_from_counts(counts: DataFrame) -> DataFrame:
+    """Benford audit table from a (digit, n_obs) count frame — the
+    shared kernel of the batch gate query (registry
+    orders_benford_audit) and the streaming monitor
+    (streaming/incremental.benford_monitor_step): one computation, so
+    streamed == batch by construction. Emits all nine digit rows (a
+    digit with zero observations still reports its expectation) with
+    the exact-ppm observed share and the chi-square contribution
+    (obs*1e6 - n*exp_ppm)^2 / (n*exp_ppm) through DECIMAL(38)."""
+    spark = counts.sparkSession
+    d = counts.groupBy("digit").agg(F.sum("n_obs").cast("long").alias("n_obs"))
+    n = d.agg(F.sum("n_obs").cast("long").alias("n_total"))
+    e = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(BENFORD_PPM, start=1)],
+        "digit long, exp_ppm long",
+    )
+    return (
+        e.join(d, "digit", "left")
+        .join(F.broadcast(n))
+        .select(
+            "digit",
+            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
+            F.expr(
+                "CAST((1000000 * coalesce(n_obs, 0)) div n_total AS BIGINT)"
+            ).alias("obs_ppm"),
+            "exp_ppm",
+            F.expr(
+                "CAST((CAST(1000000 * coalesce(n_obs, 0)"
+                "           - n_total * exp_ppm AS DECIMAL(38,0))"
+                "      * CAST(1000000 * coalesce(n_obs, 0)"
+                "             - n_total * exp_ppm AS DECIMAL(38,0)))"
+                " div (CAST(n_total AS DECIMAL(38,0)) * exp_ppm) AS BIGINT)"
+            ).alias("chi2_contrib_ppm"),
+        )
+    )
+
+
+def benford_digit_counts(amounts: DataFrame, amt_col: str = "amt") -> DataFrame:
+    """(digit, n_obs) counts of first significant digits of positive
+    BIGINT amounts — string-head digit extraction, no float log."""
+    return (
+        amounts.filter(F.col(amt_col) >= 1)
+        .groupBy(
+            F.substring(F.col(amt_col).cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+
+
+def benford_stats(amounts: DataFrame, amt_col: str = "amt") -> DataFrame:
+    """Benford audit over raw positive amounts (see
+    benford_stats_from_counts)."""
+    return benford_stats_from_counts(benford_digit_counts(amounts, amt_col))

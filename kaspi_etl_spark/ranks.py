@@ -49,6 +49,7 @@ from .llm.dedup import md5_long
 
 __all__ = [
     "hash_order_prefix",
+    "total_order_prefix_sum",
     "keyed_hash_order_prefix",
     "binned_prefix_sum",
     "keyed_value_order_row_number",
@@ -442,4 +443,64 @@ def ntile_from_row_number(rn: Column, n: Column, buckets: int) -> Column:
         F.when(rn <= cut, ((rn - 1) / (q + 1)).cast("long") + 1)
         .otherwise(r + ((rn - cut - 1) / q).cast("long") + 1)
         .cast("long")
+    )
+
+
+def total_order_prefix_sum(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    weight_col: str,
+    out_col: str = "cum",
+    salt: str = "rnk",
+    hash_bits: int = 6,
+    n_bins: int = 1024,
+) -> DataFrame:
+    """Exact inclusive running sum of ``weight_col`` over the total
+    order ``(value ASC, md5(id||salt) ASC, id ASC)`` — the prefix-SUM
+    sibling of :func:`total_order_row_number` (same composite
+    (value, hash-sub-bucket) sharding, so million-row tie groups still
+    accumulate in parallel). The Pareto/ABC kernel: rank entities by a
+    measure and read each row's cumulative share without a
+    single-partition global window.
+
+    Same contracts as total_order_row_number: ``value_col`` non-NULL
+    (loud assert), ``|value| < 2^(62 - hash_bits)``, NULL ids hash as
+    ''.  ``weight_col`` must be BIGINT-safe under summation.
+
+    Oracle mirror: ``sum(w) over (order by value, md5_long(id), id
+    rows unbounded preceding)``.
+    """
+    h = md5_long(F.coalesce(F.col(id_col).cast("string"), F.lit("")), salt=salt)
+    checked = F.when(
+        F.assert_true(
+            F.col(value_col).isNotNull(),
+            f"total_order_prefix_sum: {value_col} must be non-NULL "
+            "(coalesce a sentinel first)",
+        ).isNull(),
+        F.col(value_col),
+    )
+    d = df.withColumn(value_col, checked).withColumn("_h", h).withColumn(
+        "_hb", F.shiftright(F.col("_h"), 60 - hash_bits)
+    )
+    composite = (F.col(value_col).cast("long") * (1 << hash_bits) + F.col("_hb")).alias(
+        "_ck"
+    )
+    groups = d.select(composite, weight_col).groupBy("_ck").agg(
+        F.sum(weight_col).cast("long").alias("_gw")
+    )
+    ranked = binned_prefix_sum(groups, "_ck", "_gw", out_col="_gcum", n_bins=n_bins)
+    offsets = ranked.select("_ck", (F.col("_gcum") - F.col("_gw")).alias("_goff"))
+    d2 = d.withColumn(
+        "_ck", F.col(value_col).cast("long") * (1 << hash_bits) + F.col("_hb")
+    ).join(offsets, "_ck")
+    intra = Window.partitionBy("_ck").orderBy("_h", id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        d2.withColumn(
+            out_col,
+            (F.col("_goff") + F.sum(weight_col).over(intra)).cast("long"),
+        )
+        .drop("_ck", "_h", "_hb", "_goff")
     )

@@ -14706,11 +14706,9 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # schedule, span-corruption masks.
 # ===========================================================================
 
-# Benford first-digit expectation, ppm: round(log10(1 + 1/d) * 1e6).
-# The nine literals sum to exactly 1_000_000, so the expected-count
-# arithmetic below is an exact partition of n.
-_BENFORD_PPM = [301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757]
-assert sum(_BENFORD_PPM) == 1_000_000
+# Benford expectation lives in ops/behavior.BENFORD_PPM — the kernel
+# shared with the streaming monitor; aliased here for the oracle string.
+_BENFORD_PPM = behavior_ops.BENFORD_PPM
 _BENFORD_VALUES = ", ".join(
     f"({d}, {p})" for d, p in enumerate(_BENFORD_PPM, start=1)
 )
@@ -14758,36 +14756,8 @@ def q_orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         _read(spark, sf_dir, "orders")
         .filter(F.col("o_totalprice").isNotNull())
         .select(F.round("o_totalprice").cast("long").alias("amt"))
-        .filter(F.col("amt") >= 1)
     )
-    d = v.groupBy(
-        F.substring(F.col("amt").cast("string"), 1, 1).cast("long").alias("digit")
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
-    n = d.agg(F.sum("n_obs").cast("long").alias("n_total"))
-    e = spark.createDataFrame(
-        [(i, p) for i, p in enumerate(_BENFORD_PPM, start=1)],
-        "digit long, exp_ppm long",
-    )
-    out = (
-        e.join(d, "digit", "left")
-        .join(F.broadcast(n))
-        .select(
-            "digit",
-            F.coalesce("n_obs", F.lit(0)).cast("long").alias("n_obs"),
-            F.expr("CAST((1000000 * coalesce(n_obs, 0)) div n_total AS BIGINT)").alias(
-                "obs_ppm"
-            ),
-            "exp_ppm",
-            F.expr(
-                "CAST((CAST(1000000 * coalesce(n_obs, 0)"
-                "           - n_total * exp_ppm AS DECIMAL(38,0))"
-                "      * CAST(1000000 * coalesce(n_obs, 0)"
-                "             - n_total * exp_ppm AS DECIMAL(38,0)))"
-                " div (CAST(n_total AS DECIMAL(38,0)) * exp_ppm) AS BIGINT)"
-            ).alias("chi2_contrib_ppm"),
-        )
-    )
-    return out
+    return behavior_ops.benford_stats(v, "amt").orderBy("digit")
 
 
 _KM_CHURN_DAYS = 90  # inactive this long before the corpus end = churned
@@ -15438,4 +15408,205 @@ def q_docs_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return agg.orderBy(F.col("score").desc(), F.col("phrase").asc()).limit(
         _RAKE_TOP
+    )
+
+
+@register(
+    "sku_abc_analysis",
+    f"""
+    WITH rev AS (
+      SELECT l_partkey AS sku,
+             CAST(SUM(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)
+               AS revenue
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(revenue) AS BIGINT) AS total FROM rev),
+    c AS (
+      SELECT sku, revenue,
+             CAST(SUM(revenue) OVER (
+               ORDER BY -revenue,
+                        {_sql_md5_long("CAST(sku AS VARCHAR) || 'abc'")},
+                        sku
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_rev
+      FROM rev
+    )
+    SELECT sku, revenue, cum_rev,
+           CAST((1000000 * cum_rev) // tot.total AS BIGINT) AS cum_share_ppm,
+           CASE WHEN CAST(cum_rev - revenue AS HUGEINT) * 5
+                     < CAST(tot.total AS HUGEINT) * 4 THEN 'A'
+                WHEN CAST(cum_rev - revenue AS HUGEINT) * 20
+                     < CAST(tot.total AS HUGEINT) * 19 THEN 'B'
+                ELSE 'C' END AS abc
+    FROM c, tot
+    """,
+)
+def q_sku_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of SKUs by revenue: rank every SKU
+    by revenue DESC and read its cumulative revenue share — A while the
+    EXCLUSIVE prefix is under 80% of total, B under 95%, C after (the
+    standard inventory-management cut, on exact integer
+    cross-multiplications through DECIMAL/HUGEINT). The running sum is
+    the new ranks.total_order_prefix_sum — the prefix-SUM sibling of
+    total_order_row_number (same (value, hash-sub-bucket) composite
+    sharding, so a million SKUs tied at the same revenue still
+    accumulate in parallel) — never ``SUM() OVER (ORDER BY revenue)``
+    over the whole SKU dimension through one task. Hash tiebreak
+    mirrored in the oracle's window order."""
+    rev = (
+        _read(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("sku"))
+        .agg(
+            F.sum(F.round("l_extendedprice").cast("long"))
+            .cast("long")
+            .alias("revenue")
+        )
+        .withColumn("_negrev", -F.col("revenue"))
+    )
+    tot = rev.agg(F.sum("revenue").cast("long").alias("total"))
+    c = ranks_mod.total_order_prefix_sum(
+        rev, "_negrev", "sku", "revenue", out_col="cum_rev", salt="abc"
+    )
+    return c.join(F.broadcast(tot)).select(
+        "sku",
+        "revenue",
+        "cum_rev",
+        F.expr("CAST((1000000 * cum_rev) div total AS BIGINT)").alias(
+            "cum_share_ppm"
+        ),
+        F.when(
+            (F.col("cum_rev") - F.col("revenue")).cast("decimal(38,0)") * 5
+            < F.col("total").cast("decimal(38,0)") * 4,
+            F.lit("A"),
+        )
+        .when(
+            (F.col("cum_rev") - F.col("revenue")).cast("decimal(38,0)") * 20
+            < F.col("total").cast("decimal(38,0)") * 19,
+            F.lit("B"),
+        )
+        .otherwise(F.lit("C"))
+        .alias("abc"),
+    )
+
+
+@register(
+    "corpus_mix_unimax",
+    f"""
+    WITH c AS (
+      SELECT source, CAST(SUM(len({SQL_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents WHERE trim(text) <> '' GROUP BY source
+    ),
+    b AS (
+      SELECT source, n_tokens, n_tokens AS cap,
+             CAST(SUM(n_tokens) OVER () // 2 AS BIGINT) AS budget,
+             CAST(COUNT(*) OVER () AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_tokens ASC,
+                                     source ASC NULLS LAST) AS BIGINT) AS rk
+      FROM c
+    ),
+    f AS (
+      SELECT *,
+             COALESCE(SUM(cap) OVER (ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev,
+             CASE WHEN cap * (n - rk + 1)
+                       <= budget - COALESCE(SUM(cap) OVER (ORDER BY rk
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0)
+                  THEN 1 ELSE 0 END AS below
+      FROM b
+    ),
+    g AS (
+      SELECT *, MIN(below) OVER (ORDER BY rk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+      FROM f
+    ),
+    s AS (
+      SELECT *,
+             CAST(SUM(capped) OVER () AS BIGINT) AS kstar,
+             CAST(SUM(capped * cap) OVER () AS BIGINT) AS capsum
+      FROM g
+    )
+    SELECT source, n_tokens, CAST(cap AS BIGINT) AS cap,
+           CAST(capped AS BOOLEAN) AS capped,
+           CAST(CASE
+             WHEN capped = 1 THEN cap
+             WHEN n - kstar = 0 THEN cap
+             ELSE (budget - capsum) // (n - kstar)
+                  + CASE WHEN rk - kstar
+                              <= (budget - capsum) % (n - kstar)
+                         THEN 1 ELSE 0 END
+           END AS BIGINT) AS alloc
+    FROM s
+    """,
+)
+def q_corpus_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixing allocation (Chung et al. 2023): spread the training
+    budget (half the corpus here) UNIFORMLY across sources subject to a
+    per-source epoch cap (k=1 — no repetition), instead of
+    proportional/temperature sampling that lets one web crawl dominate.
+    Closed-form water-filling: sort sources by cap ascending; a source
+    is CAPPED while cap * (sources remaining) fits in the remaining
+    budget (running-min makes the flag prefix-monotone explicitly);
+    uncapped sources split the leftover equally with the remainder
+    distributed to the first ranks (largest-remainder convention, as
+    corpus_mix_allocation). Pure integer arithmetic; every window runs
+    over the |sources| rollup — metadata-sized (the mixing-family
+    shape). NULL source is a real group; the sort pins NULLS LAST on
+    both engines (Spark ASC defaults NULLS FIRST — the cross-engine
+    trap)."""
+    d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
+    c = d.groupBy("source").agg(
+        F.sum(F.size(dedup_ops.split_words(F.col("text"))))
+        .cast("long")
+        .alias("n_tokens")
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    b = c.select(
+        "source",
+        "n_tokens",
+        F.col("n_tokens").alias("cap"),
+        F.expr("CAST(SUM(n_tokens) OVER () div 2 AS BIGINT)").alias("budget"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.row_number()
+        .over(Window.orderBy(F.col("n_tokens").asc(), F.col("source").asc_nulls_last()))
+        .cast("long")
+        .alias("rk"),
+    )
+    w_prev = Window.orderBy("rk").rowsBetween(Window.unboundedPreceding, -1)
+    f = b.withColumn(
+        "prev", F.coalesce(F.sum("cap").over(w_prev), F.lit(0))
+    ).withColumn(
+        "below",
+        F.when(
+            F.col("cap") * (F.col("n") - F.col("rk") + 1)
+            <= F.col("budget") - F.col("prev"),
+            1,
+        ).otherwise(0),
+    )
+    g = f.withColumn(
+        "capped",
+        F.min("below").over(
+            Window.orderBy("rk").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ),
+    )
+    s = g.withColumn("kstar", F.sum("capped").over(w_all).cast("long")).withColumn(
+        "capsum",
+        F.sum(F.col("capped") * F.col("cap")).over(w_all).cast("long"),
+    )
+    return s.select(
+        "source",
+        "n_tokens",
+        F.col("cap").cast("long").alias("cap"),
+        (F.col("capped") == 1).alias("capped"),
+        F.expr(
+            "CAST(CASE WHEN capped = 1 THEN cap"
+            " WHEN n - kstar = 0 THEN cap"
+            " ELSE (budget - capsum) div (n - kstar)"
+            "      + CASE WHEN rk - kstar <= (budget - capsum) % (n - kstar)"
+            "             THEN 1 ELSE 0 END END AS BIGINT)"
+        ).alias("alloc"),
     )

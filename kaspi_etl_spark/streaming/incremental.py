@@ -895,3 +895,70 @@ def srm_monitor_stream_job(
     if trigger_seconds is None:
         return writer.trigger(availableNow=True)
     return writer.trigger(processingTime=f"{trigger_seconds} seconds")
+
+
+def benford_monitor_step(
+    spark: SparkSession,
+    batch_df,
+    batch_id: int,
+    state_path: str,
+    out_path: str,
+) -> None:
+    """Fold one micro-batch of transaction amounts into the cumulative
+    first-digit counts and republish the Benford audit table over the
+    WHOLE history (ops/behavior.benford_stats_from_counts — the exact
+    kernel the batch gate query runs, so streamed values == batch
+    values by construction).
+
+    State = per-batch digit counts in a ``batch=N`` subdirectory
+    (log-structured immutable batch partitions, the dedup-index
+    pattern): a REPLAYED batch overwrites ITS OWN partition with the
+    same counts — exactly-once by construction without set semantics
+    (digit counts are sums, so a counter state would double-count on
+    redelivery). The audit table is a full overwrite per batch — a
+    report over state, idempotent under replay."""
+    from ..ops.behavior import benford_digit_counts, benford_stats_from_counts
+
+    counts = benford_digit_counts(
+        batch_df.select(F.col("amt").cast("long").alias("amt")), "amt"
+    )
+    counts.write.mode("overwrite").parquet(f"{state_path}/batch={batch_id}")
+    all_counts = spark.read.option("basePath", state_path).parquet(
+        f"{state_path}/batch=*"
+    )
+    benford_stats_from_counts(all_counts.select("digit", "n_obs")).write.mode(
+        "overwrite"
+    ).parquet(out_path)
+
+
+def benford_monitor_stream_job(
+    spark: SparkSession,
+    source_dir: str,
+    state_path: str,
+    out_path: str,
+    checkpoint_dir: str,
+    schema: T.StructType | str,
+    trigger_seconds: int | None = None,
+    max_files_per_trigger: int | None = None,
+):
+    """Continuous Benford first-digit monitoring over an NDJSON amount
+    stream — the fraud/data-quality screen, live: a feed that starts
+    emitting fabricated or unit-mangled amounts shifts the digit
+    distribution at the batch it happens, not at month-end audit
+    (see benford_monitor_step)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.json(source_dir)
+
+    def _step(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        benford_monitor_step(spark, batch_df, batch_id, state_path, out_path)
+
+    writer = stream.writeStream.foreachBatch(_step).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_seconds is None:
+        return writer.trigger(availableNow=True)
+    return writer.trigger(processingTime=f"{trigger_seconds} seconds")

@@ -81,6 +81,8 @@ BNLJ_ALLOWED = {
     "orders_benford_audit",  # 1-row digit-total broadcast onto the 9 cells
     "customer_survival_km",  # 1-row max-date + 1-row population broadcasts
     "docs_curriculum_schedule",  # 1-row (min,max) length-bin broadcast
+    "sku_abc_analysis",  # 1-row revenue-total + the prefix rank's
+    # (min,max) bin-range broadcasts
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
@@ -173,6 +175,7 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "token_shards": 1,  # <= 2^16 bucket offsets
     "token_shards_lpt": 1,  # LPT rank's <= 1024-bin offset table
     "lineitem_zone_skip_eval": 2,  # two total-order ranks' <= 1024-bin offsets
+    "sku_abc_analysis": 1,  # total_order_prefix_sum's <= 1024-bin offsets
     # --- literal-bounded frames ---
     "corpus_mix_allocation": 3,  # |sources| rows (apportionment ladder)
     "corpus_mix_temperature": 3,  # |sources| rows
@@ -180,6 +183,8 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "corpus_mix_doremi_exp": 3,  # |sources| rows (same ladder)
     "corpus_mix_temperature_frac": 3,  # |sources| rows (same ladder)
     "corpus_budget_assemble": 3,  # nests the temperature ladder verbatim
+    "corpus_mix_unimax": 6,  # |sources| rows (water-filling ladder:
+    # rank, prev-cap sum, prefix-min flag, totals)
     "docs_epoch_order": 2,  # one <= 2^16-bucket prefix offset per epoch
     "daily_revenue_cusum": 3,  # per-day rollup: calendar-bounded
     "daily_revenue_mad_outliers": 2,  # per-day rollup

@@ -775,3 +775,67 @@ def test_srm_monitor_stream_matches_batch_and_replays(spark):
     finally:
         for p in (src, out, state, ckpt):
             _shutil.rmtree(p, ignore_errors=True)
+
+
+def test_benford_monitor_stream_matches_batch_and_replays(spark):
+    import tempfile
+    import time as _time
+
+    from kaspi_etl_spark.ops.behavior import benford_stats
+    from kaspi_etl_spark.streaming import incremental as sinc
+
+    src = tempfile.mkdtemp(prefix="bf_src_")
+    out = tempfile.mkdtemp(prefix="bf_out_") + "/audit"
+    state = tempfile.mkdtemp(prefix="bf_state_") + "/counts"
+    ckpt = tempfile.mkdtemp(prefix="bf_ckpt_")
+    schema = "amt long"
+    batches = [
+        [(a,) for a in [1, 12, 123, 2, 25, 31]],
+        [(a,) for a in [9, 94, 100, 110, 7]],
+        [(a,) for a in [0, -5, 1999]],  # non-positive amounts drop
+    ]
+    try:
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).json(f"{src}/tick_{i}")
+            _time.sleep(1.2)
+        q = sinc.benford_monitor_stream_job(
+            spark,
+            source_dir=f"{src}/tick_*",
+            state_path=state,
+            out_path=out,
+            checkpoint_dir=ckpt,
+            schema=schema,
+            max_files_per_trigger=1,
+        ).start()
+        q.awaitTermination(120)
+
+        got = {r.digit: r for r in spark.read.parquet(out).collect()}
+        union = spark.createDataFrame(
+            [r for b in batches for r in b], schema
+        )
+        want = {r.digit: r for r in benford_stats(union, "amt").collect()}
+        assert set(got) == set(want) == set(range(1, 10))
+        for d in got:
+            assert (got[d].n_obs, got[d].obs_ppm, got[d].chi2_contrib_ppm) == (
+                want[d].n_obs,
+                want[d].obs_ppm,
+                want[d].chi2_contrib_ppm,
+            )
+        assert got[1].n_obs == 6  # 1, 12, 123, 100, 110, 1999
+        assert sum(r.n_obs for r in got.values()) == 12  # 0 and -5 dropped
+
+        # replaying the LAST batch overwrites its own partition: counts
+        # unchanged (exactly-once without set semantics)
+        last = spark.createDataFrame(batches[2], schema)
+        sinc.benford_monitor_step(spark, last, 2, state, out)
+        again = {r.digit: r.n_obs for r in spark.read.parquet(out).collect()}
+        assert again == {d: r.n_obs for d, r in got.items()}
+    finally:
+        import shutil as _shutil
+
+        # remove exactly the four mkdtemp roots (out/state are files
+        # INSIDE their mkdtemp dirs — strip only the appended suffix)
+        for p in (src, out.rsplit("/", 1)[0], state.rsplit("/", 1)[0], ckpt):
+            _shutil.rmtree(p, ignore_errors=True)

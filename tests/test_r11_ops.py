@@ -365,3 +365,90 @@ def test_rake_all_stopword_doc_emits_nothing(spark, tmp_path):
 
     sf = _write_docs(tmp_path, [(1, "the and of to"), (2, None)])
     assert q_docs_rake_keyphrases(spark, sf).count() == 0
+
+
+# --- ABC analysis ------------------------------------------------------------
+
+
+def _write_lineitem(tmp_path, rows):
+    """rows: (partkey, extendedprice)"""
+    pq.write_table(
+        pa.table(
+            {
+                "l_partkey": pa.array([r[0] for r in rows], pa.int64()),
+                "l_extendedprice": pa.array(
+                    [float(r[1]) for r in rows], pa.float64()
+                ),
+            }
+        ),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    return str(tmp_path)
+
+
+def test_abc_analysis_hand_case(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_sku_abc_analysis
+
+    # revenues: 70, 20, 6, 4 (total 100) in DESC order ->
+    # exclusive prefixes 0, 70, 90, 96 -> A (0<80), B (70<95... wait:
+    # A while prev < 80: sku1 prev 0 -> A; sku2 prev 70 -> B? 70*5=350
+    # < 400 -> A! (prev < 80% of total). sku3 prev 90 -> B (90<95).
+    # sku4 prev 96 -> C.
+    rows = [(1, 70.0), (2, 20.0), (3, 6.0), (4, 4.0)]
+    sf = _write_lineitem(tmp_path, rows)
+    out = {r.sku: r for r in q_sku_abc_analysis(spark, sf).collect()}
+    assert out[1].abc == "A" and out[2].abc == "A"
+    assert out[3].abc == "B"
+    assert out[4].abc == "C"
+    assert out[4].cum_rev == 100 and out[4].cum_share_ppm == 1_000_000
+
+
+# --- UniMax mixing -----------------------------------------------------------
+
+
+def test_unimax_water_filling_hand_case(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_corpus_mix_unimax
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(n))
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array([words(10), words(100), words(100)], pa.string()),
+                "source": pa.array(["tiny", "webA", "webB"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r.source: r for r in q_corpus_mix_unimax(spark, str(tmp_path)).collect()}
+    # total 210, budget 105. caps sorted: 10, 100, 100.
+    # tiny: 10*3=30 <= 105 -> capped at 10. webA (rank 2 by name tie):
+    # 100*2=200 > 95 -> uncapped. leftover 95 over 2 -> 47 each, +1 to
+    # the first uncapped rank.
+    assert out["tiny"].capped and out["tiny"].alloc == 10
+    assert not out["webA"].capped and not out["webB"].capped
+    assert sorted([out["webA"].alloc, out["webB"].alloc]) == [47, 48]
+    assert sum(r.alloc for r in out.values()) == 105  # exactly the budget
+
+
+def test_unimax_budget_exceeding_caps_allocates_caps(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_corpus_mix_unimax
+
+    # Two equal sources: budget = total/2 = one source's size; both
+    # sources' caps exceed the uniform share -> nobody capped, equal split.
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                "text": pa.array(
+                    [" ".join(f"a{i}" for i in range(40))] * 2, pa.string()
+                ),
+                "source": pa.array(["s1", "s2"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {r.source: r for r in q_corpus_mix_unimax(spark, str(tmp_path)).collect()}
+    assert out["s1"].alloc == out["s2"].alloc == 20

@@ -232,3 +232,39 @@ def test_prefix_rank_output_schemas_have_no_internal_columns(spark):
     assert got_k.columns == ["id", "src", "w", "cum"]
     # schema-consistent siblings: a select-star union must work
     assert got_u.unionByName(got_k).count() == 6
+
+
+@pytest.mark.parametrize(
+    "values",
+    [
+        [1] * 150,  # one giant tie group
+        [i % 4 for i in range(120)],  # heavy ties
+        list(range(80)),  # distinct
+        [-30 + (i % 11) for i in range(90)],  # negatives + ties
+    ],
+)
+def test_total_order_prefix_sum_matches_global_window(spark, values):
+    from kaspi_etl_spark.ranks import total_order_prefix_sum
+
+    rows = [(f"id{i:04d}", v, (i % 7) + 1) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, "k string, v long, w long")
+    got = total_order_prefix_sum(
+        df, "v", "k", "w", out_col="cum", salt="s", hash_bits=3, n_bins=8
+    )
+    w = Window.orderBy(
+        F.col("v").asc(),
+        md5_long(F.col("k").cast("string"), salt="s").asc(),
+        F.col("k").asc(),
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    want = df.withColumn("cum", F.sum("w").over(w).cast("long"))
+    assert sorted(got.select("k", "cum").collect()) == sorted(
+        want.select("k", "cum").collect()
+    )
+
+
+def test_total_order_prefix_sum_null_value_fails_loudly(spark):
+    from kaspi_etl_spark.ranks import total_order_prefix_sum
+
+    df = spark.createDataFrame([("a", None, 1), ("b", 3, 2)], "k string, v long, w long")
+    with pytest.raises(Exception, match="must be non-NULL"):
+        total_order_prefix_sum(df, "v", "k", "w").collect()
