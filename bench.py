@@ -288,6 +288,19 @@ def main() -> None:
             # in this environment, and every byte before the final JSON
             # line eats the 2000-byte tail window
             "spark.ui.showConsoleProgress": "false",
+            # The interleaved passes (below) defeat the DEFAULT codegen
+            # cache: at maxEntries=100, running ~80 queries between two
+            # samples of the same query evicts its generated classes,
+            # so every sample re-pays whole-stage-codegen compile + JIT
+            # warmup (measured: basket_assoc_rules 13 CPU-s interleaved
+            # vs 3.9 back-to-back-warm on identical code/data). Those
+            # constants amortize to ~zero at real per-query data scale,
+            # so the WARM number is the scale-relevant one; a large
+            # cache lets warmth carry across passes (measured: same
+            # query 15.5 -> 7.9 -> 4.8 across interleaved passes with
+            # this conf), keeping r10-comparable numbers AND the
+            # burst-immune interleaving.
+            "spark.sql.codegen.cache.maxEntries": "100000",
         },
     )
     # Warm the JVM + parquet footers once so per-query numbers measure the
