@@ -224,6 +224,13 @@ _GATE_PRIORITY = [
     # keep daily_revenue_incremental + sku_price_elasticity, both
     # driver-green r10)
     "corpus_mix_unimax",
+    # + the langid-confusion DQ screen and the diff-in-diff estimator
+    # (displacing docs_weighted_sample — sampling keeps the r10-green
+    # docs_epoch_order + corpus_budget_assemble composition record and
+    # the local sweeps — and kmeans_assign — clustering keeps
+    # part_entity_clusters; both displaced entries r10 driver-green)
+    "docs_langid_confusion",
+    "events_diff_in_diff",
     # --- the media trio: first-time VALUE gates (r10 verdict #4) ---
     "media_resize",
     "media_frame_sample",
@@ -244,9 +251,7 @@ _GATE_PRIORITY = [
     "docs_epoch_order",
     "docs_pii_redacted",
     "docs_term_rarity",
-    "docs_weighted_sample",
     "events_srm_check",
-    "kmeans_assign",
     "part_entity_clusters",
     "part_name_matches",
     "source_perplexity_profile",

@@ -15610,3 +15610,167 @@ def q_corpus_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
             "             THEN 1 ELSE 0 END END AS BIGINT)"
         ).alias("alloc"),
     )
+
+
+@register(
+    "docs_langid_confusion",
+    f"""
+    WITH docs AS (SELECT doc_id, text, lang FROM documents),
+    base AS (SELECT doc_id, lang, {_SQL_WORDS_EXPR} AS words FROM docs),
+    scored AS (SELECT doc_id, lang, {_SQL_LANG_SCORES} FROM base),
+    pred AS (SELECT doc_id, lang, {_SQL_LANG_PRED} AS lang_pred FROM scored)
+    SELECT lang AS lang_label, lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(lang IS NOT DISTINCT FROM lang_pred AS BOOLEAN) AS agree
+    FROM pred GROUP BY lang, lang_pred
+    """,
+)
+def q_docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the heuristic n-gram/marker
+    classifier's prediction against the corpus's LABELED lang column —
+    the data-quality screen that catches both mislabeled metadata AND
+    heuristic drift before a language-balanced mix (corpus_mix_*,
+    corpus_mix_unimax) is computed from either signal. One scoring pass
+    (shared marker machinery with lang_rollup), one lang x lang_pred
+    groupBy — a bounded confusion grid at any scale. NULL labels are a
+    real row (IS NOT DISTINCT FROM on both engines)."""
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    pred = d.select(
+        F.col("lang").alias("lang_label"),
+        text_ops.lang_id_from_words(
+            text_ops.extract_words(F.col("text")), markers=ASCII_MARKERS
+        ).alias("lang_pred"),
+    )
+    return pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.first(
+            F.col("lang_label").eqNullSafe(F.col("lang_pred"))
+        ).alias("agree"),
+    )
+
+
+@register(
+    "events_diff_in_diff",
+    f"""
+    WITH e AS (
+      SELECT event_type, user_id, epoch_us(ts) AS us,
+             CAST(floor(value * 100) AS BIGINT) AS cents
+      FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL
+    ),
+    mm AS (
+      SELECT (MIN(us) + MAX(us)) // 2 AS mid FROM e
+    ),
+    cells AS (
+      SELECT event_type,
+             {_sql_md5_long("CAST(user_id AS VARCHAR) || 'did'")} % 2 AS treat,
+             CASE WHEN us >= mm.mid THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM e, mm GROUP BY 1, 2, 3
+    ),
+    m AS (
+      SELECT event_type, treat, post, n,
+             CAST((CAST(1000000 AS HUGEINT) * s) // n AS BIGINT) AS mean_sc
+      FROM cells
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n_events,
+             CAST(SUM(CASE WHEN treat = 1 AND post = 1 THEN mean_sc END)
+                  AS BIGINT) AS m_t_post,
+             CAST(SUM(CASE WHEN treat = 1 AND post = 0 THEN mean_sc END)
+                  AS BIGINT) AS m_t_pre,
+             CAST(SUM(CASE WHEN treat = 0 AND post = 1 THEN mean_sc END)
+                  AS BIGINT) AS m_c_post,
+             CAST(SUM(CASE WHEN treat = 0 AND post = 0 THEN mean_sc END)
+                  AS BIGINT) AS m_c_pre,
+             CAST(COUNT(*) AS BIGINT) AS n_cells
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n_events, m_t_pre, m_t_post, m_c_pre, m_c_post,
+           CAST(CASE WHEN n_cells = 4
+                THEN (m_t_post - m_t_pre) - (m_c_post - m_c_pre) END
+                AS BIGINT) AS did_scaled
+    FROM p
+    """,
+)
+def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimate per exposure segment: the
+    treated group's pre->post mean shift minus the control group's (the
+    workhorse quasi-experimental estimator when randomization is
+    impossible). Treatment = the deterministic md5 split (the SRM
+    machinery's convention), pre/post = event time against the corpus
+    midpoint (exact integer epoch-microsecond arithmetic — never
+    timestamp interval math, which rounds differently across engines).
+    Cell means in exact floored cents-ppm through HUGEINT/DECIMAL; a
+    segment missing any of its 4 cells reports NULL instead of a
+    misleading partial estimate. One groupBy to |segments| x 4 cells +
+    a 1-row midpoint broadcast."""
+    e = read_events(spark, sf_dir).filter(
+        F.col("user_id").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("value").isNotNull()
+    ).select(
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    mm = e.agg(
+        F.expr("CAST((MIN(us) + MAX(us)) div 2 AS BIGINT)").alias("mid")
+    )
+    cells = (
+        e.join(F.broadcast(mm))
+        .groupBy(
+            "event_type",
+            (
+                dedup_ops.md5_long(F.col("user_id").cast("string"), salt="did") % 2
+            ).alias("treat"),
+            F.when(F.col("us") >= F.col("mid"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("s"),
+        )
+    )
+    m = cells.select(
+        "event_type",
+        "treat",
+        "post",
+        "n",
+        F.expr(
+            "CAST((CAST(1000000 AS DECIMAL(38,0)) * s) div n AS BIGINT)"
+        ).alias("mean_sc"),
+    )
+    p = m.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.sum(F.when((F.col("treat") == 1) & (F.col("post") == 1), F.col("mean_sc")))
+        .cast("long")
+        .alias("m_t_post"),
+        F.sum(F.when((F.col("treat") == 1) & (F.col("post") == 0), F.col("mean_sc")))
+        .cast("long")
+        .alias("m_t_pre"),
+        F.sum(F.when((F.col("treat") == 0) & (F.col("post") == 1), F.col("mean_sc")))
+        .cast("long")
+        .alias("m_c_post"),
+        F.sum(F.when((F.col("treat") == 0) & (F.col("post") == 0), F.col("mean_sc")))
+        .cast("long")
+        .alias("m_c_pre"),
+        F.count(F.lit(1)).cast("long").alias("_nc"),
+    )
+    return p.select(
+        "event_type",
+        "n_events",
+        "m_t_pre",
+        "m_t_post",
+        "m_c_pre",
+        "m_c_post",
+        F.when(
+            F.col("_nc") == 4,
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")),
+        )
+        .cast("long")
+        .alias("did_scaled"),
+    )

@@ -83,6 +83,7 @@ BNLJ_ALLOWED = {
     "docs_curriculum_schedule",  # 1-row (min,max) length-bin broadcast
     "sku_abc_analysis",  # 1-row revenue-total + the prefix rank's
     # (min,max) bin-range broadcasts
+    "events_diff_in_diff",  # 1-row corpus-midpoint broadcast
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the

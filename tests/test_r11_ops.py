@@ -452,3 +452,96 @@ def test_unimax_budget_exceeding_caps_allocates_caps(spark, tmp_path):
     )
     out = {r.source: r for r in q_corpus_mix_unimax(spark, str(tmp_path)).collect()}
     assert out["s1"].alloc == out["s2"].alloc == 20
+
+
+# --- langid confusion --------------------------------------------------------
+
+
+def test_langid_confusion_flags_mislabels(spark, tmp_path):
+    from kaspi_etl_spark.registry import q_docs_langid_confusion
+
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2], pa.int64()),
+                # doc 1: English markers, labeled en -> agree.
+                # doc 2: English markers, labeled fr -> disagree.
+                "text": pa.array(
+                    ["the cat and the dog is in the house",
+                     "the bird and the fish is near the tree"],
+                    pa.string(),
+                ),
+                "lang": pa.array(["en", "fr"], pa.string()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = {(r.lang_label, r.lang_pred): r
+           for r in q_docs_langid_confusion(spark, str(tmp_path)).collect()}
+    assert out[("en", "en")].agree and out[("en", "en")].n_docs == 1
+    assert not out[("fr", "en")].agree and out[("fr", "en")].n_docs == 1
+
+
+# --- diff-in-diff ------------------------------------------------------------
+
+
+def test_diff_in_diff_cell_means_and_estimate(spark, tmp_path):
+    import hashlib
+
+    from kaspi_etl_spark.registry import q_events_diff_in_diff
+
+    def treat(u):
+        return int(hashlib.md5(f"{u}did".encode()).hexdigest()[:15], 16) % 2
+
+    # pick user ids for each arm deterministically
+    t_users = [u for u in range(50) if treat(u) == 1][:2]
+    c_users = [u for u in range(50) if treat(u) == 0][:2]
+    pre, post = dt.datetime(2020, 1, 1), dt.datetime(2020, 12, 31)
+    rows = []
+    eid = 0
+    # treated: pre mean 1.00, post mean 3.00; control: 1.00 -> 1.50
+    for u in t_users:
+        rows += [(eid := eid + 1, pre, u, 1.0), (eid := eid + 1, post, u, 3.0)]
+    for u in c_users:
+        rows += [(eid := eid + 1, pre, u, 1.0), (eid := eid + 1, post, u, 1.5)]
+    sf = _write_events(tmp_path, [(i, ts, u) for i, ts, u, _ in rows])
+    # rewrite with the real values (helper writes value=1.0)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+                "user_id": pa.array([r[2] for r in rows], pa.int64()),
+                "event_type": pa.array(["view"] * len(rows), pa.string()),
+                "value": pa.array([r[3] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows), pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    out = q_events_diff_in_diff(spark, sf).collect()
+    assert len(out) == 1
+    r = out[0]
+    # means in cents * 1e6: 100e6, 300e6, 100e6, 150e6
+    assert (r.m_t_pre, r.m_t_post) == (100_000_000, 300_000_000)
+    assert (r.m_c_pre, r.m_c_post) == (100_000_000, 150_000_000)
+    # DiD = (300 - 100) - (150 - 100) = 150 cents
+    assert r.did_scaled == 150_000_000
+
+
+def test_diff_in_diff_missing_cell_is_null(spark, tmp_path):
+    import hashlib
+
+    from kaspi_etl_spark.registry import q_events_diff_in_diff
+
+    def treat(u):
+        return int(hashlib.md5(f"{u}did".encode()).hexdigest()[:15], 16) % 2
+
+    u_t = next(u for u in range(50) if treat(u) == 1)
+    rows = [
+        (1, dt.datetime(2020, 1, 1), u_t),
+        (2, dt.datetime(2020, 6, 1), u_t),
+    ]
+    sf = _write_events(tmp_path, rows)
+    out = q_events_diff_in_diff(spark, sf).collect()
+    assert len(out) == 1 and out[0].did_scaled is None  # no control cells
