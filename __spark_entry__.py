@@ -231,6 +231,9 @@ _GATE_PRIORITY = [
     # part_entity_clusters; both displaced entries r10 driver-green)
     "docs_langid_confusion",
     "events_diff_in_diff",
+    # + In-Context Pretraining packing (displacing part_name_matches —
+    # entity resolution keeps part_entity_clusters, r10 driver-green)
+    "docs_incontext_pack",
     # --- the media trio: first-time VALUE gates (r10 verdict #4) ---
     "media_resize",
     "media_frame_sample",
@@ -253,7 +256,6 @@ _GATE_PRIORITY = [
     "docs_term_rarity",
     "events_srm_check",
     "part_entity_clusters",
-    "part_name_matches",
     "source_perplexity_profile",
     # --- the eight operators BUILT this round (new code gets the
     # driver's own check first; displaced from the swap pool below:

@@ -15774,3 +15774,125 @@ def q_events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("did_scaled"),
     )
+
+
+@register(
+    "docs_incontext_pack",
+    f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT))
+               AS qv
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cluster,
+             qv AS qc
+      FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 8)
+    ),
+    scored AS (
+      SELECT v.vec_id, s.cluster,
+             CAST(list_sum(list_transform(range(len(v.qv)),
+                    i -> (v.qv[i + 1] - s.qc[i + 1]) * (v.qv[i + 1] - s.qc[i + 1])))
+                  AS BIGINT) AS d
+      FROM q v CROSS JOIN seeds s
+    ),
+    assign AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cluster) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    d AS (
+      SELECT doc_id, a.cluster,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+')) END
+                  AS BIGINT) AS n_tokens,
+             {_sql_md5_long("CAST(doc_id AS VARCHAR) || 'icp'")} AS pri
+      FROM documents JOIN assign a ON a.vec_id = doc_id
+    ),
+    r AS (
+      SELECT doc_id, cluster, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY cluster, pri, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM d
+    ),
+    spans AS (
+      SELECT doc_id, cluster, n_tokens, cum - n_tokens AS start,
+             unnest(range(CAST((cum - n_tokens) // 512 AS BIGINT),
+                          CAST((cum - 1) // 512 + 1 AS BIGINT))) AS seq_id
+      FROM r WHERE n_tokens > 0
+    )
+    SELECT doc_id, CAST(cluster AS BIGINT) AS cluster,
+           CAST(seq_id AS BIGINT) AS seq_id,
+           CAST(greatest(start, seq_id * 512) - seq_id * 512 AS BIGINT)
+             AS seq_offset,
+           CAST(greatest(start, seq_id * 512) - start AS BIGINT) AS doc_offset,
+           CAST(least(start + n_tokens, seq_id * 512 + 512)
+                - greatest(start, seq_id * 512) AS BIGINT) AS n_in_seq
+    FROM spans
+    """,
+)
+def q_docs_incontext_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Context Pretraining packing (Shi et al. 2023): order documents
+    so each 512-token training sequence holds SEMANTICALLY RELATED docs
+    — cluster the embeddings (the deterministic integer k-means
+    assignment kmeans_assign gates), then concatenate-and-chunk in
+    (cluster, hash, id) order instead of a plain hash shuffle, so
+    in-sequence context is topically coherent. The running token sum is
+    ranks.total_order_prefix_sum over (cluster, hash-sub-bucket) — a
+    cluster is a heavy tie group (corpus/k docs), and the composite
+    sharding accumulates it in parallel; never ``SUM() OVER (ORDER BY
+    cluster)``. Docs without an embedding drop (inner join, mirrored).
+    The related-docs-into-one-context dataloader leg, composing with
+    docs_epoch_order (shuffles) and docs_curriculum_schedule (pacing)."""
+    e = _read(spark, sf_dir, "embeddings")
+    assign = sim_ops.kmeans_assign(e, k=8).select(
+        F.col("vec_id").alias("_vid"), "cluster"
+    )
+    d = (
+        _read(spark, sf_dir, "documents")
+        .join(assign, F.col("doc_id") == F.col("_vid"))
+        .select(
+            "doc_id",
+            F.col("cluster").cast("long").alias("cluster"),
+            F.when(F.trim("text") == "", F.lit(0))
+            .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )
+    r = ranks_mod.total_order_prefix_sum(
+        d, "cluster", "doc_id", "n_tokens", out_col="cum", salt="icp"
+    )
+    spans = r.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "cluster",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).alias("start"),
+        F.explode(
+            F.sequence(
+                F.expr("CAST((cum - n_tokens) div 512 AS BIGINT)"),
+                F.expr("CAST((cum - 1) div 512 AS BIGINT)"),
+            )
+        ).alias("seq_id"),
+    )
+    s0 = F.col("seq_id") * 512
+    return spans.select(
+        "doc_id",
+        "cluster",
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (F.greatest(F.col("start"), s0) - s0).cast("long").alias("seq_offset"),
+        (F.greatest(F.col("start"), s0) - F.col("start"))
+        .cast("long")
+        .alias("doc_offset"),
+        (
+            F.least(F.col("start") + F.col("n_tokens"), s0 + 512)
+            - F.greatest(F.col("start"), s0)
+        )
+        .cast("long")
+        .alias("n_in_seq"),
+    )

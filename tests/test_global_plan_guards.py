@@ -84,6 +84,8 @@ BNLJ_ALLOWED = {
     "sku_abc_analysis",  # 1-row revenue-total + the prefix rank's
     # (min,max) bin-range broadcasts
     "events_diff_in_diff",  # 1-row corpus-midpoint broadcast
+    "docs_incontext_pack",  # kmeans_assign's bounded 8-seed cross
+    # product (the allowlisted kmeans shape, composed)
 }
 
 # The justified Python boundary (SURVEY X5 + media kernels + the
@@ -177,6 +179,9 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "token_shards_lpt": 1,  # LPT rank's <= 1024-bin offset table
     "lineitem_zone_skip_eval": 2,  # two total-order ranks' <= 1024-bin offsets
     "sku_abc_analysis": 1,  # total_order_prefix_sum's <= 1024-bin offsets
+    "docs_incontext_pack": 6,  # kmeans_assign's 8-row seed-table
+    # windows (rank/dedup over seeds) + the prefix rank's <= 1024-bin
+    # offsets — all literal-bounded inputs
     # --- literal-bounded frames ---
     "corpus_mix_allocation": 3,  # |sources| rows (apportionment ladder)
     "corpus_mix_temperature": 3,  # |sources| rows

@@ -545,3 +545,34 @@ def test_diff_in_diff_missing_cell_is_null(spark, tmp_path):
     sf = _write_events(tmp_path, rows)
     out = q_events_diff_in_diff(spark, sf).collect()
     assert len(out) == 1 and out[0].did_scaled is None  # no control cells
+
+
+# --- in-context pack ---------------------------------------------------------
+
+
+def test_incontext_pack_clusters_are_contiguous(spark):
+    from kaspi_etl_spark.registry import q_docs_incontext_pack
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_docs_incontext_pack(spark, sf).collect()
+    assert rows
+    # global order is cluster-ascending: the token interval [start, end)
+    # of cluster c must end before cluster c+1 begins
+    lo, hi = {}, {}
+    for r in rows:
+        start = r.seq_id * 512 + r.seq_offset - r.doc_offset
+        lo[r.cluster] = min(lo.get(r.cluster, 1 << 60), start)
+        hi[r.cluster] = max(hi.get(r.cluster, -1), r.seq_id * 512 + r.seq_offset + r.n_in_seq)
+    cs = sorted(lo)
+    for a, b in zip(cs, cs[1:]):
+        assert hi[a] <= lo[b] + 0  # no interleaving between clusters
+    # spans tile each sequence without overlap
+    by_seq = {}
+    for r in rows:
+        by_seq.setdefault(r.seq_id, []).append((r.seq_offset, r.n_in_seq))
+    for sid, spans in by_seq.items():
+        spans.sort()
+        pos = spans[0][0]
+        for off, n in spans:
+            assert off == pos
+            pos = off + n
