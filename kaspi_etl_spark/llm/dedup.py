@@ -1183,7 +1183,12 @@ def duplicate_span_extents(
         .filter(F.col("docs_with") >= 2)
         .select("h")
     )
-    dup_pos = spans.join(shared, "h", "left_semi").select(id_col, "pos").distinct()
+    # (id, pos) is unique by construction — one span hash per position
+    # (posexplode of the per-doc position range), and the semi-join only
+    # filters rows. The r1-r10 form paid a full distinct() shuffle here
+    # for nothing (guide §2.4: "a distinct on data that is already
+    # unique").
+    dup_pos = spans.join(shared, "h", "left_semi").select(id_col, "pos")
     w_isl = Window.partitionBy(id_col).orderBy("pos")
     runs = (
         dup_pos.withColumn("_g", F.col("pos") - F.row_number().over(w_isl))

@@ -105,20 +105,20 @@ def dsir_weights(
     scale). Higher = more target-like; select by ORDER BY dsir_scaled
     DESC. Raw distribution = the full corpus; target = rows where
     ``target_expr`` holds."""
-    feats = doc_bucket_counts(docs, target_expr, id_col, text_col, d)
-    raw_b = feats.groupBy("j").agg(F.sum("c").cast("long").alias("cr"))
-    tgt_b = (
-        feats.filter(F.col("is_t") == 1)
-        .groupBy("j")
-        .agg(F.sum("c").cast("long").alias("ct"))
-    )
-    stats = (
-        raw_b.join(tgt_b, "j", "left")
-        .select(
-            "j",
-            (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1)).alias("_ct1"),
-            (F.col("cr") + F.lit(1)).alias("_cr1"),
-        )
+    # r11: feats feeds three consumers (raw distribution, target
+    # distribution, scoring join) with no shared exchange — without a
+    # materialization the tokenize + bigram + md5 extraction ran three
+    # times (the _shingle_pair_intersections/dup-span precedent, guide
+    # §1.2 "don't compute things you throw away"); and the two
+    # distributions are ONE conditional aggregation over the same rows,
+    # not a groupBy + filtered groupBy + left join.
+    feats = doc_bucket_counts(docs, target_expr, id_col, text_col, d).localCheckpoint()
+    stats = feats.groupBy("j").agg(
+        (
+            F.coalesce(F.sum(F.when(F.col("is_t") == 1, F.col("c"))), F.lit(0))
+            + F.lit(1)
+        ).alias("_ct1"),
+        (F.sum("c") + F.lit(1)).alias("_cr1"),
     )
     stats = with_flog2(stats, "_ct1", "lt")
     stats = with_flog2(stats, "_cr1", "lr")

@@ -108,20 +108,38 @@ def sql_flog2(expr: str) -> str:
 def doc_bigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, w1, w2) consecutive-word pairs per document. posexplode_outer
-    + isNotNull per the InferFiltersFromGenerate discipline (session.py);
-    the lead() window is the one shuffle, keyed by document."""
-    words = docs.select(
+    """(id, w1, w2) consecutive-word pairs per document — MAP-SIDE, no
+    shuffle: adjacent-pair arrays via two slices zipped positionally,
+    then one explode.  extract_words tokens are regex letter-runs
+    (never NULL, never empty), so pairing the array directly is
+    value-identical to the r1-r10 lead()-window form, which paid an
+    Exchange(id) + Sort + Window over the whole exploded token stream
+    per call — the r11 optimization round removed that shuffle from
+    every bigram consumer (perplexity, backoff, Moore-Lewis, distill,
+    pruning, beam; guide §2.4 "remove shuffles outright").
+    explode_outer + isNotNull per the InferFiltersFromGenerate
+    discipline (session.py)."""
+    n = F.size("_ws")
+    pairs = docs.select(
         F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
+    ).select(
+        F.col(id_col),
+        F.slice("_ws", 1, F.greatest(n - 1, F.lit(0))).alias("_w1s"),
+        F.slice("_ws", 2, F.greatest(n - 1, F.lit(0))).alias("_w2s"),
     )
-    toks = words.select(
-        id_col, F.posexplode_outer("_ws").alias("_pos", "w1")
-    ).filter(F.col("w1").isNotNull() & (F.col("w1") != ""))
-    win = Window.partitionBy(id_col).orderBy("_pos")
     return (
-        toks.withColumn("w2", F.lead("w1").over(win))
-        .filter(F.col("w2").isNotNull())
-        .select(id_col, "w1", "w2")
+        pairs.select(
+            F.col(id_col),
+            F.explode_outer(F.arrays_zip("_w1s", "_w2s")).alias("_p"),
+        )
+        # arrays_zip of equal-length slices: struct fields are non-NULL
+        # except the empty-doc explode_outer row
+        .filter(F.col("_p").isNotNull())
+        .select(
+            id_col,
+            F.col("_p._w1s").alias("w1"),
+            F.col("_p._w2s").alias("w2"),
+        )
     )
 
 
@@ -279,19 +297,29 @@ SB_PEN = int(round(-_math.log2(0.4) * FLOG2_ONE))  # one backoff step
 def doc_trigrams(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(id, a, b, c) consecutive word triples; one doc-keyed window."""
-    words = docs.select(
+    """(id, a, b, c) consecutive word triples — map-side slices, no
+    doc-keyed window shuffle (same r11 rewrite as doc_bigrams)."""
+    n = F.size("_ws")
+    sl = docs.select(
         F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
+    ).select(
+        F.col(id_col),
+        F.slice("_ws", 1, F.greatest(n - 2, F.lit(0))).alias("_a"),
+        F.slice("_ws", 2, F.greatest(n - 2, F.lit(0))).alias("_b"),
+        F.slice("_ws", 3, F.greatest(n - 2, F.lit(0))).alias("_c"),
     )
-    toks = words.select(
-        id_col, F.posexplode_outer("_ws").alias("_pos", "a")
-    ).filter(F.col("a").isNotNull() & (F.col("a") != ""))
-    win = Window.partitionBy(id_col).orderBy("_pos")
     return (
-        toks.withColumn("b", F.lead("a", 1).over(win))
-        .withColumn("c", F.lead("a", 2).over(win))
-        .filter(F.col("c").isNotNull())
-        .select(id_col, "a", "b", "c")
+        sl.select(
+            F.col(id_col),
+            F.explode_outer(F.arrays_zip("_a", "_b", "_c")).alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .select(
+            id_col,
+            F.col("_t._a").alias("a"),
+            F.col("_t._b").alias("b"),
+            F.col("_t._c").alias("c"),
+        )
     )
 
 
@@ -301,16 +329,31 @@ def sb_train(
     """Stupid-Backoff model artifacts: trigram counts (a, b, c, c3g),
     bigram counts (a, b, c2g), unigram counts (w, c1g), and the 1-row
     total token count. All plain groupBy counts — persist as parquet."""
-    words = docs.select(
+    # map-side lead frame (same r11 rewrite as doc_bigrams): zip the
+    # token array against its 1- and 2-shifted slices; arrays_zip pads
+    # the shorter slices with NULL, which reproduces lead()'s
+    # end-of-partition NULLs exactly — no doc-keyed window shuffle
+    n = F.size("_ws")
+    sl = docs.select(
         F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
+    ).select(
+        F.col(id_col),
+        F.col("_ws").alias("_a"),
+        F.slice("_ws", 2, F.greatest(n - 1, F.lit(0))).alias("_b"),
+        F.slice("_ws", 3, F.greatest(n - 2, F.lit(0))).alias("_c"),
     )
-    toks = words.select(
-        id_col, F.posexplode_outer("_ws").alias("_pos", "a")
-    ).filter(F.col("a").isNotNull() & (F.col("a") != ""))
-    win = Window.partitionBy(id_col).orderBy("_pos")
     lead = (
-        toks.withColumn("b", F.lead("a", 1).over(win))
-        .withColumn("c", F.lead("a", 2).over(win))
+        sl.select(
+            F.col(id_col),
+            F.explode_outer(F.arrays_zip("_a", "_b", "_c")).alias("_t"),
+        )
+        .filter(F.col("_t").isNotNull())
+        .select(
+            id_col,
+            F.col("_t._a").alias("a"),
+            F.col("_t._b").alias("b"),
+            F.col("_t._c").alias("c"),
+        )
         .localCheckpoint()  # three count branches share one token pass
     )
     tri = (
@@ -433,22 +476,31 @@ def token_entropy(
     Returns (id, n_tokens, n_types, ent_scaled, bits_per_token); docs
     with zero extractable words produce no row (H undefined).
     """
+    # r11: sum_w tf*(flog2(N) - flog2(tf)) == N*flog2(N) - sum_w
+    # tf*flog2(tf) — an exact BIGINT identity (flog2(N) is one constant
+    # per doc), so the per-doc unbounded window that attached n_tok to
+    # every (doc, term) row is gone (guide §2.4): one groupBy computes
+    # n_tok, sum(tf*flog2(tf)) and n_types together, and flog2(n_tok)
+    # runs on ONE row per doc instead of once per term.
     w = docs.select(
         F.col(id_col), F.explode_outer(extract_words(F.col(text_col))).alias("_t")
     ).filter(F.col("_t").isNotNull())
     tf = w.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("tf"))
-    win = Window.partitionBy(id_col)
-    counted = tf.withColumn("n_tok", F.sum("tf").over(win))
-    counted = with_flog2(counted, "n_tok", "_ln")
-    counted = with_flog2(counted, "tf", "_lt")
-    per = counted.withColumn("_s", F.col("tf") * (F.col("_ln") - F.col("_lt")))
-    return per.groupBy(id_col).agg(
-        F.max("n_tok").cast("long").alias("n_tokens"),
+    tf = with_flog2(tf, "tf", "_lt")
+    agg = tf.groupBy(id_col).agg(
+        F.sum("tf").alias("n_tok"),
         F.count(F.lit(1)).cast("long").alias("n_types"),
-        F.sum("_s").cast("long").alias("ent_scaled"),
+        F.sum(F.col("tf") * F.col("_lt")).alias("_stl"),
+    )
+    agg = with_flog2(agg, "n_tok", "_ln")
+    ent = F.col("n_tok") * F.col("_ln") - F.col("_stl")
+    return agg.select(
+        F.col(id_col),
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        "n_types",
+        ent.cast("long").alias("ent_scaled"),
         (
-            F.sum("_s").cast("double")
-            / (F.max("n_tok") * F.lit(FLOG2_ONE)).cast("double")
+            ent.cast("double") / (F.col("n_tok") * F.lit(FLOG2_ONE)).cast("double")
         ).alias("bits_per_token"),
     )
 
@@ -1182,6 +1234,12 @@ def moore_lewis_select(
     (bits_gain DESC, id ASC) compiles to TakeOrderedAndProject — no
     full sort.  Returns (id, n_bigrams, gain_scaled, bits_gain).
     """
+    # NOTE (r11, measured): deriving the in-domain model from the big
+    # checkpointed tf (flag riding the explode, c12i/vi aggregated from
+    # tf.filter) was A/B-measured at +0.75 executor-CPU-s vs re-running
+    # lm_train on the (pushdown-filtered, small) in-domain slice — the
+    # tf-wide aggregations cost more than the slice re-tokenize while
+    # the slice is a small corpus fraction, so the two-pass form stays.
     tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col).localCheckpoint()
     w12 = Window.partitionBy("w1", "w2")
     w1w = Window.partitionBy("w1")

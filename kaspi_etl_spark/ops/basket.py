@@ -58,6 +58,7 @@ def basket_pairs(
     item_col: str = "item",
     min_support: int = 1,
     max_basket_items: int | None = None,
+    distinct_input: bool = False,
 ) -> DataFrame:
     """Within-basket undirected item pairs — THE shared pair-generation
     stage for association_rules / copurchase_item_sim /
@@ -88,7 +89,13 @@ def basket_pairs(
     """
     b = baskets.select(
         F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
-    ).distinct()
+    )
+    # ``distinct_input=True``: the caller already deduped (and typically
+    # materialized) the (basket, item) rows — r11 removed the second
+    # full dedup shuffle association_rules used to pay here (guide §2.4
+    # "a distinct on data that is already unique").
+    if not distinct_input:
+        b = b.distinct()
     if max_basket_items is not None:
         ok = (
             b.groupBy("_o")
@@ -140,9 +147,20 @@ def association_rules(
     past n_baskets ~ 3e6 where the all-BIGINT form would wrap; good to
     co * n_baskets < 10^32.
     """
-    b = baskets.select(
-        F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
-    ).distinct()
+    # r11: the deduped (basket, item) table feeds FIVE consumers
+    # (n_baskets, item_n, the pair stage's hub-cap/Apriori aggregates
+    # and both self-join sides) — materialize the dedup output once
+    # instead of re-running the distinct shuffle per consumer (the
+    # static plan scanned lineitem 22x; guide §1.2 step 1 / §2.4), and
+    # tell the pair stage the input is already distinct so it skips its
+    # own second dedup.
+    b = (
+        baskets.select(
+            F.col(basket_col).alias("_o"), F.col(item_col).alias("_i")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     n_baskets = b.select(F.countDistinct("_o").alias("n_baskets"))
     item_n = b.groupBy("_i").agg(F.count(F.lit(1)).alias("n_orders"))
     # Shared pair stage: Apriori prune + optional hub cap live there.
@@ -153,6 +171,7 @@ def association_rules(
         item_col="_i",
         min_support=min_support,
         max_basket_items=max_basket_items,
+        distinct_input=True,
     )
     directed = co.select(
         F.col("item_a").alias("antecedent"),

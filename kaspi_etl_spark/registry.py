@@ -14017,40 +14017,110 @@ def q_lineitem_zone_skip_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.datediff(F.lit("1995-03-01").cast("date"), F.lit("1970-01-01").cast("date"))
     hi = F.datediff(F.lit("1995-06-01").cast("date"), F.lit("1970-01-01").cast("date"))
 
-    def layout_stats(ranked, name: str) -> DataFrame:
-        groups = (
-            ranked.select(
-                F.expr(f"CAST((_rn - 1) div {_ZS_GROUP} AS BIGINT)").alias("_g"),
-                "days",
-            )
-            .groupBy("_g")
-            .agg(F.min("days").alias("mn"), F.max("days").alias("mx"))
+    def final_stats(name: str, n_groups, n_scanned) -> list:
+        return [
+            F.lit(name).alias("layout"),
+            n_groups.cast("long").alias("n_groups"),
+            n_scanned.cast("long").alias("n_scanned"),
+            F.expr(
+                "CAST((1000000 * (n_groups - n_scanned)) div n_groups AS BIGINT)"
+            ).alias("skip_ppm"),
+        ]
+
+    # --- natural layout (rank by the UNIQUE composite line key) ---
+    # The oracle's order is (ck, md5(ck||'zs'), ck): the tiebreak hash is
+    # a FUNCTION of ck, so over distinct keys the order is just ck ASC —
+    # the full md5 tie-shard machinery (total_order_row_number: one md5
+    # per row + a per-row composite groupBy + a data-sized offsets
+    # equi-join) bought nothing here. binned_prefix_sum with weight 1
+    # computes the identical rank with one bounded (1024-bin) offsets
+    # broadcast instead (r11 optimization; guide §2.3/§2.4 — this query
+    # was the bench's #1 CPU consumer at 9.9 CPU-s).
+    nat = ranks_mod.binned_prefix_sum(
+        base.withColumn("_one", F.lit(1).cast("long")),
+        "_ck",
+        "_one",
+        out_col="_rn",
+    )
+    nat_stats = (
+        nat.select(
+            F.expr(f"CAST((_rn - 1) div {_ZS_GROUP} AS BIGINT)").alias("_g"),
+            "days",
         )
-        return groups.agg(
+        .groupBy("_g")
+        .agg(F.min("days").alias("mn"), F.max("days").alias("mx"))
+        .agg(
             F.count(F.lit(1)).cast("long").alias("n_groups"),
             F.sum(
                 F.when((F.col("mx") >= lo) & (F.col("mn") < hi), 1).otherwise(0)
             )
             .cast("long")
             .alias("n_scanned"),
-        ).select(
-            F.lit(name).alias("layout"),
-            "n_groups",
-            "n_scanned",
-            F.expr(
-                "CAST((1000000 * (n_groups - n_scanned)) div n_groups AS BIGINT)"
-            ).alias("skip_ppm"),
         )
+        .select(*final_stats("natural", F.col("n_groups"), F.col("n_scanned")))
+    )
 
-    nat = ranks_mod.total_order_row_number(
-        base, "_ck", "_ck", out_col="_rn", salt="zs"
+    # --- shipdate-sorted layout: histogram-only, NO per-row rank ---
+    # Under the (days, md5(ck), ck) order, ties share the same `days`
+    # value, so the hash tiebreak permutes rows only WITHIN a days value
+    # and can never change which days values cover which rank positions:
+    # per-group min/max days is a pure function of the per-day count
+    # histogram (bounded by |distinct dates| at any data size). Day d
+    # covering 0-based rank range [s, e] touches groups g0 = s div G ..
+    # g1 = e div G; groups strictly inside (g0, g1) are INTERIOR —
+    # covered by d alone, mn = mx = d — and are counted arithmetically
+    # (max(g1 - g0 - 1, 0) per day, no explode, so one hot date cannot
+    # produce a giant row); every other group is some day's g0 or g1 and
+    # gets exact mn/mx from a <= 2-rows-per-day boundary rollup. This
+    # replaces the second full-table rank + row-level groupBy outright.
+    hist = base.groupBy("days").agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    cum = ranks_mod.binned_prefix_sum(hist, "days", "_c", out_col="_cum")
+    # <= |distinct dates| rows; materialized once so the boundary and
+    # interior consumers don't each re-run the full per-day lineitem
+    # aggregation (two subtrees, no shared exchange)
+    spans = cum.select(
+        "days",
+        F.expr(f"CAST((_cum - _c) div {_ZS_GROUP} AS BIGINT)").alias("_g0"),
+        F.expr(f"CAST((_cum - 1) div {_ZS_GROUP} AS BIGINT)").alias("_g1"),
+    ).localCheckpoint()
+    boundary = (
+        spans.select(
+            "days",
+            F.explode(F.array_distinct(F.array("_g0", "_g1"))).alias("_g"),
+        )
+        .groupBy("_g")
+        .agg(F.min("days").alias("mn"), F.max("days").alias("mx"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_bg"),
+            F.sum(
+                F.when((F.col("mx") >= lo) & (F.col("mn") < hi), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("_bs"),
+        )
     )
-    srt = ranks_mod.total_order_row_number(
-        base, "days", "_ck", out_col="_rn", salt="zs"
+    inner_span = F.greatest(F.col("_g1") - F.col("_g0") - 1, F.lit(0).cast("long"))
+    interior = spans.agg(
+        F.coalesce(F.sum(inner_span), F.lit(0)).cast("long").alias("_ig"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("days") >= lo) & (F.col("days") < hi), inner_span
+                ).otherwise(F.lit(0).cast("long"))
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("_is"),
     )
-    return layout_stats(nat, "natural").unionByName(
-        layout_stats(srt, "shipdate_sorted")
+    srt_stats = boundary.crossJoin(interior).select(
+        *final_stats(
+            "shipdate_sorted",
+            F.col("_bg") + F.col("_ig"),
+            F.col("_bs") + F.col("_is"),
+        )
     )
+    return nat_stats.unionByName(srt_stats)
 
 
 @register(
@@ -14398,30 +14468,36 @@ def q_lm_pruned_model_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = spark.createDataFrame(
         [("full", 1), ("pruned_min2", 2)], "variant string, min_count long"
     )
-    kept = variants.join(c12, F.col("c12") >= F.col("min_count"))
-    msize = kept.groupBy("variant").agg(
-        F.count(F.lit(1)).cast("long").alias("model_rows")
+    # r11: a variant's kept-bigram lookup is just a min_count condition
+    # on the SAME c12 row, so join the held-out tf to the model ONCE and
+    # fan out to the 2-row variant dimension AFTER the join — the r10
+    # form shuffled the variant-doubled tf stream through a 3-key join
+    # against the variant-doubled model (2x the join bytes for identical
+    # values; guide §2.3 "shuffle fewer bytes"). c1 now also joins
+    # before the fan-out (once, not twice).
+    msize = (
+        c12.crossJoin(F.broadcast(variants))
+        .filter(F.col("c12") >= F.col("min_count"))
+        .groupBy("variant")
+        .agg(F.count(F.lit(1)).cast("long").alias("model_rows"))
     )
     scored = (
-        variants.crossJoin(htf)
-        .join(
-            kept.select(
-                F.col("variant").alias("_kv"),
-                F.col("w1").alias("_kw1"),
-                F.col("w2").alias("_kw2"),
-                F.col("c12").alias("_kc12"),
-            ),
-            (F.col("variant") == F.col("_kv"))
-            & (F.col("w1") == F.col("_kw1"))
-            & (F.col("w2") == F.col("_kw2")),
-            "left",
-        )
+        htf.join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
         .crossJoin(F.broadcast(v))
+        .crossJoin(F.broadcast(variants))
         .select(
             "variant",
             "tf",
-            (F.coalesce(F.col("_kc12"), F.lit(0)) + 1).cast("long").alias("_num"),
+            (
+                F.coalesce(
+                    F.when(F.col("c12") >= F.col("min_count"), F.col("c12")),
+                    F.lit(0),
+                )
+                + 1
+            )
+            .cast("long")
+            .alias("_num"),
             (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v_size"))
             .cast("long")
             .alias("_den"),

@@ -177,7 +177,9 @@ UNPARTITIONED_WINDOWS_ALLOWED = {
     "token_pack_report": 1,  # same prefix machinery (rollup nests it)
     "token_shards": 1,  # <= 2^16 bucket offsets
     "token_shards_lpt": 1,  # LPT rank's <= 1024-bin offset table
-    "lineitem_zone_skip_eval": 2,  # two total-order ranks' <= 1024-bin offsets
+    "lineitem_zone_skip_eval": 1,  # natural rank's <= 1024-bin offsets
+    # (r11: the sorted layout is day-histogram-only; its own bounded
+    # offsets window sits behind the spans localCheckpoint)
     "sku_abc_analysis": 1,  # total_order_prefix_sum's <= 1024-bin offsets
     "docs_incontext_pack": 6,  # kmeans_assign's 8-row seed-table
     # windows (rank/dedup over seeds) + the prefix rank's <= 1024-bin
