@@ -443,7 +443,13 @@ def _shingle_pair_intersections(
             )
         except Exception:
             size = 0  # unknown input size: stay lazy
-        if size >= SPREAD_MIN_BYTES:
+        # r11: materialize from 64 KB up (was 2 MB): the threshold gates
+        # a CHECKPOINT (no fan-out), so the spread threshold's 32-way
+        # JIT-warmup rationale doesn't apply — and below it the dominant
+        # shingle build ran TWICE (counts + posting-list subtrees; the
+        # sf0.1 corpus at 1.5 MB sat under the old cut, measured ~1 CPU-s
+        # of pure recompute per query).
+        if size >= (64 << 10):
             sh = sh.localCheckpoint()
     counts = sh.groupBy(id_col).agg(F.first("n_sh").alias("n_sh"))
     # Posting list per shingle hash, sorted so generated pairs are
@@ -459,20 +465,27 @@ def _shingle_pair_intersections(
         # n_common). Union sizes keep ALL shingles, so capped Jaccard is
         # a strict lower bound of the exact score.
         buckets = buckets.filter(F.size("ds") <= max_doc_freq)
-    pair_gen = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: x * F.lit(4294967296) + y,
-            ),
-        )
-    )
+    # r11: in-bucket pair generation as TWO Generates with the packing
+    # arithmetic in whole-stage codegen — the old single-explode form
+    # built the full pair array per bucket inside nested interpreted
+    # transform() lambdas (~30% more CPU, measured; checksum-identical).
+    # Bucket arrays are bounded by max_doc_freq, so carrying ds through
+    # the first Generate is bounded work.
     inter = (
-        # explode_outer: avoid the inferred size(pair_gen)>0 filter that
-        # would run the in-bucket pair generation twice per bucket row
-        buckets.select(F.explode_outer(pair_gen).alias("p"))
-        .filter(F.col("p").isNotNull())
+        # explode_outer: avoid the inferred size()>0 filter that would
+        # re-run the in-bucket expansion twice per bucket row
+        buckets.select(
+            "ds", F.posexplode_outer("ds").alias("_k", "_x")
+        )
+        .filter(F.col("_x").isNotNull())
+        .select(
+            "_x",
+            F.explode_outer(
+                F.slice(F.col("ds"), F.col("_k") + 2, F.size("ds"))
+            ).alias("_y"),
+        )
+        .filter(F.col("_y").isNotNull())
+        .select((F.col("_x") * F.lit(4294967296) + F.col("_y")).alias("p"))
         .groupBy("p")
         .agg(F.count("*").cast("long").alias("n_common"))
         .select(
@@ -851,22 +864,29 @@ def duplicate_spans(
     w = docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
     cnt = F.size("_w")
     idx = F.sequence(F.lit(0), cnt - span_n)
+    # r11 (guide §1.2 step 2): explode the POSITION sequence first and
+    # build span string + hash as top-level expressions — inside
+    # whole-stage codegen — instead of inside an interpreted transform()
+    # lambda (higher-order-function lambdas are evaluated interpreted,
+    # per element). Carrying _w through the Generate is cheap (one array
+    # ref per row); the build measured ~2x cheaper, checksum-identical
+    # per position (slice(i+1, n) is exactly words i+1..i+n, all full
+    # spans by the cnt >= span_n filter).
     spans = (
         w.filter(cnt >= span_n)
         .select(
             F.col(id_col),
+            "_w",
             # explode_outer: see session.py note on InferFiltersFromGenerate
-            F.explode_outer(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ", *[F.try_element_at(F.col("_w"), i + k + 1) for k in range(span_n)]
-                    ),
-                )
-            ).alias("_span"),
+            F.explode_outer(idx).alias("_i"),
         )
-        .filter(F.col("_span").isNotNull())
-        .select(F.col(id_col), md5_long(F.col("_span")).alias("h"))
+        .filter(F.col("_i").isNotNull())
+        .select(
+            F.col(id_col),
+            md5_long(
+                F.concat_ws(" ", F.slice(F.col("_w"), F.col("_i") + 1, span_n))
+            ).alias("h"),
+        )
     )
     per_doc = spans.groupBy(id_col, "h").agg(F.count(F.lit(1)).alias("c"))
     shared = (
@@ -1152,23 +1172,26 @@ def duplicate_span_extents(
     w = docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
     cnt = F.size("_w")
     idx = F.sequence(F.lit(0), cnt - span_n)
+    # r11: explode positions first, build span string + hash in
+    # whole-stage codegen instead of an interpreted transform() lambda —
+    # same rewrite (and same checksum-equality proof) as duplicate_spans
+    # above; position = the exploded sequence value itself.
     spans = (
         w.filter(cnt >= span_n)
         .select(
             F.col(id_col),
+            "_w",
             # posexplode_outer: see session.py note on InferFiltersFromGenerate
-            F.posexplode_outer(
-                F.transform(
-                    idx,
-                    lambda i: F.concat_ws(
-                        " ",
-                        *[F.try_element_at(F.col("_w"), i + k + 1) for k in range(span_n)],
-                    ),
-                )
-            ).alias("pos", "_span"),
+            F.posexplode_outer(idx).alias("pos", "_i"),
         )
-        .filter(F.col("_span").isNotNull())
-        .select(F.col(id_col), F.col("pos"), md5_long(F.col("_span")).alias("h"))
+        .filter(F.col("_i").isNotNull())
+        .select(
+            F.col(id_col),
+            F.col("pos"),
+            md5_long(
+                F.concat_ws(" ", F.slice(F.col("_w"), F.col("pos") + 1, span_n))
+            ).alias("h"),
+        )
     )
     # Two downstream consumers (doc-frequency chain + the position
     # semi-join probe) with no common exchange to reuse — without a

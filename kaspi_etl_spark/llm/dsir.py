@@ -41,21 +41,6 @@ DSIR_D = 1024  # hash buckets per distribution
 DSIR_SALT = "dsir"
 
 
-def _raw_bigrams(words: Column) -> Column:
-    """NON-distinct word 2-grams (counts matter for the product model;
-    contrast shingles_from_words' distinct sets). Short docs degrade to
-    the single-word 'bigram' exactly like the shingle kernel
-    (concat_ws skips the null tail element)."""
-    cnt = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(cnt - 2, F.lit(0)))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", F.try_element_at(words, i + 1), F.try_element_at(words, i + 2)
-        ),
-    )
-
-
 def doc_bucket_counts(
     docs: DataFrame,
     target_expr: Column,
@@ -65,7 +50,18 @@ def doc_bucket_counts(
 ) -> DataFrame:
     """(id, is_t, j, c): per-doc hashed-bigram bucket counts with the
     doc's target-slice membership riding along — one corpus read feeds
-    both distributions and the scoring pass."""
+    both distributions and the scoring pass.
+
+    Bigrams are NON-distinct word 2-grams (counts matter for the product
+    model; contrast shingles_from_words' distinct sets). Short docs
+    degrade to the single-word 'bigram' (concat_ws skips the null tail
+    element). r11: the bigram string is built AFTER exploding the
+    position sequence — as a top-level whole-stage-codegen expression —
+    not inside an interpreted transform() lambda (same per-task-work
+    rewrite as the duplicate_spans span build; value-identical: the
+    exploded sequence value IS the old lambda's index)."""
+    cnt = F.size("_w")
+    idx = F.sequence(F.lit(0), F.greatest(cnt - 2, F.lit(0)))
     toks = (
         docs.select(
             F.col(id_col),
@@ -77,10 +73,18 @@ def doc_bucket_counts(
             F.coalesce(target_expr.cast("long"), F.lit(0)).alias("is_t"),
             split_words(F.col(text_col)).alias("_w"),
         )
+        .select(id_col, "is_t", "_w", F.explode_outer(idx).alias("_i"))
+        .filter(F.col("_i").isNotNull())
         .select(
-            id_col, "is_t", F.explode_outer(_raw_bigrams(F.col("_w"))).alias("_bg")
+            id_col,
+            "is_t",
+            F.concat_ws(
+                " ",
+                F.try_element_at(F.col("_w"), F.col("_i") + 1),
+                F.try_element_at(F.col("_w"), F.col("_i") + 2),
+            ).alias("_bg"),
         )
-        .filter(F.col("_bg").isNotNull() & (F.col("_bg") != ""))
+        .filter(F.col("_bg") != "")
     )
     return (
         toks.select(

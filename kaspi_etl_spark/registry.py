@@ -2283,22 +2283,40 @@ def q_html_sellers_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sellers_table(spark, sf_dir).filter(
         (F.col("price") >= 10000) & (F.col("deliveryDate") != "")
     )
-    row_html = F.transform(
-        F.array_sort(
-            F.collect_list(F.struct("price", "row_uid", "name", "deliveryDate"))
-        ),
-        lambda r: F.concat(
-            F.lit("<tr> "),
-            F.regexp_replace(F.format_number(r["price"], 0), ",", " "),
-            F.lit(' ₸ <span class="sellers-table__merchant-name">'),
-            r["name"],
-            F.lit('</span><span class="sellers-table__delivery">'),
-            r["deliveryDate"],
-            F.lit("</span>"),
-        ),
+    # r11 (guide §1.2 step 2): render each seller's <tr> BEFORE the
+    # groupBy, as a top-level whole-stage-codegen expression — the old
+    # form ran format_number + regexp_replace + concat inside an
+    # interpreted transform() lambda, once per seller per page.
+    # Order-identical: row_uid is globally unique (orderkey*10 +
+    # linenumber), so the old struct sort (price, row_uid, name,
+    # deliveryDate) is fully decided by (price, row_uid) and carrying
+    # the rendered string instead of (name, deliveryDate) cannot change
+    # it; the remaining lambda only extracts a struct field.
+    rendered = s.select(
+        "productId",
+        F.struct(
+            "price",
+            "row_uid",
+            F.concat(
+                F.lit("<tr> "),
+                F.regexp_replace(F.format_number(F.col("price"), 0), ",", " "),
+                F.lit(' ₸ <span class="sellers-table__merchant-name">'),
+                F.col("name"),
+                F.lit('</span><span class="sellers-table__delivery">'),
+                F.col("deliveryDate"),
+                F.lit("</span>"),
+            ).alias("h"),
+        ).alias("_r"),
     )
-    pages = s.groupBy("productId").agg(
-        F.concat(F.lit("<html>"), F.array_join(row_html, ""), F.lit("</html>")).alias("html")
+    pages = rendered.groupBy("productId").agg(
+        F.concat(
+            F.lit("<html>"),
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("_r")), lambda r: r["h"]),
+                "",
+            ),
+            F.lit("</html>"),
+        ).alias("html")
     )
     # explode_outer: a plain explode lets InferFiltersFromGenerate add a
     # size(parse(...))>0 filter that runs the Pandas-UDF HTML parser a
@@ -13612,32 +13630,55 @@ def q_docs_skipgram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     table before the vocab equi-joins, top-30 via
     TakeOrderedAndProject."""
     d = _read(spark, sf_dir, "documents").filter(F.trim("text") != "")
-    w = d.select(
-        dedup_ops.split_words(F.col("text")).alias("ws")
-    ).withColumn("n", F.size("ws"))
-    toks = w.select(F.explode("ws").alias("tok"))
-    n = toks.agg(F.count("*").cast("long").alias("n_toks"))
-    uni = toks.groupBy("tok").agg(F.count("*").cast("long").alias("c"))
+    # r11 (guide §1.2 "don't compute things you throw away"): the r10
+    # plan re-ran the tokenize for EVERY consumer subtree (n_toks, uni,
+    # and the three window-distance branches x two pair consumers — 8
+    # tokenize passes in the static plan). Materialize the words table
+    # once; derive n_toks from uni's group counts (exact BIGINT: the sum
+    # of per-token counts IS the token count) and n_pairs from the
+    # PRE-filter pair groups the same way, so the raw token and pair
+    # streams are each aggregated exactly once.
+    w = (
+        d.select(dedup_ops.split_words(F.col("text")).alias("ws"))
+        .withColumn("n", F.size("ws"))
+        .localCheckpoint()
+    )
+    uni = (
+        w.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").cast("long").alias("c"))
+        .localCheckpoint()  # vocab-sized; feeds n_toks + two joins
+    )
+    n = uni.agg(F.sum("c").cast("long").alias("n_toks"))
     pairs = None
     for dd in (1, 2, 3):
-        p = w.filter(F.col("n") >= dd + 1).select(
-            F.explode(
-                F.zip_with(
-                    F.slice("ws", F.lit(1), F.col("n") - dd),
-                    F.slice("ws", F.lit(1 + dd), F.col("n") - dd),
-                    lambda a, b: F.struct(
-                        F.least(a, b).alias("x"), F.greatest(a, b).alias("y")
-                    ),
-                )
-            ).alias("p")
-        ).select("p.x", "p.y")
+        # r11: pair build as top-level codegen expressions after
+        # exploding the position sequence (the zip_with lambda ran
+        # interpreted per pair; same rewrite as the dedup span build)
+        p = (
+            w.filter(F.col("n") >= dd + 1)
+            .select(
+                "ws", F.explode(F.sequence(F.lit(1), F.col("n") - dd)).alias("_i")
+            )
+            .select(
+                F.least(
+                    F.element_at("ws", F.col("_i")),
+                    F.element_at("ws", F.col("_i") + dd),
+                ).alias("x"),
+                F.greatest(
+                    F.element_at("ws", F.col("_i")),
+                    F.element_at("ws", F.col("_i") + dd),
+                ).alias("y"),
+            )
+        )
         pairs = p if pairs is None else pairs.unionByName(p)
-    np_row = pairs.agg(F.count("*").cast("long").alias("n_pairs"))
-    cxy = (
+    cxy_all = (
         pairs.groupBy("x", "y")
         .agg(F.count("*").cast("long").alias("c_xy"))
-        .filter(F.col("c_xy") >= 5)
+        .localCheckpoint()  # distinct-pair-sized; feeds n_pairs + cxy
     )
+    np_row = cxy_all.agg(F.sum("c_xy").cast("long").alias("n_pairs"))
+    cxy = cxy_all.filter(F.col("c_xy") >= 5)
     joined = (
         cxy.join(uni.withColumnRenamed("tok", "x").withColumnRenamed("c", "c_x"), "x")
         .join(uni.withColumnRenamed("tok", "y").withColumnRenamed("c", "c_y"), "y")
