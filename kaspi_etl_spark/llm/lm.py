@@ -172,7 +172,16 @@ def lm_score(
     re-scan and RE-TOKENIZE the whole corpus (measured: two parquet
     scans, no exchange reuse even under AQE) — at 100 TB the tokenize
     pass is the expensive one, so materializing the much-smaller tf
-    rows once is the right trade (the dedup_clusters precedent)."""
+    rows once is the right trade (the dedup_clusters precedent).
+
+    r11 note: a type-level rewrite (compute the flog2 surprisal once per
+    (w1, w2) on the aggregated type table and join the scalar back to
+    tf) was A/B-measured SLOWER here (1.2 vs 0.75 CPU-s warm at sf0.1):
+    the two windows share one (w1, w2)-ish exchange while the type form
+    pays a groupBy + a tf-sized join probe. Kept the window form; the
+    sibling rewrite in moore_lewis_select (four flog2 kernels + two
+    model joins moved off the doc stream) measured a wash locally and
+    shuffles strictly less at scale, so it stays."""
     tf = _bigram_tf(
         doc_bigrams(docs, id_col, text_col), id_col
     ).localCheckpoint()
@@ -1240,26 +1249,27 @@ def moore_lewis_select(
     # lm_train on the (pushdown-filtered, small) in-domain slice — the
     # tf-wide aggregations cost more than the slice re-tokenize while
     # the slice is a small corpus fraction, so the two-pass form stays.
+    # r11 shape: the per-token gain depends only on the bigram TYPE, so
+    # the in-domain joins and all four flog2 kernels run once per
+    # (w1, w2) on the aggregated type table and the scalar gain joins
+    # back to the per-doc tf rows — instead of two whole-stream
+    # partition windows plus model joins and flog2 over every
+    # (doc, type) row. Exact integers, so per-doc sums are unchanged.
     tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col).localCheckpoint()
-    w12 = Window.partitionBy("w1", "w2")
-    w1w = Window.partitionBy("w1")
-    counted = tf.select(
-        id_col,
-        "w1",
-        "w2",
-        "tf",
-        F.sum("tf").over(w12).cast("long").alias("_c12b"),
-        F.sum("tf").over(w1w).cast("long").alias("_c1b"),
-    )
+    types = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("_c12b"))
+    c1b = types.groupBy("w1").agg(F.sum("_c12b").cast("long").alias("_c1b"))
     c12i, c1i, vi = lm_train(docs.filter(in_domain), id_col, text_col)
     j = (
-        counted.join(
+        types.join(c1b, "w1")
+        .join(
             c12i.select("w1", "w2", F.col("c12").alias("_c12i")),
             ["w1", "w2"],
             "left",
         )
         .join(c1i.select("w1", F.col("c1").alias("_c1i")), ["w1"], "left")
-        .crossJoin(F.broadcast(_vocab_size(tf).select(F.col("v_size").alias("_vb"))))
+        .crossJoin(
+            F.broadcast(_vocab_size(types).select(F.col("v_size").alias("_vb")))
+        )
         .crossJoin(F.broadcast(vi.select(F.col("v_size").alias("_vi"))))
     )
     j = (
@@ -1281,14 +1291,16 @@ def moore_lewis_select(
         ("_den_i", "_ldi"),
     ):
         j = with_flog2(j, src, out)
-    per = j.withColumn(
-        "_s",
-        F.col("tf")
-        * ((F.col("_ldb") - F.col("_lnb")) - (F.col("_ldi") - F.col("_lni"))),
+    g = j.select(
+        "w1",
+        "w2",
+        ((F.col("_ldb") - F.col("_lnb")) - (F.col("_ldi") - F.col("_lni"))).alias(
+            "_g"
+        ),
     )
-    agg = per.groupBy(id_col).agg(
+    agg = tf.join(g, ["w1", "w2"]).groupBy(id_col).agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
-        F.sum("_s").cast("long").alias("gain_scaled"),
+        F.sum(F.col("tf") * F.col("_g")).cast("long").alias("gain_scaled"),
     )
     out = agg.select(
         id_col,

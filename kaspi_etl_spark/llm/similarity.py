@@ -264,33 +264,61 @@ def ivf_topk(
     at nprobe=1. Lists partition the corpus, so multi-probe candidates
     are disjoint and need no dedup.
     """
-    cents = kmeans_train(
-        corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col,
-        scale_bits=scale_bits,
-    )
-    qv = _quantized(vec_col, scale_bits)
-    # corpus-side list assignment via the codegen'd join form (the
-    # literal fold is interpreted per element — measured ~2s vs ~0.3s at
-    # 5k x 8 x 64); attaching it back is an id-keyed equi-join
-    lists = assign_nearest_join(
-        corpus, cents, id_col=id_col, vec_col=vec_col, scale_bits=scale_bits
-    ).select(F.col(id_col), F.col("cluster").alias("_list"))
-    cb = (
-        with_normalized(corpus, vec_col, "_cvec", dim=dim)
-        .join(lists, id_col)
-        .select(F.col(id_col), "_cvec", "_list")
-    )
-    probe = (
-        _nearest_centroid(F.col("_qv"), cents)["c"]
-        if nprobe == 1
-        else F.explode(_nearest_lists(F.col("_qv"), cents, nprobe))
-    )
-    qb = (
-        with_normalized(queries, vec_col, "_qvec", dim=dim)
-        .withColumn("_qv", qv)
-        .withColumn("_list", probe)
-        .select(F.col(query_id_col), "_qvec", "_list")
-    )
+    if nprobe == 1:
+        # r11 fused path: train as an in-plan DataFrame chain
+        # (kmeans_centroids_df) instead of per-round driver collects, and
+        # assign BOTH sides through the same codegen'd exploded join —
+        # zero mid-query driver round-trips. The tiny trained-centroid
+        # table is localCheckpointed so its two consumers (corpus lists,
+        # query probes) don't re-run training. Bit-identical: the join
+        # argmin uses the same exact integer L2 and (d, cluster) tie
+        # order as the literal fold.
+        cents_rel = kmeans_centroids_df(
+            corpus, k=n_lists, iters=train_iters, id_col=id_col,
+            vec_col=vec_col, scale_bits=scale_bits,
+        ).localCheckpoint()
+        lists = assign_nearest_join(
+            corpus, cents_rel, id_col=id_col, vec_col=vec_col,
+            scale_bits=scale_bits,
+        ).select(F.col(id_col), F.col("cluster").alias("_list"))
+        cb = (
+            with_normalized(corpus, vec_col, "_cvec", dim=dim)
+            .join(lists, id_col)
+            .select(F.col(id_col), "_cvec", "_list")
+        )
+        q_lists = assign_nearest_join(
+            queries, cents_rel, id_col=query_id_col, vec_col=vec_col,
+            scale_bits=scale_bits,
+        ).select(F.col(query_id_col), F.col("cluster").alias("_list"))
+        qb = (
+            with_normalized(queries, vec_col, "_qvec", dim=dim)
+            .join(q_lists, query_id_col)
+            .select(F.col(query_id_col), "_qvec", "_list")
+        )
+    else:
+        cents = kmeans_train(
+            corpus, k=n_lists, iters=train_iters, id_col=id_col, vec_col=vec_col,
+            scale_bits=scale_bits,
+        )
+        qv = _quantized(vec_col, scale_bits)
+        # corpus-side list assignment via the codegen'd join form (the
+        # literal fold is interpreted per element — measured ~2s vs ~0.3s at
+        # 5k x 8 x 64); attaching it back is an id-keyed equi-join
+        lists = assign_nearest_join(
+            corpus, cents, id_col=id_col, vec_col=vec_col, scale_bits=scale_bits
+        ).select(F.col(id_col), F.col("cluster").alias("_list"))
+        cb = (
+            with_normalized(corpus, vec_col, "_cvec", dim=dim)
+            .join(lists, id_col)
+            .select(F.col(id_col), "_cvec", "_list")
+        )
+        probe = F.explode(_nearest_lists(F.col("_qv"), cents, nprobe))
+        qb = (
+            with_normalized(queries, vec_col, "_qvec", dim=dim)
+            .withColumn("_qv", qv)
+            .withColumn("_list", probe)
+            .select(F.col(query_id_col), "_qvec", "_list")
+        )
     pair_dot = (
         dot_fixed(F.col("_qvec"), F.col("_cvec"), dim)
         if dim
@@ -1017,9 +1045,82 @@ def _kmeans_loop(spark, ex, cents, iters):
     return cents
 
 
+def kmeans_centroids_df(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_bits: int = 10,
+) -> DataFrame:
+    """Trained centroid ELEMENT rows (_cl, _pos, _c) as a DataFrame with
+    ZERO driver round-trips — the fused form of ``kmeans_train`` for
+    small fixed ``iters`` (r11, guide §1.2/§2.6: each Lloyd round used
+    to end in a bounded ``collect`` whose only purpose was to feed the
+    next round's broadcast, so a 2-iteration training paid 3 sequential
+    driver jobs before the consumer's action even started; here the
+    rounds chain as in-plan broadcast aggregates and the consumer's one
+    action runs everything).
+
+    Identical values to ``kmeans_train`` for the same ``iters``: every
+    step is the same exact integer/grid arithmetic; the early-exact-
+    convergence break is dropped, which cannot change the result because
+    a converged round's update recomputes the identical centroids (Lloyd
+    on the quantized grid is idempotent at a fixed point — the property
+    test trains 10 vs 20 iterations and gets equal centroids). Seeds are
+    the k lowest-id vectors; the seed index is a row_number over a frame
+    already truncated to k rows (bounded, single partition by design).
+    Plan depth grows linearly with ``iters`` — use ``kmeans_train`` for
+    long adaptive training, this for fixed shallow training inside a
+    bigger query."""
+    vecs = df.select(
+        F.col(id_col).alias("_id"), _quantized(vec_col, scale_bits).alias("_qv")
+    )
+    # one eager materialization: the element rows feed 2*iters + 1
+    # subtrees of the fused plan
+    ex = vecs.select(
+        "_id", F.posexplode("_qv").alias("_pos", "_x")
+    ).localCheckpoint()
+    seeds = (
+        vecs.select("_id").orderBy(F.col("_id").asc()).limit(k)
+        .withColumn(
+            "_cl",
+            (F.row_number().over(Window.orderBy(F.col("_id").asc())) - 1).cast(
+                "long"
+            ),
+        )
+    )
+    cents = ex.join(F.broadcast(seeds), "_id").select(
+        "_cl", "_pos", F.col("_x").alias("_c")
+    )
+    for _ in range(iters):
+        diff = F.col("_x") - F.col("_c")
+        scored = (
+            ex.join(F.broadcast(cents), "_pos")
+            .groupBy("_id", "_cl")
+            .agg(F.sum(diff * diff).alias("_d"))
+        )
+        best = scored.groupBy("_id").agg(
+            F.min(F.struct(F.col("_d").alias("d"), F.col("_cl").alias("c")))["c"]
+            .alias("_bc")
+        )
+        cents = (
+            ex.join(best, "_id")
+            .groupBy(F.col("_bc").alias("_cl"), F.col("_pos"))
+            .agg(
+                F.round(
+                    F.sum("_x").cast("double") / F.count(F.lit(1)).cast("double")
+                )
+                .cast("long")
+                .alias("_c")
+            )
+        )
+    return cents
+
+
 def assign_nearest_join(
     df: DataFrame,
-    centroids: list[tuple[int, list[int]]],
+    centroids: list[tuple[int, list[int]]] | DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale_bits: int = 10,
@@ -1033,12 +1134,23 @@ def assign_nearest_join(
     (id, pos, x) element rows through a broadcast join on pos against
     k * dim centroid element rows and two hash aggregations instead.
     Shuffle: one (id, cluster) partial-agg'd exchange — rows bounded by
-    n * k after map-side combine, elements never shuffle."""
+    n * k after map-side combine, elements never shuffle.
+
+    ``centroids`` may be the collected list (historical form) or the
+    (_cl, _pos, _c) element-row DataFrame from ``kmeans_centroids_df``
+    — the fused zero-collect path (r11)."""
     spark = df.sparkSession
-    cent_rows = spark.createDataFrame(
-        [(int(cid), p, int(c)) for cid, qc in centroids for p, c in enumerate(qc)],
-        "_cl BIGINT, _pos INT, _c BIGINT",
-    )
+    if isinstance(centroids, DataFrame):
+        cent_rows = centroids
+    else:
+        cent_rows = spark.createDataFrame(
+            [
+                (int(cid), p, int(c))
+                for cid, qc in centroids
+                for p, c in enumerate(qc)
+            ],
+            "_cl BIGINT, _pos INT, _c BIGINT",
+        )
     ex = df.select(
         F.col(id_col), F.posexplode(_quantized(vec_col, scale_bits)).alias("_pos", "_x")
     )
