@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .litcache import array_lit
+
 
 def zorder_value(cols: list[Column], bits: int = 16) -> Column:
     """Interleave the low ``bits`` bits of each column into a Z-value.
@@ -198,8 +200,8 @@ def hilbert_value(x: Column, y: Column, bits: int = HILBERT_BITS) -> Column:
     if bits % 4 != 0 or not 4 <= bits <= 31:
         raise ValueError("hilbert_value: bits must be a multiple of 4 in [4, 31]")
     z = zorder_value([x, y], bits)
-    t_lit = F.lit(HILBERT_T_LUT).cast("array<int>")
-    d_lit = F.lit(HILBERT_D_LUT).cast("array<bigint>")
+    t_lit = array_lit(HILBERT_T_LUT, "int")
+    d_lit = array_lit(HILBERT_D_LUT, "bigint")
     state = F.lit(0).cast("int")
     d = F.lit(0).cast("long")
     for k in range(bits // 4):

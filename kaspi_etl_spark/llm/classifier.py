@@ -39,6 +39,7 @@ import math as _math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..litcache import array_lit
 from ..ranks import binned_prefix_sum
 from .dedup import md5_long
 from .text import extract_words
@@ -104,7 +105,7 @@ def _z_scores(feats: DataFrame, weights: list[int], id_col: str) -> DataFrame:
     """(id, z) margin per doc: groupBy-sum of x * w with the constant
     weight array indexed by feature — no join; the weight vector is
     plan-constant."""
-    w_arr = F.lit([int(w) for w in weights]).cast("array<bigint>")
+    w_arr = array_lit([int(w) for w in weights], "bigint")
     return feats.select(
         id_col,
         (
@@ -123,9 +124,7 @@ def _p_expr(z_col: str = "z"):
         f"CAST((least(greatest({z_col}, {-LR_Z_CLAMP}), {LR_Z_CLAMP - 1})"
         f" + {LR_Z_CLAMP}) DIV {LR_IDX_SHIFT} AS INT)"
     )
-    return F.try_element_at(
-        F.lit(SIGMOID_LUT).cast("array<bigint>"), idx + F.lit(1)
-    )
+    return F.try_element_at(array_lit(SIGMOID_LUT, "bigint"), idx + F.lit(1))
 
 
 def train(

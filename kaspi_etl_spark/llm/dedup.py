@@ -285,32 +285,36 @@ def minhash_near_dup_pairs(
         .agg(F.array_sort(F.collect_list(F.struct("id", "sig"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    pair_gen = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x, i: F.transform(
-                F.slice(F.col("ds"), i + 2, F.size(F.col("ds"))),
-                lambda y: F.struct(
-                    x["id"].alias("id_a"),
-                    y["id"].alias("id_b"),
-                    F.size(
-                        F.filter(
-                            F.zip_with(x["sig"], y["sig"], lambda u, v: u == v),
-                            lambda eq: eq,
-                        )
-                    ).alias("n_match"),
-                ),
-            ),
-        )
-    )
-    est = F.col("p.n_match").cast("double") / F.lit(float(num_hashes))
-    return (
+    # r11: in-bucket pair generation as TWO Generates with the signature
+    # comparison in whole-stage codegen (the _shingle_pair_intersections
+    # precedent) — the old single-explode form built the full pair array
+    # per bucket inside nested interpreted transform() lambdas and ran
+    # the 16-component zip_with compare interpreted per pair. n_match as
+    # a sum of literal-index getItem comparisons is value-identical:
+    # NULL sig components compare to NULL and count 0 in both forms.
+    expanded = (
         # explode_outer: see session.py note on InferFiltersFromGenerate
-        buckets.select(F.explode_outer(pair_gen).alias("p"))
-        .filter(F.col("p").isNotNull())
+        buckets.select("ds", F.posexplode_outer("ds").alias("_k", "_x"))
+        .filter(F.col("_x").isNotNull())
         .select(
-            F.col("p.id_a").alias("id_a"),
-            F.col("p.id_b").alias("id_b"),
+            "_x",
+            F.explode_outer(
+                F.slice(F.col("ds"), F.col("_k") + 2, F.size("ds"))
+            ).alias("_y"),
+        )
+        .filter(F.col("_y").isNotNull())
+    )
+    n_match = sum(
+        F.when(
+            F.col("_x.sig").getItem(j) == F.col("_y.sig").getItem(j), 1
+        ).otherwise(0)
+        for j in range(num_hashes)
+    )
+    est = n_match.cast("double") / F.lit(float(num_hashes))
+    return (
+        expanded.select(
+            F.col("_x.id").alias("id_a"),
+            F.col("_y.id").alias("id_b"),
             est.alias("est_jaccard"),
         )
         .filter(F.col("est_jaccard") >= threshold)

@@ -41,6 +41,7 @@ import math as _math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..litcache import array_lit
 from .text import extract_words
 
 FLOG2_IDX_BITS = 10
@@ -66,8 +67,9 @@ def with_flog2(df: DataFrame, src: str, out: str) -> DataFrame:
     )
     return (
         df.withColumn(e, (F.length(F.bin(F.col(src))) - 1).cast("int"))
-        # one array Literal (constant-folded), never F.array(*lits)
-        .withColumn(lut, F.lit(FLOG2_LUT).cast("array<bigint>"))
+        # one array Literal (constant-folded), never F.array(*lits);
+        # array_lit: F.lit(list) pays ~2.4 s of py4j per call (r11)
+        .withColumn(lut, array_lit(FLOG2_LUT, "bigint"))
         .withColumn(
             out,
             F.col(e).cast("long") * FLOG2_ONE
@@ -1005,7 +1007,7 @@ def with_fexp2(df: DataFrame, src: str, out: str) -> DataFrame:
     lut = f"_lut_{out}"
     return (
         df.withColumn(src, checked)
-        .withColumn(lut, F.lit(FEXP2_LUT).cast("array<bigint>"))
+        .withColumn(lut, array_lit(FEXP2_LUT, "bigint"))
         .withColumn(
             out,
             F.expr(

@@ -59,6 +59,7 @@ def basket_pairs(
     min_support: int = 1,
     max_basket_items: int | None = None,
     distinct_input: bool = False,
+    item_counts: DataFrame | None = None,
 ) -> DataFrame:
     """Within-basket undirected item pairs — THE shared pair-generation
     stage for association_rules / copurchase_item_sim /
@@ -105,13 +106,24 @@ def basket_pairs(
         )
         b = b.join(ok, "_o", "left_semi")
     if min_support > 1:
+        # ``item_counts``: a caller that already aggregated per-item
+        # basket counts over the SAME (deduped, uncapped) rows can hand
+        # them in as (_i, _n) so the prune doesn't recompute the
+        # identical groupBy (r11, guide §1.2 — association_rules needs
+        # n_antecedent/n_consequent anyway). With a hub cap the shared
+        # counts are pre-cap, which stays a VALID Apriori prune (capping
+        # only removes baskets, so counts only shrink) — just possibly
+        # weaker than post-cap counts.
         freq = (
-            b.groupBy("_i")
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .filter(F.col("_n") >= min_support)
-            .select("_i")
+            b.groupBy("_i").agg(F.count(F.lit(1)).alias("_n"))
+            if item_counts is None
+            else item_counts
         )
-        b = b.join(freq, "_i", "left_semi")
+        b = b.join(
+            freq.filter(F.col("_n") >= min_support).select("_i"),
+            "_i",
+            "left_semi",
+        )
     a = b.select("_o", F.col("_i").alias("item_a"))
     c = b.select(F.col("_o").alias("_o2"), F.col("_i").alias("item_b"))
     co = (
@@ -172,6 +184,9 @@ def association_rules(
         min_support=min_support,
         max_basket_items=max_basket_items,
         distinct_input=True,
+        # item_n is the same groupBy the Apriori prune would run —
+        # share it (one fewer full aggregation pass over the baskets).
+        item_counts=item_n.select(F.col("_i"), F.col("n_orders").alias("_n")),
     )
     directed = co.select(
         F.col("item_a").alias("antecedent"),

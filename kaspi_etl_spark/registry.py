@@ -2330,6 +2330,12 @@ def q_html_sellers_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # r11 negative result (measured, kept for the record): repartitioning
+    # by productId BEFORE the render (same single exchange, narrower
+    # shuffle bytes, render spread beyond the 3 split-bound scan tasks)
+    # moved the render Project under ObjectHashAggregate where it loses
+    # whole-stage codegen — stage CPU 3-9 -> 15-22 s. Render stays fused
+    # into the scan stage's codegen span.
     rendered = s.select(
         "productId",
         F.struct(
