@@ -31,7 +31,14 @@ def array_lit(values, element_sql_type: str) -> Column:
     key = (element_sql_type, tuple(values))
     col = _CACHE.get(key)
     if col is None:
-        body = ",".join(repr(v) for v in values)
-        col = F.expr(f"array({body})").cast(f"array<{element_sql_type}>")
+        import math
+
+        if any(isinstance(v, float) and not math.isfinite(v) for v in values):
+            # nan/inf have no parseable SQL literal form — take the slow
+            # but correct element-wise path (no engine table needs this)
+            col = F.lit(list(values)).cast(f"array<{element_sql_type}>")
+        else:
+            body = ",".join(repr(v) for v in values)
+            col = F.expr(f"array({body})").cast(f"array<{element_sql_type}>")
         _CACHE[key] = col
     return col

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..litcache import array_lit
+
 Q_LEVELS = 255  # codes 0..255
 
 
@@ -111,8 +113,8 @@ def dequantize_expr(codes_col: str, cb_mn: list, cb_mx: list):
     arrays — the read path for scoring against quantized corpora.
     Mind NOTES' higher-order-function caveats: the lambda body is a few
     scalar ops over literals, the acceptable HOF case."""
-    mn = F.lit([float(v) for v in cb_mn]).cast("array<double>")
-    mx = F.lit([float(v) for v in cb_mx]).cast("array<double>")
+    mn = array_lit([float(v) for v in cb_mn], "double")
+    mx = array_lit([float(v) for v in cb_mx], "double")
 
     def _decode(c, i):
         lo = F.try_element_at(mn, i + 1)

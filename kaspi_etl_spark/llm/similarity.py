@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..litcache import array_lit
+
 
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product of two float arrays (dim unknown at plan
@@ -116,7 +118,7 @@ def with_normalized(
         zeros = F.transform(vec, lambda x: F.lit(0.0))
     else:
         normed = F.array(*[F.get(vec, i) / F.col("_nrm") for i in range(dim)])
-        zeros = F.array(*[F.lit(0.0) for _ in range(dim)])
+        zeros = array_lit([0.0] * dim, "double")
     return nrm.withColumn(
         out_col, F.when(F.col("_nrm") > 0, normed).otherwise(zeros)
     ).drop("_nrm")
@@ -189,7 +191,7 @@ def hyperplane_bucket(
         pd = (
             dot_planes(vec, p)
             if unrolled
-            else dot(vec, F.array(*[F.lit(float(s)) for s in p]))
+            else dot(vec, array_lit([float(s) for s in p], "double"))
         )
         bucket = bucket + F.when(pd >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
@@ -925,7 +927,7 @@ def _nearest_centroid(qv: Column, centroids: list[tuple[int, list[int]]]) -> Col
     nothing to build, nothing to probe)."""
     opts = []
     for cid, qc in centroids:
-        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in qc])
+        lit_c = array_lit([int(v) for v in qc], "bigint")
         d = F.aggregate(
             F.zip_with(qv, lit_c, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -942,7 +944,7 @@ def _nearest_lists(qv: Column, centroids: list[tuple[int, list[int]]], nprobe: i
     folds; the sort is over the k-element in-row array, not data."""
     opts = []
     for cid, qc in centroids:
-        lit_c = F.array(*[F.lit(int(v)).cast("long") for v in qc])
+        lit_c = array_lit([int(v) for v in qc], "bigint")
         d = F.aggregate(
             F.zip_with(qv, lit_c, lambda a, b: (a - b) * (a - b)),
             F.lit(0).cast("long"),
@@ -1191,7 +1193,7 @@ def kmeans_assign_trained(
 def _sub_l2(qv_slice: Column, qc: list[int]) -> Column:
     """Exact integer squared L2 between a quantized subvector column and a
     codebook centroid literal."""
-    lit_c = F.array(*[F.lit(int(v)).cast("long") for v in qc])
+    lit_c = array_lit([int(v) for v in qc], "bigint")
     return F.aggregate(
         F.zip_with(qv_slice, lit_c, lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
