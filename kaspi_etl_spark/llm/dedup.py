@@ -184,13 +184,29 @@ def minhash_signature(
 
     Output: id_col, sig_0..sig_{k-1} columns.
     """
+    # r11: explode the POSITION sequence and build the shingle string as
+    # a top-level codegen expression (the #8 span-build recipe) — the
+    # old form ran the concat_ws build inside an interpreted transform()
+    # lambda per shingle. The array_distinct the old path paid is
+    # unnecessary here: MIN over a multiset equals MIN over its support
+    # set, so duplicate shingles cannot change any sig_j. NULL-words
+    # guard: concat_ws over a NULL array would yield '' (not NULL), so
+    # the build is gated on _w IS NOT NULL to reproduce the old NULL
+    # text -> NULL signature semantics exactly.
+    idx = F.sequence(F.lit(0), F.greatest(F.size("_w") - shingle_n, F.lit(0)))
+    shingle = F.concat_ws(
+        " ",
+        *[F.try_element_at(F.col("_w"), F.col("_i") + k + 1) for k in range(shingle_n)],
+    )
     ex = (
         docs.select(F.col(id_col), split_words(F.col(text_col)).alias("_w"))
-        .select(F.col(id_col), shingles_from_words(F.col("_w"), shingle_n).alias("_sh"))
-        .select(F.col(id_col), F.explode_outer("_sh").alias("_s"))
+        .select(F.col(id_col), "_w", F.explode_outer(idx).alias("_i"))
         .select(
             F.col(id_col),
-            (md5_long(F.col("_s")) % F.lit(4294967296)).alias("_h"),
+            (
+                md5_long(F.when(F.col("_w").isNotNull(), shingle))
+                % F.lit(4294967296)
+            ).alias("_h"),
         )
     )
     sigs = [
