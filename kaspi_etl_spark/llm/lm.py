@@ -691,7 +691,11 @@ def heaps_curve(
     words = docs.select(
         F.col(id_col), extract_words(F.col(text_col)).alias("_ws")
     ).select(F.col(id_col), F.col("_ws"), F.size("_ws").alias("_n"))
-    per_doc = words.select(id_col, "_n").filter(F.col("_n") > 0)
+    # r11 (guide §1.2): (id, token_count) feeds the prefix-sum machinery
+    # (which consumes it more than once internally) — materialize the
+    # tiny per-doc table so the corpus tokenize behind it runs ONCE, not
+    # once per consumer subtree.
+    per_doc = words.select(id_col, "_n").filter(F.col("_n") > 0).localCheckpoint()
     offsets = hash_order_prefix(per_doc, "_n", id_col, salt="heaps").select(
         F.col(id_col),
         (F.col("cum") - F.col("_n")).cast("long").alias("_off"),
@@ -710,7 +714,19 @@ def heaps_curve(
     bcounts = firsts.select(bucket.alias("k")).groupBy("k").agg(
         F.count(F.lit(1)).alias("c")
     )
-    total = toks.select(F.count(F.lit(1)).cast("long").alias("t"))
+    # r11: |toks| == sum of per-doc token counts over NON-NULL doc ids
+    # by construction — the posexplode emits exactly _n rows per doc,
+    # extract_words tokens are never NULL (the isNotNull filter drops
+    # nothing), and the words-x-offsets equi-join silently drops NULL
+    # ids (mirrored by the oracle's USING join), so the filter here
+    # keeps the identity exact on NULL-id rows too. Reading the total
+    # from the materialized per-doc table replaces a SECOND full pass
+    # over the exploded token stream (guide §1.2). doc_id uniqueness is
+    # the operator's existing contract (an id collision already fans
+    # out the offsets join in both engines).
+    total = per_doc.filter(F.col(id_col).isNotNull()).agg(
+        F.sum("_n").cast("long").alias("t")
+    )
     ladder = (
         docs.sparkSession.range(0, 41)
         .select(F.col("id").cast("long").alias("k"))

@@ -310,6 +310,15 @@ def phrase_search(
         .filter(F.col("_w").isin(vocab))
         .select(F.col(id_col), (F.col("_p") + 1).alias("_pos"), F.col("_w"))
     )
+    # r11: every per-word filter branch below is a separate consumer of
+    # this subtree, and the static plan re-ran the corpus scan + tokenize
+    # + posexplode once PER branch (sum of phrase lengths: 18 parquet
+    # scans for 4 phrases at the registry's _PHRASES). Materialize the
+    # postings ONCE — they are tiny by construction (only occurrences of
+    # the union phrase vocabulary survive the filter), so this is the
+    # guide-§1.2 "don't compute things you throw away" checkpoint, same
+    # as docs_skipgram_pmi's words table. Value-identical trivially.
+    postings = postings.localCheckpoint()
     outs = []
     for phrase in phrases:
         cur = postings.filter(F.col("_w") == phrase[0]).select(

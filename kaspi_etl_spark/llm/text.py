@@ -173,12 +173,13 @@ def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     nw = F.col("_nw")
     nwd = nw.cast("double")
+    # r11 (guide §1.2 step 2): sum of word lengths == length of the
+    # separator-less concat (split pieces are never NULL, so concat_ws
+    # drops nothing) — one codegen pass over the array instead of an
+    # interpreted per-element aggregate() fold.
     mean_wlen = F.when(
         nw > 0,
-        F.aggregate("_ws", F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)).cast(
-            "double"
-        )
-        / nwd,
+        F.length(F.concat_ws("", "_ws")).cast("double") / nwd,
     ).otherwise(F.lit(0.0))
     n_symbolic = F.size(
         F.filter("_ws", lambda w: w.rlike("[#@*&%$^~|\\\\]|\\.\\.\\."))
@@ -558,9 +559,10 @@ def bigram_coverage(
     stand-in for a perplexity filter (a real LM emits order-dependent
     float log-probs; counts are engine-reproducible).
 
-    Scale shape: bigram assembly is narrow (zip_with over the materialized
-    words array — no per-element re-split thanks to the no-CSE-in-HOF
-    rule); corpus frequency is a window over the 60-bit bigram HASH (the
+    Scale shape: bigram assembly is narrow (position explode + codegen
+    concat over the materialized words array — no per-element re-split,
+    no interpreted lambda); corpus frequency is a window over the 60-bit
+    bigram HASH (the
     shuffle key is 8 bytes, never the bigram text, and no distinct
     vocabulary self-join); the per-doc rollup is one groupBy on the id.
 
@@ -574,18 +576,29 @@ def bigram_coverage(
         .withColumn("n", F.size("ws"))
         .filter(F.col("n") >= 2)
     )
+    # r11 (guide §1.2 step 2): explode the POSITION sequence and build
+    # the bigram string + hash as top-level expressions — inside
+    # whole-stage codegen — instead of inside an interpreted zip_with()
+    # lambda (HOF lambdas are evaluated interpreted, per element). Same
+    # rewrite (and same value-identity argument) as the LM bigram
+    # construction and duplicate_spans: position i pairs words i, i+1,
+    # exactly the zip of the two shifted slices; words are never NULL.
     bigrams = w.select(
         id_col,
+        "ws",
         # explode_outer: see session.py note on InferFiltersFromGenerate
-        F.explode_outer(
-            F.zip_with(
-                F.slice("ws", F.lit(1), F.col("n") - 1),
-                F.slice("ws", F.lit(2), F.col("n") - 1),
-                lambda a, b: F.concat(a, F.lit(" "), b),
+        F.explode_outer(F.sequence(F.lit(1), F.col("n") - 1)).alias("_i"),
+    ).filter(F.col("_i").isNotNull())
+    hashed = bigrams.select(
+        id_col,
+        md5_long(
+            F.concat(
+                F.element_at("ws", F.col("_i")),
+                F.lit(" "),
+                F.element_at("ws", F.col("_i") + 1),
             )
-        ).alias("bg"),
-    ).filter(F.col("bg").isNotNull())
-    hashed = bigrams.select(id_col, md5_long(F.col("bg")).alias("h"))
+        ).alias("h"),
+    )
     counted = hashed.withColumn(
         "c", F.count("*").over(Window.partitionBy("h"))
     )
@@ -964,9 +977,27 @@ def rouge2_overlap(
     """
     from .dedup import md5_long, split_words
 
-    w = docs.select(
-        F.col(id_col).alias("_d"), split_words(F.col(text_col)).alias("_w")
+    # r11 (guide §1.2 / §2.4): the static plan re-ran the candidate-pair
+    # subtree twice (it feeds the match join AND the output spine) and
+    # the full-corpus gram build FOUR times (ga, gb, totals_a, totals_b)
+    # — 36 parquet scans on docs_rouge_overlap, whose pairs come from
+    # the whole LSH pipeline. Materialize the pair ids once (they are
+    # the candidate set — tiny next to the corpus), then restrict the
+    # gram build to docs that appear in some pair BEFORE tokenizing:
+    # every output row joins grams/totals on a paired id, so docs in no
+    # pair can never contribute (the totals joins are LEFT joins onto
+    # the pair spine, and absent rows coalesce to 0 exactly as before)
+    # — value-identical, and the expensive tokenize+groupBy runs once
+    # over candidates instead of 4x over the corpus.
+    p = pairs.select(id_a, id_b).localCheckpoint()
+    pair_ids = (
+        p.select(F.col(id_a).alias("_pid"))
+        .union(p.select(F.col(id_b).alias("_pid")))
+        .distinct()
     )
+    w = docs.join(
+        pair_ids, F.col(id_col).eqNullSafe(F.col("_pid")), "left_semi"
+    ).select(F.col(id_col).alias("_d"), split_words(F.col(text_col)).alias("_w"))
     grams = (
         w.select(
             "_d",
@@ -989,8 +1020,11 @@ def rouge2_overlap(
         .groupBy("_d", "_gh")
         .agg(F.count(F.lit(1)).cast("long").alias("_c"))
     )
+    # Three consumers (ga, gb, totals) with no shared exchange — without
+    # this the candidate gram build still runs 3x (r11, same
+    # lineage-truncation call as docs_dsir_weights' feature table).
+    grams = grams.localCheckpoint()
     totals = grams.groupBy("_d").agg(F.sum("_c").cast("long").alias("_n2"))
-    p = pairs.select(id_a, id_b)
     ga = grams.select(F.col("_d").alias(id_a), "_gh", F.col("_c").alias("_ca"))
     gb = grams.select(F.col("_d").alias(id_b), "_gh", F.col("_c").alias("_cb"))
     matches = (

@@ -91,10 +91,20 @@ def rfm_segments(
     """
     from ..ranks import ntile_from_row_number, total_order_row_number
 
-    per = orders.groupBy(F.col(customer_col).alias("customer")).agg(
-        F.max(date_col).alias("last_order"),
-        F.count(F.lit(1)).cast("long").alias("frequency"),
-        F.sum(amount_col).cast("long").alias("monetary"),
+    # r11 (guide §1.2 / §2.4): the customer-grain rollup feeds FOUR
+    # consumers (n_row, the stacked rank input, and the final join's
+    # spine) — the static plan re-ran the full orders scan + groupBy
+    # once per consumer (14 parquet scans). Materialize it once: the
+    # customer grain is the small side by construction (|customers| <<
+    # |orders|), so this is one orders pass instead of four.
+    per = (
+        orders.groupBy(F.col(customer_col).alias("customer"))
+        .agg(
+            F.max(date_col).alias("last_order"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(amount_col).cast("long").alias("monetary"),
+        )
+        .localCheckpoint()
     )
     n_row = per.agg(F.count(F.lit(1)).cast("long").alias("_n"))
     base = per.withColumn(
