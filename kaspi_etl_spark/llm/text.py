@@ -1450,6 +1450,11 @@ def curriculum_schedule(
     from .dedup import split_words
 
     top = n_buckets - 1
+    # r11 (guide §1.2): (id, token_count) feeds the min/max aggregate AND
+    # the bucket projection, and the exploded stage table below feeds
+    # three more subtrees — without materialization the static plan
+    # re-ran the corpus tokenize once per consumer (12 parquet scans).
+    # Both tables are narrow (two/three ints per doc); tokenize runs ONCE.
     d = (
         docs.filter(F.col(text_col).isNotNull())
         .select(
@@ -1459,6 +1464,7 @@ def curriculum_schedule(
             .cast("long")
             .alias("n"),
         )
+        .localCheckpoint()
     )
     mm = d.agg(F.min("n").alias("_lo"), F.max("n").alias("_hi"))
     b = d.join(F.broadcast(mm)).select(
@@ -1482,7 +1488,7 @@ def curriculum_schedule(
         F.explode(F.sequence(F.col("bucket"), F.lit(top).cast("long"))).alias(
             "stage"
         ),
-    )
+    ).localCheckpoint()
     ranked = keyed_hash_order_prefix(
         st.withColumn("_w", F.lit(1).cast("long")),
         ["stage", "bucket"],

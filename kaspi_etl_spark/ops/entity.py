@@ -25,23 +25,30 @@ from ..llm.lm import flog2_int
 
 
 def _name_blocks(
-    df: DataFrame, id_col: str, name_col: str, max_block: int | None
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    max_block: int | None,
+    keep_name: bool = True,
 ) -> DataFrame:
-    """(pass_id, key, id, name) two-pass token blocks, optionally
+    """(pass_id, key, id[, name]) two-pass token blocks, optionally
     hash-rank-truncated to ``max_block`` members per block (see
-    blocked_name_matches for why truncation beats block dropping)."""
+    blocked_name_matches for why truncation beats block dropping).
+    ``keep_name=False`` drops the name payload from the materialized
+    blocks for callers that only pair ids (guide §2.3 — project before
+    the exchange/materialization)."""
     toks = df.select(
         F.col(id_col).alias("id"),
         F.lower(F.col(name_col)).alias("name"),
     ).withColumn("ws", F.split(F.col("name"), r"\s+"))
+    payload = ["id", "name"] if keep_name else ["id"]
     blocks = toks.select(
-        F.lit("f").alias("pass_id"), F.col("ws")[0].alias("key"), "id", "name"
+        F.lit("f").alias("pass_id"), F.col("ws")[0].alias("key"), *payload
     ).unionByName(
         toks.select(
             F.lit("l").alias("pass_id"),
             F.element_at("ws", -1).alias("key"),
-            "id",
-            "name",
+            *payload,
         )
     )
     if max_block is not None:
@@ -53,7 +60,12 @@ def _name_blocks(
             .filter(F.col("_rk") <= max_block)
             .drop("_rk")
         )
-    return blocks
+    # r11 (guide §1.2 / §2.4): every caller self-joins this table (a and
+    # b sides), so the static plan ran the tokenize + union + truncation
+    # window TWICE. Materialize once — the table is the blocked id/name
+    # projection (2 rows per input row, capped per block when max_block
+    # is set), the small side of everything downstream.
+    return blocks.localCheckpoint()
 
 
 def blocked_name_matches(
@@ -89,9 +101,13 @@ def blocked_name_matches(
     a = blocks.select(
         "pass_id", "key", F.col("id").alias("id_a"), F.col("name").alias("name_a")
     )
+    # r11 (guide §3.1, the basket-pair precedent): the within-block pair
+    # join joins the SAME materialized table to itself — sort-merge pays
+    # two sorts of identical data a hash probe doesn't need. Build side
+    # is one hash partition of capped blocks, bounded by AQE sizing.
     b = blocks.select(
         "pass_id", "key", F.col("id").alias("id_b"), F.col("name").alias("name_b")
-    )
+    ).hint("shuffle_hash")
     # Two semantics-free cuts before the expensive verify:
     #  - |len(a) - len(b)| <= max_dist is implied by the edit distance, and
     #    evaluating it IN the join condition prunes most of a block's pairs
@@ -203,9 +219,12 @@ def fs_linkage_scores(
     lookup is two equi-joins on the id.
     """
     m_num, m_den = m
-    blocks = _name_blocks(df, id_col, name_col, max_block)
+    blocks = _name_blocks(df, id_col, name_col, max_block, keep_name=False)
     a = blocks.select("pass_id", "key", F.col("id").alias("id_a"))
-    b = blocks.select("pass_id", "key", F.col("id").alias("id_b"))
+    # shuffle_hash: same self-join rationale as blocked_name_matches
+    b = blocks.select("pass_id", "key", F.col("id").alias("id_b")).hint(
+        "shuffle_hash"
+    )
     cand = (
         a.join(b, ["pass_id", "key"])
         .filter(F.col("id_a") < F.col("id_b"))

@@ -154,19 +154,27 @@ def t_closeness(
     """
     s = F.col(sensitive_col)
     base = df.filter(s.isNotNull())
-    groups = base.groupBy(*quasi_cols).agg(
-        F.count(F.lit(1)).cast("long").alias("grp_n")
+    # r11 (guide §1.2): every distribution input below is an exact
+    # integer identity over the bounded (quasi, band) CELL table —
+    # grp_n = sum of a group's cells, _gl = sum of a band's cells,
+    # n = sum of all cells, bands = the cell table's distinct band
+    # keys (groupBy keeps NULL quasi/band groups in both forms).
+    # Materialize the cells once and scan the base table ONCE instead
+    # of five times (groups/bands/glob/n_row/gc were each a separate
+    # full-scan aggregation in the static plan: 14 parquet scans).
+    gc = (
+        base.groupBy(*quasi_cols, s.alias("_band"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_gc"))
+        .localCheckpoint()
     )
-    bands = base.select(s.alias("_band")).distinct()
-    glob = base.groupBy(s.alias("_band")).agg(
-        F.count(F.lit(1)).cast("long").alias("_gl")
+    groups = gc.groupBy(*quasi_cols).agg(
+        F.sum("_gc").cast("long").alias("grp_n")
     )
-    n_row = base.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    bands = gc.select("_band").distinct()
+    glob = gc.groupBy("_band").agg(F.sum("_gc").cast("long").alias("_gl"))
+    n_row = gc.agg(F.sum("_gc").cast("long").alias("_n"))
     m_row = bands.agg(
         F.greatest(F.count(F.lit(1)) - 1, F.lit(1)).cast("long").alias("_m1")
-    )
-    gc = base.groupBy(*quasi_cols, s.alias("_band")).agg(
-        F.count(F.lit(1)).cast("long").alias("_gc")
     )
     grid = groups.crossJoin(F.broadcast(bands))
     right = gc
