@@ -324,6 +324,11 @@ def eval_metrics(
     Returns ONE row: (n, n_pos, n_neg, tp, fp, tn, fn, accuracy_ppm,
     precision_ppm, recall_ppm, f1_ppm, auc_ppm).
     """
+    # r11: materializing this projection (and zdist below) was
+    # A/B-measured and REVERTED — wall 1.7 -> 5.3 s with flat CPU: the
+    # corpus-sized eager checkpoint serializes a materialization job in
+    # front of both aggregates, while the duplicated predict subtrees
+    # run in parallel anyway (guide §1.1 negative result).
     base = scored.select(
         F.col(score_col).alias("_z"),
         F.col(label_col).cast("long").alias("_y"),
@@ -430,6 +435,11 @@ def calibration_bins(scored: DataFrame, n_bins: int = 10) -> DataFrame:
     ).withColumn(
         "gap_ppm", F.abs(F.col("mean_pred_ppm") - F.col("frac_pos_ppm"))
     )
+    # r11 (guide §1.2): the <= n_bins-row bin table feeds the ECE
+    # aggregate AND the output spine — without materialization the
+    # whole corpus scoring pipeline behind it (hashed-TF features +
+    # fixed-point sigmoid) ran TWICE in the static plan.
+    per = per.localCheckpoint()
     tot = per.agg(
         F.expr(
             "CAST(sum(CAST(n AS DECIMAL(38,0)) * CAST(gap_ppm AS DECIMAL(38,0)))"

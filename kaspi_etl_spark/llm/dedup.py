@@ -1777,9 +1777,12 @@ def fragment_stitch_pairs(
     tail = F.concat_ws(
         " ", *[F.element_at("_w", F.size("_w") - k + i + 1) for i in range(k)]
     )
+    # r11 (guide §1.2): four consumers (both fan-out caps + both join
+    # sides) — materialize the 3-column boundary table once instead of
+    # re-running the corpus tokenize + gram hashing per consumer.
     hw = w.select(
         "_d", md5_long(head).alias("_hh"), md5_long(tail).alias("_th")
-    )
+    ).localCheckpoint()
     hok = (
         hw.groupBy("_hh")
         .agg(F.count(F.lit(1)).alias("_c"))

@@ -233,9 +233,19 @@ def lm_train(
     (w1, w2, c12), left-context counts (w1, c1), 1-row vocab size).
     Plain DataFrames — persist as parquet like the k-means/PQ artifacts."""
     tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col)
-    c12 = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("c12"))
+    # r11 (guide §1.2): materialize the vocabulary-sized bigram TYPE
+    # table once — c1, the vocab count AND every caller's join spine
+    # derive from it, and without the checkpoint each consumer re-ran
+    # the corpus tokenize + two groupBys. _vocab_size only reads w1/w2,
+    # and c12 is tf's exact (w1, w2) rollup, so the distinct word union
+    # is identical over either — the corpus is scanned ONCE.
+    c12 = (
+        tf.groupBy("w1", "w2")
+        .agg(F.sum("tf").cast("long").alias("c12"))
+        .localCheckpoint()
+    )
     c1 = c12.groupBy("w1").agg(F.sum("c12").cast("long").alias("c1"))
-    return c12, c1, _vocab_size(tf)
+    return c12, c1, _vocab_size(c12)
 
 
 def lm_score_with_model(
@@ -372,6 +382,11 @@ def sb_train(
         .groupBy("a", "b", "c")
         .agg(F.count("*").cast("long").alias("c3g"))
     )
+    # r11: materializing bi/uni here was A/B-measured (sb_backoff wall
+    # 1.47 -> 2.26 s, CPU flat) — the model-table re-aggregations over
+    # the checkpointed lead are cheap map-side-combined passes, and the
+    # eager materialization jobs serialize in front of the score join.
+    # Negative result recorded per guide §1.1; the lazy forms stay.
     bi = (
         lead.filter(F.col("b").isNotNull())
         .groupBy("a", "b")
@@ -855,7 +870,14 @@ def kn_bigram_model(
     |V|^2-shaped by definition).
     """
     big = doc_bigrams(docs, id_col, text_col)
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    # r11 (guide §1.2): four consumers (left, cont, total, join spine)
+    # — materialize the vocabulary-sized type table once instead of
+    # re-running the corpus tokenize + groupBy per consumer.
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint()
+    )
     left = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count(F.lit(1)).cast("long").alias("n1p_fwd"),
@@ -917,10 +939,13 @@ def kn_score_heldout(
 
     Returns (id, n_bigrams, surprisal_scaled, bits_per_token).
     """
+    # r11 (guide §1.2): same four-consumer materialization as
+    # kn_bigram_model above — the train-side tokenize runs once.
     c12 = (
         doc_bigrams(train_docs, id_col, text_col)
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint()
     )
     left = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
@@ -1189,7 +1214,14 @@ def speculative_acceptance(
         .select(F.explode("_ws").alias("w"))
         .filter(F.col("w").isNotNull() & (F.col("w") != ""))
     )
-    cw = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    # r11 (guide §1.2): the draft-model word counts feed the total AND
+    # the continuation join — materialize the vocabulary-sized table so
+    # the corpus tokenize behind it runs once.
+    cw = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+        .localCheckpoint()
+    )
     t_row = cw.agg(F.sum("cw").cast("long").alias("t_total"))
     c12, c1, _ = lm_train(docs, id_col, text_col)
     j = (
@@ -1274,7 +1306,14 @@ def moore_lewis_select(
     # partition windows plus model joins and flog2 over every
     # (doc, type) row. Exact integers, so per-doc sums are unchanged.
     tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col).localCheckpoint()
-    types = tf.groupBy("w1", "w2").agg(F.sum("tf").cast("long").alias("_c12b"))
+    # r11: three consumers (c1b, the join spine, the vocab count) —
+    # materialize the type rollup so each is a read of the vocabulary-
+    # sized table, not a re-aggregation of the checkpointed tf stream.
+    types = (
+        tf.groupBy("w1", "w2")
+        .agg(F.sum("tf").cast("long").alias("_c12b"))
+        .localCheckpoint()
+    )
     c1b = types.groupBy("w1").agg(F.sum("_c12b").cast("long").alias("_c1b"))
     c12i, c1i, vi = lm_train(docs.filter(in_domain), id_col, text_col)
     j = (

@@ -30,6 +30,7 @@ def _name_blocks(
     name_col: str,
     max_block: int | None,
     keep_name: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """(pass_id, key, id[, name]) two-pass token blocks, optionally
     hash-rank-truncated to ``max_block`` members per block (see
@@ -65,7 +66,9 @@ def _name_blocks(
     # window TWICE. Materialize once — the table is the blocked id/name
     # projection (2 rows per input row, capped per block when max_block
     # is set), the small side of everything downstream.
-    return blocks.localCheckpoint()
+    # ``materialize=False`` returns the lazy plan (the plan-shape tests
+    # assert the WindowGroupLimit truncation the checkpoint hides).
+    return blocks.localCheckpoint() if materialize else blocks
 
 
 def blocked_name_matches(

@@ -80,7 +80,6 @@ BNLJ_ALLOWED = {
     "corpus_quality_budget_curve",  # lm_score's vocab broadcast + 5-row cutoff-ladder cross
     "orders_benford_audit",  # 1-row digit-total broadcast onto the 9 cells
     "customer_survival_km",  # 1-row max-date + 1-row population broadcasts
-    "docs_curriculum_schedule",  # 1-row (min,max) length-bin broadcast
     "sku_abc_analysis",  # 1-row revenue-total + the prefix rank's
     # (min,max) bin-range broadcasts
     "events_diff_in_diff",  # 1-row corpus-midpoint broadcast

@@ -205,11 +205,23 @@ def test_capped_er_truncates_blocks_before_exchange(spark, sf_dir):
     # the block cap must run as WindowGroupLimit with a PARTIAL limit
     # below the exchange (a stopword block pre-truncates to cap rows per
     # input partition before it ever shuffles), and the block self-join
-    # must never degenerate to a cartesian stage.
+    # must never degenerate to a cartesian stage. The truncation sits
+    # inside the r11 blocks materialization, so its plan is asserted on
+    # the un-materialized block builder; the join-shape assertions stay
+    # on the full query plan.
+    from kaspi_etl_spark.ops.entity import _name_blocks
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_name"
+    )
+    blocks = _name_blocks(
+        part, "p_partkey", "p_name", max_block=50, materialize=False
+    )
+    bplan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in bplan
+    assert bplan.index("WindowGroupLimit") < bplan.index("Exchange") or \
+        bplan.count("WindowGroupLimit") >= 2  # partial + final pair present
     plan = plan_of(spark, sf_dir, "part_name_matches_capped")
-    assert "WindowGroupLimit" in plan
-    assert plan.index("WindowGroupLimit") < plan.index("Exchange") or \
-        plan.count("WindowGroupLimit") >= 2  # partial + final pair present
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
