@@ -592,9 +592,11 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     component of diameter > max_iterations defeats it; rather than
     return silently wrong clusters, the loop hands the edge set to
     `connected_components_star` (O(log n) rounds, below) when the
-    budget runs out. The loop runs max_iterations + 1 rounds: a graph
-    that needs exactly max_iterations propagation rounds IS converged
-    then — the extra round is the no-change verification.
+    budget runs out. r12: hops run in PAIRS per checkpoint/convergence
+    check (driver-job latency, not data, dominates a round); the loop
+    allows at least max_iterations + 2 hops, so a graph that needs
+    exactly max_iterations hops IS converged inside the budget and the
+    final pair is the no-change verification.
     """
     # Materialize the edge list once — it is consumed every iteration,
     # and without the checkpoint each round would recompute the entire
@@ -621,13 +623,30 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     # round replaces the old join-with-previous + count convergence job.
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     prev_sum = labels.agg(label_sum).collect()[0]["s"]
-    for _ in range(max_iterations + 1):
-        labels_new = (
-            edges_self.join(labels, edges_self["dst"] == labels["v"])
+
+    def _propagate(lbl: DataFrame) -> DataFrame:
+        return (
+            edges_self.join(lbl, edges_self["dst"] == lbl["v"])
             .groupBy("src")
             .agg(F.min("label").alias("label"))
             .select(F.col("src").alias("v"), "label")
-        ).localCheckpoint()
+        )
+
+    # r12 (guide §5 "the driver should do almost no data work"): TWO
+    # propagation hops per checkpoint + convergence collect — each loop
+    # iteration costs 2 sequential driver jobs regardless of data size,
+    # so pairing hops halves the scheduling latency per hop (measured
+    # ~0.3-0.6 s/job at sf0.1, and one fewer barrier per hop at scale).
+    # Fixpoint-identical: propagation is monotone (labels only
+    # decrease), an extra hop past convergence is a no-op, and the sum
+    # comparison still detects exactly "no change across the pair".
+    # A lazy-checkpoint fusion of the two jobs was measured FIRST and
+    # REVERTED: dedup_clusters CPU 0.93 -> 1.69 s (the deferred persist
+    # recomputes the pair pipeline; see OPTIMIZATION_r12.md).
+    # Hop budget: 2 * (mi // 2 + 2) >= mi + 2 hops, i.e. at least the
+    # old mi propagation rounds plus a full verification pair.
+    for _ in range(max_iterations // 2 + 2):
+        labels_new = _propagate(_propagate(labels)).localCheckpoint()
         cur_sum = labels_new.agg(label_sum).collect()[0]["s"]
         labels = labels_new
         if cur_sum == prev_sum:

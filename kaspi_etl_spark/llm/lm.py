@@ -54,29 +54,43 @@ FLOG2_LUT = [
 ]
 
 
+# r12: the kernels are pure functions of the SOURCE COLUMN NAME, so the
+# whole expression tree is cached per name (the litcache discipline —
+# expressions, never data or results). The old 3-withColumn chain paid
+# ~0.1-0.25 s of driver latency PER CALL on deep plans (each withColumn
+# is a full analyzer pass + py4j chatter at ~1 ms/round-trip on this
+# host), times ~40 call sites. The named intermediate exponent column is
+# gone; its repeated subtree is deduplicated at runtime by Spark's
+# subexpression elimination (CPU measured flat on the flog2-heavy
+# consumers, see OPTIMIZATION_r12.md).
+_KERNEL_COLS: dict[tuple[str, str], Column] = {}
+
+
+def flog2_col(src: str) -> Column:
+    """Fixed-point log2 of BIGINT column ``src`` (>= 1), scaled by 2^20
+    (see module header), as one cached unresolved expression."""
+    col = _KERNEL_COLS.get(("flog2", src))
+    if col is None:
+        b = FLOG2_IDX_BITS
+        e = f"(length(bin({src})) - 1)"
+        idx = (
+            f"CAST((CASE WHEN {e} >= {b} THEN shiftright({src}, CAST({e} - {b} AS INT)) "
+            f"ELSE shiftleft({src}, CAST({b} - {e} AS INT)) END) - {FLOG2_TABLE} AS INT)"
+        )
+        # one array Literal (constant-folded), never F.array(*lits);
+        # array_lit: F.lit(list) pays ~2.4 s of py4j per call (r11)
+        col = F.expr(f"CAST({e} AS BIGINT)") * FLOG2_ONE + F.try_element_at(
+            array_lit(FLOG2_LUT, "bigint"), F.expr(idx) + F.lit(1)
+        )
+        _KERNEL_COLS[("flog2", src)] = col
+    return col
+
+
 def with_flog2(df: DataFrame, src: str, out: str) -> DataFrame:
     """Append ``out`` = fixed-point log2 of BIGINT column ``src`` (>= 1),
     scaled by 2^20 (see module header). Exact integer arithmetic plus
     one shared-literal lookup; monotone non-decreasing in ``src``."""
-    e = f"_e_{out}"
-    lut = f"_lut_{out}"
-    b = FLOG2_IDX_BITS
-    idx = (
-        f"CAST((CASE WHEN {e} >= {b} THEN shiftright({src}, CAST({e} - {b} AS INT)) "
-        f"ELSE shiftleft({src}, CAST({b} - {e} AS INT)) END) - {FLOG2_TABLE} AS INT)"
-    )
-    return (
-        df.withColumn(e, (F.length(F.bin(F.col(src))) - 1).cast("int"))
-        # one array Literal (constant-folded), never F.array(*lits);
-        # array_lit: F.lit(list) pays ~2.4 s of py4j per call (r11)
-        .withColumn(lut, array_lit(FLOG2_LUT, "bigint"))
-        .withColumn(
-            out,
-            F.col(e).cast("long") * FLOG2_ONE
-            + F.try_element_at(F.col(lut), F.expr(idx) + F.lit(1)),
-        )
-        .drop(e, lut)
-    )
+    return df.withColumn(out, flog2_col(src))
 
 
 def flog2_int(x: int) -> int:
@@ -739,8 +753,16 @@ def heaps_curve(
     # over the exploded token stream (guide §1.2). doc_id uniqueness is
     # the operator's existing contract (an id collision already fans
     # out the offsets join in both engines).
+    # r12 (ADVICE): coalesce — sum over an empty/all-empty-doc corpus is
+    # NULL, and least(pow(2,k), NULL) skips the NULL, so the k=0 row
+    # would read prefix_tokens=1 where the old count-based form (and the
+    # oracle) reads 0. Note the sum-of-counts identity also assumes doc
+    # ids are unique (the operator's documented contract): an id
+    # collision fanned the OLD count form identically in both engines,
+    # while the sum form does not fan — parity on colliding ids rests on
+    # the uniqueness contract, not on matching behavior.
     total = per_doc.filter(F.col(id_col).isNotNull()).agg(
-        F.sum("_n").cast("long").alias("t")
+        F.coalesce(F.sum("_n"), F.lit(0)).cast("long").alias("t")
     )
     ladder = (
         docs.sparkSession.range(0, 41)
@@ -1035,30 +1057,39 @@ def fexp2_int(s: int) -> int:
     return FEXP2_LUT[idx] << e
 
 
+def fexp2_col(src: str) -> Column:
+    """fexp2 of BIGINT column ``src`` as one cached unresolved expression
+    (domain-checked: a silent wrap would corrupt every downstream
+    weight). r12: the domain-checked value rides inline (the old form
+    REPLACED ``src`` with the checked copy — same values, since the
+    assert either passes or kills the query)."""
+    col = _KERNEL_COLS.get(("fexp2", src))
+    if col is None:
+        checked = F.when(
+            F.assert_true(
+                F.col(src).between(0, FEXP2_MAX_E * FLOG2_ONE - 1),
+                f"with_fexp2: {src} must be in [0, {FEXP2_MAX_E} * 2^20)",
+            ).isNull(),
+            F.col(src),
+        )
+        idx = F.shiftright(checked % FLOG2_ONE, FLOG2_FRAC_BITS - FLOG2_IDX_BITS)
+        # call_function: F.shiftleft only takes an int shift amount, but
+        # the exponent here is a per-row column
+        col = F.call_function(
+            "shiftleft",
+            F.try_element_at(
+                array_lit(FEXP2_LUT, "bigint"), idx.cast("int") + F.lit(1)
+            ),
+            F.shiftright(checked, FLOG2_FRAC_BITS).cast("int"),
+        ).cast("long")
+        _KERNEL_COLS[("fexp2", src)] = col
+    return col
+
+
 def with_fexp2(df: DataFrame, src: str, out: str) -> DataFrame:
     """Append ``out`` = fexp2 of BIGINT column ``src`` (domain-checked:
     a silent wrap would corrupt every downstream weight)."""
-    checked = F.when(
-        F.assert_true(
-            F.col(src).between(0, FEXP2_MAX_E * FLOG2_ONE - 1),
-            f"with_fexp2: {src} must be in [0, {FEXP2_MAX_E} * 2^20)",
-        ).isNull(),
-        F.col(src),
-    )
-    lut = f"_lut_{out}"
-    return (
-        df.withColumn(src, checked)
-        .withColumn(lut, array_lit(FEXP2_LUT, "bigint"))
-        .withColumn(
-            out,
-            F.expr(
-                f"shiftleft(try_element_at({lut}, CAST(({src} % {FLOG2_ONE})"
-                f" >> {FLOG2_FRAC_BITS - FLOG2_IDX_BITS} AS INT) + 1),"
-                f" CAST({src} DIV {FLOG2_ONE} AS INT))"
-            ).cast("long"),
-        )
-        .drop(lut)
-    )
+    return df.withColumn(out, fexp2_col(src))
 
 
 def sql_fexp2(expr: str) -> str:

@@ -1556,15 +1556,16 @@ def jl_project(
     spark = df.sparkSession
     sm = spark.createDataFrame(signs, "i INT, j INT, s INT")
     scale = 1 << scale_bits
-    quant = df.select(
+    # r12 (guide §1.2 step 2, the r11 #8 recipe): quantize AFTER the
+    # posexplode as a top-level codegen expression — the transform()
+    # lambda evaluated interpreted, per element. round(NULL * s) is NULL,
+    # so the isNotNull filter drops exactly the rows the old
+    # quantize-then-explode form dropped.
+    ex = df.select(
         F.col(id_col),
-        F.transform(
-            F.col(vec_col).cast("array<double>"),
-            lambda x: F.round(x * scale).cast("long"),
-        ).alias("_xq"),
-    )
-    ex = quant.select(
-        id_col, F.posexplode_outer("_xq").alias("i", "xq")
+        F.posexplode_outer(F.col(vec_col).cast("array<double>")).alias("i", "_x"),
+    ).select(
+        id_col, "i", F.round(F.col("_x") * scale).cast("long").alias("xq")
     ).filter(F.col("xq").isNotNull())
     return (
         ex.join(F.broadcast(sm), "i")

@@ -108,9 +108,15 @@ def blocked_name_matches(
     # join joins the SAME materialized table to itself — sort-merge pays
     # two sorts of identical data a hash probe doesn't need. Build side
     # is one hash partition of capped blocks, bounded by AQE sizing.
+    # r12 (ADVICE): ONLY when the blocks are capped — with max_block=None
+    # a hot-token block lands whole on one hash partition whose build side
+    # cannot spill (OOM hazard sort-merge avoids), so the uncapped parity
+    # form keeps sort-merge.
     b = blocks.select(
         "pass_id", "key", F.col("id").alias("id_b"), F.col("name").alias("name_b")
-    ).hint("shuffle_hash")
+    )
+    if max_block is not None:
+        b = b.hint("shuffle_hash")
     # Two semantics-free cuts before the expensive verify:
     #  - |len(a) - len(b)| <= max_dist is implied by the edit distance, and
     #    evaluating it IN the join condition prunes most of a block's pairs
@@ -224,10 +230,11 @@ def fs_linkage_scores(
     m_num, m_den = m
     blocks = _name_blocks(df, id_col, name_col, max_block, keep_name=False)
     a = blocks.select("pass_id", "key", F.col("id").alias("id_a"))
-    # shuffle_hash: same self-join rationale as blocked_name_matches
-    b = blocks.select("pass_id", "key", F.col("id").alias("id_b")).hint(
-        "shuffle_hash"
-    )
+    # shuffle_hash: same self-join rationale as blocked_name_matches —
+    # and the same capped-only guard (uncapped blocks must spill via SMJ).
+    b = blocks.select("pass_id", "key", F.col("id").alias("id_b"))
+    if max_block is not None:
+        b = b.hint("shuffle_hash")
     cand = (
         a.join(b, ["pass_id", "key"])
         .filter(F.col("id_a") < F.col("id_b"))

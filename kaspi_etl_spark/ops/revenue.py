@@ -8,6 +8,17 @@ Scale notes: all aggregations are single-shuffle groupBys with map-side
 partial aggregation; money sums run on DECIMAL(18,6) so results are exact
 and reproducible regardless of partitioning / aggregation order (a double
 sum is order-dependent and would differ run-to-run on a cluster).
+
+Eager-materialization note (repo-wide pattern, ADVICE r11): operators
+whose plan feeds a small multi-consumer rollup (here the customer-grain
+RFM table; likewise t-closeness cells, curriculum stages, LM model
+tables) call ``localCheckpoint()`` at BUILD time — constructing the
+DataFrame executes the input scan and pins executor-local blocks whose
+lineage cannot be replayed after executor loss. That is the deliberate
+trade for single-pass input scans; callers needing lazy composition
+should take the underlying builder functions (which expose
+``materialize=False`` where composition is expected, e.g.
+ops.entity._name_blocks).
 """
 
 from __future__ import annotations

@@ -1501,9 +1501,37 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # words materialized as a real column first — the inline convenience
     # form re-splits per shingle element (no CSE inside transform lambdas)
     w = docs.select("doc_id", dedup_ops.split_words(F.col("text")).alias("_w"))
-    fp = w.select(
+    # r12 (guide §1.2 step 2, the r11 #8 recipe): build shingle + hash as
+    # top-level whole-stage-codegen expressions after exploding the
+    # position sequence — the in-array transform(md5_long) lambda
+    # evaluated interpreted, per shingle. Position semantics mirror
+    # shingles_from_words exactly: sequence(0, greatest(n-3, 0)) emits
+    # [0] even for short/empty/NULL word arrays (try_element_at past the
+    # end is NULL; concat_ws skips NULLs), so every doc still yields >= 1
+    # shingle. The bottom-8 rides a collect_set groupBy whose doc_id
+    # partitioning REUSES the spread repartition — no extra exchange;
+    # distinct-hashes == distinct-shingles-then-hash under the oracle's
+    # md5 (divergence needs an md5-prefix collision within one doc).
+    pos = w.select(
         "doc_id",
-        text_ops.doc_fingerprint_from_words(F.col("_w"), k=8).alias("fingerprint"),
+        "_w",
+        F.explode_outer(
+            F.sequence(F.lit(0), F.greatest(F.size("_w") - 3, F.lit(0)))
+        ).alias("_i"),
+    ).filter(F.col("_i").isNotNull())
+    hashed = pos.select(
+        "doc_id",
+        dedup_ops.md5_long(
+            F.concat_ws(
+                " ",
+                F.try_element_at("_w", F.col("_i") + 1),
+                F.try_element_at("_w", F.col("_i") + 2),
+                F.try_element_at("_w", F.col("_i") + 3),
+            )
+        ).alias("_h"),
+    )
+    fp = hashed.groupBy("doc_id").agg(
+        F.slice(F.array_sort(F.collect_set("_h")), 1, 8).alias("fingerprint")
     )
     # explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
     # explode into a size(...)>0 scan filter that re-inlines the whole

@@ -33,6 +33,7 @@ SELLER_SCHEMA = T.ArrayType(
 
 _ROW_SPLIT = re.compile(r"<(?:li|tr|div|article)[^>]*>", re.I)
 _PRICE = re.compile(r"(\d[\d\s]{3,})")
+_WS_RUN = re.compile(r"\s+")
 _NAME_PATTERNS = [
     re.compile(r"sellers-table__merchant-name[^>]*>([^<]{2,100})<", re.I),
     re.compile(r"data-merchant-name[^>]*>([^<]{2,100})<", re.I),
@@ -51,11 +52,16 @@ def _parse_one(html: str | None) -> list[dict]:
     fill-missing-delivery dedupe and final price-asc sort."""
     if not html:
         return []
-    text = re.sub(r"\s+", " ", html.replace("\r", " ").replace("\n", " "))
+    # r12 perf (same output): \r and \n are \s, so the two pre-replace
+    # copies bought nothing; and after this normalization every \s in
+    # the text IS a single ' ', so the per-price cleanup below can be a
+    # plain str.replace instead of 1 re.sub per candidate row (the
+    # module-level re.sub lookup was ~30% of the parse profile).
+    text = _WS_RUN.sub(" ", html)
     sellers: list[dict] = []
     for chunk in filter(None, (c.strip() for c in _ROW_SPLIT.split(text))):
         pm = _PRICE.search(chunk)
-        price = int(re.sub(r"\s", "", pm.group(1))) if pm else None
+        price = int(pm.group(1).replace(" ", "")) if pm else None
         if not price or price <= 0:
             continue
         name = ""

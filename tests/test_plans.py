@@ -224,6 +224,11 @@ def test_capped_er_truncates_blocks_before_exchange(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "part_name_matches_capped")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # r12 (ADVICE): the production query's own plan must show the blocks
+    # checkpoint (an ExistingRDD scan), proving the WindowGroupLimit
+    # truncation asserted above actually runs inside the materialized
+    # builder the query consumes — not silently recomposed without it.
+    assert "ExistingRDD" in plan
 
 
 def test_kmeans_assign_broadcasts_seeds_no_shuffle_scoring(spark, sf_dir):
