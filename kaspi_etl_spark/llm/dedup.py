@@ -151,6 +151,10 @@ def word_shingles(text: Column, n: int = 3) -> Column:
 # dominant map-side cost, so this is an 8-16x saving. Constants are fixed
 # odd multipliers/offsets (any SQL oracle can mirror the arithmetic).
 MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+# Sentinel for "no previous convergence sum yet" — None is a real value
+# here (SQL SUM over an empty label frame), so it cannot be the sentinel.
+_UNSET = object()
 MINHASH_A = [1207959503, 2097151999, 1610612741, 805306457,
              402653189, 201326611, 100663319, 50331653,
              25165843, 12582917, 6291469, 3145739,
@@ -621,8 +625,16 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
     # Labels only ever decrease, so the label sum is strictly monotone
     # while anything changes: comparing one exact-decimal scalar per
     # round replaces the old join-with-previous + count convergence job.
+    # r12: no init-sum job — the first pair's sum has nothing to compare
+    # against (prev_sum None), so detection happens exactly where it did
+    # before for any input with at least one label change (the pair
+    # AFTER the last change); only an ALREADY-converged input (all
+    # components singletons) now verifies at pair 2 instead of pair 1,
+    # trading one agg job on every real input for one extra no-op pair
+    # on the degenerate one. Budget math unchanged: final-change pair
+    # ceil(mi/2) is detected at ceil(mi/2)+1 <= mi//2 + 2.
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(label_sum).collect()[0]["s"]
+    prev_sum: object = _UNSET
 
     def _propagate(lbl: DataFrame) -> DataFrame:
         return (
@@ -649,7 +661,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         labels_new = _propagate(_propagate(labels)).localCheckpoint()
         cur_sum = labels_new.agg(label_sum).collect()[0]["s"]
         labels = labels_new
-        if cur_sum == prev_sum:
+        if prev_sum is not _UNSET and cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     else:

@@ -59,6 +59,15 @@ def get_spark(
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # r12 (guide §1.2 step 2, driver-side): PySpark 4 wraps EVERY
+        # DataFrame/Column API call with error-context capture — a
+        # getActiveSession + conf.get + JVM PySparkCurrentOrigin.set py4j
+        # round-trip plus a Python stack walk PER CALL (~2.8 ms measured
+        # here; a deep query build makes hundreds of wrapped calls).
+        # The context only enriches error MESSAGES; values and plans are
+        # unaffected. Scale-independent: driver plan-construction
+        # latency, not a data-sized knob.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
