@@ -1248,13 +1248,20 @@ def speculative_acceptance(
     # r11 (guide §1.2): the draft-model word counts feed the total AND
     # the continuation join — materialize the vocabulary-sized table so
     # the corpus tokenize behind it runs once.
-    cw = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).cast("long").alias("cw"))
-        .localCheckpoint()
+    # r12 (guide §2.6): the draft (unigram) and target (bigram) model
+    # tables are independent passes over the same corpus — overlap
+    # their eager materializations on two driver threads.
+    from ..concurrency import build_concurrently
+
+    (cw,), (c12, c1, _) = build_concurrently(
+        lambda: (
+            toks.groupBy("w")
+            .agg(F.count(F.lit(1)).cast("long").alias("cw"))
+            .localCheckpoint(),
+        ),
+        lambda: lm_train(docs, id_col, text_col),
     )
     t_row = cw.agg(F.sum("cw").cast("long").alias("t_total"))
-    c12, c1, _ = lm_train(docs, id_col, text_col)
     j = (
         c12.join(c1, "w1")
         .join(cw.withColumnRenamed("w", "w2"), "w2")
@@ -1336,17 +1343,32 @@ def moore_lewis_select(
     # back to the per-doc tf rows — instead of two whole-stream
     # partition windows plus model joins and flog2 over every
     # (doc, type) row. Exact integers, so per-doc sums are unchanged.
-    tf = _bigram_tf(doc_bigrams(docs, id_col, text_col), id_col).localCheckpoint()
-    # r11: three consumers (c1b, the join spine, the vocab count) —
-    # materialize the type rollup so each is a read of the vocabulary-
-    # sized table, not a re-aggregation of the checkpointed tf stream.
-    types = (
-        tf.groupBy("w1", "w2")
-        .agg(F.sum("tf").cast("long").alias("_c12b"))
-        .localCheckpoint()
+    # r12 (guide §2.6): the background chain (tf -> types) and the
+    # in-domain lm_train read the SAME source independently — overlap
+    # their eager materializations on two driver threads so the
+    # in-domain slice's jobs back-fill the background chain's tail
+    # (sequential before: two full chains of driver-job latency).
+    from ..concurrency import build_concurrently
+
+    def _background():
+        tf = _bigram_tf(
+            doc_bigrams(docs, id_col, text_col), id_col
+        ).localCheckpoint()
+        # r11: three consumers (c1b, the join spine, the vocab count) —
+        # materialize the type rollup so each is a read of the
+        # vocabulary-sized table, not a re-aggregation of the
+        # checkpointed tf stream.
+        types = (
+            tf.groupBy("w1", "w2")
+            .agg(F.sum("tf").cast("long").alias("_c12b"))
+            .localCheckpoint()
+        )
+        return tf, types
+
+    (tf, types), (c12i, c1i, vi) = build_concurrently(
+        _background, lambda: lm_train(docs.filter(in_domain), id_col, text_col)
     )
     c1b = types.groupBy("w1").agg(F.sum("_c12b").cast("long").alias("_c1b"))
-    c12i, c1i, vi = lm_train(docs.filter(in_domain), id_col, text_col)
     j = (
         types.join(c1b, "w1")
         .join(
