@@ -217,14 +217,20 @@ def lm_score(
 
 def _finish_score(scored: DataFrame, id_col: str) -> DataFrame:
     """From (id, tf, c12, c1, v_size) rows to the per-doc score."""
-    scored = scored.withColumn(
-        "_num", (F.col("c12") + 1).cast("long")
-    ).withColumn("_den", (F.col("c1") + F.col("v_size")).cast("long"))
-    scored = with_flog2(scored, "_num", "_lnum")
-    scored = with_flog2(scored, "_den", "_lden")
-    per = scored.withColumn(
-        "_s", F.col("tf") * (F.col("_lden") - F.col("_lnum"))
+    # r12: two withColumns replace five withColumn analyzer passes (the
+    # operands are independent; the flog2 outputs only read them).
+    scored = scored.withColumns(
+        {
+            "_num": (F.col("c12") + 1).cast("long"),
+            "_den": (F.col("c1") + F.col("v_size")).cast("long"),
+        }
     )
+    per = scored.withColumns(
+        {
+            "_lnum": flog2_col("_num"),
+            "_lden": flog2_col("_den"),
+        }
+    ).withColumn("_s", F.col("tf") * (F.col("_lden") - F.col("_lnum")))
     out = per.groupBy(id_col).agg(
         F.sum("tf").cast("long").alias("n_bigrams"),
         F.sum("_s").cast("long").alias("surprisal_scaled"),
@@ -1382,25 +1388,30 @@ def moore_lewis_select(
         )
         .crossJoin(F.broadcast(vi.select(F.col("v_size").alias("_vi"))))
     )
-    j = (
-        j.withColumn("_num_b", (F.col("_c12b") + 1).cast("long"))
-        .withColumn("_den_b", (F.col("_c1b") + F.col("_vb")).cast("long"))
-        .withColumn("_num_i", (F.coalesce(F.col("_c12i"), F.lit(0)) + 1).cast("long"))
-        .withColumn(
-            "_den_i",
-            F.greatest(
-                (F.coalesce(F.col("_c1i"), F.lit(0)) + F.col("_vi")).cast("long"),
+    # r12 (guide §1.2 driver-side): the four operand columns are
+    # mutually independent, and so are the four flog2 outputs — two
+    # withColumns calls replace eight withColumn analyzer passes.
+    j = j.withColumns(
+        {
+            "_num_b": (F.col("_c12b") + 1).cast("long"),
+            "_den_b": (F.col("_c1b") + F.col("_vb")).cast("long"),
+            "_num_i": (F.coalesce(F.col("_c12i"), F.lit(0)) + 1).cast("long"),
+            "_den_i": F.greatest(
+                (F.coalesce(F.col("_c1i"), F.lit(0)) + F.col("_vi")).cast(
+                    "long"
+                ),
                 F.lit(1).cast("long"),
             ),
-        )
+        }
     )
-    for src, out in (
-        ("_num_b", "_lnb"),
-        ("_den_b", "_ldb"),
-        ("_num_i", "_lni"),
-        ("_den_i", "_ldi"),
-    ):
-        j = with_flog2(j, src, out)
+    j = j.withColumns(
+        {
+            "_lnb": flog2_col("_num_b"),
+            "_ldb": flog2_col("_den_b"),
+            "_lni": flog2_col("_num_i"),
+            "_ldi": flog2_col("_den_i"),
+        }
+    )
     g = j.select(
         "w1",
         "w2",

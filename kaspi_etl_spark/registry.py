@@ -19,6 +19,7 @@ must match bit-for-bit:
 
 from __future__ import annotations
 
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -134,8 +135,34 @@ SQL_CUSTOMERS_FIT = """
 """
 
 
+# r12 (guide §1.2 driver-side + §6): EVERY spark.read.parquet call pays
+# ~90-110 ms of schema inference + file listing on this host — measured
+# warm, per call — and one bench pass makes 120+ of them (~12 s of the
+# total). The SCAN HANDLE (a lazy DataFrame over an immutable source
+# table) is reusable by construction: holding a table DataFrame for the
+# session lifetime is ordinary Spark practice, every action against it
+# re-executes the scan from the parquet files, and no data or results
+# are memoized — this is the litcache discipline applied to the scan
+# relation. Keyed per SparkSession (weakly — a new/stopped session
+# never sees another session's plans) and per (sf_dir, name). ONLY the
+# immutable $SPARK_GRAFT_SF_DIR source tables go through here; sink
+# round-trip paths (upsert targets, exports) build fresh scans because
+# their file sets change within a run.
+_SCAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    per = _SCAN_CACHE.get(spark)
+    if per is None:
+        per = {}
+        _SCAN_CACHE[spark] = per
+    df = per.get((sf_dir, name))
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        per[(sf_dir, name)] = df
+    return df
 
 
 def orders_kaspi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1062,7 +1089,10 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     real timestamp (µs); use it as-is. Branch on the actual dtype instead of
     assuming, so external schema drift can't break every event query again."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # _read (cached scan handle): the conf above is set before EVERY
+    # call — including the one that creates the cached scan — and is
+    # idempotent, so the cached schema is always the post-conf one.
+    e = _read(spark, sf_dir, "events")
     ts_type = e.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         e = e.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
