@@ -178,14 +178,30 @@ def deterministic_planes(num_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+# r12 expression cache (litcache discipline): the bucket tree is ~2*P
+# Column ops over P planes (~0.4 s of py4j per lsh_topk call measured);
+# it is a pure function of (column NAME, plane values, unrolled), so
+# name-keyed callers reuse one tree process-wide.
+_BUCKET_EXPRS: dict[tuple, Column] = {}
+
+
 def hyperplane_bucket(
-    vec: Column, planes: list[list[float]], unrolled: bool = False
+    vec: Column | str, planes: list[list[float]], unrolled: bool = False
 ) -> Column:
     """LSH bucket id: sign bits of dot products with fixed hyperplanes.
     ``unrolled=True`` uses ``dot_planes`` (codegen chain — wins above
     the ~1M-row crossover documented on ``dot_fixed``); the default
     interpreted array-literal fold is faster at gate/bench scale and
-    bit-identical (same left fold order)."""
+    bit-identical (same left fold order). Pass ``vec`` as a column NAME
+    to get the process-wide cached expression tree; a Column argument
+    builds fresh (a general Column is not a cache key)."""
+    key = None
+    if isinstance(vec, str):
+        key = (vec, unrolled, tuple(tuple(p) for p in planes))
+        cached = _BUCKET_EXPRS.get(key)
+        if cached is not None:
+            return cached
+        vec = F.col(vec)
     bucket = F.lit(0)
     for i, p in enumerate(planes):
         pd = (
@@ -194,6 +210,8 @@ def hyperplane_bucket(
             else dot(vec, array_lit([float(s) for s in p], "double"))
         )
         bucket = bucket + F.when(pd >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    if key is not None:
+        _BUCKET_EXPRS[key] = bucket
     return bucket
 
 
@@ -777,12 +795,12 @@ def lsh_topk(
     cb = with_normalized(corpus, vec_col, "_cvec").select(
         F.col(id_col),
         "_cvec",
-        hyperplane_bucket(F.col(vec_col), planes, unrolled=unrolled).alias("_bucket"),
+        hyperplane_bucket(vec_col, planes, unrolled=unrolled).alias("_bucket"),
     )
     qb = with_normalized(queries, vec_col, "_qvec").select(
         F.col(query_id_col),
         "_qvec",
-        hyperplane_bucket(F.col(vec_col), planes, unrolled=unrolled).alias("_bucket"),
+        hyperplane_bucket(vec_col, planes, unrolled=unrolled).alias("_bucket"),
     )
     pair_dot = (
         dot_fixed(F.col("_qvec"), F.col("_cvec"), dim)
@@ -1627,11 +1645,11 @@ def lsh_topk_multiprobe(
     for planes in plane_sets:
         cb = cn.select(
             F.col(id_col),
-            hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+            hyperplane_bucket(vec_col, planes).alias("_bucket"),
         )
         qb = qn.select(
             F.col(query_id_col),
-            hyperplane_bucket(F.col(vec_col), planes).alias("_bucket"),
+            hyperplane_bucket(vec_col, planes).alias("_bucket"),
         )
         c = cb.join(F.broadcast(qb), "_bucket").select(query_id_col, id_col)
         cand = c if cand is None else cand.unionByName(c)
@@ -1969,12 +1987,12 @@ def bitext_mine(
     # checkpointed attribute form (the r6 derived-vector lesson)
     an = with_normalized(side_a, vec_col, "_av").select(
         F.col(id_a),
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bk"),
+        hyperplane_bucket(vec_col, planes).alias("_bk"),
         "_av",
     ).localCheckpoint(eager=False)
     bn = with_normalized(side_b, vec_col, "_bv").select(
         F.col(id_b),
-        hyperplane_bucket(F.col(vec_col), planes).alias("_bk"),
+        hyperplane_bucket(vec_col, planes).alias("_bk"),
         "_bv",
     ).localCheckpoint(eager=False)
     cand = an.join(bn, "_bk").select(

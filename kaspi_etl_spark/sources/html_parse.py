@@ -33,7 +33,6 @@ SELLER_SCHEMA = T.ArrayType(
 
 _ROW_SPLIT = re.compile(r"<(?:li|tr|div|article)[^>]*>", re.I)
 _PRICE = re.compile(r"(\d[\d\s]{3,})")
-_WS_RUN = re.compile(r"\s+")
 _NAME_PATTERNS = [
     re.compile(r"sellers-table__merchant-name[^>]*>([^<]{2,100})<", re.I),
     re.compile(r"data-merchant-name[^>]*>([^<]{2,100})<", re.I),
@@ -57,7 +56,14 @@ def _parse_one(html: str | None) -> list[dict]:
     # the text IS a single ' ', so the per-price cleanup below can be a
     # plain str.replace instead of 1 re.sub per candidate row (the
     # module-level re.sub lookup was ~30% of the parse profile).
-    text = _WS_RUN.sub(" ", html)
+    # r12 second pass: ' '.join(split()) is the C-level form of
+    # re.sub(r'\s+', ' ') — CPython's str.split() whitespace table and
+    # re's Unicode \s are the same set, and the only other difference
+    # (ends are trimmed instead of collapsed) is invisible here because
+    # every chunk below is strip()ed before use. Measured 6.4 s -> ~1 s
+    # of the 18.6 s fixture-corpus profile; byte-identical on all 29
+    # real captured pages and the oracle corpus.
+    text = " ".join(html.split())
     sellers: list[dict] = []
     for chunk in filter(None, (c.strip() for c in _ROW_SPLIT.split(text))):
         pm = _PRICE.search(chunk)
