@@ -653,9 +653,15 @@ def connected_components(pairs: DataFrame, max_iterations: int = 10) -> DataFram
         .unionByName(verts.select(F.col("v").alias("src"), F.col("v").alias("dst")))
         .distinct()
     ).localCheckpoint()
-    labels = edges_self.select(F.col("src").alias("v")).distinct().withColumn(
-        "label", F.col("v")
-    )
+    # r12: hop 1 needs no labels join at all — against the identity
+    # labeling (label(v) = v), "min of neighbors' labels" IS "min of
+    # neighbor ids", so the first hop is one groupBy over the edge
+    # table. Removes a full edge-table shuffle + join from round 1 at
+    # any scale (guide §2.4 "remove shuffles outright"); later hops
+    # start from this frame.
+    labels = edges_self.groupBy("src").agg(
+        F.min("dst").alias("label")
+    ).select(F.col("src").alias("v"), "label")
     # Labels only ever decrease, so the label sum is strictly monotone
     # while anything changes: comparing one exact-decimal scalar per
     # round replaces the old join-with-previous + count convergence job.
