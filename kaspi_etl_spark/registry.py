@@ -1199,15 +1199,47 @@ SQL_LLM_DOCS = """
 
 @_plan_cache
 def llm_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 (guide §2.3/§6): the old 3-way union scanned `documents`
+    # THREE times per consumer plan — the modulo predicates cannot push
+    # down, so at scale every llm consumer paid 3 full corpus reads.
+    # One scan + a conditional-copy Generate emits the identical row
+    # multiset: the base row always, the +1000000 exact dup when
+    # doc_id % 5 = 0, the +2000000 padded near-dup when doc_id % 7 = 0.
+    # Row ORDER differs from the union form, which no consumer can see
+    # (all downstream operators are order-independent by the oracle
+    # contract). explode_outer: the array is never empty (base copy is
+    # unconditional), and the outer form keeps the driver's vanilla
+    # session (InferFiltersFromGenerate active) from re-inlining the
+    # array build into the scan — same guard as every hot Generate.
     d = _read(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    empty = F.array().cast("array<struct<doc_id:bigint,text:string>>")
+    copies = F.concat(
+        F.array(F.struct(F.col("doc_id").alias("doc_id"), F.col("text").alias("text"))),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.array(
+                F.struct(
+                    (F.col("doc_id") + 1000000).alias("doc_id"),
+                    F.col("text").alias("text"),
+                )
+            ),
+        ).otherwise(empty),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.array(
+                F.struct(
+                    (F.col("doc_id") + 2000000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" padding tail words")).alias(
+                        "text"
+                    ),
+                )
+            ),
+        ).otherwise(empty),
     )
-    near = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 2000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" padding tail words")).alias("text"),
+    return (
+        d.select(F.explode_outer(copies).alias("_c"))
+        .select(F.col("_c.doc_id").alias("doc_id"), F.col("_c.text").alias("text"))
     )
-    return d.unionByName(dups).unionByName(near)
 
 
 # SQL building blocks mirroring llm.dedup expression semantics.
@@ -1917,20 +1949,42 @@ SQL_EMB_AUGMENTED = """
 def emb_augmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embeddings with planted exact dups (+100000) and one-coordinate
     perturbations (+200000) so the near-dup query has positives."""
+    # r12: same single-scan conditional-copy Generate as llm_docs (the
+    # 3-way union read `embeddings` three times per consumer plan; the
+    # modulo filters cannot push down). Row multiset identical.
     emb = _read(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 100000).alias("vec_id"), "v"
+    empty = F.array().cast("array<struct<vec_id:bigint,v:array<double>>>")
+    pert_v = F.concat(
+        F.slice(F.col("v"), 1, F.size("v") - 1),
+        F.array(F.element_at(F.col("v"), F.size("v")) + F.lit(1.0)),
     )
-    pert = emb.filter(F.col("vec_id") % 40 == 0).select(
-        (F.col("vec_id") + 200000).alias("vec_id"),
-        F.concat(
-            F.slice(F.col("v"), 1, F.size("v") - 1),
-            F.array(F.element_at(F.col("v"), F.size("v")) + F.lit(1.0)),
-        ).alias("v"),
+    copies = F.concat(
+        F.array(F.struct(F.col("vec_id").alias("vec_id"), F.col("v").alias("v"))),
+        F.when(
+            F.col("vec_id") % 25 == 0,
+            F.array(
+                F.struct(
+                    (F.col("vec_id") + 100000).alias("vec_id"),
+                    F.col("v").alias("v"),
+                )
+            ),
+        ).otherwise(empty),
+        F.when(
+            F.col("vec_id") % 40 == 0,
+            F.array(
+                F.struct(
+                    (F.col("vec_id") + 200000).alias("vec_id"),
+                    pert_v.alias("v"),
+                )
+            ),
+        ).otherwise(empty),
     )
-    return emb.unionByName(dups).unionByName(pert)
+    return (
+        emb.select(F.explode_outer(copies).alias("_c"))
+        .select(F.col("_c.vec_id").alias("vec_id"), F.col("_c.v").alias("v"))
+    )
 
 
 @register(
